@@ -443,7 +443,7 @@ object SparkEntry {
     "q_f1_scalar_pack" -> qF1scalars,
     "q_f6_round_half_down" -> qF6roundHalfDown _,
     "q_f10_ts_format" -> qF10format _,
-  )
+  ) ++ TextSimQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q_a1_daily_stats" -> oA1,
@@ -476,5 +476,5 @@ object SparkEntry {
     "q_f1_scalar_pack" -> oF1,
     "q_f6_round_half_down" -> oF6,
     "q_f10_ts_format" -> oF10,
-  )
+  ) ++ TextSimQueries.oracleSql
 }

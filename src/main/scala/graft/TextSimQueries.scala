@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.GeoJson
+import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.sources.Tables
+import graft.streaming.DailyRollup
+
+/** Training-data-pipeline query pack: text analysis, dedup family,
+  * similarity search, multimodal plumbing, streaming-semantics roll-up.
+  * Same oracle conventions as SparkEntry (see its scaladoc). Queries
+  * without an oracle (Spark-hash-dependent: MinHash/SimHash/LSH; or
+  * JSON/binary-shaped output) get the driver's rows-only check.
+  */
+object TextSimQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---- text analysis -----------------------------------------------------
+
+  private def qT1tokenStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        col("doc_id"),
+        TextStats.wordCount(col("text")).as("n_words"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.alphaChars(col("text")).as("n_alpha"),
+        TextStats.digitChars(col("text")).as("n_digit"),
+        TextStats.punctChars(col("text")).as("n_punct"),
+        length(col("text")).cast("long").as("len"))
+      .orderBy("doc_id")
+  private val oT1 =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      |  CAST(length(text) AS BIGINT) AS len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def qT2quality(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  // Mirrors TextStats.qualityScore term-by-term (same op order, so doubles
+  // are bit-identical before the final round).
+  private val oT2 =
+    """WITH t AS (SELECT doc_id, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM documents)
+      |SELECT doc_id, round(
+      |  (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |  + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |          BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |  + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |  6) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  private def qT3lang(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("lang"),
+        TextStats.langScore(col("text"), "en").as("s_en"),
+        TextStats.langScore(col("text"), "de").as("s_de"),
+        TextStats.langScore(col("text"), "es").as("s_es"),
+        TextStats.langScore(col("text"), "fr").as("s_fr"),
+        TextStats.langGuess(col("text")).as("guess"))
+      .orderBy("doc_id")
+  private val oT3 = {
+    def occ(w: String): String = {
+      val n = w.length + 1
+      s"CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' $w ', ' ', 'g'))) / $n AS BIGINT)"
+    }
+    def score(ws: Seq[String]): String = ws.map(occ).mkString(" + ")
+    val scores = TextStats.LangMarkers.map { case (l, ws) => l -> score(ws) }.toMap
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  ${scores("en")} AS s_en, ${scores("de")} AS s_de,
+       |  ${scores("es")} AS s_es, ${scores("fr")} AS s_fr
+       |FROM documents),
+       |b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM t)
+       |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+       |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |       WHEN s_en = best AND best > 0 THEN 'en'
+       |       WHEN s_de = best AND best > 0 THEN 'de'
+       |       WHEN s_es = best AND best > 0 THEN 'es'
+       |       WHEN s_fr = best AND best > 0 THEN 'fr'
+       |       ELSE 'und' END AS guess
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private def qT4fingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  private val oT4 =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- dedup -------------------------------------------------------------
+
+  private def qD1exact(s: SparkSession, d: String): DataFrame = {
+    val key = md5(array_join(slice(Dedup.words(col("text")), 1, 2), " "))
+    Dedup.exactGroups(docs(s, d), "doc_id", key)
+      .withColumn("members_csv",
+        expr("array_join(transform(members, x -> cast(x AS string)), ',')"))
+      .drop("members")
+      .orderBy("dup_key")
+  }
+  private val oD1 =
+    """WITH k AS (SELECT doc_id,
+      |  md5(array_to_string(list_slice(
+      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    1, 2), ' ')) AS dup_key
+      |FROM documents)
+      |SELECT dup_key, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv
+      |FROM k GROUP BY 1 ORDER BY dup_key""".stripMargin
+
+  private def qD2jaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, d), "doc_id", "text", n = 3,
+        minJaccard = 0.05, maxBucketSize = Int.MaxValue)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  private val oD2 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
+      |        count(*) AS inter
+      |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05
+      |ORDER BY 1, 2""".stripMargin
+
+  private def qD3minhash(s: SparkSession, d: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(docs(s, d), "doc_id", "text", n = 3, k = 64)
+    Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 4)
+      .where(col("est_jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private def qD4simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.simhash(docs(s, d), "doc_id", "text")
+    Dedup.simhashPairs(sh, maxHamming = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def qD5embedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  private val oD5 =
+    """WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |u AS (SELECT ia, ib, CAST(unnest(ea) AS DOUBLE) AS xa,
+      |    CAST(unnest(eb) AS DOUBLE) AS xb FROM p),
+      |g AS (SELECT ia, ib, sum(xa * xb) AS dt, sum(xa * xa) AS na,
+      |    sum(xb * xb) AS nb FROM u GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  round(dt / (sqrt(na) * sqrt(nb)), 6) AS cosine
+      |FROM g WHERE dt / (sqrt(na) * sqrt(nb)) >= 0.4
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- similarity search -------------------------------------------------
+
+  private def qS1topk(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+  private val oS1 =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+      |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe,
+      |    c.embedding AS ce
+      |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      |u AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS xq,
+      |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+      |g AS (SELECT qid, cid, sum(xq * xc) AS dt, sum(xq * xq) AS nq,
+      |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+      |r AS (SELECT qid, cid, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g),
+      |k AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank FROM r)
+      |SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+      |FROM k WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def qS2annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, planes = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- multimodal + geo + streaming-semantics ----------------------------
+
+  private def qM1multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(docs(s, d), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyN = 2)
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    feats.join(frames, Seq("media_id"), "left")
+      .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), size(col("features")).as("feat_dim"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        col("n_frames"))
+      .orderBy("media_id")
+  }
+
+  private def qG1geojson(s: SparkSession, d: String): DataFrame =
+    GeoJson.trackFeatureCollections(
+        Tables.events(s, d).withColumn("lon", col("user_id").cast("double") / 100d),
+        "event_type", "ts", "value", "lon")
+      .orderBy("event_type")
+
+  private def qSt1daily(s: SparkSession, d: String): DataFrame =
+    DailyRollup.dailyStats(Tables.events(s, d), "ts", "event_type", "value")
+      .withColumn("total", round(col("total"), 2))
+      .orderBy("event_type", "date")
+  private val oSt1 =
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- maps --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_t1_token_stats" -> qT1tokenStats _,
+    "q_t2_quality_score" -> qT2quality _,
+    "q_t3_lang_guess" -> qT3lang _,
+    "q_t4_fingerprint" -> qT4fingerprint _,
+    "q_d1_exact_dedup" -> qD1exact _,
+    "q_d2_ngram_jaccard" -> qD2jaccard _,
+    "q_d3_minhash_lsh" -> qD3minhash _,
+    "q_d4_simhash" -> qD4simhash _,
+    "q_d5_embedding_neardup" -> qD5embedNearDup _,
+    "q_s1_cosine_topk" -> qS1topk _,
+    "q_s2_ann_lsh" -> qS2annLsh _,
+    "q_m1_multimodal_features" -> qM1multimodal _,
+    "q_g1_geojson_tracks" -> qG1geojson _,
+    "q_st1_daily_rollup" -> qSt1daily _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_t1_token_stats" -> oT1,
+    "q_t2_quality_score" -> oT2,
+    "q_t3_lang_guess" -> oT3,
+    "q_t4_fingerprint" -> oT4,
+    "q_d1_exact_dedup" -> oD1,
+    "q_d2_ngram_jaccard" -> oD2,
+    "q_d5_embedding_neardup" -> oD5,
+    "q_s1_cosine_topk" -> oS1,
+    "q_st1_daily_rollup" -> oSt1,
+  )
+}

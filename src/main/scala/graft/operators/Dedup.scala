@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: nothing here ever materializes the O(n²) pair matrix.
+  * Candidate pairs always come from an equi-join on a bucket key
+  * (shared shingle, LSH band hash, SimHash chunk) — a plain shuffle
+  * hash join Catalyst handles at any scale — and only candidates get the
+  * exact verification math. Skewed buckets (a shingle shared by millions
+  * of docs) are the classic hazard: `maxBucketSize` drops
+  * pathological buckets, the standard practice.
+  */
+object Dedup {
+
+  /** Normalize + word-split (shared by all text dedup ops). */
+  def words(c: Column): Column =
+    split(trim(lower(regexp_replace(c, "[^A-Za-z0-9]+", " "))), " ")
+
+  /** n-word shingle strings from an ALREADY-MATERIALIZED words-array
+    * column. Callers must materialize the words array behind a shuffle or
+    * cache boundary first: if `w` is still the split/regexp expression,
+    * CollapseProject inlines it into these lambdas and the tokenization
+    * re-executes once per shingle (measured ~25× slowdown on the
+    * inverted-index build). */
+  def shinglesFromWords(w: Column, n: Int): Column =
+    array_distinct(transform(
+      filter(
+        transform(sequence(lit(0), greatest(size(w) - lit(n), lit(0))),
+          i => slice(w, i + lit(1), lit(n))),
+        a => size(a) === lit(n)),
+      a => array_join(a, " ")))
+
+  /** (id, words, shingles) with the words array materialized via an
+    * exchange so downstream lambdas see an attribute, not the expression. */
+  private[operators] def tokenized(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), shinglesFromWords(col("w"), n).as("sh"))
+
+  /** Shingles joined to strings (join/hash friendly) straight from text —
+    * convenience for small inputs; prefer `tokenized` in pipelines. */
+  def shingleStrings(c: Column, n: Int): Column =
+    shinglesFromWords(words(c), n)
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup groups: one row per duplicate-key group with the keeper
+    * (min id), the group size, and member ids. A single hash groupBy —
+    * the 100 TB path (key is a short hash, shuffle is tiny vs input). */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).as("group_size"),
+        array_sort(collect_list(col(idCol))).as("members"))
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Exact Jaccard similarity over n-word shingles for every pair of docs
+    * sharing at least one shingle (inverted-index candidate join — for
+    * threshold > 0 this is exhaustive, because J(a,b) > 0 ⇔ a,b share a
+    * shingle). `maxBucketSize` guards stop-shingle skew. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   minJaccard: Double, maxBucketSize: Int = 1000): DataFrame = {
+    val sh = tokenized(df, idCol, textCol, n)
+      .withColumn("n_sh", size(col("sh")))
+    // join key = xxhash64(shingle): 8-byte keys instead of ~20-byte strings
+    // (collision odds over |distinct shingles|² are ~1e-11 — below any
+    // other nondeterminism in the pipeline).
+    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) inv // no prune → skip the window pass
+      else inv.withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+        .where(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+    val inter = pruned.as("a").join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter.select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** k-permutation MinHash signature per doc: sig[i] = min over shingles
+    * of xxhash64(i, shingle).
+    *
+    * Implementation: explode shingles, then ONE hash aggregate with k
+    * `min(xxhash64(i, s))` columns. A nested higher-order-function
+    * formulation (transform ∘ array_min ∘ transform) looks natural but
+    * HOF lambdas are CodegenFallback — interpreted per row — and measured
+    * ~100× slower; k independent min-aggregates stay inside whole-stage
+    * codegen with map-side partial aggregation, so the shuffle carries one
+    * k-long row per doc. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val ex = tokenized(df, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"_h$i"))
+    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: docs whose signature agrees on ALL rows of ≥1 band
+    * become candidate pairs, with the signature-estimated Jaccard
+    * (fraction of agreeing positions). bands×rowsPerBand must equal the
+    * signature length k. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+          .as(Seq("band", "bhash")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), p -> p))")
+          .cast("double") / size(col("a.sig"))).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash per doc from word tokens: bit i of the fingerprint is
+    * the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+    *
+    * Implementation: explode tokens, one hash aggregate with 64 signed
+    * bit-sum columns (codegen + map-side combine — see minhashSignatures
+    * for why not nested HOFs), then assemble the fingerprint with bitwise
+    * ORs of the 64 sign tests. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val aggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$i")
+    }
+    val counts = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    counts.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: bucket on 4×16-bit chunks (a pair within
+    * Hamming distance 3 must agree on ≥1 chunk — pigeonhole), then exact
+    * `bit_count(xor)` filter. */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), " +
+        "c -> shiftright(simhash, c * 16) & 65535)")).as(Seq("chunk", "cval")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ------------------------------------------------
+
+  /** Embedding-cosine near-duplicates above `minCosine`. Exact
+    * all-pairs — reserved for re-ranking candidate sets or modest n; the
+    * scale path buckets through Similarity.lsh first. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double): DataFrame = {
+    // Norms once per vector; spread the pair loop across all cores (the
+    // single-file source would otherwise make the nested-loop join one
+    // task — the dot product is an interpreted HOF, so parallelism is the
+    // lever here).
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val e = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    e.repartition(par).as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are pure narrow transformations built from
+  * codegen'd builtins — no UDFs, no shuffle; at 100 TB they run map-side
+  * at scan speed and column-prune to just the text column.
+  */
+object TextStats {
+
+  /** BPE-ish token pattern: runs of alphanumerics or single non-space
+    * punctuation marks (approximates how byte-pair tokenizers split). */
+  val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  val WordPattern = "[A-Za-z0-9]+"
+
+  def wordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(WordPattern), lit(0))).cast("long")
+
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(TokenPattern), lit(0))).cast("long")
+
+  /** Whitespace-split token count (the cheap estimator). */
+  def whitespaceTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  def alphaChars(c: Column): Column = countMatches(c, "[A-Za-z]")
+  def digitChars(c: Column): Column = countMatches(c, "[0-9]")
+  def punctChars(c: Column): Column = countMatches(c, "[^A-Za-z0-9\\s]")
+
+  /** Count non-overlapping occurrences of literal `word` bounded by
+    * spaces, via the replace-length trick (expressible identically in any
+    * SQL engine — used by the DuckDB oracles). Text is padded so boundary
+    * words count. */
+  def wordOccurrences(c: Column, word: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    val needle = s" $word "
+    // non-overlapping: " a a a " → replace kills alternating matches; good
+    // enough for scoring (and bit-identical to the oracle formula).
+    ((length(padded) - length(regexp_replace(padded, needle, " "))) /
+      lit(needle.length - 1)).cast("long")
+  }
+
+  /** Quality score in [0,1]: blend of alpha ratio, mean word length
+    * band, and stopword presence — deterministic, grid-aligned via
+    * integer arithmetic then one final rounding. */
+  def qualityScore(c: Column): Column = {
+    val n = length(c).cast("double")
+    val alphaRatio = alphaChars(c).cast("double") / greatest(n, lit(1.0d))
+    val words = wordCount(c).cast("double")
+    val meanWordLen = alphaChars(c).cast("double") / greatest(words, lit(1.0d))
+    val stopRatio = (wordOccurrences(c, "the") + wordOccurrences(c, "a"))
+      .cast("double") / greatest(words, lit(1.0d))
+    round(alphaRatio * lit(0.5d) +
+      when(meanWordLen.between(3.0d, 8.0d), lit(0.3d)).otherwise(lit(0.0d)) +
+      least(stopRatio * lit(2.0d), lit(1.0d)) * lit(0.2d), 6)
+  }
+
+  /** Language-ID heuristic: distinctive-stopword hit counts per language,
+    * CJK characters short-circuit to zh; ties broken by a fixed priority
+    * order. N-gram-frequency profiles would be the production path; the
+    * shape (map-side scoring, argmax) is the same. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "que", "los"),
+    "fr" -> Seq("le", "et", "les"))
+
+  def langScore(c: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(w => wordOccurrences(c, w))
+      .reduce(_ + _)
+
+  def langGuess(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(c.rlike("[一-鿿]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint: hash of the alphanumeric-normalized text —
+    * the exact-dedup key (S/F analog of a rolling-hash fingerprint). */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "[^A-Za-z0-9]+", "")))
+}

@@ -48,15 +48,19 @@ object ErddapCsv {
     val cleaned = normed.select(normed.columns.map { c =>
       when(col(c).isin(NaTokens: _*), lit(null)).otherwise(col(c)).as(c)
     }.toIndexedSeq: _*)
-    // Units row: time column present but not parseable as timestamp.
+    // Units row: time column present but not parseable as timestamp
+    // (try_* variants: ANSI mode would otherwise throw on 'UTC').
     val tf = normalizeName(timeField)
     val noUnits =
       if (cleaned.columns.contains(tf))
-        cleaned.where(col(tf).isNull || to_timestamp(col(tf)).isNotNull)
+        cleaned.where(col(tf).isNull ||
+          expr(s"try_to_timestamp(`$tf`)").isNotNull)
       else cleaned
-    // Cast to target schema (missing columns become null columns).
+    // Cast to target schema (missing columns become null columns;
+    // malformed cells → null, matching pandas errors='coerce').
     noUnits.select(schema.fields.map { f =>
-      (if (noUnits.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      (if (noUnits.columns.contains(f.name))
+         expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})")
        else lit(null).cast(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
   }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextStats}
+
+class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words entirely unrelated text here"),
+    (4L, "the quick brown fox jumps over the lazy dog")     // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by fingerprint") {
+    val g = Dedup.exactGroups(docs, "doc_id", TextStats.fingerprint(col("text")))
+    val dup = g.where($"group_size" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup(0).getAs[Long]("keeper") == 1L)
+    assert(dup(0).getSeq[Long](dup(0).fieldIndex("members")).toSeq == Seq(1L, 4L))
+  }
+
+  test("ngram jaccard finds near-dups, exact value") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.3)
+      .orderBy("id_a", "id_b").collect()
+    // docs 1/2: 7 distinct 3-shingles each, 6 shared → j = 6/8
+    val pair12 = p.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(math.abs(pair12.getAs[Double]("jaccard") - 0.75) < 1e-12)
+    // exact dup pair → j = 1.0
+    val pair14 = p.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(pair14.getAs[Double]("jaccard") == 1.0)
+    // unrelated doc 3 appears in no pair
+    assert(!p.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("minhash LSH: exact dups always collide; estimate near truth") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 4).collect()
+    val p14 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(p14.getAs[Double]("est_jaccard") == 1.0)
+    pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).foreach { p12 =>
+      val est = p12.getAs[Double]("est_jaccard")
+      assert(est > 0.2 && est <= 1.0)
+    }
+  }
+
+  test("simhash: identical docs → distance 0; near-dups close") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(4L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(2L)) < 20)
+    val pairs = Dedup.simhashPairs(sh, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L &&
+      r.getAs[Long]("hamming") == 0L))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+    (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: exact ranking") {
+    val topk = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
+      "embedding", k = 2).orderBy("rank").collect()
+    assert(topk.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(topk(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("embedding near-dups above threshold only") {
+    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9).collect()
+    assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("LSH ANN: self-bucket finds the obvious neighbor") {
+    val ann = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
+      "embedding", k = 2, planes = 4, dim = 3).collect()
+    assert(ann.exists(r => r.getAs[Long]("neighbor_id") == 1L))
+  }
+}
