@@ -410,6 +410,55 @@ object SparkEntry {
     """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---- W/A/F supplements -------------------------------------------------
+
+  /** W2: time-ordered per-key track assembly (first 20 ids per key). */
+  private def qW2track(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiles.orderedTrack(Tables.events(s, d), "event_type",
+        "ts", "event_id", col("event_id"))
+      .select(col("event_type"),
+        expr("array_join(transform(slice(track, 1, 20), x -> cast(x AS string)), ',')")
+          .as("track"))
+      .orderBy("event_type")
+  private val oW2 =
+    """WITH r AS (SELECT event_type, event_id, row_number() OVER (
+      |  PARTITION BY event_type ORDER BY ts, event_id) AS rn FROM events)
+      |SELECT event_type, string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn) AS track
+      |FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A10/A14 combo: glider-days calendar — distinct active ids per
+    * (year, month) × day over the dense deployment ranges. */
+  private def qA10gliderDays(s: SparkSession, d: String): DataFrame =
+    Calendars.ymdCalendarDistinct(
+        Profiles.deploymentDays(li(s, d), "l_returnflag", "l_shipdate"),
+        "day", "l_returnflag")
+      .orderBy("year", "month")
+  private val oA10gliderDays = {
+    val cells = (1 to 31).map(dd =>
+      f"nullif(CAST(count(DISTINCT CASE WHEN day(day) = $dd THEN l_returnflag END) AS BIGINT), 0) AS d$dd%02d")
+      .mkString(",\n  ")
+    s"""WITH b AS (SELECT l_returnflag, CAST(min(l_shipdate) AS DATE) AS d0,
+       |  CAST(max(l_shipdate) AS DATE) AS d1 FROM lineitem GROUP BY 1),
+       |g AS (SELECT l_returnflag,
+       |  CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+       |SELECT CAST(year(day) AS BIGINT) AS year, CAST(month(day) AS BIGINT) AS month,
+       |  $cells
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** F5: substring chop at a marker (summary truncation analog). */
+  private val (qF5chop, oF5) = shared(
+    """SELECT doc_id, substr(text, 1, 40) AS head40,
+      |  CASE WHEN instr(text, 'value') = 0 THEN text
+      |       ELSE left(text, instr(text, 'value') - 1) END AS chopped,
+      |  CAST(length(text) AS BIGINT) AS len
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** A6/P13: distinct values + group membership via HAVING. */
+  private val (qA6unique, oA6) = shared(
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      |FROM customer GROUP BY 1 HAVING count(*) > 100 ORDER BY 1""".stripMargin)
+
   // ---- assembled maps ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -443,6 +492,10 @@ object SparkEntry {
     "q_f1_scalar_pack" -> qF1scalars,
     "q_f6_round_half_down" -> qF6roundHalfDown _,
     "q_f10_ts_format" -> qF10format _,
+    "q_w2_ordered_track" -> qW2track _,
+    "q_a10_gliderdays_calendar" -> qA10gliderDays _,
+    "q_f5_substring_chop" -> qF5chop,
+    "q_a6_unique_having" -> qA6unique,
   ) ++ TextSimQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -476,5 +529,9 @@ object SparkEntry {
     "q_f1_scalar_pack" -> oF1,
     "q_f6_round_half_down" -> oF6,
     "q_f10_ts_format" -> oF10,
+    "q_w2_ordered_track" -> oW2,
+    "q_a10_gliderdays_calendar" -> oA10gliderDays,
+    "q_f5_substring_chop" -> oF5,
+    "q_a6_unique_having" -> oA6,
   ) ++ TextSimQueries.oracleSql
 }

@@ -60,6 +60,18 @@ object Calendars {
         .agg(sum(value)),
       "d")
 
+  /** A10 "glider days" flavor: (year, month) × day matrix of DISTINCT
+    * active ids (the reference's `days.any().sum(axis=1)` per calendar
+    * cell). Cells with no active id are null (pivot semantics), matching
+    * the reference's NaN. */
+  def ymdCalendarDistinct(df: DataFrame, dateCol: String, idCol: String): DataFrame =
+    renamePivoted(
+      df.groupBy(year(col(dateCol)).cast("long").as("year"),
+                 month(col(dateCol)).cast("long").as("month"))
+        .pivot(dayofmonth(col(dateCol)), dayCols)
+        .agg(countDistinct(col(idCol))),
+      "d")
+
   /** A7: per-day totals across all datasets (row-sum of the reference's
     * wide matrix, /root/reference/gdutils/__init__.py:154) — in long form
     * just a date groupBy. */
