@@ -18,6 +18,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftPlans.install(spark)
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to 3).foreach { i =>

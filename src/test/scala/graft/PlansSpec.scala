@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+class PlansSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("NanosTimestampPushdown: ts range predicate reaches the parquet scan") {
+    val df = Tables.events(spark, sf)
+      .where(col("ts").between(lit("2024-01-10 00:00:00"), lit("2024-01-12 00:00:00")))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("GreaterThanOrEqual(ts,"),
+      s"expected pushed ts lower bound in:\n$physical")
+    assert(physical.contains("LessThanOrEqual(ts,"),
+      s"expected pushed ts upper bound in:\n$physical")
+  }
+
+  test("pushdown rewrite preserves row set exactly") {
+    val ev = Tables.events(spark, sf)
+    val t0 = "2024-01-10 00:00:00"
+    val t1 = "2024-01-12 00:00:00"
+    val withRule = ev.where(col("ts").between(lit(t0), lit(t1))).count()
+    // reference computation that the rule cannot touch: filter post-collect
+    val expected = ev.select(col("ts")).collect()
+      .map(_.getTimestamp(0))
+      .count(t => !t.before(java.sql.Timestamp.valueOf(t0)) &&
+        !t.after(java.sql.Timestamp.valueOf(t1)))
+    assert(withRule == expected)
+  }
+
+  test("broadcast hint survives in join plans") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
+    val plan = graft.operators.Merges.joinInfo(o, c, "o_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("projection pruning reaches parquet ReadSchema") {
+    val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan)
+  }
+}
