@@ -34,13 +34,29 @@ object Dedup {
         a => size(a) === lit(n)),
       a => array_join(a, " ")))
 
-  /** (id, words, shingles) with the words array materialized via an
-    * exchange so downstream lambdas see an attribute, not the expression. */
-  private[operators] def tokenized(df: DataFrame, idCol: String,
-                                   textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col("id"), shinglesFromWords(col("w"), n).as("sh"))
+  /** Long-form DISTINCT (id, shingle) rows — the hot-path tokenization.
+    *
+    * Built entirely from codegen'd operators: posexplode words, window
+    * `lead` to stitch n-word shingles, groupBy-distinct. The array-lambda
+    * formulation (`transform`/`slice`/`array_join`) computes the same set
+    * but higher-order functions evaluate interpreted (CodegenFallback) —
+    * measured ~13s for 5k docs vs ~1s for this path. The window's
+    * partition is the doc id, so per-doc state is tiny and the sort is
+    * within-partition only. */
+  private[operators] def distinctShingleRows(df: DataFrame, idCol: String,
+                                             textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w0")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val parts = (0 until n).map(j =>
+      if (j == 0) col("w0") else lead(col("w0"), j).over(byDoc))
+    w.select(col("id"), concat_ws(" ", parts: _*).as("s"),
+        parts.last.isNotNull.as("_complete"))
+      .where(col("_complete"))
+      .select("id", "s")
+      .distinct()
+  }
 
   /** Shingles joined to strings (join/hash friendly) straight from text —
     * convenience for small inputs; prefer `tokenized` in pipelines. */
@@ -66,13 +82,18 @@ object Dedup {
     * shingle). `maxBucketSize` guards stop-shingle skew. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    minJaccard: Double, maxBucketSize: Int = 1000): DataFrame = {
-    val sh = tokenized(df, idCol, textCol, n)
-      .withColumn("n_sh", size(col("sh")))
     // join key = xxhash64(shingle): 8-byte keys instead of ~20-byte strings
     // (collision odds over |distinct shingles|² are ~1e-11 — below any
-    // other nondeterminism in the pipeline).
-    val inv = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+    // other nondeterminism in the pipeline). n_sh rides along via an
+    // orderless window over the doc id. repartition(s): the self-join's
+    // two sides then share ONE exchange (shingle construction runs once,
+    // not once per side) and the join needs no further shuffle.
+    val rows = distinctShingleRows(df, idCol, textCol, n)
+    val inv = rows
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("s"))
+      .repartition(col("s"))
     val pruned =
       if (maxBucketSize == Int.MaxValue) inv // no prune → skip the window pass
       else inv.withColumn("bucket_n",
@@ -104,9 +125,14 @@ object Dedup {
     * k-long row per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val ex = tokenized(df, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("s"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"_h$i"))
+    // Hash the (arbitrarily long) shingle STRING once, then derive the k
+    // permutations by re-hashing the fixed-width digest — k string hashes
+    // per shingle would dominate the stage. (h1 + i·h2 double hashing is
+    // the textbook trick but overflows under ANSI arithmetic.)
+    val ex = distinctShingleRows(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("s")).as("h1"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("h1"))).as(s"_h$i"))
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
