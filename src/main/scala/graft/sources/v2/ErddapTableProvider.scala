@@ -1,0 +1,235 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for ERDDAP-convention CSV responses
+  * (SURVEY.md §4 "optional DSv2 connector"): the reference pushes
+  * predicates/projections into tabledap request URLs
+  * (/root/reference/gdutils/__init__.py:770-805); this connector exposes
+  * the same pushdown surface to Catalyst via `SupportsPushDownFilters` +
+  * `SupportsPushDownRequiredColumns`, so `SELECT a, b WHERE time >= t`
+  * plans a scan that (a) only materializes a,b and (b) evaluates the
+  * pushed comparisons inside the reader — the exact seam where a live
+  * deployment would translate them into ERDDAP constraint URLs
+  * (io.ErddapUrl) instead of reading local files.
+  *
+  * Usage:
+  *   spark.read.format("graft.sources.v2.ErddapTableProvider")
+  *     .schema(s).option("path", "fixtures/glob_*.csv").load()
+  *
+  * File format handled: header row, optional units row (auto-skipped when
+  * the first typed column fails to parse), NA tokens none/None, simple
+  * unquoted CSV (ERDDAP's own output shape). One input partition per
+  * file — ERDDAP responses are per-dataset files; a glob of thousands of
+  * datasets parallelizes across the cluster.
+  */
+class ErddapTableProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = ErddapV2.firstFile(options.get("path"))
+    val header = scala.io.Source.fromFile(path)
+    try {
+      val names = header.getLines().next().split(",", -1)
+      StructType(names.map(n =>
+        StructField(graft.sources.ErddapCsv.normalizeName(n.trim), StringType)))
+    } finally header.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ErddapTable(schema, properties.get("path"))
+}
+
+private[v2] object ErddapV2 {
+  def files(pathSpec: String): Seq[String] = {
+    val f = new java.io.File(pathSpec)
+    if (f.isFile) Seq(f.getAbsolutePath)
+    else if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+    else { // glob on the final segment
+      val dir = f.getParentFile
+      val re = java.util.regex.Pattern.compile(
+        f.getName.replace(".", "\\.").replace("*", ".*").replace("?", "."))
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && re.matcher(x.getName).matches())
+        .map(_.getAbsolutePath).sorted.toSeq
+    }
+  }
+  def firstFile(pathSpec: String): String =
+    files(pathSpec).headOption.getOrElse(
+      throw new IllegalArgumentException(s"no files match $pathSpec"))
+}
+
+private[v2] class ErddapTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"erddap:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ErddapScanBuilder(schema, path)
+}
+
+private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def supported(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull | _: IsNull => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(supported)
+    pushed = sup
+    unsup // Spark re-evaluates these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new ErddapScan(fullSchema, required, pushed, path)
+}
+
+private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
+                             filters: Array[Filter], path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ErddapScan(path=$path, pushed=${filters.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ErddapV2.files(path).map(f => ErddapFilePartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ErddapReaderFactory(fullSchema, required, filters)
+}
+
+private[v2] case class ErddapFilePartition(file: String) extends InputPartition
+
+private[v2] class ErddapReaderFactory(fullSchema: StructType,
+    required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ErddapFileReader(p.asInstanceOf[ErddapFilePartition].file,
+      fullSchema, required, filters)
+}
+
+/** Per-file reader: header-driven column mapping, units-row skip, NA
+  * tokens, typed parse, pushed-filter evaluation. */
+private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
+    required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val source = scala.io.Source.fromFile(file)
+  private val lines = source.getLines()
+  private val header: Array[String] =
+    if (lines.hasNext)
+      lines.next().split(",", -1).map(h =>
+        graft.sources.ErddapCsv.normalizeName(h.trim))
+    else Array.empty
+  private val colIdx: Map[String, Int] = header.zipWithIndex.toMap
+  private val fieldsByName = fullSchema.fields.map(f => f.name -> f).toMap
+
+  private var current: InternalRow = _
+  private var firstDataRow = true
+
+  private def parseValue(raw: String, dt: DataType): Any = {
+    val v = raw.trim
+    if (v.isEmpty || v == "none" || v == "None" || v == "NaN") null
+    else dt match {
+      case StringType => UTF8String.fromString(v)
+      case DoubleType => try java.lang.Double.valueOf(v) catch { case _: Exception => null }
+      case LongType => try java.lang.Long.valueOf(v) catch { case _: Exception => null }
+      case IntegerType => try Integer.valueOf(v) catch { case _: Exception => null }
+      case BooleanType => try java.lang.Boolean.valueOf(v) catch { case _: Exception => null }
+      case TimestampType =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(v),
+          DateTimeUtils.getZoneId("UTC")).map(Long.box).orNull
+      case _ => UTF8String.fromString(v)
+    }
+  }
+
+  private def fieldValue(cells: Array[String], name: String): Any =
+    colIdx.get(name) match {
+      case Some(i) if i < cells.length =>
+        parseValue(cells(i), fieldsByName(name).dataType)
+      case _ => null
+    }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, _) => x.compareTo(toLong(b))
+    case (x: java.lang.Double, _) => x.compareTo(toDouble(b))
+    case (x: java.lang.Integer, _) => x.toLong.compareTo(toLong(b))
+    case (x: UTF8String, y) => x.toString.compareTo(String.valueOf(y))
+    case _ => 0
+  }
+  private def toLong(b: Any): Long = b match {
+    case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+    case n: Number => n.longValue()
+    case s => s.toString.toLong
+  }
+  private def toDouble(b: Any): Double = b match {
+    case n: Number => n.doubleValue()
+    case s => s.toString.toDouble
+  }
+
+  private def eval(f: Filter, get: String => Any): Boolean = f match {
+    case IsNotNull(a) => get(a) != null
+    case IsNull(a) => get(a) == null
+    case EqualTo(a, v) => val x = get(a); x != null && cmp(x, v) == 0
+    case GreaterThan(a, v) => val x = get(a); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v) >= 0
+    case LessThan(a, v) => val x = get(a); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(a, v) => val x = get(a); x != null && cmp(x, v) <= 0
+    case _ => true
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val cells = lines.next().split(",", -1)
+      // units row: first data row whose first typed (non-string) column
+      // fails to parse while non-null raw — skip once
+      val isUnitsRow = firstDataRow && {
+        fullSchema.fields.exists { f =>
+          f.dataType != StringType && colIdx.contains(f.name) && {
+            val i = colIdx(f.name)
+            i < cells.length && cells(i).trim.nonEmpty &&
+              parseValue(cells(i), f.dataType) == null &&
+              !Seq("none", "None", "NaN").contains(cells(i).trim)
+          }
+        }
+      }
+      firstDataRow = false
+      if (!isUnitsRow) {
+        val get: String => Any = name => fieldValue(cells, name)
+        if (filters.forall(eval(_, get))) {
+          current = InternalRow.fromSeq(
+            required.fields.toSeq.map(f => fieldValue(cells, f.name)))
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = source.close()
+}

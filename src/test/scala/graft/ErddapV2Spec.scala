@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ErddapV2Spec extends AnyFunSuite with SparkSpec {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("erddapv2").toFile
+    Files.writeString(new java.io.File(d, "ru29_obs.csv").toPath,
+      """time,latitude,longitude,Profile ID
+        |UTC,degrees_north,degrees_east,1
+        |2021-06-01T03:12:00Z,39.102,-73.514,1
+        |2021-06-01T07:44:00Z,39.141,-73.488,2
+        |2021-06-02T01:02:00Z,none,None,3
+        |""".stripMargin)
+    Files.writeString(new java.io.File(d, "sp10_obs.csv").toPath,
+      """time,latitude,longitude,Profile ID
+        |UTC,degrees_north,degrees_east,1
+        |2021-07-01T00:00:00Z,10.5,20.5,1
+        |""".stripMargin)
+    d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("time", TimestampType), StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType), StructField("profile_id", LongType)))
+
+  private def read =
+    spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .schema(schema).option("path", s"$dir/*_obs.csv").load()
+
+  test("reads multi-file glob, skips units rows, honors NA tokens") {
+    val df = read
+    assert(df.count() == 4)
+    assert(df.where(col("latitude").isNull).count() == 1)
+    assert(df.rdd.getNumPartitions == 2) // one partition per file
+  }
+
+  test("filter pushdown reaches the DSv2 scan and filters rows") {
+    val df = read.where(col("time") >= lit("2021-06-01 05:00:00"))
+      .where(col("latitude").isNotNull)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("GreaterThanOrEqual(time"),
+      plan)
+    assert(df.count() == 2)
+  }
+
+  test("column pruning reaches readSchema") {
+    val df = read.select("profile_id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L, 2L, 3L))
+  }
+
+  test("schema inference yields normalized string columns") {
+    val df = spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .option("path", s"$dir/ru29_obs.csv").load()
+    assert(df.columns.toSeq == Seq("time", "latitude", "longitude", "profile_id"))
+  }
+}
