@@ -459,6 +459,62 @@ object SparkEntry {
     """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
       |FROM customer GROUP BY 1 HAVING count(*) > 100 ORDER BY 1""".stripMargin)
 
+  /** A16: exact interpolated percentiles (both engines use the
+    * index = p·(n−1) linear-interpolation definition). */
+  private def qA16percentiles(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+      .orderBy("l_returnflag")
+  private val oA16 =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A17: rollup subtotals (year × status with grand/partial totals;
+    * NULLS FIRST on both sides — DuckDB defaults to NULLS LAST). */
+  private def qA17rollup(s: SparkSession, d: String): DataFrame =
+    ord(s, d).withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .rollup("yr", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderstatus"))
+  private val oA17 =
+    """SELECT yr, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+      |      o_totalprice FROM orders) t
+      |GROUP BY ROLLUP(yr, o_orderstatus)
+      |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
+  /** W4: analytic window pack — row_number, lag, running sum over a fully
+    * deterministic ordering (running double sums accumulate in frame
+    * order on both engines, so 2-dp-grid rounding is exact). */
+  private def qW4windows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ord(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy("o_custkey", "rn")
+  }
+  private val oW4 =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   // ---- assembled maps ----------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -496,6 +552,9 @@ object SparkEntry {
     "q_a10_gliderdays_calendar" -> qA10gliderDays _,
     "q_f5_substring_chop" -> qF5chop,
     "q_a6_unique_having" -> qA6unique,
+    "q_a16_percentiles" -> qA16percentiles _,
+    "q_a17_rollup" -> qA17rollup _,
+    "q_w4_window_pack" -> qW4windows _,
   ) ++ TextSimQueries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -533,5 +592,8 @@ object SparkEntry {
     "q_a10_gliderdays_calendar" -> oA10gliderDays,
     "q_f5_substring_chop" -> oF5,
     "q_a6_unique_having" -> oA6,
+    "q_a16_percentiles" -> oA16,
+    "q_a17_rollup" -> oA17,
+    "q_w4_window_pack" -> oW4,
   ) ++ TextSimQueries.oracleSql
 }
