@@ -142,9 +142,20 @@ object Dedup {
     * (fraction of agreeing positions). bands×rowsPerBand must equal the
     * signature length k. */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sig.select(col("id"), col("sig"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
+    require(bands > 0 && rowsPerBand > 0,
+      "bands and rowsPerBand must be positive")
+    val k = bands * rowsPerBand
+    // enforce bands·rowsPerBand == |sig| at runtime: a short slice in the
+    // upper bands would hash identically for every doc and silently make
+    // all pairs candidates — fail loudly instead
+    val banded = sig
+      .select(col("id"), col("sig"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> IF(size(sig) = $k,
+             |          xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)),
+             |          raise_error(concat('signature length ', size(sig),
+             |            ' != bands*rowsPerBand = $k'))))""".stripMargin))
           .as(Seq("band", "bhash")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&

@@ -71,11 +71,20 @@ object NanosTimestampPushdown extends Rule[LogicalPlan] {
         lo <- nsOf(usLit(r).get, 0); hi <- nsOf(usLit(r).get, 999)
       } yield And(GreaterThanOrEqual(ns, lit(lo)),
         LessThanOrEqual(ns, lit(hi))): Expression).getOrElse(e)
-    // literal-on-left orientations
+    // literal-on-left orientations (lit ⋈ col ⇔ col ⋈⁻¹ lit)
     case e @ GreaterThanOrEqual(l, NsAsTimestamp(ns)) if usLit(l).isDefined =>
       nsOf(usLit(l).get, 999).map(b => LessThanOrEqual(ns, lit(b)): Expression).getOrElse(e)
+    case e @ GreaterThan(l, NsAsTimestamp(ns)) if usLit(l).isDefined =>
+      nsOf(usLit(l).get, 0).map(b => LessThan(ns, lit(b)): Expression).getOrElse(e)
     case e @ LessThanOrEqual(l, NsAsTimestamp(ns)) if usLit(l).isDefined =>
       nsOf(usLit(l).get, 0).map(b => GreaterThanOrEqual(ns, lit(b)): Expression).getOrElse(e)
+    case e @ LessThan(l, NsAsTimestamp(ns)) if usLit(l).isDefined =>
+      nsOf(usLit(l).get, 999).map(b => GreaterThan(ns, lit(b)): Expression).getOrElse(e)
+    case e @ EqualTo(l, NsAsTimestamp(ns)) if usLit(l).isDefined =>
+      (for {
+        lo <- nsOf(usLit(l).get, 0); hi <- nsOf(usLit(l).get, 999)
+      } yield And(GreaterThanOrEqual(ns, lit(lo)),
+        LessThanOrEqual(ns, lit(hi))): Expression).getOrElse(e)
   }
 }
 

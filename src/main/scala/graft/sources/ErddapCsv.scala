@@ -48,14 +48,28 @@ object ErddapCsv {
     val cleaned = normed.select(normed.columns.map { c =>
       when(col(c).isin(NaTokens: _*), lit(null)).otherwise(col(c)).as(c)
     }.toIndexedSeq: _*)
-    // Units row: time column present but not parseable as timestamp
-    // (try_* variants: ANSI mode would otherwise throw on 'UTC').
+    // Units row: the reference drops line 2 unconditionally (skiprows=[1])
+    // but a distributed multi-file read has no row numbers, so detect it:
+    // a units row has an unparseable time AND (when other typed columns
+    // exist) some other typed column unparseable too ("UTC" +
+    // "degrees_north"). A data row whose ONLY bad cell is one field is
+    // kept with that field null (pandas errors='coerce'), not dropped.
+    // try_* variants everywhere: ANSI mode would otherwise throw.
     val tf = normalizeName(timeField)
+    def failing(name: String, dt: org.apache.spark.sql.types.DataType) =
+      col(name).isNotNull && expr(s"try_cast(`$name` AS ${dt.sql})").isNull
     val noUnits =
-      if (cleaned.columns.contains(tf))
-        cleaned.where(col(tf).isNull ||
-          expr(s"try_to_timestamp(`$tf`)").isNotNull)
-      else cleaned
+      if (cleaned.columns.contains(tf)) {
+        val timeFails = failing(tf, org.apache.spark.sql.types.TimestampType)
+        val others = schema.fields
+          .filter(f => f.name != tf && cleaned.columns.contains(f.name) &&
+            f.dataType != org.apache.spark.sql.types.StringType)
+        val unitsRow =
+          if (others.isEmpty) timeFails
+          else timeFails && others.map(f => failing(f.name, f.dataType))
+            .reduce(_ || _)
+        cleaned.where(!unitsRow)
+      } else cleaned
     // Cast to target schema (missing columns become null columns;
     // malformed cells → null, matching pandas errors='coerce').
     noUnits.select(schema.fields.map { f =>

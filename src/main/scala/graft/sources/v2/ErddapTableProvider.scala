@@ -49,21 +49,37 @@ class ErddapTableProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new ErddapTable(schema, properties.get("path"))
+    new ErddapTable(schema, properties.get("path"),
+      Option(properties.get("unitsRow")).getOrElse("always"))
 }
 
 private[v2] object ErddapV2 {
+  /** Compile a glob segment to a regex, quoting everything except the
+    * `*` / `?` wildcards (file names may legally contain regex
+    * metachars like `+` or `(`). */
+  private def globToRegex(glob: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString)
+  }
+
   def files(pathSpec: String): Seq[String] = {
     val f = new java.io.File(pathSpec)
     if (f.isFile) Seq(f.getAbsolutePath)
     else if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
-    else { // glob on the final segment
-      val dir = f.getParentFile
-      val re = java.util.regex.Pattern.compile(
-        f.getName.replace(".", "\\.").replace("*", ".*").replace("?", "."))
-      Option(dir.listFiles()).getOrElse(Array.empty)
+    else { // glob on the final segment (bare globs resolve against cwd)
+      val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
+      val re = globToRegex(f.getName)
+      val matched = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(x => x.isFile && re.matcher(x.getName).matches())
         .map(_.getAbsolutePath).sorted.toSeq
+      if (matched.isEmpty)
+        throw new IllegalArgumentException(s"no files match $pathSpec")
+      matched
     }
   }
   def firstFile(pathSpec: String): String =
@@ -71,17 +87,18 @@ private[v2] object ErddapV2 {
       throw new IllegalArgumentException(s"no files match $pathSpec"))
 }
 
-private[v2] class ErddapTable(schema: StructType, path: String)
+private[v2] class ErddapTable(schema: StructType, path: String, unitsRow: String)
     extends Table with SupportsRead {
   override def name(): String = s"erddap:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ErddapScanBuilder(schema, path)
+    new ErddapScanBuilder(schema, path, unitsRow)
 }
 
-private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String)
+private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String,
+    unitsRow: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -104,11 +121,13 @@ private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ErddapScan(fullSchema, required, pushed, path)
+  override def build(): Scan =
+    new ErddapScan(fullSchema, required, pushed, path, unitsRow)
 }
 
 private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
-                             filters: Array[Filter], path: String)
+                             filters: Array[Filter], path: String,
+                             unitsRow: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -119,23 +138,23 @@ private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
     ErddapV2.files(path).map(f => ErddapFilePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ErddapReaderFactory(fullSchema, required, filters)
+    new ErddapReaderFactory(fullSchema, required, filters, unitsRow)
 }
 
 private[v2] case class ErddapFilePartition(file: String) extends InputPartition
 
 private[v2] class ErddapReaderFactory(fullSchema: StructType,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter], unitsRow: String)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ErddapFileReader(p.asInstanceOf[ErddapFilePartition].file,
-      fullSchema, required, filters)
+      fullSchema, required, filters, unitsRow)
 }
 
 /** Per-file reader: header-driven column mapping, units-row skip, NA
   * tokens, typed parse, pushed-filter evaluation. */
 private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter], unitsRow: String)
     extends PartitionReader[InternalRow] {
 
   private val source = scala.io.Source.fromFile(file)
@@ -178,11 +197,17 @@ private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
     case (x: java.lang.Long, _) => x.compareTo(toLong(b))
     case (x: java.lang.Double, _) => x.compareTo(toDouble(b))
     case (x: java.lang.Integer, _) => x.toLong.compareTo(toLong(b))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
+    case (x: java.lang.Boolean, y) =>
+      x.compareTo(java.lang.Boolean.valueOf(String.valueOf(y)))
     case (x: UTF8String, y) => x.toString.compareTo(String.valueOf(y))
     case _ => 0
   }
   private def toLong(b: Any): Long = b match {
     case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+    case d: java.sql.Date => DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate => d.toEpochDay
     case n: Number => n.longValue()
     case s => s.toString.toLong
   }
@@ -205,18 +230,28 @@ private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
   override def next(): Boolean = {
     while (lines.hasNext) {
       val cells = lines.next().split(",", -1)
-      // units row: first data row whose first typed (non-string) column
-      // fails to parse while non-null raw — skip once
-      val isUnitsRow = firstDataRow && {
-        fullSchema.fields.exists { f =>
-          f.dataType != StringType && colIdx.contains(f.name) && {
-            val i = colIdx(f.name)
-            i < cells.length && cells(i).trim.nonEmpty &&
-              parseValue(cells(i), f.dataType) == null &&
-              !Seq("none", "None", "NaN").contains(cells(i).trim)
+      // units row handling per the `unitsRow` option:
+      //  - "always" (default): ERDDAP's 2-header convention — skip the
+      //    first data row unconditionally (reference skiprows=[1]; units
+      //    cells can legally be parseable values like "1", so detection
+      //    cannot be trusted)
+      //  - "never": plain CSV
+      //  - "auto":  best-effort — skip the first data row only when some
+      //    typed (non-string) column fails to parse. Malformed values in
+      //    later rows always coerce to null (pandas errors='coerce').
+      val isUnitsRow = firstDataRow && (unitsRow match {
+        case "never" => false
+        case "auto" =>
+          fullSchema.fields.exists { f =>
+            f.dataType != StringType && colIdx.contains(f.name) && {
+              val i = colIdx(f.name)
+              i < cells.length && cells(i).trim.nonEmpty &&
+                parseValue(cells(i), f.dataType) == null &&
+                !Seq("none", "None", "NaN").contains(cells(i).trim)
+            }
           }
-        }
-      }
+        case _ => true
+      })
       firstDataRow = false
       if (!isUnitsRow) {
         val get: String => Any = name => fieldValue(cells, name)

@@ -48,13 +48,20 @@ object Sessionize {
       val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
       sorted.foreach { e =>
         val t = e.ts.getTime
+        val gapMs = gapSeconds * 1000L
         open match {
-          case Some(s) if t - s.last <= gapSeconds * 1000L =>
-            open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
-              total = s.total + e.value))
-          case Some(s) =>
+          // within gap of the open session's INTERVAL (late-but-close
+          // events extend the start backwards, they don't get mis-counted
+          // inside a session whose range excludes them)
+          case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+            open = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+          case Some(s) if t > s.last + gapMs => // future: close, start new
             closed += close(userId, s)
             open = Some(OpenSession(t, t, 1L, e.value))
+          case Some(s) => // late beyond gap: its session already passed —
+            // emit it as its own immediate session, keep the open one
+            closed += Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
           case None =>
             open = Some(OpenSession(t, t, 1L, e.value))
         }

@@ -63,6 +63,31 @@ class CatalogStreamSpec extends AnyFunSuite with SparkSpec {
     assert(s.contains("itemsPerPage=1000000"))
   }
 
+  test("sessionize: late event within gap extends session start backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessionize(mem.toDS(), gapSeconds = 600,
+      watermark = "1 day")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    try {
+      mem.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // late event 5 min EARLIER — within gap of the open session interval
+      mem.addData(Sessionize.Event(1L, ts("2024-01-01 11:55:00"), 2.0))
+      q.processAllAvailable()
+      // push watermark forward to close it
+      mem.addData(Sessionize.Event(9L, ts("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(8L, ts("2024-01-05 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val s = spark.table("late_sessions").where(col("user_id") === 1L).collect()
+      assert(s.length == 1)
+      assert(s(0).getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 11:55:00"))
+      assert(s(0).getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, watermark closes them") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]

@@ -74,6 +74,25 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("VectorDot: mismatched dimensions yield null, not a truncated dot") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0))
+    ).toDF("a", "b")
+      .select(graft.functions.VectorDot(col("a"), col("b")).as("d"))
+      .collect()
+    assert(df(0).getDouble(0) == 14.0)
+    assert(df(1).isNullAt(0))
+  }
+
+  test("lshCandidatePairs rejects bands*rowsPerBand != |sig|") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
+    val bad = Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 8)
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("bands*rowsPerBand") ||
+      Option(e.getCause).exists(_.getMessage.contains("bands*rowsPerBand")))
+  }
+
   test("LSH ANN: self-bucket finds the obvious neighbor") {
     val ann = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
       "embedding", k = 2, planes = 4, dim = 3).collect()

@@ -35,6 +35,24 @@ class SourcesGeoStreamSpec extends AnyFunSuite with SparkSpec {
     assert(r3.isNullAt(1) && r3.isNullAt(2)) // none/None → null
   }
 
+  test("ErddapCsv: data row with only a bad time cell is coerced, not dropped") {
+    val dir = Files.createTempDirectory("erddap2").toFile
+    val f = new java.io.File(dir, "profiles.csv")
+    Files.writeString(f.toPath,
+      """time,latitude,longitude,Profile ID
+        |UTC,degrees_north,degrees_east,1
+        |2021-06-01T03:12:00Z,39.102,-73.514,1
+        |not-a-time,39.141,-73.488,2
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("time", TimestampType), StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType), StructField("profile_id", LongType)))
+    val df = ErddapCsv.read(spark, f.getAbsolutePath, schema)
+    assert(df.count() == 2) // units row dropped, bad-time row KEPT
+    val bad = df.where($"profile_id" === 2).collect()(0)
+    assert(bad.isNullAt(0)) // errors='coerce' → null time
+  }
+
   test("ErddapCsv.cleanCatalog drops allDatasets and delayed twins") {
     val cat = Seq("allDatasets", "ru29-20210630T1343", "ru29-20210630T1343-delayed")
       .toDF("dataset_id")
