@@ -52,7 +52,12 @@ object Calendars {
         .agg(sum(value)),
       "m")
 
-  /** A10 md: month × day matrix (seasonal view across years). */
+  /** A10 md: month × day matrix (seasonal view across years).
+    * Divergence from the reference, intentional: its
+    * `md_observations_calendar` accidentally groups by (year, month)
+    * instead of (month, day) (/root/reference/gdutils/osmc/__init__.py:163-164,
+    * a known bug per SURVEY §7.4.6) — this is the intended seasonal
+    * semantics, not the bug. */
   def mdCalendar(df: DataFrame, dateCol: String, value: Column): DataFrame =
     renamePivoted(
       df.groupBy(month(col(dateCol)).cast("long").as("month"))

@@ -32,6 +32,24 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(withRule == expected)
   }
 
+  test("partitioned writes get partition pruning at read") {
+    val out = java.nio.file.Files.createTempDirectory("parts").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    val pruned = spark.read.parquet(out).where(col("ship_year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(ship_year"), scan)
+    // the scan's selected partitions collapse to the single matching dir
+    val fsScan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .get
+    assert(fsScan.relation.location.listFiles(fsScan.partitionFilters, Nil)
+      .forall(_.files.forall(_.getPath.toString.contains("ship_year=1996"))))
+    assert(pruned.count() ==
+      Tables.lineitem(spark, sf).where(year(col("l_shipdate")) === 1996).count())
+  }
+
   test("broadcast hint survives in join plans") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
