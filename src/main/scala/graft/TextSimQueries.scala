@@ -205,6 +205,13 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  private def qS3annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- multimodal + geo + streaming-semantics ----------------------------
 
   private def qM1multimodal(s: SparkSession, d: String): DataFrame = {
@@ -249,6 +256,7 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> qD5embedNearDup _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
+    "q_s3_ann_ivf" -> qS3annIvf _,
     "q_m1_multimodal_features" -> qM1multimodal _,
     "q_g1_geojson_tracks" -> qG1geojson _,
     "q_st1_daily_rollup" -> qSt1daily _,

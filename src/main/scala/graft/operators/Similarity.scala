@@ -70,6 +70,63 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style ANN: the corpus is clustered into `nCentroids` inverted
+    * lists (centroids = a deterministic sample of the corpus itself —
+    * evenly spaced by id, a cheap stand-in for a k-means pass whose
+    * assignment/probe machinery is identical); each query probes its
+    * `nProbe` nearest lists and re-ranks exactly within them.
+    *
+    * Scale shape: assignment is a broadcast join corpus×centroids (one
+    * map pass), the probe is an equi-join on the list id — the corpus
+    * never cross-joins queries, and recall tunes with nProbe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .repartition(par)
+    // deterministic centroid sample: rank by id, take evenly spaced rows
+    val n = corpus.count()
+    val step = math.max(n / nCentroids, 1L)
+    val cents = c.withColumn("_rk",
+        row_number().over(Window.orderBy("neighbor_id")).cast("long"))
+      .where(pmod(col("_rk") - 1, lit(step)) === 0)
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
+        col("cn").as("centroid_n"))
+    // corpus assignment: nearest centroid per vector (rank 1)
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(desc("sim"), col("centroid_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("centroid_id"),
+        (dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n"))).as("sim"))
+      .withColumn("_r", row_number().over(wAssign))
+      .where(col("_r") === 1)
+      .select(col("centroid_id"), col("neighbor_id"), col("cv"), col("cn"))
+    // queries probe their nProbe nearest lists
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        (dot(col("qv"), col("centroid")) / (col("qn") * col("centroid_n"))).as("sim"))
+      .withColumn("_r", row_number().over(wProbe))
+      .where(col("_r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    // exact re-rank within probed lists
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: score only corpus vectors whose LSH bucket matches
     * the query's bucket or any single-bit flip of it (multi-probe). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

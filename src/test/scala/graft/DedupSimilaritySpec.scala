@@ -93,6 +93,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("bands*rowsPerBand")))
   }
 
+  test("IVF ANN: probed lists find the obvious neighbor") {
+    val ivf = Similarity.ivfTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
+      "embedding", k = 2, nCentroids = 2, nProbe = 2).collect()
+    assert(ivf.exists(r => r.getAs[Long]("neighbor_id") == 1L))
+    assert(ivf.forall(_.getAs[Double]("cosine") <= 1.000001))
+  }
+
   test("LSH ANN: self-bucket finds the obvious neighbor") {
     val ann = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), "vec_id",
       "embedding", k = 2, planes = 4, dim = 3).collect()
