@@ -40,12 +40,21 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
   /** Register all tables of a scale-factor dir as temp views, so
     * `spark.sql` queries (scalar subqueries, etc.) can reference them by
-    * the same names the DuckDB oracle uses. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
+    * the same names the DuckDB oracle uses. Idempotent per (session, dir):
+    * repeated calls with the same dir skip the re-registration; a dir
+    * change re-registers everything. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (lastRegistered.put(key, sfDir) != sfDir) {
+      names.foreach { n =>
+        val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+        df.createOrReplaceTempView(n)
+      }
     }
+  }
 }
