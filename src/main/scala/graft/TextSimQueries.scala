@@ -158,11 +158,55 @@ object TextSimQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Bucketed (banded hyperplane LSH) near-dup — the DEFAULT scale path.
+    * Fully oracled: the DuckDB SQL replicates the banding with the SAME
+    * deterministic hyperplanes embedded as literals, so both engines
+    * compute the identical candidate set (sign margins on this data are
+    * ≥ 5e-5 — far above double-summation noise), then the identical exact
+    * cosine verify. Recall vs the all-pairs primitive is measured in
+    * DedupSimilaritySpec. */
   private def qD5embedNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4)
+    Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4,
+        planes = 64, bands = 16, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
-  private val oD5 =
+  private val oD5 = {
+    val planes = 64; val bands = 16; val r = planes / bands; val dim = 64
+    val hp = graft.operators.Similarity.hyperplanes(planes, dim)
+    val planeRows = hp.zipWithIndex
+      .map { case (w, p) => s"($p, [${w.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(p, w)),
+       |sig AS (SELECT e.id, pl.p,
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN pl),
+       |bnd AS (SELECT id, p // $r AS band, sum(bit * (1 << (p % $r))) AS bval
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+       |pr AS (SELECT ia, ib, ea.embedding AS ea, eb.embedding AS eb
+       |  FROM cand JOIN e ea ON ea.id = cand.ia JOIN e eb ON eb.id = cand.ib),
+       |u AS (SELECT ia, ib, CAST(unnest(ea) AS DOUBLE) AS xa,
+       |    CAST(unnest(eb) AS DOUBLE) AS xb FROM pr),
+       |g AS (SELECT ia, ib, sum(xa * xb) AS dt, sum(xa * xa) AS na,
+       |    sum(xb * xb) AS nb FROM u GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  round(dt / (sqrt(na) * sqrt(nb)), 6) AS cosine
+       |FROM g WHERE dt / (sqrt(na) * sqrt(nb)) >= 0.4
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Exact all-pairs primitive (re-rank/verification path) — oracled
+    * against the plain O(n²) SQL. */
+  private def qD5ballPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.allPairsNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  private val oD5b =
     """WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
       |    a.embedding AS ea, b.embedding AS eb
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
@@ -254,6 +298,7 @@ object TextSimQueries {
     "q_d3_minhash_lsh" -> qD3minhash _,
     "q_d4_simhash" -> qD4simhash _,
     "q_d5_embedding_neardup" -> qD5embedNearDup _,
+    "q_d5b_allpairs_rerank" -> qD5ballPairs _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
@@ -270,6 +315,7 @@ object TextSimQueries {
     "q_d1_exact_dedup" -> oD1,
     "q_d2_ngram_jaccard" -> oD2,
     "q_d5_embedding_neardup" -> oD5,
+    "q_d5b_allpairs_rerank" -> oD5b,
     "q_s1_cosine_topk" -> oS1,
     "q_st1_daily_rollup" -> oSt1,
   )

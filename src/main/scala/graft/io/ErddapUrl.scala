@@ -39,6 +39,86 @@ object ErddapUrl {
     }
   }
 
+  // ---- graph-image URLs (S17 — reference gdutils/plot/plotter.py) --------
+
+  /** Valid image response types (reference plotter.py:13-19). */
+  val imageResponses: Seq[String] =
+    Seq("pdf", "largePdf", "smallPng", "png", "largePng", "transparentPng")
+
+  /** ERDDAP marker type indices (reference plotter.py:81-90; `.marker=`
+    * takes the INDEX into this list, pipe-joined with the size). */
+  val markerTypes: Seq[String] = Seq("None", "Plus", "X", "Dot", "Square",
+    "Filled Square", "Circle", "Filled Circle", "Up Triangle",
+    "Filled Up Triangle")
+
+  /** Marker/background color name → RGB hex (reference plotter.py:92-128). */
+  val colorCodes: Map[String, String] = Map(
+    "white" -> "FFFFFF", "light grey" -> "CCCCCC", "grey" -> "999999",
+    "dark grey" -> "666666", "black" -> "000000", "red" -> "FF0000",
+    "orange" -> "FF9900", "yellow" -> "FFFF00", "light green" -> "99FF00",
+    "green" -> "00FF00", "blue green" -> "00FF99", "cyan" -> "00FFFF",
+    "blue" -> "0099FF", "dark blue" -> "0000FF", "purple" -> "9900FF",
+    "pink" -> "FF00FF", "light pink" -> "FF99FF")
+
+  /** The reference's default `.plotParam` set (plotter.py:21-28). Ordered
+    * map — ERDDAP is order-insensitive but the emitted URL is kept
+    * deterministic (keys ascend, which matches the reference dict's
+    * declaration order). */
+  val defaultPlotParams: Seq[(String, String)] = Seq(
+    ".bgColor" -> "0xFFFFFF",
+    ".color" -> "0x000000",
+    ".colorBar" -> "Rainbow2|C|Linear|||",
+    ".draw" -> "markers",
+    ".legend" -> "Bottom",
+    ".marker" -> "6|5",
+    ".xRange" -> "||true|Linear",
+    ".yRange" -> "||false|Linear")
+
+  /** `.marker=` value: marker type by NAME, encoded as its index
+    * (reference set_marker_style, plotter.py:338-344). */
+  def markerParam(marker: String = "Circle", size: Int = 5): (String, String) = {
+    val idx = markerTypes.indexOf(marker)
+    require(idx >= 0, s"unknown marker type: $marker")
+    ".marker" -> s"$idx|$size"
+  }
+
+  /** `.colorBar=` value: palette|continuous|scale|min|max|nSections
+    * (reference set_colorbar, plotter.py:271-294). */
+  def colorBarParam(palette: String = "Rainbow2", continuous: String = "C",
+                    scale: String = "Linear", min: String = "",
+                    max: String = "", nSections: String = ""): (String, String) =
+    ".colorBar" -> s"$palette|$continuous|$scale|$min|$max|$nSections"
+
+  /** `.xRange=`/`.yRange=` value: min|max|ascending|scale (reference
+    * set_x_range/set_y_range, plotter.py:350-372). */
+  def rangeParam(axis: String, min: String = "", max: String = "",
+                 ascending: Boolean = true, scale: String = "Linear"): (String, String) = {
+    require(axis == "x" || axis == "y", "axis must be x or y")
+    s".${axis}Range" -> s"$min|$max|$ascending|$scale"
+  }
+
+  /** Graph-image URL — the `.png` half of S17 (reference
+    * build_image_request, plotter.py:459-490):
+    * `{server}/tabledap/{id}.{response}?x,y[,c]&constraints&.plotParams`.
+    * Plot-param VALUES are percent-encoded (the reference quotes values
+    * only); keys keep their literal `.name=` shape. */
+  def graphUrl(server: String, datasetId: String, x: String, y: String,
+               c: Option[String] = None, constraints: Seq[String] = Nil,
+               plotParams: Seq[(String, String)] = defaultPlotParams,
+               response: String = "png"): String = {
+    require(imageResponses.contains(response),
+      s"invalid image response type: $response")
+    val variables = (Seq(x, y) ++ c.toSeq).map(encode).mkString(",")
+    val consPart = constraints.map(c0 => "&" + encodeConstraint(c0)).mkString
+    val merged = plotParams.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (k, v)) =>
+        val i = acc.indexWhere(_._1 == k)
+        if (i >= 0) acc.updated(i, k -> v) else acc :+ (k -> v)
+    }
+    val plotPart = merged.map { case (k, v) => s"$k=${encode(v)}" }.mkString("&")
+    s"$server/tabledap/$datasetId.$response?$variables$consPart&$plotPart"
+  }
+
   /** Advanced-search URL (S2 shape): page size pins the reference's
     * items_per_page=1e6 limit-pushdown behavior
     * (/root/reference/gdutils/__init__.py:31-32). */

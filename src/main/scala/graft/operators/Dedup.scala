@@ -208,15 +208,77 @@ object Dedup {
 
   // ---- embedding near-dup ------------------------------------------------
 
-  /** Embedding-cosine near-duplicates above `minCosine`. Exact
-    * all-pairs — reserved for re-ranking candidate sets or modest n; the
-    * scale path buckets through Similarity.lsh first. */
+  /** Per-band sign-bit values of a vector under `hp` (banded hyperplane
+    * LSH): band b's value packs the signs of planes [b·r, (b+1)·r) into an
+    * integer, r = hp.length / bands. Unlike a single packed long this
+    * supports arbitrarily many planes (128-plane signatures at scale). */
+  private[operators] def bandValues(vec: Column, hp: Array[Array[Double]],
+                                    bands: Int): Column = {
+    val r = hp.length / bands
+    val vals = (0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(Similarity.dot(vec, typedlit(hp(b * r + j).toSeq)) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(vals: _*)
+  }
+
+  /** Embedding-cosine near-duplicates above `minCosine` — the DEFAULT,
+    * scale path: banded random-hyperplane LSH generates candidates from an
+    * equi-join on (band, band-bits), then the exact codegen'd cosine
+    * verifies each candidate. A pair is a candidate iff its signatures
+    * agree on ALL planes of ≥ 1 band, so precision is exact (every emitted
+    * pair truly clears `minCosine`) and recall follows the LSH S-curve:
+    * P[candidate] = 1 − (1 − (1 − θ/π)^r)^bands for angle θ. Longer bands
+    * (r = planes/bands) cut the random-pair candidate rate ~2^−r per band;
+    * r=4 suits mid thresholds, r=8 true near-dup thresholds (≥0.9).
+    *
+    * Shape at 100 TB: band rows are one shared hash exchange on
+    * (band, bval); the self-join is an equi-join; the verify joins are
+    * shuffle joins on id. Nothing materializes O(n²). `maxBucketSize`
+    * drops pathological buckets (a band value shared by millions of
+    * vectors — e.g. heavily clustered data), mirroring `jaccardPairs`. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double): DataFrame = {
+                        minCosine: Double, planes: Int = 64, bands: Int = 16,
+                        dim: Int = 64, seed: Long = 42L,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    require(planes % bands == 0, s"planes ($planes) must divide into bands ($bands)")
+    val hp = Similarity.hyperplanes(planes, dim, seed)
+    val e = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val banded = e
+      .select(col("id"), posexplode(bandValues(col("v"), hp, bands)).as(Seq("band", "bval")))
+      .repartition(col("band"), col("bval")) // self-join shares ONE exchange
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")))
+        .where(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** Exact all-pairs cosine near-dups — the VERIFICATION PRIMITIVE
+    * (O(n²) nested-loop): use to re-rank bounded candidate sets or to
+    * measure `embeddingNearDups` recall on samples; never the default at
+    * scale. */
+  def allPairsNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double): DataFrame = {
     // Norms once per vector; spread the pair loop across all cores (the
     // single-file source would otherwise make the nested-loop join one
-    // task — the dot product is an interpreted HOF, so parallelism is the
-    // lever here).
+    // task).
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val e = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))

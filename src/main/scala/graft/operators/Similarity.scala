@@ -1,21 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
-  * Two paths:
+  * Three paths:
   *  - `bruteForceTopK` — exact cosine top-k via a broadcast cross join:
   *    the baseline, correct at any corpus size as long as the QUERY set is
-  *    broadcastable (corpus streams map-side, one partial top-k per
-  *    partition then a tiny final top-k — no O(corpus) shuffle).
+  *    broadcastable. The corpus streams map-side; ranking is a partial
+  *    top-k per (query, map partition) followed by a tiny final top-k over
+  *    ≤ k·numPartitions rows per query — never a per-query full-corpus
+  *    sort on one task.
   *  - `lshTopK` — random-hyperplane LSH: corpus is bucketed by a
   *    sign-bit signature; queries probe their own bucket (+ multi-probe
   *    single-bit flips), and only bucket members are scored. This is the
   *    100 TB path: candidate generation is an equi-join on the bucket
   *    key; recall tunes with planes/probes.
+  *  - `ivfTopK` — IVF inverted lists: broadcast-assign each corpus vector
+  *    to its nearest sampled centroid, probe nProbe lists per query.
+  *
+  * No operator here uses a global (partition-less) window, an eager
+  * count job, or a per-query full-corpus shuffle — PlansSpec asserts the
+  * plans stay window-free.
   *
   * All arithmetic is double (float inputs cast first — float×float in
   * binary32 would lose the determinism the oracle compare relies on).
@@ -34,6 +41,44 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** IVF list count that keeps list size ≈ list count (the classic
+    * √n rule) — callers at scale should pass this, not a constant. */
+  def suggestedCentroids(corpusSize: Long): Int =
+    math.max(16L, math.ceil(math.sqrt(corpusSize.toDouble)).toLong).toInt
+
+  /** Exact top-k per query over scored rows
+    * (query_id, neighbor_id, cosine) → (query_id, neighbor_id, cosine,
+    * rank). Ordering: cosine desc, neighbor_id asc (callers round cosine
+    * BEFORE this so ranks are reproducible across engines).
+    *
+    * Shape: when `partialPerPartition`, a first aggregate keyed by
+    * (query_id, spark_partition_id()) slices each map partition's
+    * contribution to k rows — the final per-query aggregate then sees
+    * ≤ k·numPartitions rows instead of the full candidate set, and no
+    * single task ever sorts one query's full score list. Both phases are
+    * hash aggregates + `slice(array_sort(...))` — no window, so no
+    * per-query sort-shuffle funnel. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int,
+                                      partialPerPartition: Boolean = true): DataFrame = {
+    def item: Column = struct((-col("cosine")).as("negc"),
+      col("neighbor_id"), col("cosine"))
+    val pruned =
+      if (!partialPerPartition) scored
+      else scored
+        .withColumn("_pid", spark_partition_id())
+        .groupBy(col("query_id"), col("_pid"))
+        .agg(slice(array_sort(collect_list(item)), 1, k).as("_top"))
+        .select(col("query_id"), explode(col("_top")).as("_it"))
+        .select(col("query_id"), col("_it.neighbor_id").as("neighbor_id"),
+          col("_it.cosine").as("cosine"))
+    pruned
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_it")))
+      .select(col("query_id"), col("_it.neighbor_id").as("neighbor_id"),
+        col("_it.cosine").as("cosine"), (col("_pos") + 1).cast("long").as("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector (cosine, self excluded).
     * Output: (query_id, neighbor_id, cosine, rank). Cosine is rounded to
     * 6 dp BEFORE ranking with an id tiebreak, so ranks are reproducible
@@ -50,10 +95,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded; no RNG state). */
@@ -71,66 +113,77 @@ object Similarity {
   }
 
   /** IVF-style ANN: the corpus is clustered into `nCentroids` inverted
-    * lists (centroids = a deterministic sample of the corpus itself —
-    * evenly spaced by id, a cheap stand-in for a k-means pass whose
-    * assignment/probe machinery is identical); each query probes its
-    * `nProbe` nearest lists and re-ranks exactly within them.
+    * lists (centroids = a deterministic hash-sample of the corpus itself —
+    * a cheap stand-in for a k-means pass whose assignment/probe machinery
+    * is identical); each query probes its `nProbe` nearest lists and
+    * re-ranks exactly within them.
     *
-    * Scale shape: assignment is a broadcast join corpus×centroids (one
-    * map pass), the probe is an equi-join on the list id — the corpus
-    * never cross-joins queries, and recall tunes with nProbe. */
+    * Scale shape: the centroid sample is `orderBy(xxhash64(id)).limit(n)`,
+    * which Catalyst plans as TakeOrderedAndProject — a per-partition
+    * top-n merged on the driver, no global sort, no single-partition
+    * window, no count job. Assignment is a broadcast join
+    * corpus×centroids reduced by a map-side-combinable `min(struct)`
+    * aggregate (one row per vector crosses the exchange); the probe is an
+    * equi-join on the list id — the corpus never cross-joins queries, and
+    * recall tunes with nProbe. `nCentroids` should grow ~√corpus
+    * (`suggestedCentroids`), keeping list size ≈ list count. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4): DataFrame = {
+    require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .repartition(par)
-    // deterministic centroid sample: rank by id, take evenly spaced rows
-    val n = corpus.count()
-    val step = math.max(n / nCentroids, 1L)
-    val cents = c.withColumn("_rk",
-        row_number().over(Window.orderBy("neighbor_id")).cast("long"))
-      .where(pmod(col("_rk") - 1, lit(step)) === 0)
+    // deterministic hash-sample: the nCentroids smallest xxhash64(id)
+    // values — TakeOrderedAndProject, uniform over ids, order-free
+    val cents = c
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
       .limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
         col("cn").as("centroid_n"))
-    // corpus assignment: nearest centroid per vector (rank 1)
-    val wAssign = Window.partitionBy("neighbor_id")
-      .orderBy(desc("sim"), col("centroid_id"))
+    // corpus assignment: argmax-sim centroid per vector via min(struct)
+    // (negated sim sorts best-first; centroid_id breaks ties; cv/cn ride
+    // along and are never compared — centroid_id is unique in the group)
     val assigned = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"), col("cv"), col("cn"), col("centroid_id"),
-        (dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n"))).as("sim"))
-      .withColumn("_r", row_number().over(wAssign))
-      .where(col("_r") === 1)
-      .select(col("centroid_id"), col("neighbor_id"), col("cv"), col("cn"))
-    // queries probe their nProbe nearest lists
+      .select(col("neighbor_id"),
+        struct(
+          (-(dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n")))).as("negsim"),
+          col("centroid_id"), col("cv"), col("cn")).as("_cand"))
+      .groupBy("neighbor_id")
+      .agg(min(col("_cand")).as("_best"))
+      .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
+        col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+    // queries probe their nProbe nearest lists (queries are small — the
+    // slice aggregate and re-join are driver-cheap and window-free)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), col("centroid_id"))
     val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
-        (dot(col("qv"), col("centroid")) / (col("qn") * col("centroid_n"))).as("sim"))
-      .withColumn("_r", row_number().over(wProbe))
-      .where(col("_r") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
-    // exact re-rank within probed lists
+      .select(col("query_id"),
+        struct(
+          (-(dot(col("qv"), col("centroid")) / (col("qn") * col("centroid_n")))).as("negsim"),
+          col("centroid_id")).as("_cand"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
+      .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
+      .join(q, Seq("query_id"))
+    // exact re-rank within probed lists; assignment is unique per vector,
+    // so (query_id, neighbor_id) pairs are already distinct — no dedup agg
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
-    val wRank = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wRank).cast("long"))
-      .where(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
-  /** Approximate top-k: score only corpus vectors whose LSH bucket matches
-    * the query's bucket or any single-bit flip of it (multi-probe). */
+  /** Approximate top-k: score only corpus vectors whose LSH bucket is
+    * within `probeBits` sign-bit flips of the query's bucket
+    * (multi-probe). probeBits=1 probes 1+planes buckets; higher values
+    * trade candidate volume for recall on weakly-clustered corpora. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 12, dim: Int = 64,
+              probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes, "probeBits out of range")
     val hp = hyperplanes(planes, dim)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -141,18 +194,18 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("bucket0", signature(col("qv"), hp))
-    // multi-probe: own bucket + every single-bit flip
+    // multi-probe: every flip mask of ≤ probeBits bits (masks are pairwise
+    // distinct and each corpus row has ONE bucket, so a (query, neighbor)
+    // pair can match at most once — no dedup agg needed)
+    val masks: Seq[Long] = (0 to probeBits).flatMap(j =>
+      (0 until planes).combinations(j)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq)
     val probes = q0.select(col("query_id"), col("qv"), col("qn"),
-      explode(expr(s"concat(array(bucket0), transform(sequence(0, ${planes - 1}), " +
-        "i -> bucket0 ^ shiftleft(1L, i)))")).as("bucket"))
+      explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 }

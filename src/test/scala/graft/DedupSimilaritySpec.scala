@@ -69,9 +69,54 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(topk(0).getAs[Double]("cosine") > 0.99)
   }
 
-  test("embedding near-dups above threshold only") {
-    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9).collect()
+  test("embedding near-dups above threshold only (bucketed default)") {
+    val nd = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.9,
+      planes = 4, bands = 4, dim = 3).collect()
     assert(nd.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("all-pairs near-dup primitive agrees with bucketed on the toy set") {
+    val ap = Dedup.allPairsNearDups(vecs, "vec_id", "embedding", 0.9).collect()
+    assert(ap.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  private lazy val sfEmb =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("bucketed near-dups: exact precision, recall >= 0.75 vs all-pairs (sf0.01)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.get(0), r.get(1))).toSet
+    val bucketed = pairs(Dedup.embeddingNearDups(sfEmb, "vec_id", "embedding",
+      0.4, planes = 64, bands = 16, dim = 64))
+    val exact = pairs(Dedup.allPairsNearDups(sfEmb, "vec_id", "embedding", 0.4))
+    assert(bucketed.subsetOf(exact),
+      "bucketed emitted a pair the exact verify refutes — precision must be 1.0")
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.75,
+      s"bucketed recall $recall below 0.75 (${bucketed.size}/${exact.size})")
+  }
+
+  test("ANN recall@5 >= 0.8 vs brute force (sf0.01)") {
+    val q = sfEmb.where(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5))
+    assert(exact.size == 25)
+    // This corpus is UNCLUSTERED (top-5 neighbors sit at ~0.45 cosine,
+    // barely above random), so 0.8 recall needs probe-heavy settings — the
+    // gate exists to catch bucketing/probing regressions, not to showcase
+    // ANN speedups that unclustered data cannot support.
+    val lsh = hits(Similarity.lshTopK(sfEmb, q, "vec_id", "embedding", 5,
+      planes = 4, dim = 64, probeBits = 3))
+    val ivf = hits(Similarity.ivfTopK(sfEmb, q, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 12))
+    val lshR = lsh.intersect(exact).size.toDouble / exact.size
+    val ivfR = ivf.intersect(exact).size.toDouble / exact.size
+    withClue(s"lshTopK recall@5 = $lshR, ivfTopK recall@5 = $ivfR: ") {
+      assert(lshR >= 0.8, s"lshTopK recall@5 = $lshR")
+      assert(ivfR >= 0.8, s"ivfTopK recall@5 = $ivfR")
+    }
   }
 
   test("VectorDot: mismatched dimensions yield null, not a truncated dot") {

@@ -58,6 +58,24 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("similarity plans are window-free (no per-query sort funnel)") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val plans = Seq(
+      "bruteForceTopK" -> Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+      "lshTopK" -> Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
+        planes = 6, dim = 64),
+      "ivfTopK" -> Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+        nCentroids = 4, nProbe = 2))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan contains a window operator:\n$plan")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
   test("projection pruning reaches parquet ReadSchema") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val scan = df.queryExecution.executedPlan.toString

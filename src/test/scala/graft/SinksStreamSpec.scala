@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.GeoJson
+import graft.io.{ErddapUrl, Sinks}
+import graft.operators.{Multimodal, TextStats}
+import graft.streaming.StreamDedup
+
+/** Round-2 surface: KML/HTML sinks (S15/S16), graph-image URLs (S17's
+  * `.png` half), real ImageIO decode behind the multimodal stub seam, and
+  * streaming dedup. */
+class SinksStreamSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal decode: real PNG decoded to pixel features; fallback intact") {
+    val white = pngBytes(4, 3, 0xFFFFFF)
+    val black = pngBytes(2, 2, 0x000000)
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq((1L, white), (2L, black), (3L, junk)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val feats = Multimodal.extractFeatures(df, dim = 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // white pixels → luminance 255 → last bucket; black → first bucket
+    assert(feats(1L).last == 1.0f && feats(1L).sum == 1.0f)
+    assert(feats(2L).head == 1.0f)
+    assert(math.abs(feats(3L).sum - 1.0f) < 1e-3) // byte-histogram fallback
+    val meta = Multimodal.decodeImageMeta(df)
+      .select(col("media_id"), col("meta.format"), col("meta.width"),
+        col("meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(meta(1L) == (("image/png", 4, 3)))
+    assert(meta(2L) == (("image/png", 2, 2)))
+    assert(meta(3L) == (("fake/raw", 0, 0))) // undecodable: meta untouched
+  }
+
+  test("KML sink renders placemarks from GeoJSON tracks (S15)") {
+    val obs = Seq(
+      ("ds1", Timestamp.valueOf("2024-01-01 00:00:00"), 39.5, -74.2),
+      ("ds1", Timestamp.valueOf("2024-01-01 01:00:00"), 39.6, -74.1),
+      ("ds2", Timestamp.valueOf("2024-02-01 00:00:00"), 10.0, 20.0)
+    ).toDF("dataset_id", "ts", "lat", "lon")
+    val tracks = GeoJson.trackFeatureCollections(obs, "dataset_id", "ts", "lat", "lon")
+    val kml = Sinks.kmlDocument(tracks, "dataset_id", "geojson", "graft <tracks>",
+      statusUrlTemplate = "https://example.test/status?dataset_id={id}")
+    assert(kml.contains("<name>graft &lt;tracks&gt;</name>"))
+    assert(kml.contains("<name>ds1</name>") && kml.contains("<name>ds2</name>"))
+    assert(kml.contains("-74.2,39.5,0 -74.1,39.6,0")) // lon,lat,alt, time-ordered
+    assert(kml.contains("https://example.test/status?dataset_id=ds1"))
+    assert(kml.contains("2024-01-01T00:00:00Z - 2024-01-01T01:00:00Z"))
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(kml.getBytes("UTF-8")))
+    assert(doc.getElementsByTagName("Placemark").getLength == 2)
+    val tmp = java.nio.file.Files.createTempDirectory("kml").resolve("t.kml")
+    Sinks.kml(tracks, "dataset_id", "geojson", tmp.toString, "tracks")
+    assert(new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+      .contains("<Placemark>"))
+  }
+
+  test("HTML table sink escapes and caps (S16)") {
+    val html = Sinks.htmlTable(Seq((1, "a<b"), (2, "c&d")).toDF("id", "s"))
+    assert(html.contains("<th>id</th><th>s</th>"))
+    assert(html.contains("<td>a&lt;b</td>") && html.contains("<td>c&amp;d</td>"))
+    val capped = Sinks.htmlTable(spark.range(100).toDF("id"), maxRows = 7)
+    assert("<tr>".r.findAllIn(capped).length == 1 + 7) // header + capped rows
+  }
+
+  test("graph-image URL matches the reference request shape (S17)") {
+    val url = ErddapUrl.graphUrl("https://srv/erddap", "ru29-20210630T1343",
+      x = "time", y = "depth", c = Some("temperature"),
+      constraints = Seq("time>=2021-06-30T00:00:00Z"))
+    assert(url ==
+      "https://srv/erddap/tabledap/ru29-20210630T1343.png?" +
+        "time,depth,temperature&time>=2021-06-30T00%3A00%3A00Z" +
+        "&.bgColor=0xFFFFFF&.color=0x000000" +
+        "&.colorBar=Rainbow2%7CC%7CLinear%7C%7C%7C&.draw=markers" +
+        "&.legend=Bottom&.marker=6%7C5&.xRange=%7C%7Ctrue%7CLinear" +
+        "&.yRange=%7C%7Cfalse%7CLinear")
+    // setter-style overrides keep the reference's param grammar
+    val custom = ErddapUrl.graphUrl("https://srv/erddap", "ds", "time", "temp",
+      plotParams = ErddapUrl.defaultPlotParams ++ Seq(
+        ErddapUrl.markerParam("Filled Circle", 7),
+        ErddapUrl.rangeParam("y", ascending = false, scale = "Log"),
+        ".draw" -> "lines",
+        ".color" -> s"0x${ErddapUrl.colorCodes("red")}"),
+      response = "largePng")
+    assert(custom.contains("/tabledap/ds.largePng?time,temp&"))
+    assert(custom.contains(".marker=7%7C7"))
+    assert(custom.contains(".yRange=%7C%7Cfalse%7CLog"))
+    assert(custom.contains(".draw=lines"))
+    assert(custom.contains(".color=0xFF0000"))
+    assert(!custom.contains(".draw=markers")) // override replaced in place
+    intercept[IllegalArgumentException] {
+      ErddapUrl.graphUrl("s", "d", "x", "y", response = "csv")
+    }
+    intercept[IllegalArgumentException] { ErddapUrl.markerParam("Star") }
+  }
+
+  test("streaming dedup: within-watermark duplicates dropped (q_d1 semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("ts", "text")
+    val out = StreamDedup.dedupByFingerprint(sdf, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "The quick brown fox!"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "the QUICK brown fox"),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "something else"))
+      q.processAllAvailable()
+      // later micro-batch, still within the watermark horizon → suppressed
+      mem.addData((Timestamp.valueOf("2024-01-01 10:03:00"), "the quick brown fox"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+      assert(got.length == 2)
+      assert(got.map(_.getAs[String]("text")).toSet ==
+        Set("The quick brown fox!", "something else"))
+      // batch equivalence: distinct normalized fingerprints == survivors
+      val batchDistinct = Seq("The quick brown fox!", "the QUICK brown fox",
+          "something else", "the quick brown fox").toDF("text")
+        .select(TextStats.fingerprint(col("text"))).distinct().count()
+      assert(batchDistinct == got.length)
+    } finally q.stop()
+  }
+}
