@@ -20,39 +20,40 @@ object Scratch {
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      println(f"[scratch] $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
 
     val docs = Tables.documents(spark, sfDir)
-    time("docs.count")(docs.count())
-    val tok = docs
-      .select(col("doc_id").as("id"), Dedup.words(col("text")).as("w"))
-      .repartition(32)
-    time("tokenized words")(tok.count())
-    val sh = tok.select(col("id"), Dedup.shinglesFromWords(col("w"), 3).as("sh"))
-    time("shingles")(sh.count())
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
-    time("exploded")(ex.count())
-    val h = ex.select(col("id"), xxhash64(col("s")).as("h1"))
-    time("hashed")(h.count())
-    val aggs = (0 until 64).map(i => min(xxhash64(lit(i), col("h1"))).as(s"_h$i"))
-    val sig = h.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until 64).map(i => col(s"_h$i")): _*).as("sig"))
-    time("signatures")(sig.count())
-    val sigC = sig.cache()
-    time("signatures cached")(sigC.count())
-    val banded = sigC.select(col("id"), col("sig"),
-      posexplode(expr("transform(sequence(0, 15), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))"))
-        .as(Seq("band", "bhash")))
-    time("banded")(banded.count())
-    val joined = banded.as("a").join(banded.as("b"),
-      col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-        col("a.id") < col("b.id"))
-    time("self-join pairs")(joined.count())
-    time("full q_d3 (current impl)") {
+    time("warmup docs.count")(docs.count())
+
+    // A: inline (no shared cache) — what round-1 bench effectively ran
+    time("A1 jaccardPairs inline") {
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.05, Int.MaxValue).count()
+    }
+    time("A2 minhash+lsh inline") {
       Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64), 16, 4).count()
+        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64), 16, 4)
+        .where(col("est_jaccard") >= 0.2).count()
+    }
+
+    // B: tokenize-once shared hashed-shingle cache
+    val shared = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("B0 cache build (count)")(shared.count())
+    time("B1 jaccardPairsFromHashes") {
+      Dedup.jaccardPairsFromHashes(shared, 0.05, Int.MaxValue).count()
+    }
+    time("B2 minhashFromHashes+lsh") {
+      Dedup.lshCandidatePairs(Dedup.minhashFromHashes(shared, 64), 16, 4)
+        .where(col("est_jaccard") >= 0.2).count()
+    }
+    time("B1b jaccard again (warm)") {
+      Dedup.jaccardPairsFromHashes(shared, 0.05, Int.MaxValue).count()
+    }
+    time("B2b minhash again (warm)") {
+      Dedup.lshCandidatePairs(Dedup.minhashFromHashes(shared, 64), 16, 4)
+        .where(col("est_jaccard") >= 0.2).count()
     }
     spark.stop()
   }

@@ -35,6 +35,9 @@ object Dedup {
       a => array_join(a, " ")))
 
   /** Long-form DISTINCT (id, shingle) rows — the hot-path tokenization.
+    * PUBLIC so pipelines running several shingle consumers (Jaccard +
+    * MinHash over the same corpus) can tokenize ONCE, persist, and feed
+    * `jaccardPairsFromShingles` / `minhashFromShingles`.
     *
     * Built entirely from codegen'd operators: posexplode words, window
     * `lead` to stitch n-word shingles, groupBy-distinct. The array-lambda
@@ -43,6 +46,32 @@ object Dedup {
     * measured ~13s for 5k docs vs ~1s for this path. The window's
     * partition is the doc id, so per-doc state is tiny and the sort is
     * within-partition only. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    distinctShingleRows(df, idCol, textCol, n)
+
+  /** DISTINCT (id, xxhash64(shingle)) rows — the tokenize-once form both
+    * `jaccardPairsFromHashes` and `minhashFromHashes` consume. Hashing
+    * BEFORE the distinct keeps the aggregate and any persist() 8 bytes per
+    * shingle instead of a ~20-char string (measured: persisting string
+    * shingles costs more than recomputing them; hashed rows cache cheaply).
+    * Collision odds over |distinct shingles|² are ~1e-11 — below any other
+    * nondeterminism in the pipeline. */
+  def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol).as("id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w0")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val parts = (0 until n).map(j =>
+      if (j == 0) col("w0") else lead(col("w0"), j).over(byDoc))
+    w.select(col("id"), concat_ws(" ", parts: _*).as("s"),
+        parts.last.isNotNull.as("_complete"))
+      .where(col("_complete"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .distinct()
+  }
+
   private[operators] def distinctShingleRows(df: DataFrame, idCol: String,
                                              textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -81,18 +110,22 @@ object Dedup {
     * threshold > 0 this is exhaustive, because J(a,b) > 0 ⇔ a,b share a
     * shingle). `maxBucketSize` guards stop-shingle skew. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   minJaccard: Double, maxBucketSize: Int = 1000): DataFrame = {
-    // join key = xxhash64(shingle): 8-byte keys instead of ~20-byte strings
-    // (collision odds over |distinct shingles|² are ~1e-11 — below any
-    // other nondeterminism in the pipeline). n_sh rides along via an
+                   minJaccard: Double, maxBucketSize: Int = 1000): DataFrame =
+    jaccardPairsFromHashes(shingleHashRows(df, idCol, textCol, n),
+      minJaccard, maxBucketSize)
+
+  /** Jaccard pairs from precomputed `shingleHashRows` output (persist the
+    * hashed rows to share the tokenization with `minhashFromHashes`). */
+  def jaccardPairsFromHashes(rows: DataFrame, minJaccard: Double,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    // join key = the 8-byte shingle hash. n_sh rides along via an
     // orderless window over the doc id. repartition(s): the self-join's
     // two sides then share ONE exchange (shingle construction runs once,
     // not once per side) and the join needs no further shuffle.
-    val rows = distinctShingleRows(df, idCol, textCol, n)
     val inv = rows
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
-      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("s"))
+      .select(col("id"), col("n_sh"), col("h").as("s"))
       .repartition(col("s"))
     val pruned =
       if (maxBucketSize == Int.MaxValue) inv // no prune → skip the window pass
@@ -124,13 +157,17 @@ object Dedup {
     * codegen with map-side partial aggregation, so the shuffle carries one
     * k-long row per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    // Hash the (arbitrarily long) shingle STRING once, then derive the k
-    // permutations by re-hashing the fixed-width digest — k string hashes
-    // per shingle would dominate the stage. (h1 + i·h2 double hashing is
-    // the textbook trick but overflows under ANSI arithmetic.)
-    val ex = distinctShingleRows(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("s")).as("h1"))
+                        n: Int, k: Int): DataFrame =
+    minhashFromHashes(shingleHashRows(df, idCol, textCol, n), k)
+
+  /** MinHash signatures from precomputed `shingleHashRows` output. */
+  def minhashFromHashes(rows: DataFrame, k: Int): DataFrame = {
+    // The shingle STRING was hashed once upstream; the k permutations
+    // re-hash the fixed-width digest — k string hashes per shingle would
+    // dominate the stage. (h1 + i·h2 double hashing is the textbook trick
+    // but overflows under ANSI arithmetic.)
+    val ex = rows
+      .select(col("id"), col("h").as("h1"))
     val aggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("h1"))).as(s"_h$i"))
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -157,6 +194,10 @@ object Dedup {
              |          raise_error(concat('signature length ', size(sig),
              |            ' != bands*rowsPerBand = $k'))))""".stripMargin))
           .as(Seq("band", "bhash")))
+      // one shared exchange for the self-join: without this, Catalyst
+      // broadcasts one side and the EXPENSIVE minhash aggregate subtree
+      // underneath runs twice (same trick as jaccardPairs' repartition(s))
+      .repartition(col("band"), col("bhash"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))
@@ -197,6 +238,9 @@ object Dedup {
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 3), " +
         "c -> shiftright(simhash, c * 16) & 65535)")).as(Seq("chunk", "cval")))
+      // shared exchange: the simhash 64-bit-sum aggregate underneath must
+      // not run once per join side (see lshCandidatePairs)
+      .repartition(col("chunk"), col("cval"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.id") < col("b.id"))
