@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.geo.GeoJson
-import graft.operators.{Dedup, Multimodal, Similarity, TextStats}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.sources.Tables
 import graft.streaming.DailyRollup
 
@@ -269,6 +269,65 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- sampling / splitting / PII -----------------------------------------
+
+  /** Deterministic train/test split: membership is md5(id)-derived, so the
+    * DuckDB oracle reproduces the EXACT assignment (floor(0.2·2^24) =
+    * 3355443). */
+  private def qX1split(s: SparkSession, d: String): DataFrame =
+    Sampling.withSplit(docs(s, d), "doc_id", testFraction = 0.2)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .orderBy("split", "lang")
+  private val oX1 =
+    """WITH h AS (SELECT doc_id, lang,
+      |  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) < 3355443
+      |  THEN 'test' ELSE 'train' END AS split FROM documents)
+      |SELECT split, lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** PII scrub over deterministically injected emails/phones (the corpus
+    * itself has none — the injection exercises the regexes on both
+    * engines identically). */
+  private def qX2pii(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or +1 (555) 010-"),
+      col("doc_id").cast("string"))
+    docs(s, d).select(col("doc_id"),
+        TextStats.scrubPii(injected).as("clean"),
+        TextStats.emailCount(injected).as("n_email"),
+        TextStats.phoneCount(injected).as("n_phone"))
+      .orderBy("doc_id")
+  }
+  private val oX2 = {
+    val inj = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+      "'@example.com or +1 (555) 010-', CAST(doc_id AS VARCHAR))"
+    val email = TextStats.EmailRe
+    val phone = TextStats.PhoneRe
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace($inj, '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS clean,
+       |  CAST(len(regexp_extract_all($inj, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace($inj, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT)
+       |    AS n_phone
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-language cap (deterministic reservoir): smallest-(hash, id) 20
+    * docs per lang survive; two-phase partial cap, no hot-group funnel. */
+  private def qX3cap(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroup(docs(s, d), "lang", "doc_id", n = 20)
+      .orderBy("lang", "doc_id")
+  private val oX3 =
+    """WITH h AS (SELECT lang, doc_id,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM documents),
+      |r AS (SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)
+      |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
+
   // ---- multimodal + geo + streaming-semantics ----------------------------
 
   private def qM1multimodal(s: SparkSession, d: String): DataFrame = {
@@ -315,6 +374,9 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
+    "q_x1_split_stats" -> qX1split _,
+    "q_x2_pii_scrub" -> qX2pii _,
+    "q_x3_cap_per_group" -> qX3cap _,
     "q_m1_multimodal_features" -> qM1multimodal _,
     "q_g1_geojson_tracks" -> qG1geojson _,
     "q_st1_daily_rollup" -> qSt1daily _,
@@ -330,6 +392,9 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_s1_cosine_topk" -> oS1,
+    "q_x1_split_stats" -> oX1,
+    "q_x2_pii_scrub" -> oX2,
+    "q_x3_cap_per_group" -> oX3,
     "q_st1_daily_rollup" -> oSt1,
   )
 }

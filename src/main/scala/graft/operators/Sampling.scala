@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is a PURE FUNCTION of the row's id (via md5), never of
+  * Spark's RNG, partitioning, or cluster size — so train/test membership
+  * is reproducible across runs, engines (the DuckDB oracle replicates the
+  * same arithmetic), repartitions, and 1000-executor scale-out. This is
+  * the property `df.sample`/`randomSplit` do NOT have (their membership
+  * changes with partition layout), and the one a 100 TB corpus needs:
+  * re-running a split tomorrow on different hardware must yield the same
+  * assignment per document.
+  */
+object Sampling {
+
+  /** 24-bit uniform hash in [0, 2^24) from md5(id + "|" + salt). 24 bits
+    * keep the value exactly representable everywhere (no sign/overflow
+    * edge) while giving ~6e-8 fraction granularity. */
+  def hash24(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 6),
+      16, 10).cast("long")
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    math.floor(fraction * (1L << 24)).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keeps rows whose hash falls below
+    * fraction·2^24. Map-side only — no shuffle, pushes down as a plain
+    * filter. Different salts give independent samples. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   salt: String = "graft"): DataFrame =
+    df.where(hash24(col(idCol), salt) < threshold(fraction))
+
+  /** Train/test split label: "test" iff hash < testFraction·2^24. One
+    * map-side projection; `split` is reproducible per id forever. */
+  def withSplit(df: DataFrame, idCol: String, testFraction: Double,
+                salt: String = "graft"): DataFrame =
+    df.withColumn("split",
+      when(hash24(col(idCol), salt) < threshold(testFraction), lit("test"))
+        .otherwise(lit("train")))
+
+  /** Per-group cap ("deterministic reservoir"): the `n` rows with the
+    * smallest (hash, id) per group survive. Two-phase like
+    * Similarity.topKPerQuery — a partial cap per (group, map partition)
+    * then a final cap — so a hot group (half the corpus in one language)
+    * never funnels through a single task's sort. Returns (group, id)
+    * keeper pairs; semi-join to materialize the rows. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+                  salt: String = "graft"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val item = struct(hash24(col(idCol), salt).as("h"), col(idCol).as("id"))
+    val partial = df
+      .select(col(groupCol).as("grp"), item.as("_it"))
+      .withColumn("_pid", spark_partition_id())
+      .groupBy(col("grp"), col("_pid"))
+      .agg(slice(array_sort(collect_list(col("_it"))), 1, n).as("_top"))
+      .select(col("grp"), explode(col("_top")).as("_it"))
+    partial
+      .groupBy("grp")
+      .agg(slice(array_sort(collect_list(col("_it"))), 1, n).as("_top"))
+      .select(col("grp").as(groupCol), explode(col("_top.id")).as(idCol))
+  }
+}

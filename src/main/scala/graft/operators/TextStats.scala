@@ -88,4 +88,23 @@ object TextStats {
     * the exact-dedup key (S/F analog of a rolling-hash fingerprint). */
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "[^A-Za-z0-9]+", "")))
+
+  // ---- PII scrubbing -------------------------------------------------------
+
+  /** Patterns kept to the Java↔RE2 common subset so the DuckDB oracle
+    * evaluates them identically (no lookaround, no backrefs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Replace email addresses and phone-shaped digit runs with placeholder
+    * tokens — the standard pre-training scrub pass. Emails first (their
+    * local parts can contain digits that would otherwise be half-eaten by
+    * the phone pattern). Map-side codegen'd regex, no shuffle. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Match counts per document (audit metric for the scrub pass). */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe)).cast("long")
+  def phoneCount(c: Column): Column =
+    regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe)).cast("long")
 }

@@ -114,6 +114,58 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { ErddapUrl.markerParam("Star") }
   }
 
+  test("deterministic sampling: pure function of id, no shuffle, caps hold") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+    // split is a pure function of id: two evaluations agree exactly
+    val s1 = Sampling.withSplit(df, "id", 0.25).where(col("split") === "test")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.withSplit(df, "id", 0.25).where(col("split") === "test")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    assert(math.abs(s1.size / 2000.0 - 0.25) < 0.05) // ~binomial tolerance
+    // sample is a subset and a plain map-side filter (no exchange at all)
+    val sample = Sampling.sampleByHash(df, "id", 0.1)
+    assert(!sample.queryExecution.optimizedPlan.toString.contains("Exchange"))
+    assert(sample.count() > 0 && sample.count() < 2000)
+    // different salts give (near-)independent draws
+    val a = Sampling.sampleByHash(df, "id", 0.5, "saltA")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(df, "id", 0.5, "saltB")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // capPerGroup: exactly n per group, equals the windowed reference
+    val capped = Sampling.capPerGroup(df, "grp", "id", n = 7)
+    val byGrp = capped.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.forall(_ == 7L) && byGrp.size == 4)
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("h", Sampling.hash24(col("id"), "graft"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("h"), col("id"))))
+      .where(col("rn") <= 7).select("grp", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(capped.collect().map(r => (r.getString(0), r.getLong(1))).toSet == ref)
+  }
+
+  test("PII scrub replaces emails and phones, counts match") {
+    import graft.operators.TextStats
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org or call +1 (555) 010-4242 now"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.scrubPii(col("text")).as("clean"),
+        TextStats.emailCount(col("text")).as("ne"),
+        TextStats.phoneCount(col("text")).as("np"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean") ==
+      "mail me at <EMAIL> or call <PHONE> now")
+    assert(out(1L).getAs[Long]("ne") == 1L && out(1L).getAs[Long]("np") == 1L)
+    assert(out(2L).getAs[String]("clean") == "no pii here at all")
+    assert(out(2L).getAs[Long]("ne") == 0L && out(2L).getAs[Long]("np") == 0L)
+  }
+
   test("streaming dedup: within-watermark duplicates dropped (q_d1 semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
