@@ -130,6 +130,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(df(1).isNullAt(0))
   }
 
+  test("empty and degenerate inputs flow through every dedup/sim operator") {
+    val noDocs = docs.where(lit(false))
+    val noVecs = vecs.where(lit(false))
+    assert(Dedup.exactGroups(noDocs, "doc_id", TextStats.fingerprint(col("text")))
+      .count() == 0)
+    assert(Dedup.jaccardPairs(noDocs, "doc_id", "text", 3, 0.0).count() == 0)
+    assert(Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(noDocs, "doc_id", "text", 3, 64), 16, 4).count() == 0)
+    assert(Dedup.simhashPairs(Dedup.simhash(noDocs, "doc_id", "text")).count() == 0)
+    assert(Dedup.embeddingNearDups(noVecs, "vec_id", "embedding", 0.5,
+      planes = 4, bands = 4, dim = 3).count() == 0)
+    assert(Dedup.allPairsNearDups(noVecs, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.bruteForceTopK(vecs, noVecs, "vec_id", "embedding", 3)
+      .count() == 0) // no queries
+    assert(Similarity.bruteForceTopK(noVecs, vecs, "vec_id", "embedding", 3)
+      .count() == 0) // no corpus
+    assert(Similarity.ivfTopK(noVecs, noVecs, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.lshTopK(noVecs, vecs, "vec_id", "embedding", 3,
+      planes = 4, dim = 3).count() == 0)
+    assert(graft.operators.Sampling.capPerGroup(noDocs, "text", "doc_id", 5)
+      .count() == 0)
+    // k larger than the corpus: returns everything, ranks stay dense
+    val all = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0),
+      "vec_id", "embedding", k = 100).orderBy("rank").collect()
+    assert(all.length == 3 && all.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // docs shorter than the shingle width just vanish from shingle space
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.shingleHashRows(tiny, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.0).count() == 0)
+  }
+
   test("lshCandidatePairs rejects bands*rowsPerBand != |sig|") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
     val bad = Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 8)
