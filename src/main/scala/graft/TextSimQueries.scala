@@ -269,6 +269,23 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact boilerplate shingles (document frequency ≥ 5). The Count-Min
+    * sketch (graft.functions.CountMin) estimates the same statistic with
+    * bounded state; its accuracy is gated in SinksStreamSpec. */
+  private def qT5heavy(s: SparkSession, d: String): DataFrame =
+    TextStats.heavyShingles(docs(s, d), "doc_id", "text", n = 3, minDocs = 5L)
+      .orderBy("shingle")
+  private val oT5 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s)
+      |SELECT sg AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
+      |FROM e GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
+
   // ---- sampling / splitting / PII -----------------------------------------
 
   /** Deterministic train/test split: membership is md5(id)-derived, so the
@@ -374,6 +391,7 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
+    "q_t5_heavy_shingles" -> qT5heavy _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -392,6 +410,7 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_s1_cosine_topk" -> oS1,
+    "q_t5_heavy_shingles" -> oT5,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,

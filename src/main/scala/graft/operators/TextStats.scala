@@ -107,4 +107,19 @@ object TextStats {
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe)).cast("long")
   def phoneCount(c: Column): Column =
     regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe)).cast("long")
+
+  // ---- heavy hitters -------------------------------------------------------
+
+  /** Boilerplate/template detection: n-word shingles whose DOCUMENT
+    * frequency is ≥ minDocs. One hash groupBy over the distinct per-doc
+    * shingle rows — shuffle ∝ distinct shingles, exact at any scale with
+    * enough reducers. For unbounded/streaming corpora where per-key state
+    * is the constraint, `graft.functions.CountMin` estimates the same
+    * statistic in a fixed-size table. */
+  def heavyShingles(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    minDocs: Long): DataFrame =
+    Dedup.shingleRows(df, idCol, textCol, n)
+      .groupBy(col("s").as("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocs)
 }

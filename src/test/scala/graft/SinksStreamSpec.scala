@@ -149,6 +149,27 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(capped.collect().map(r => (r.getString(0), r.getLong(1))).toSet == ref)
   }
 
+  test("CountMin sketch: never underestimates, heavy keys within eps*N") {
+    import graft.functions.CountMin
+    // skewed stream: two heavy keys over a long uniform tail, spread over
+    // partitions so map-side partial sketches must merge
+    val data = (Seq.fill(500)(1L) ++ Seq.fill(200)(2L) ++
+      (0L until 5000L).map(i => 1000L + i))
+    val df = data.toDF("k").repartition(8).select(xxhash64(col("k")).as("h"))
+    val depth = 4; val width = 1024
+    val table = df.select(CountMin.sketch(depth, width)(col("h")).as("t"))
+      .collect()(0).getSeq[Long](0).toArray
+    val n = data.size
+    val hashes = Seq(1L, 2L, 999999L).toDF("k")
+      .select(col("k"), xxhash64(col("k")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def est(k: Long) = CountMin.estimate(table, depth, width, hashes(k))
+    assert(est(1L) >= 500L && est(1L) <= 500L + (0.02 * n).toLong)
+    assert(est(2L) >= 200L && est(2L) <= 200L + (0.02 * n).toLong)
+    assert(est(999999L) <= (0.02 * n).toLong) // absent key: only collision mass
+    assert(table.grouped(width).map(_.sum).toSet == Set(n.toLong)) // each row sums to N
+  }
+
   test("PII scrub replaces emails and phones, counts match") {
     import graft.operators.TextStats
     val df = Seq(
