@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.geo.GeoJson
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.operators.{Dedup, Multimodal, Ranking, Sampling, Similarity, TextStats}
 import graft.sources.Tables
 import graft.streaming.DailyRollup
 
@@ -286,6 +286,41 @@ object TextSimQueries {
       |SELECT sg AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
       |FROM e GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
 
+  /** BM25 keyword ranking. The oracle mirrors the fixed-term-order score
+    * assembly with Scala-computed double constants embedded as literals
+    * (no row-order-dependent double sums; tf/df/len are exact integers). */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private def qT6bm25(s: SparkSession, d: String): DataFrame =
+    Ranking.bm25(docs(s, d), "doc_id", "text", Bm25Terms)
+  private val oT6 = {
+    val k1 = 1.2; val b = 0.75
+    val idx = Bm25Terms.indices
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(count(*) FILTER (t = '$t') AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = idx.map(i =>
+      s"CAST(count(*) FILTER (tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+    val avgdl = "(CAST(sumlen AS DOUBLE) / n)"
+    val contribs = idx.map { i =>
+      s"(ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))" +
+        s" * (tf$i * CAST(${k1 + 1.0} AS DOUBLE)))" +
+        s" / (tf$i + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)" +
+        s" + CAST($b AS DOUBLE) * len / $avgdl))"
+    }.mkString(" + ")
+    val anyTf = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |FROM documents),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+       |    $tfCols
+       |  FROM tok GROUP BY 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM d)
+       |SELECT doc_id, round($contribs, 6) AS score
+       |FROM d CROSS JOIN g WHERE ($anyTf) > 0
+       |ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   // ---- sampling / splitting / PII -----------------------------------------
 
   /** Deterministic train/test split: membership is md5(id)-derived, so the
@@ -392,6 +427,7 @@ object TextSimQueries {
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
     "q_t5_heavy_shingles" -> qT5heavy _,
+    "q_t6_bm25_rank" -> qT6bm25 _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -411,6 +447,7 @@ object TextSimQueries {
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_s1_cosine_topk" -> oS1,
     "q_t5_heavy_shingles" -> oT5,
+    "q_t6_bm25_rank" -> oT6,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,

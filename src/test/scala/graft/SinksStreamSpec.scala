@@ -170,6 +170,23 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(table.grouped(width).map(_.sum).toSet == Set(n.toLong)) // each row sums to N
   }
 
+  test("BM25: term-rich docs rank first, non-matching docs excluded") {
+    import graft.operators.Ranking
+    val df = Seq(
+      (1L, "spark spark spark join window fast engine"),
+      (2L, "spark join appears here once only today friend"),
+      (3L, "completely unrelated text with no query words"),
+      (4L, "window window functions in a query engine")
+    ).toDF("doc_id", "text")
+    val r = Ranking.bm25(df, "doc_id", "text", Seq("spark", "join", "window"))
+      .collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 2L, 4L)) // doc 3 excluded
+    assert(r.head.getLong(0) == 1L) // most matches ranks first
+    assert(r.map(_.getAs[Double]("score")).sliding(2).forall(p => p(0) >= p(1)))
+    val top1 = Ranking.bm25(df, "doc_id", "text", Seq("spark"), topK = 1)
+    assert(top1.count() == 1 && top1.collect()(0).getLong(0) == 1L)
+  }
+
   test("PII scrub replaces emails and phones, counts match") {
     import graft.operators.TextStats
     val df = Seq(
