@@ -127,12 +127,24 @@ object TextSimQueries {
     * (session, dir); correctness is unaffected, the rows are identical).
     * Hashed (id, int64) rows cache cheaply; persisting the string form
     * measurably costs more than recomputing it. */
+  // weak session keys: a stopped SparkSession must stay GC-able and not
+  // pin its persisted DataFrames in a process-lifetime map
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedShingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, d),
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def sharedShingles(s: SparkSession, d: String): DataFrame = {
+    val perSession = shingleCache.synchronized {
+      var m = shingleCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        shingleCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(d,
       Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def qD2jaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
@@ -180,7 +192,10 @@ object TextSimQueries {
     * DedupSimilaritySpec. */
   private def qD5embedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4,
-        planes = 64, bands = 16, dim = 64)
+        planes = 64, bands = 16, dim = 64,
+        // the oracle replicates the banding WITHOUT a bucket prune — pin
+        // parity by disabling the guard here (production default keeps it)
+        maxBucketSize = Int.MaxValue)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
   private val oD5 = {

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions.udaf
 object CountMin {
 
   private[functions] def bucket(h: Long, d: Int, width: Int): Int = {
+    // multiplier must stay ODD (odd base + even 2d) — an even multiplier
+    // zeroes low bits and collapses coverage to width/2^k buckets
     val x = java.lang.Long.rotateLeft(h, d * 7 + 1) *
-      (0x9E3779B97F4A7C15L + 2L * d + 1L)
+      (0x9E3779B97F4A7C15L + 2L * d)
     (((x % width) + width) % width).toInt
   }
 

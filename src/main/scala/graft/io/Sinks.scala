@@ -58,9 +58,18 @@ object Sinks {
     val coords = array_join(
       expr("transform(_g.track.geometry.coordinates, " +
         "p -> concat(cast(p[0] AS STRING), ',', cast(p[1] AS STRING), ',0'))"), " ")
+    // substitute {id} by concatenation, NOT regexp_replace — ids containing
+    // '$' or '\' are Matcher metacharacters in a regex replacement string
+    val statusUrl: org.apache.spark.sql.Column =
+      if (statusUrlTemplate.isEmpty) lit(null)
+      else {
+        val parts = statusUrlTemplate.split("\\{id\\}", -1)
+        val pieces = lit(parts.head) +:
+          parts.tail.flatMap(p => Seq(col("_id"), lit(p))).toSeq
+        xmlEscape(concat(pieces: _*))
+      }
     val desc = concat_ws(" ",
-      when(lit(statusUrlTemplate.nonEmpty),
-        xmlEscape(regexp_replace(lit(statusUrlTemplate), lit("\\{id\\}"), col("_id")))),
+      statusUrl,
       concat(element_at(col("_g.features"), 1)("properties")("ts"), lit(" - "),
         element_at(col("_g.features"), -1)("properties")("ts")))
     df.select(col(idCol).cast("string").as("_id"), g.as("_g"))

@@ -34,10 +34,11 @@ object Dedup {
         a => size(a) === lit(n)),
       a => array_join(a, " ")))
 
-  /** Long-form DISTINCT (id, shingle) rows — the hot-path tokenization.
-    * PUBLIC so pipelines running several shingle consumers (Jaccard +
-    * MinHash over the same corpus) can tokenize ONCE, persist, and feed
-    * `jaccardPairsFromShingles` / `minhashFromShingles`.
+  /** Long-form DISTINCT (id, shingle-string) rows (consumed by
+    * `TextStats.heavyShingles` and other string-facing passes). Pipelines
+    * running several HASH-consuming shingle operators (Jaccard + MinHash
+    * over the same corpus) should tokenize once with `shingleHashRows`,
+    * persist, and feed `jaccardPairsFromHashes` / `minhashFromHashes`.
     *
     * Built entirely from codegen'd operators: posexplode words, window
     * `lead` to stitch n-word shingles, groupBy-distinct. The array-lambda
@@ -58,22 +59,16 @@ object Dedup {
     * Collision odds over |distinct shingles|² are ~1e-11 — below any other
     * nondeterminism in the pipeline. */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = df.select(col(idCol).as("id"),
-      posexplode(words(col(textCol))).as(Seq("pos", "w0")))
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    val parts = (0 until n).map(j =>
-      if (j == 0) col("w0") else lead(col("w0"), j).over(byDoc))
-    w.select(col("id"), concat_ws(" ", parts: _*).as("s"),
-        parts.last.isNotNull.as("_complete"))
-      .where(col("_complete"))
+                      n: Int): DataFrame =
+    rawShingleRows(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("s")).as("h"))
       .distinct()
-  }
 
-  private[operators] def distinctShingleRows(df: DataFrame, idCol: String,
-                                             textCol: String, n: Int): DataFrame = {
+  /** Shared tokenization: NON-distinct (id, shingle-string) rows — the
+    * single source of truth for the posexplode + window-lead stitching
+    * that both the string and hashed shingle forms derive from. */
+  private def rawShingleRows(df: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = df.select(col(idCol).as("id"),
       posexplode(words(col(textCol))).as(Seq("pos", "w0")))
@@ -84,8 +79,11 @@ object Dedup {
         parts.last.isNotNull.as("_complete"))
       .where(col("_complete"))
       .select("id", "s")
-      .distinct()
   }
+
+  private[operators] def distinctShingleRows(df: DataFrame, idCol: String,
+                                             textCol: String, n: Int): DataFrame =
+    rawShingleRows(df, idCol, textCol, n).distinct()
 
   /** Shingles joined to strings (join/hash friendly) straight from text —
     * convenience for small inputs; prefer `tokenized` in pipelines. */
@@ -260,10 +258,21 @@ object Dedup {
                                     bands: Int): Column = {
     val r = hp.length / bands
     val vals = (0 until bands).map { b =>
-      (0 until r).map { j =>
+      val packed = (0 until r).map { j =>
         when(Similarity.dot(vec, typedlit(hp(b * r + j).toSeq)) >= 0, lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
+      // fail LOUDLY on a dimension mismatch (VectorDot yields null):
+      // silently bucketing every vector at 0 would degrade to all-pairs
+      // or, above maxBucketSize, return zero pairs with no error
+      if (b == 0)
+        when(vec.isNotNull &&
+            Similarity.dot(vec, typedlit(hp(0).toSeq)).isNull,
+          raise_error(concat(lit("embedding dimension "),
+            size(vec).cast("string"),
+            lit(s" != hyperplane dimension ${hp(0).length}"))))
+          .otherwise(packed)
+      else packed
     }
     array(vals: _*)
   }

@@ -48,9 +48,15 @@ object Multimodal {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
+  // the payload is already in memory — without this, ImageIO.read spools
+  // every row through a temp-file-backed cache stream
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private[operators] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None
     else try {
+      imageIoNoDiskCache
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     } catch { case _: Exception => None }
 
@@ -96,26 +102,27 @@ object Multimodal {
   }
 
   /** Refresh the typed meta struct from a REAL decode: width/height/format
-    * read from the image header when the payload decodes, original meta
-    * kept otherwise. */
+    * read from the image when the payload actually decodes; the ORIGINAL
+    * meta is kept untouched otherwise (a corrupt JPEG prefix must not
+    * stamp format='image/jpeg' onto stale dimensions). */
   def decodeImageMeta(df: DataFrame): DataFrame = {
-    val decodeWH = udf { (bytes: Array[Byte]) =>
-      decodeImage(bytes).map(img => (img.getWidth, img.getHeight))
+    // one decode per row: format+dims together, None unless decode succeeds
+    val decodeInfo = udf { (bytes: Array[Byte]) =>
+      decodeImage(bytes).map { img =>
+        val fmt =
+          if (bytes(0) == 0x89.toByte) "image/png"
+          else if (bytes(0) == 0xFF.toByte) "image/jpeg"
+          else if (bytes(0) == 'G') "image/gif"
+          else "image/bmp"
+        (fmt, img.getWidth, img.getHeight)
+      }
     }
-    val sniff = udf { (bytes: Array[Byte]) =>
-      if (bytes == null || bytes.length < 4) None
-      else if (bytes(0) == 0x89.toByte && bytes(1) == 'P') Some("image/png")
-      else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) Some("image/jpeg")
-      else if (bytes(0) == 'G' && bytes(1) == 'I') Some("image/gif")
-      else if (bytes(0) == 'B' && bytes(1) == 'M') Some("image/bmp")
-      else None
-    }
-    df.withColumn("_wh", decodeWH(col("media")))
+    df.withColumn("_d", decodeInfo(col("media")))
       .withColumn("meta", col("meta")
-        .withField("format", coalesce(sniff(col("media")), col("meta.format")))
-        .withField("width", coalesce(col("_wh._1"), col("meta.width")))
-        .withField("height", coalesce(col("_wh._2"), col("meta.height"))))
-      .drop("_wh")
+        .withField("format", coalesce(col("_d._1"), col("meta.format")))
+        .withField("width", coalesce(col("_d._2"), col("meta.width")))
+        .withField("height", coalesce(col("_d._3"), col("meta.height"))))
+      .drop("_d")
   }
 
   /** ===== STUB ===== "frame sampling": slice the binary payload at a

@@ -53,15 +53,7 @@ object Sampling {
                   salt: String = "graft"): DataFrame = {
     require(n > 0, "n must be positive")
     val item = struct(hash24(col(idCol), salt).as("h"), col(idCol).as("id"))
-    val partial = df
-      .select(col(groupCol).as("grp"), item.as("_it"))
-      .withColumn("_pid", spark_partition_id())
-      .groupBy(col("grp"), col("_pid"))
-      .agg(slice(array_sort(collect_list(col("_it"))), 1, n).as("_top"))
-      .select(col("grp"), explode(col("_top")).as("_it"))
-    partial
-      .groupBy("grp")
-      .agg(slice(array_sort(collect_list(col("_it"))), 1, n).as("_top"))
-      .select(col("grp").as(groupCol), explode(col("_top.id")).as(idCol))
+    GroupTopN.smallestPerKey(df, groupCol, item, n)
+      .select(col(groupCol), explode(col("_top.id")).as(idCol))
   }
 }

@@ -49,31 +49,14 @@ object Similarity {
   /** Exact top-k per query over scored rows
     * (query_id, neighbor_id, cosine) → (query_id, neighbor_id, cosine,
     * rank). Ordering: cosine desc, neighbor_id asc (callers round cosine
-    * BEFORE this so ranks are reproducible across engines).
-    *
-    * Shape: when `partialPerPartition`, a first aggregate keyed by
-    * (query_id, spark_partition_id()) slices each map partition's
-    * contribution to k rows — the final per-query aggregate then sees
-    * ≤ k·numPartitions rows instead of the full candidate set, and no
-    * single task ever sorts one query's full score list. Both phases are
-    * hash aggregates + `slice(array_sort(...))` — no window, so no
-    * per-query sort-shuffle funnel. */
-  private[operators] def topKPerQuery(scored: DataFrame, k: Int,
-                                      partialPerPartition: Boolean = true): DataFrame = {
-    def item: Column = struct((-col("cosine")).as("negc"),
+    * BEFORE this so ranks are reproducible across engines). Delegates to
+    * the shared two-phase GroupTopN aggregation — hash aggregates +
+    * `slice(array_sort(...))`, no window, so no per-query sort-shuffle
+    * funnel. */
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val item = struct((-col("cosine")).as("negc"),
       col("neighbor_id"), col("cosine"))
-    val pruned =
-      if (!partialPerPartition) scored
-      else scored
-        .withColumn("_pid", spark_partition_id())
-        .groupBy(col("query_id"), col("_pid"))
-        .agg(slice(array_sort(collect_list(item)), 1, k).as("_top"))
-        .select(col("query_id"), explode(col("_top")).as("_it"))
-        .select(col("query_id"), col("_it.neighbor_id").as("neighbor_id"),
-          col("_it.cosine").as("cosine"))
-    pruned
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("_top"))
+    GroupTopN.smallestPerKey(scored, "query_id", item, k)
       .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_it")))
       .select(col("query_id"), col("_it.neighbor_id").as("neighbor_id"),
         col("_it.cosine").as("cosine"), (col("_pos") + 1).cast("long").as("rank"))

@@ -161,6 +161,15 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.0).count() == 0)
   }
 
+  test("embeddingNearDups fails loudly on embedding/hyperplane dim mismatch") {
+    val bad = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.5,
+      planes = 4, bands = 4, dim = 8) // vectors are dim 3
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("hyperplane dimension")))
+  }
+
   test("lshCandidatePairs rejects bands*rowsPerBand != |sig|") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
     val bad = Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 8)
