@@ -280,7 +280,7 @@ object TextSimQueries {
   private def qS3annIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4)
+        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
       .orderBy("query_id", "rank")
   }
 

@@ -95,11 +95,67 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** Deterministic IVF seed centroids: the `nCentroids` corpus vectors
+    * with the smallest xxhash64(id) — plans as TakeOrderedAndProject
+    * (per-partition top-n, tiny driver merge), uniform over ids, no
+    * global sort, no count job. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
+        col("cn").as("centroid_n"))
+
+  /** Nearest-centroid assignment: argmax-cosine centroid per corpus
+    * vector via a map-side-combinable `min(struct)` aggregate (one row per
+    * vector crosses the exchange — never a window over corpus×centroids).
+    * Output: (centroid_id, neighbor_id, cv, cn). */
+  private def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
+      .select(col("neighbor_id"),
+        struct(
+          (-(dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n")))).as("negsim"),
+          col("centroid_id"), col("cv"), col("cn")).as("_cand"))
+      .groupBy("neighbor_id")
+      .agg(min(col("_cand")).as("_best"))
+      .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
+        col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+
+  /** Spherical k-means (Lloyd) refinement of IVF centroids: assignment by
+    * cosine, update = per-cluster mean vector (direction only matters —
+    * the norm column tracks it). Each iteration is one assignment
+    * aggregate plus one (cluster, dim)-exploded mean aggregate — all
+    * codegen'd hash aggregates with map-side combine, shuffle ∝ corpus +
+    * k·dim. The spherical k-means objective Σ cos(v, c(v)) is monotone
+    * non-decreasing over iterations (asserted in DedupSimilaritySpec).
+    * Empty clusters drop out (standard Lloyd behavior). */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      init: DataFrame, iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    var cur = init
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(c, cur)
+      cur = assigned
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("_i", "_x")))
+        .groupBy("centroid_id", "_i")
+        .agg((sum(col("_x")) / count(lit(1))).as("_m"))
+        .groupBy("centroid_id")
+        .agg(expr("transform(array_sort(collect_list(struct(_i, _m))), p -> p._m)")
+          .as("centroid"))
+        .withColumn("centroid_n", norm(col("centroid")))
+        .where(col("centroid_n") > 0)
+    }
+    cur
+  }
+
   /** IVF-style ANN: the corpus is clustered into `nCentroids` inverted
-    * lists (centroids = a deterministic hash-sample of the corpus itself —
-    * a cheap stand-in for a k-means pass whose assignment/probe machinery
-    * is identical); each query probes its `nProbe` nearest lists and
-    * re-ranks exactly within them.
+    * lists (centroids = a deterministic hash-sample of the corpus,
+    * optionally refined by `kmeansIters` spherical-Lloyd passes); each
+    * query probes its `nProbe` nearest lists and re-ranks exactly within
+    * them.
     *
     * Scale shape: the centroid sample is `orderBy(xxhash64(id)).limit(n)`,
     * which Catalyst plans as TakeOrderedAndProject — a per-partition
@@ -112,31 +168,20 @@ object Similarity {
     * (`suggestedCentroids`), keeping list size ≈ list count. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .repartition(par)
-    // deterministic hash-sample: the nCentroids smallest xxhash64(id)
-    // values — TakeOrderedAndProject, uniform over ids, order-free
-    val cents = c
-      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
-      .limit(nCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
-        col("cn").as("centroid_n"))
-    // corpus assignment: argmax-sim centroid per vector via min(struct)
-    // (negated sim sorts best-first; centroid_id breaks ties; cv/cn ride
-    // along and are never compared — centroid_id is unique in the group)
-    val assigned = c.crossJoin(broadcast(cents))
-      .select(col("neighbor_id"),
-        struct(
-          (-(dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n")))).as("negsim"),
-          col("centroid_id"), col("cv"), col("cn")).as("_cand"))
-      .groupBy("neighbor_id")
-      .agg(min(col("_cand")).as("_best"))
-      .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
-        col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+    val sampled = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val cents =
+      if (kmeansIters <= 0) sampled
+      else kmeansCentroids(corpus, idCol, vecCol, sampled, kmeansIters)
+    // corpus assignment: argmax-sim centroid per vector (min(struct) —
+    // negated sim sorts best-first; centroid_id breaks ties; cv/cn ride
+    // along and are never compared, centroid_id is unique in the group)
+    val assigned = assignTo(c, cents)
     // queries probe their nProbe nearest lists (queries are small — the
     // slice aggregate and re-join are driver-cheap and window-free)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

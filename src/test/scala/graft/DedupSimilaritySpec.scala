@@ -161,6 +161,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.jaccardPairs(tiny, "doc_id", "text", 3, 0.0).count() == 0)
   }
 
+  test("spherical k-means refinement: objective monotone, IVF stays correct") {
+    import org.apache.spark.sql.DataFrame
+    val c = sfEmb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    def objective(cents: DataFrame): Double =
+      c.crossJoin(broadcast(cents))
+        .select(col("id"), (Similarity.dot(col("v"), col("centroid")) /
+          (col("nrm") * col("centroid_n"))).as("sim"))
+        .groupBy("id").agg(max("sim").as("best"))
+        .agg(sum("best")).collect()(0).getDouble(0)
+    val init = Similarity.sampleCentroids(sfEmb, "vec_id", "embedding", 16)
+    val r1 = Similarity.kmeansCentroids(sfEmb, "vec_id", "embedding", init, 1)
+    val r2 = Similarity.kmeansCentroids(sfEmb, "vec_id", "embedding", init, 2)
+    val (o0, o1, o2) = (objective(init), objective(r1), objective(r2))
+    assert(o1 >= o0 - 1e-9, s"iteration 1 decreased objective: $o0 -> $o1")
+    assert(o2 >= o1 - 1e-9, s"iteration 2 decreased objective: $o1 -> $o2")
+    assert(o1 > o0, "refinement should strictly improve on a random seed")
+    // end-to-end: refined centroids feed the same probe machinery
+    val ivf = Similarity.ivfTopK(sfEmb, sfEmb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 12,
+      kmeansIters = 2)
+    assert(ivf.count() == 25)
+  }
+
   test("embeddingNearDups fails loudly on embedding/hyperplane dim mismatch") {
     val bad = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.5,
       planes = 4, bands = 4, dim = 8) // vectors are dim 3
