@@ -22,6 +22,8 @@ import graft.operators.{Calendars, Merges, Profiles}
   * | `deployments_per_year`, `yearly_counts` | `deploymentsPerYear`, `yearlyCounts` |
   * | `merge_with_api(...)`                | `mergeWithApi(...)`          |
   * | GeoJSON `*_track.json`               | `tracks`                     |
+  * | DAC KML render (recent_datasets_to_kml) | `tracksKml(path, ...)`    |
+  * | `GdacPlotter.build_image_request`    | `graphUrl(...)`              |
   *
   * KEY ARCHITECTURAL DIFFERENCE (§3.1): the reference loops datasets
   * serially, two HTTP calls each; here `profiles` is ONE long-form table
@@ -114,4 +116,21 @@ final case class GliderAnalytics(
   /** S14/W2/F15: GeoJSON FeatureCollection per dataset. */
   def tracks: DataFrame =
     GeoJson.trackFeatureCollections(profiles, idCol, timeCol, latCol, lonCol)
+
+  /** S15: the DAC weekly-KML workflow
+    * (reference scripts/dac/recent_datasets_to_kml.py) — GeoJSON tracks
+    * rendered into one KML document. */
+  def tracksKml(path: String, docName: String = "glider tracks",
+                statusUrlTemplate: String = ""): Unit =
+    graft.io.Sinks.kml(tracks, idCol, "geojson", path, docName,
+      statusUrlTemplate)
+
+  /** S17: tabledap graph-image URL for a dataset
+    * (reference GdacPlotter.build_image_request). */
+  def graphUrl(server: String, datasetId: String, x: String, y: String,
+               c: Option[String] = None, constraints: Seq[String] = Nil,
+               plotParams: Seq[(String, String)] = graft.io.ErddapUrl.defaultPlotParams,
+               response: String = "png"): String =
+    graft.io.ErddapUrl.graphUrl(server, datasetId, x, y, c, constraints,
+      plotParams, response)
 }

@@ -170,6 +170,45 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(table.grouped(width).map(_.sum).toSet == Set(n.toLong)) // each row sums to N
   }
 
+  test("CountMin sketch aggregates over a stream (complete mode)") {
+    import graft.functions.CountMin
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF().select(xxhash64(col("value")).as("h"))
+    val agg = sdf.agg(CountMin.sketch(2, 256)(col("h")).as("t"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      mem.addData(Seq.fill(50)(7L): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(30)(7L) ++ (0L until 100L): _*)
+      q.processAllAvailable()
+      val table = spark.table("cms_out").collect()(0)
+        .getSeq[Long](0).toArray
+      val h7 = Seq(7L).toDF("k").select(xxhash64(col("k")))
+        .collect()(0).getLong(0)
+      val est = CountMin.estimate(table, 2, 256, h7)
+      assert(est >= 80L && est <= 80L + 100L) // >= true count, bounded noise
+    } finally q.stop()
+  }
+
+  test("facade: tracksKml renders the DAC weekly KML; graphUrl delegates") {
+    import graft.api.GliderAnalytics
+    val obs = Seq(
+      ("ds1", Timestamp.valueOf("2024-01-01 00:00:00"), 39.5, -74.2),
+      ("ds1", Timestamp.valueOf("2024-01-01 01:00:00"), 39.6, -74.1)
+    ).toDF("dataset_id", "time", "latitude", "longitude")
+    val ga = GliderAnalytics(obs)
+    val tmp = java.nio.file.Files.createTempDirectory("kml2").resolve("w.kml")
+    ga.tracksKml(tmp.toString, "weekly",
+      statusUrlTemplate = "https://x.test/s?id={id}")
+    val kml = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+    assert(kml.contains("<name>weekly</name>") && kml.contains("<name>ds1</name>"))
+    assert(kml.contains("https://x.test/s?id=ds1"))
+    assert(ga.graphUrl("https://srv/e", "ds1", "time", "depth")
+      .startsWith("https://srv/e/tabledap/ds1.png?time,depth&"))
+  }
+
   test("BM25: term-rich docs rank first, non-matching docs excluded") {
     import graft.operators.Ranking
     val df = Seq(
