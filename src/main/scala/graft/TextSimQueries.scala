@@ -127,23 +127,21 @@ object TextSimQueries {
     * (session, dir); correctness is unaffected, the rows are identical).
     * Hashed (id, int64) rows cache cheaply; persisting the string form
     * measurably costs more than recomputing it. */
-  // weak session keys: a stopped SparkSession must stay GC-able and not
-  // pin its persisted DataFrames in a process-lifetime map
-  private val shingleCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  // stopped sessions are purged on access (weak keys would not work here:
+  // the cached DataFrames strongly reference their session, so a
+  // WeakHashMap entry's value would pin its own key forever)
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
   private def sharedShingles(s: SparkSession, d: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      var m = shingleCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        shingleCache.put(s, m)
-      }
-      m
+    shingleCache.keySet.foreach { k =>
+      if (k.sparkContext.isStopped) shingleCache.remove(k)
     }
-    perSession.getOrElseUpdate(d,
-      Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    shingleCache
+      .getOrElseUpdate(s,
+        scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(d,
+        Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   private def qD2jaccard(s: SparkSession, d: String): DataFrame =
@@ -279,8 +277,12 @@ object TextSimQueries {
 
   private def qS3annIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // kmeansIters stays 0 HERE: the refined centroids' mean aggregates sum
+    // doubles in shuffle order, so the driver-facing query keeps the fully
+    // deterministic seed path; the k-means pass is gated in
+    // DedupSimilaritySpec (monotone objective), which needs no bit parity
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
+        k = 5, nCentroids = 16, nProbe = 4)
       .orderBy("query_id", "rank")
   }
 

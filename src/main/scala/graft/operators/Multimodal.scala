@@ -48,16 +48,20 @@ object Multimodal {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
-  // the payload is already in memory — without this, ImageIO.read spools
-  // every row through a temp-file-backed cache stream
-  private lazy val imageIoNoDiskCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
-
   private[operators] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None
     else try {
-      imageIoNoDiskCache
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      // explicit in-memory image stream: the payload is already in memory,
+      // and the ImageIO.read(InputStream) default would spool every row
+      // through a temp-file-backed cache (a per-call stream also avoids
+      // flipping the process-global ImageIO.setUseCache switch)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself; the
+      // quiet re-close guards non-read exit paths without masking a
+      // successful decode behind a double-close IOException
+      try Option(javax.imageio.ImageIO.read(iis))
+      finally { try iis.close() catch { case _: Exception => () } }
     } catch { case _: Exception => None }
 
   /** Feature extraction over the binary column. PNG/JPEG/GIF/BMP payloads

@@ -124,24 +124,28 @@ object Similarity {
         col("_best.cv").as("cv"), col("_best.cn").as("cn"))
 
   /** Spherical k-means (Lloyd) refinement of IVF centroids: assignment by
-    * cosine, update = per-cluster mean vector (direction only matters —
-    * the norm column tracks it). Each iteration is one assignment
-    * aggregate plus one (cluster, dim)-exploded mean aggregate — all
-    * codegen'd hash aggregates with map-side combine, shuffle ∝ corpus +
-    * k·dim. The spherical k-means objective Σ cos(v, c(v)) is monotone
+    * cosine, update = per-cluster mean of UNIT vectors (the argmax of
+    * Σ cos(v, c) for a fixed assignment — a raw-vector mean would weight
+    * by magnitude and can DECREASE the objective; only the direction
+    * matters downstream, the norm column tracks it). Each iteration is one
+    * assignment aggregate plus one (cluster, dim)-exploded mean
+    * aggregate — all codegen'd hash aggregates with map-side combine,
+    * shuffle ∝ corpus + k·dim. The objective Σ cos(v, c(v)) is monotone
     * non-decreasing over iterations (asserted in DedupSimilaritySpec).
     * Empty clusters drop out (standard Lloyd behavior). */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       init: DataFrame, iters: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .repartition(par) // single-file sources would run every pass one-task
     var cur = init
     for (_ <- 1 to iters) {
       val assigned = assignTo(c, cur)
       cur = assigned
-        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("_i", "_x")))
+        .select(col("centroid_id"), col("cn"), posexplode(col("cv")).as(Seq("_i", "_x")))
         .groupBy("centroid_id", "_i")
-        .agg((sum(col("_x")) / count(lit(1))).as("_m"))
+        .agg((sum(col("_x") / col("cn")) / count(lit(1))).as("_m"))
         .groupBy("centroid_id")
         .agg(expr("transform(array_sort(collect_list(struct(_i, _m))), p -> p._m)")
           .as("centroid"))

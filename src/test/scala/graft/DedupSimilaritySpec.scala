@@ -176,9 +176,9 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     val r1 = Similarity.kmeansCentroids(sfEmb, "vec_id", "embedding", init, 1)
     val r2 = Similarity.kmeansCentroids(sfEmb, "vec_id", "embedding", init, 2)
     val (o0, o1, o2) = (objective(init), objective(r1), objective(r2))
+    // Lloyd guarantees non-decrease only (a seed can sit at a fixed point)
     assert(o1 >= o0 - 1e-9, s"iteration 1 decreased objective: $o0 -> $o1")
     assert(o2 >= o1 - 1e-9, s"iteration 2 decreased objective: $o1 -> $o2")
-    assert(o1 > o0, "refinement should strictly improve on a random seed")
     // end-to-end: refined centroids feed the same probe machinery
     val ivf = Similarity.ivfTopK(sfEmb, sfEmb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 12,
