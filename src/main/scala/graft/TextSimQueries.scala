@@ -268,11 +268,50 @@ object TextSimQueries {
       |SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
       |FROM k WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Hyperplane-LSH ANN — fully oracled: the signature is sign bits of
+    * plane dots (no engine-specific hash), so DuckDB replays the exact
+    * bucketing, multi-probe, and re-rank with the same plane literals. */
   private def qS2annLsh(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.lshTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, planes = 8, dim = 64)
       .orderBy("query_id", "rank")
+  }
+  private val oS2 = {
+    val planes = 8; val dim = 64; val k = 5
+    val hp = graft.operators.Similarity.hyperplanes(planes, dim)
+    val planeRows = hp.zipWithIndex
+      .map { case (w, p) => s"($p, [${w.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(p, w)),
+       |sig AS (SELECT e.id,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i])) >= 0
+       |      THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN pl GROUP BY e.id),
+       |q AS (SELECT id AS query_id, bucket FROM sig WHERE id < 5),
+       |probes AS (SELECT query_id,
+       |    CASE WHEN f.i = 0 THEN q.bucket ELSE xor(q.bucket, 1 << (f.i - 1)) END AS bucket
+       |  FROM q CROSS JOIN range(0, ${planes + 1}) AS f(i)),
+       |cand AS (SELECT p.query_id, c.id AS neighbor_id
+       |  FROM probes p JOIN sig c ON c.bucket = p.bucket
+       |  WHERE p.query_id <> c.id),
+       |pr AS (SELECT query_id, neighbor_id, eq.embedding AS qe, ec.embedding AS ce
+       |  FROM cand JOIN e eq ON eq.id = cand.query_id
+       |  JOIN e ec ON ec.id = cand.neighbor_id),
+       |u AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS xq,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM pr),
+       |g AS (SELECT query_id, neighbor_id, sum(xq * xc) AS dt,
+       |    sum(xq * xq) AS nq, sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |    round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def qS3annIvf(s: SparkSession, d: String): DataFrame = {
@@ -284,6 +323,49 @@ object TextSimQueries {
     Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nCentroids = 16, nProbe = 4)
       .orderBy("query_id", "rank")
+  }
+  /** Full IVF oracle: md5-seeded centroid sample, argmax-cosine
+    * assignment, nProbe probe lists, exact re-rank — every stage replayed
+    * in DuckDB (assignment margins dwarf double noise, same summation
+    * shapes as the proven oD5/oS2 oracles). */
+  private val oS3 = {
+    val nCent = 16; val nProbe = 4; val k = 5
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+       |  FROM sim WHERE vid < 5) WHERE rn <= $nProbe),
+       |cand AS (SELECT p.query_id, a.vid AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  WHERE a.vid <> p.query_id),
+       |pr2 AS (SELECT query_id, neighbor_id, eq.embedding AS qe,
+       |    ec.embedding AS ce
+       |  FROM cand JOIN e eq ON eq.id = cand.query_id
+       |  JOIN e ec ON ec.id = cand.neighbor_id),
+       |u2 AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS xq,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM pr2),
+       |g2 AS (SELECT query_id, neighbor_id, sum(xq * xc) AS dt,
+       |    sum(xq * xq) AS nq, sum(xc * xc) AS nc FROM u2 GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, neighbor_id,
+       |    round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g2),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r2)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Exact boilerplate shingles (document frequency ≥ 5). The Count-Min
@@ -463,6 +545,8 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_s1_cosine_topk" -> oS1,
+    "q_s2_ann_lsh" -> oS2,
+    "q_s3_ann_ivf" -> oS3,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_x1_split_stats" -> oX1,

@@ -96,14 +96,16 @@ object Similarity {
   }
 
   /** Deterministic IVF seed centroids: the `nCentroids` corpus vectors
-    * with the smallest xxhash64(id) — plans as TakeOrderedAndProject
-    * (per-partition top-n, tiny driver merge), uniform over ids, no
-    * global sort, no count job. */
+    * with the smallest md5-derived `Sampling.hash24(id)` — plans as
+    * TakeOrderedAndProject (per-partition top-n, tiny driver merge),
+    * uniform over ids, no global sort, no count job. md5 (not xxhash64)
+    * so the DuckDB oracle replays the identical seed selection. */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nCentroids: Int): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .orderBy(xxhash64(col("neighbor_id")).asc, col("neighbor_id").asc)
+      .orderBy(Sampling.hash24(col("neighbor_id"), "ivf").asc,
+        col("neighbor_id").asc)
       .limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
         col("cn").as("centroid_n"))
