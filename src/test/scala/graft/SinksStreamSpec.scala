@@ -243,6 +243,37 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getAs[Long]("ne") == 0L && out(2L).getAs[Long]("np") == 0L)
   }
 
+  test("streaming training-data pipeline: scrub -> quality gate -> dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("ts", "text")
+    // the batch operators compose unchanged on a stream: PII scrub and
+    // quality scoring are stateless projections, dedup is watermark-bounded
+    val cleaned = sdf
+      .withColumn("clean", graft.operators.TextStats.scrubPii(col("text")))
+      .withColumn("quality", graft.operators.TextStats.qualityScore(col("clean")))
+      .where(col("quality") >= 0.3)
+    val out = StreamDedup.dedupByFingerprint(cleaned, "clean", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("pipe_out").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"),
+          "the quick brown fox is a perfectly good training document"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"),
+          "The QUICK brown fox is a perfectly good training document"), // dup
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "!!!! ### $$$ 123"), // junk
+        (Timestamp.valueOf("2024-01-01 10:03:00"),
+          "a clean doc but mail me at a.b@c.example please today"))
+      q.processAllAvailable()
+      val got = spark.table("pipe_out").collect()
+      assert(got.length == 2) // dup suppressed, junk quality-gated
+      val texts = got.map(_.getAs[String]("clean"))
+      assert(texts.exists(_.contains("<EMAIL>")) &&
+        !texts.exists(_.contains("a.b@c.example")))
+    } finally q.stop()
+  }
+
   test("streaming dedup: within-watermark duplicates dropped (q_d1 semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
