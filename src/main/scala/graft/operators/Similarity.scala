@@ -41,6 +41,14 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  // Zero-norm vectors are excluded from every corpus/query side below:
+  // they have no cosine direction, their NaN similarities order
+  // differently across engines (Spark's struct comparator sorts NaN last,
+  // DuckDB's DESC sorts NaN first), and a 0/0 would poison k-means means.
+  // An oracle running against data that contains zero-norm rows must
+  // mirror the exclusion with an explicit norm filter (the shipped test
+  // corpora contain none).
+
   /** IVF list count that keeps list size ≈ list count (the classic
     * √n rule) — callers at scale should pass this, not a constant. */
   def suggestedCentroids(corpusSize: Long): Int =
@@ -71,9 +79,11 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
       .repartition(par)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .where(col("qn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -104,6 +114,7 @@ object Similarity {
                       nCentroids: Int): DataFrame =
     corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
       .orderBy(Sampling.hash24(col("neighbor_id"), "ivf").asc,
         col("neighbor_id").asc)
       .limit(nCentroids)
@@ -137,24 +148,36 @@ object Similarity {
     * Empty clusters drop out (standard Lloyd behavior). */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       init: DataFrame, iters: Int): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // persist across iterations: each Lloyd pass re-reads the corpus, and
+    // the repartition keeps single-file sources from running one-task
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .repartition(par) // single-file sources would run every pass one-task
-    var cur = init
-    for (_ <- 1 to iters) {
-      val assigned = assignTo(c, cur)
-      cur = assigned
-        .select(col("centroid_id"), col("cn"), posexplode(col("cv")).as(Seq("_i", "_x")))
-        .groupBy("centroid_id", "_i")
-        .agg((sum(col("_x") / col("cn")) / count(lit(1))).as("_m"))
-        .groupBy("centroid_id")
-        .agg(expr("transform(array_sort(collect_list(struct(_i, _m))), p -> p._m)")
-          .as("centroid"))
-        .withColumn("centroid_n", norm(col("centroid")))
-        .where(col("centroid_n") > 0)
-    }
-    cur
+      .where(col("cn") > 0)
+      .repartition(par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = init
+      for (_ <- 1 to iters) {
+        val updated = assignTo(c, cur)
+          .select(col("centroid_id"), col("cn"), posexplode(col("cv")).as(Seq("_i", "_x")))
+          .groupBy("centroid_id", "_i")
+          .agg((sum(col("_x") / col("cn")) / count(lit(1))).as("_m"))
+          .groupBy("centroid_id")
+          .agg(expr("transform(array_sort(collect_list(struct(_i, _m))), p -> p._m)")
+            .as("centroid"))
+          .withColumn("centroid_n", norm(col("centroid")))
+          .where(col("centroid_n") > 0)
+        // materialize the k tiny centroid rows per iteration (standard
+        // k-means driver step): truncates the lineage so iteration plans
+        // don't nest, and each pass over the corpus runs exactly once
+        val rows = updated.collect().toSeq
+        cur = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), updated.schema)
+      }
+      cur
+    } finally c.unpersist(false) // cur is materialized — safe to release
   }
 
   /** IVF-style ANN: the corpus is clustered into `nCentroids` inverted
@@ -163,7 +186,8 @@ object Similarity {
     * query probes its `nProbe` nearest lists and re-ranks exactly within
     * them.
     *
-    * Scale shape: the centroid sample is `orderBy(xxhash64(id)).limit(n)`,
+    * Scale shape: the centroid sample is
+    * `orderBy(md5-derived hash24(id)).limit(n)` (see `sampleCentroids`),
     * which Catalyst plans as TakeOrderedAndProject — a per-partition
     * top-n merged on the driver, no global sort, no single-partition
     * window, no count job. Assignment is a broadcast join
@@ -179,6 +203,7 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
       .repartition(par)
     val sampled = sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val cents =
@@ -192,6 +217,7 @@ object Similarity {
     // slice aggregate and re-join are driver-cheap and window-free)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .where(col("qn") > 0)
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"),
         struct(
@@ -223,10 +249,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
       .withColumn("bucket", signature(col("cv"), hp))
       .repartition(par)
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
+      .where(col("qn") > 0)
       .withColumn("bucket0", signature(col("qv"), hp))
     // multi-probe: every flip mask of ≤ probeBits bits (masks are pairwise
     // distinct and each corpus row has ONE bucket, so a (query, neighbor)

@@ -188,7 +188,8 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
       val h7 = Seq(7L).toDF("k").select(xxhash64(col("k")))
         .collect()(0).getLong(0)
       val est = CountMin.estimate(table, 2, 256, h7)
-      assert(est >= 80L && est <= 80L + 100L) // >= true count, bounded noise
+      // true count of 7L = 50 + 30 + one more inside 0..99 = 81
+      assert(est >= 81L && est <= 81L + 100L) // >= true count, bounded noise
     } finally q.stop()
   }
 
