@@ -26,34 +26,38 @@ object Scratch {
 
     val docs = Tables.documents(spark, sfDir)
     time("warmup docs.count")(docs.count())
-
-    // A: inline (no shared cache) — what round-1 bench effectively ran
-    time("A1 jaccardPairs inline") {
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.05, Int.MaxValue).count()
-    }
-    time("A2 minhash+lsh inline") {
-      Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64), 16, 4)
-        .where(col("est_jaccard") >= 0.2).count()
-    }
-
-    // B: tokenize-once shared hashed-shingle cache
-    val shared = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+    val shingles = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("B0 cache build (count)")(shared.count())
-    time("B1 jaccardPairsFromHashes") {
-      Dedup.jaccardPairsFromHashes(shared, 0.05, Int.MaxValue).count()
-    }
-    time("B2 minhashFromHashes+lsh") {
-      Dedup.lshCandidatePairs(Dedup.minhashFromHashes(shared, 64), 16, 4)
-        .where(col("est_jaccard") >= 0.2).count()
-    }
-    time("B1b jaccard again (warm)") {
-      Dedup.jaccardPairsFromHashes(shared, 0.05, Int.MaxValue).count()
-    }
-    time("B2b minhash again (warm)") {
-      Dedup.lshCandidatePairs(Dedup.minhashFromHashes(shared, 64), 16, 4)
-        .where(col("est_jaccard") >= 0.2).count()
+    time("shingle cache")(shingles.count())
+    val pairs = Dedup.jaccardPairsFromHashes(shingles, 0.05, Int.MaxValue)
+    time("jaccard pairs")(pairs.count())
+    val pairsC = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pairs cached")(pairsC.count())
+    // inline componentLabels with per-pass timing
+    locally {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val edges = pairsC.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairsC.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct().persist(lvl)
+      time("edges cache")(edges.count())
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      time("labels init")(labels.count())
+      var changed = 1L; var it = 0
+      while (changed > 0 && it < 20) {
+        val t0 = System.nanoTime()
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+        val updated = labels.as("l").join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
+          .localCheckpoint(true)
+        changed = updated.where(col("_chg")).count()
+        labels = updated.drop("_chg")
+        it += 1
+        println(f"[scratch] pass $it changed=$changed ${(System.nanoTime()-t0)/1e9}%.2fs")
+      }
     }
     spark.stop()
   }

@@ -167,6 +167,40 @@ object TextSimQueries {
       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05
       |ORDER BY 1, 2""".stripMargin
 
+  /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
+    * keeper/members. Oracle replays the closure with a recursive CTE. */
+  private def qD6clusters(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
+        minJaccard = 0.05, maxBucketSize = Int.MaxValue))
+      .withColumn("members_csv",
+        expr("array_join(transform(members, x -> cast(x AS string)), ',')"))
+      .drop("members")
+      .orderBy("keeper")
+  private val oD6 =
+    """WITH RECURSIVE w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
+      |        count(*) AS inter
+      |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT ia AS id_a, ib AS id_b FROM p
+      |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON r.id = e2.dst),
+      |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+      |SELECT label AS keeper, CAST(count(*) AS BIGINT) AS cluster_size,
+      |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members_csv
+      |FROM lab GROUP BY 1 ORDER BY keeper""".stripMargin
+
   private def qD3minhash(s: SparkSession, d: String): DataFrame = {
     val sig = Dedup.minhashFromHashes(sharedShingles(s, d), k = 64)
     Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 4)
@@ -522,6 +556,7 @@ object TextSimQueries {
     "q_d4_simhash" -> qD4simhash _,
     "q_d5_embedding_neardup" -> qD5embedNearDup _,
     "q_d5b_allpairs_rerank" -> qD5ballPairs _,
+    "q_d6_neardup_clusters" -> qD6clusters _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
@@ -544,6 +579,7 @@ object TextSimQueries {
     "q_d2_ngram_jaccard" -> oD2,
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
+    "q_d6_neardup_clusters" -> oD6,
     "q_s1_cosine_topk" -> oS1,
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,

@@ -323,6 +323,65 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  // ---- pair graph → clusters ----------------------------------------------
+
+  /** Connected components over a near-dup pair graph by MIN-LABEL
+    * propagation: every vertex starts labeled with its own id; each pass
+    * lowers a vertex's label to the minimum among itself and its
+    * neighbors; converged labels identify components (label = component's
+    * minimum id = the canonical keeper).
+    *
+    * Scale shape: one symmetric edge table reused across passes, each
+    * pass one equi-join + min-aggregate (map-side combinable) — the
+    * classic iterate-until-fixpoint on DataFrames. Labels are EAGERLY
+    * `localCheckpoint`ed every pass: iterative self-referencing lineage
+    * otherwise regrows from the source each pass (each pass references
+    * labels twice → measured exponential per-pass cost, 43 s by pass 5 on
+    * 590 pairs; with the checkpoint every pass is a constant ~2 tiny
+    * stages). Convergence takes O(component diameter) passes; near-dup
+    * clusters are shallow, so the default cap is generous. The per-pass
+    * driver step is one `count` on changed labels — bounded work, and the
+    * loop FAILS LOUDLY if the cap is hit rather than returning
+    * half-propagated labels. */
+  def componentLabels(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
+        .localCheckpoint(true)
+      changed = updated.where(col("_chg")).count()
+      labels = updated.drop("_chg")
+      it += 1
+    }
+    require(changed == 0,
+      s"componentLabels did not converge within $maxIters passes")
+    labels
+  }
+
+  /** Near-dup CLUSTERS from candidate pairs: transitive closure, one row
+    * per component with the keeper (= min id), size, and members. The
+    * end-to-end dedup step: pairs from any generator (Jaccard, SimHash,
+    * embedding LSH) in, drop-list out (every member except the keeper). */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    componentLabels(pairs, maxIters)
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("id"))).as("members"))
+
   /** Exact all-pairs cosine near-dups — the VERIFICATION PRIMITIVE
     * (O(n²) nested-loop): use to re-rank bounded candidate sets or to
     * measure `embeddingNearDups` recall on samples; never the default at

@@ -186,6 +186,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf.count() == 25)
   }
 
+  test("near-dup clusters: transitive closure over pairs, keeper = min id") {
+    // two components: a diameter-3 chain 1-2-3-4 and a pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).orderBy("keeper").collect()
+    assert(clusters.length == 2)
+    assert(clusters(0).getLong(0) == 1L && clusters(0).getLong(1) == 4L)
+    assert(clusters(0).getSeq[Long](2) == Seq(1L, 2L, 3L, 4L))
+    assert(clusters(1).getLong(0) == 10L && clusters(1).getLong(1) == 2L)
+    // hitting the iteration cap fails loudly, never returns partial labels
+    val longChain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.componentLabels(longChain, maxIters = 2).collect()
+    }
+    // empty pair set → no clusters, no convergence error
+    assert(Dedup.nearDupClusters(pairs.where(lit(false))).count() == 0)
+  }
+
   test("embeddingNearDups fails loudly on embedding/hyperplane dim mismatch") {
     val bad = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", 0.5,
       planes = 4, bands = 4, dim = 8) // vectors are dim 3
