@@ -33,31 +33,9 @@ object Scratch {
     time("jaccard pairs")(pairs.count())
     val pairsC = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("pairs cached")(pairsC.count())
-    // inline componentLabels with per-pass timing
-    locally {
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val edges = pairsC.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairsC.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .distinct().persist(lvl)
-      time("edges cache")(edges.count())
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
-      time("labels init")(labels.count())
-      var changed = 1L; var it = 0
-      while (changed > 0 && it < 20) {
-        val t0 = System.nanoTime()
-        val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-        val updated = labels.as("l").join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-            (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
-          .localCheckpoint(true)
-        changed = updated.where(col("_chg")).count()
-        labels = updated.drop("_chg")
-        it += 1
-        println(f"[scratch] pass $it changed=$changed ${(System.nanoTime()-t0)/1e9}%.2fs")
-      }
+    time("labels (cached pairs)") {
+      Dedup.componentLabels(pairsC, onPass = (it, changed, sec) =>
+        println(f"[scratch] pass $it changed=$changed $sec%.2fs")).count()
     }
     spark.stop()
   }

@@ -331,19 +331,25 @@ object Dedup {
     * neighbors; converged labels identify components (label = component's
     * minimum id = the canonical keeper).
     *
-    * Scale shape: one symmetric edge table reused across passes, each
-    * pass one equi-join + min-aggregate (map-side combinable) — the
-    * classic iterate-until-fixpoint on DataFrames. Labels are EAGERLY
-    * `localCheckpoint`ed every pass: iterative self-referencing lineage
-    * otherwise regrows from the source each pass (each pass references
-    * labels twice → measured exponential per-pass cost, 43 s by pass 5 on
-    * 590 pairs; with the checkpoint every pass is a constant ~2 tiny
-    * stages). Convergence takes O(component diameter) passes; near-dup
-    * clusters are shallow, so the default cap is generous. The per-pass
-    * driver step is one `count` on changed labels — bounded work, and the
-    * loop FAILS LOUDLY if the cap is hit rather than returning
-    * half-propagated labels. */
-  def componentLabels(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * Scale shape: one symmetric edge table reused across passes; each
+    * pass is a neighbor-min equi-join + map-side-combinable min-aggregate
+    * and a label-merge join — the classic iterate-until-fixpoint on
+    * DataFrames. Labels are EAGERLY `localCheckpoint`ed every pass:
+    * iterative self-referencing lineage otherwise regrows from the source
+    * each pass (each pass references labels twice → measured exponential
+    * per-pass cost, 43 s by pass 5 on 590 pairs; with the checkpoint every
+    * pass is a constant ~2 tiny stages). Superseded checkpoint blocks are
+    * small (two longs per vertex, ≤ maxIters copies) and reclaimed by the
+    * ContextCleaner as references drop; on clusters with dynamic
+    * allocation prefer a reliable `checkpoint()` variant —
+    * executor-local blocks do not survive executor loss. Convergence
+    * takes O(component diameter) passes; near-dup clusters are shallow,
+    * so the default cap is generous. The per-pass driver step is one
+    * `count` on changed labels — bounded work, and the loop FAILS LOUDLY
+    * if the cap is hit rather than returning half-propagated labels.
+    * `onPass` (it, changed, seconds) observes each pass (profiling). */
+  def componentLabels(pairs: DataFrame, maxIters: Int = 20,
+                      onPass: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -354,18 +360,20 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
+      val t0 = System.nanoTime()
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          least(col("label"), col("nlabel")).as("label"), // least skips nulls
           (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
         .localCheckpoint(true)
       changed = updated.where(col("_chg")).count()
       labels = updated.drop("_chg")
       it += 1
+      onPass(it, changed, (System.nanoTime() - t0) / 1e9)
     }
     require(changed == 0,
       s"componentLabels did not converge within $maxIters passes")
