@@ -364,14 +364,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels
+      // the changed-count rides the eager checkpoint job as an observed
+      // metric — one job per pass, not a checkpoint job plus a count job
+      val obs = new org.apache.spark.sql.Observation(s"cc_pass_$it")
+      labels = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), col("nlabel")).as("label"), // least skips nulls
           (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
+        .observe(obs,
+          coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint(true)
-      changed = updated.where(col("_chg")).count()
-      labels = updated.drop("_chg")
+        .drop("_chg")
+      changed = obs.get("changed").asInstanceOf[Long]
       it += 1
       onPass(it, changed, (System.nanoTime() - t0) / 1e9)
     }
