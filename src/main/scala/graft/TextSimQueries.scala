@@ -236,7 +236,9 @@ object TextSimQueries {
     val planeRows = hp.zipWithIndex
       .map { case (w, p) => s"($p, [${w.mkString(", ")}])" }
       .mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
        |pl AS (SELECT * FROM (VALUES
        |    $planeRows) AS t(p, w)),
        |sig AS (SELECT e.id, pl.p,
@@ -267,9 +269,12 @@ object TextSimQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
   private val oD5b =
-    """WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
       |    a.embedding AS ea, b.embedding AS eb
-      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
       |u AS (SELECT ia, ib, CAST(unnest(ea) AS DOUBLE) AS xa,
       |    CAST(unnest(eb) AS DOUBLE) AS xb FROM p),
       |g AS (SELECT ia, ib, sum(xa * xb) AS dt, sum(xa * xa) AS na,
@@ -288,10 +293,13 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
   private val oS1 =
-    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 5),
       |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe,
       |    c.embedding AS ce
-      |  FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      |  FROM q, e c WHERE q.vec_id <> c.vec_id),
       |u AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS xq,
       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
       |g AS (SELECT qid, cid, sum(xq * xc) AS dt, sum(xq * xq) AS nq,
@@ -317,7 +325,9 @@ object TextSimQueries {
     val planeRows = hp.zipWithIndex
       .map { case (w, p) => s"($p, [${w.mkString(", ")}])" }
       .mkString(",\n    ")
-    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
        |pl AS (SELECT * FROM (VALUES
        |    $planeRows) AS t(p, w)),
        |sig AS (SELECT e.id,
@@ -364,7 +374,9 @@ object TextSimQueries {
     * shapes as the proven oD5/oS2 oracles). */
   private val oS3 = {
     val nCent = 16; val nProbe = 4; val k = 5
-    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
        |h AS (SELECT id, embedding,
        |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
        |      1, 6)) AS BIGINT) AS hh FROM e),

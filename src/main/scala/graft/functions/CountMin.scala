@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions.udaf
   * corpora or streams, where an exact `groupBy(key).count` would keep one
   * state row per distinct key).
   *
-  * Guarantees (standard CM bounds): estimate ≥ true count always;
-  * estimate ≤ true count + εN with probability 1−δ for width = ⌈e/ε⌉,
-  * depth = ⌈ln 1/δ⌉. The sketch is a fixed depth×width Long table —
+  * Guarantees: estimate ≥ true count always (unconditional — every
+  * update increments each row's counter). The classic CM bound
+  * (estimate ≤ true count + εN with probability 1−δ for width = ⌈e/ε⌉,
+  * depth = ⌈ln 1/δ⌉) assumes each depth's bucket function is an
+  * independent draw from a pairwise-independent hash family; here the
+  * per-depth buckets are fixed deterministic mixes (rotate + odd
+  * multiply) of ONE xxhash64 value, an approximation of that family, so
+  * treat the (ε, δ) figure as a heuristic sizing guide rather than a
+  * proven bound. The sketch is a fixed depth×width Long table —
   * merge is element-wise addition, so partial aggregation combines
   * map-side and the shuffle carries one table per partition regardless of
   * key cardinality.

@@ -68,10 +68,15 @@ object Sinks {
           parts.tail.flatMap(p => Seq(col("_id"), lit(p))).toSeq
         xmlEscape(concat(pieces: _*))
       }
+    // try_element_at: a malformed GeoJSON row can parse to an EMPTY
+    // features array, and element_at on it throws under ANSI mode (the
+    // Spark 4 default) — degrade that row's timestamp range to null
+    // (concat_ws skips nulls) instead of failing the whole render
     val desc = concat_ws(" ",
       statusUrl,
-      concat(element_at(col("_g.features"), 1)("properties")("ts"), lit(" - "),
-        element_at(col("_g.features"), -1)("properties")("ts")))
+      concat(try_element_at(col("_g.features"), lit(1))("properties")("ts"),
+        lit(" - "),
+        try_element_at(col("_g.features"), lit(-1))("properties")("ts")))
     df.select(col(idCol).cast("string").as("_id"), g.as("_g"))
       .select(col("_id").as("id"),
         concat(

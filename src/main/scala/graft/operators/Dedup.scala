@@ -298,9 +298,15 @@ object Dedup {
                         maxBucketSize: Int = 100000): DataFrame = {
     require(planes % bands == 0, s"planes ($planes) must divide into bands ($bands)")
     val hp = Similarity.hyperplanes(planes, dim, seed)
+    // zero-norm exclusion (mirrors every Similarity path): a zero vector
+    // has no cosine direction — its cosine is 0/0 = NaN, which Spark
+    // orders ABOVE any double, so `cosine >= minCosine` would pass and
+    // wrongly merge clusters downstream; its sign bits also collide with
+    // every bucket-mate (dot = 0 ⇒ "≥ 0" on every plane)
     val e = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .where(col("nrm") > 0)
     val banded = e
       .select(col("id"), posexplode(bandValues(col("v"), hp, bands)).as(Seq("band", "bval")))
       .repartition(col("band"), col("bval")) // self-join shares ONE exchange
@@ -408,6 +414,7 @@ object Dedup {
     val e = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .where(col("nrm") > 0) // zero-norm: cosine = NaN sorts above minCosine
     e.repartition(par).as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /

@@ -62,7 +62,11 @@ object Similarity {
     * `slice(array_sort(...))`, no window, so no per-query sort-shuffle
     * funnel. */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val item = struct((-col("cosine")).as("negc"),
+    // + 0.0 canonicalizes -0.0 to +0.0 (IEEE addition): struct ordering
+    // uses Double.compare, which puts -0.0 < 0.0, while the SQL oracles'
+    // ORDER BY cosine DESC treats them equal — a rounded cosine of ±0.0
+    // (round of a tiny negative dot) must rank identically on both sides
+    val item = struct((-col("cosine") + lit(0.0)).as("negc"),
       col("neighbor_id"), col("cosine"))
     GroupTopN.smallestPerKey(scored, "query_id", item, k)
       .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_it")))

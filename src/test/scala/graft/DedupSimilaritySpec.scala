@@ -80,6 +80,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ap.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("zero-norm vectors are excluded from near-dup pairs (NaN guard)") {
+    // a zero vector's cosine is 0/0 = NaN, and NaN >= threshold is TRUE
+    // under Spark's ordering — without the norm filter it would pair with
+    // every bucket-mate (its sign bits collide with everything) and
+    // wrongly merge clusters downstream
+    val withZero = vecs.union(Seq((9L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val bucketed = Dedup.embeddingNearDups(withZero, "vec_id", "embedding", 0.9,
+      planes = 4, bands = 4, dim = 3).collect()
+    assert(bucketed.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    assert(bucketed.forall(r => !r.getAs[Double]("cosine").isNaN))
+    val ap = Dedup.allPairsNearDups(withZero, "vec_id", "embedding", 0.9).collect()
+    assert(ap.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
   private lazy val sfEmb =
     spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 

@@ -75,6 +75,20 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
       .contains("<Placemark>"))
   }
 
+  test("KML sink degrades a malformed GeoJSON row instead of failing (ANSI)") {
+    // an empty features array would make element_at(features, 1) throw
+    // under ANSI mode — the row must render with a null timestamp range
+    // (concat_ws drops it), not abort the whole document
+    val rows = Seq(
+      ("ok", """{"track":{"geometry":{"coordinates":[[1.0,2.0]]}},""" +
+        """"features":[{"properties":{"ts":"2024-01-01T00:00:00Z"}}]}"""),
+      ("bad", """{"track":{"geometry":{"coordinates":[]}},"features":[]}""")
+    ).toDF("dataset_id", "geojson")
+    val kml = Sinks.kmlDocument(rows, "dataset_id", "geojson", "mixed")
+    assert(kml.contains("<name>ok</name>") && kml.contains("<name>bad</name>"))
+    assert(kml.contains("2024-01-01T00:00:00Z - 2024-01-01T00:00:00Z"))
+  }
+
   test("HTML table sink escapes and caps (S16)") {
     val html = Sinks.htmlTable(Seq((1, "a<b"), (2, "c&d")).toDF("id", "s"))
     assert(html.contains("<th>id</th><th>s</th>"))
