@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Dedup, Sampling, TextStats}
+import graft.sources.Tables
+
+/** Round-3 query pack: temporal joins (as-of, range), benchmark
+  * contamination, Gopher-style repetition metrics, token-budget shard
+  * packing, incremental corpus dedup. Same oracle conventions as
+  * SparkEntry (see its scaladoc). Timestamps cross the oracle boundary
+  * as epoch MICROSECOND longs: both engines floor the parquet
+  * TIMESTAMP(NANOS) to µs identically (verified: Spark `ts div 1000` ==
+  * DuckDB's parquet read on every sf0.01 row), and longs dodge
+  * timestamp-rendering differences entirely. Boolean flags cross as 0/1
+  * BIGINT for the same reason. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+
+  // ---- as-of join --------------------------------------------------------
+
+  /** Every event joined to the latest "mark" (a sparse reference series,
+    * ~5% of events) at or before it, per event_type — the canonical
+    * point-in-time enrichment (sensor readings vs calibration marks,
+    * trades vs quotes). Marks are pre-aggregated to one row per
+    * (event_type, ts) as `asofJoinBackward` requires. */
+  private def qAs1asof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val left = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val marks = ev.where(col("event_id") % 100 < 5)
+      .groupBy("event_type", "ts").agg(max("value").as("m_value"))
+    AsOf.asofJoinBackward(left, marks, Seq("event_type"), "ts", "ts",
+        Seq("m_value"), matchedTsName = "m_ts")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("m_ts")).as("m_ts_us"), col("m_value"))
+      .orderBy("event_id")
+  }
+  private val oAs1 =
+    """WITH l AS (SELECT event_id, event_type, ts FROM events),
+      |m AS (SELECT event_type, ts, max(value) AS m_value FROM events
+      |      WHERE event_id % 100 < 5 GROUP BY 1, 2)
+      |SELECT l.event_id, l.event_type, epoch_us(l.ts) AS ts_us,
+      |  epoch_us(m.ts) AS m_ts_us, m.m_value
+      |FROM l ASOF LEFT JOIN m
+      |  ON l.event_type = m.event_type AND l.ts >= m.ts
+      |ORDER BY event_id""".stripMargin
+
+  // ---- range join --------------------------------------------------------
+
+  /** Events aggregated into enclosing 2-hour maintenance windows (one
+    * window per ~0.5% of events), keyed by event_type — the canonical
+    * point-in-interval join. The Spark side is the binned equi-join
+    * (`AsOf.rangeJoin`, 1 h bins); the oracle is the plain BETWEEN
+    * join. Inner semantics: windows always contain ≥ 1 event (their own
+    * anchor), so no interval drops out. */
+  private def qR1range(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val points = ev.select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val iv = ev.where(col("event_id") % 200 < 3)
+      .select(col("event_id").as("iv_id"), col("event_type"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    AsOf.rangeJoin(points, iv, Seq("event_type"), "ts", "start_ts", "end_ts",
+        Seq("iv_id"), binSeconds = 3600L)
+      .groupBy("iv_id")
+      .agg(count(lit(1)).as("n_pts"), min(col("event_id")).as("min_pt"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("iv_id")
+  }
+  private val oR1 =
+    """WITH iv AS (SELECT event_id AS iv_id, event_type, ts AS start_ts,
+      |    ts + INTERVAL 2 HOUR AS end_ts
+      |  FROM events WHERE event_id % 200 < 3)
+      |SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_pts,
+      |  min(e.event_id) AS min_pt, round(sum(e.value), 2) AS sum_value
+      |FROM iv JOIN events e
+      |  ON e.event_type = iv.event_type
+      |  AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- benchmark contamination -------------------------------------------
+
+  /** Train-set decontamination metric: share of each candidate doc's
+    * distinct 3-shingles that appear anywhere in the "benchmark" slice
+    * (here: every 50th doc). */
+  private def qT7contam(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.contamination(all.where(col("doc_id") % 50 =!= 0),
+        all.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+      .orderBy("id")
+  }
+  private val oT7 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |bm AS (SELECT DISTINCT sg FROM e WHERE doc_id % 50 = 0),
+      |ev AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+      |    CAST(count(bm.sg) AS BIGINT) AS n_hit
+      |  FROM e LEFT JOIN bm ON e.sg = bm.sg
+      |  WHERE e.doc_id % 50 != 0 GROUP BY 1)
+      |SELECT d.doc_id AS id,
+      |  CAST(coalesce(ev.n_sh, 0) AS BIGINT) AS n_sh,
+      |  CAST(coalesce(ev.n_hit, 0) AS BIGINT) AS n_hit,
+      |  round(CAST(coalesce(ev.n_hit, 0) AS DOUBLE) /
+      |    CAST(greatest(coalesce(ev.n_sh, 0), 1) AS DOUBLE), 6) AS frac
+      |FROM documents d LEFT JOIN ev ON ev.doc_id = d.doc_id
+      |WHERE d.doc_id % 50 != 0 ORDER BY id""".stripMargin
+
+  // ---- repetition metrics ------------------------------------------------
+
+  private def qT8repetition(s: SparkSession, d: String): DataFrame =
+    TextStats.repetitionStats(docs(s, d), "doc_id", "text").orderBy("id")
+  private val oT8 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |    CAST(count(*) AS BIGINT) AS n_uniq_words, max(c) AS top_word_n
+      |  FROM wc GROUP BY 1),
+      |b AS (SELECT doc_id, unnest(list_transform(
+      |  range(1, greatest(len(ws) - 1, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    max(c) AS top_bigram_n FROM bc GROUP BY 1)
+      |SELECT wa.doc_id AS id, n_words, n_uniq_words,
+      |  round(CAST(1.0 AS DOUBLE) - CAST(n_uniq_words AS DOUBLE) /
+      |    CAST(greatest(n_words, 1) AS DOUBLE), 6) AS dup_word_frac,
+      |  round(CAST(top_word_n AS DOUBLE) /
+      |    CAST(greatest(n_words, 1) AS DOUBLE), 6) AS top_word_frac,
+      |  round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) /
+      |    CAST(greatest(coalesce(n_bigrams, 0), 1) AS DOUBLE), 6) AS top_bigram_frac
+      |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+      |ORDER BY id""".stripMargin
+
+  // ---- token-budget shard packing ----------------------------------------
+
+  /** Documents packed into ~4000-char shards per language in
+    * deterministic (hash, id) order; output is the per-shard manifest.
+    * Integer-only arithmetic (cumsum, floor-div on exact doubles) — the
+    * oracle replays the identical window. */
+  private def qX4pack(s: SparkSession, d: String): DataFrame =
+    Sampling.packIntoShards(docs(s, d), "lang", "doc_id", "n_chars",
+        budget = 4000L)
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_total"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang", "shard")
+  private val oX4 =
+    """WITH h AS (SELECT lang, doc_id, n_chars,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM documents),
+      |c AS (SELECT lang, doc_id, n_chars,
+      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+      |s AS (SELECT lang, doc_id, n_chars,
+      |  CAST(floor(CAST(cum - n_chars AS DOUBLE) /
+      |    CAST(4000 AS DOUBLE)) AS BIGINT) AS shard FROM c)
+      |SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- incremental dedup vs corpus ---------------------------------------
+
+  /** Odd-id docs treated as the NEW batch, even-id docs as the existing
+    * corpus: exact fingerprint hits and best n-gram Jaccard vs the corpus
+    * decide each batch doc's keep flag. Flags cross the oracle boundary
+    * as 0/1 BIGINT. */
+  private def qD7incremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.dedupAgainstCorpus(all.where(col("doc_id") % 2 === 1),
+        all.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
+        col("best_jaccard"), col("keep").cast("long").as("keep"))
+      .orderBy("id")
+  }
+  private val oD7 =
+    """WITH fp AS (SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |FROM documents),
+      |cfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      |w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |p AS (SELECT be.doc_id AS bid, ce.doc_id AS cid, be.n_sh AS na,
+      |    ce.n_sh AS nb, count(*) AS inter
+      |  FROM e be JOIN e ce ON be.sg = ce.sg
+      |  WHERE be.doc_id % 2 = 1 AND ce.doc_id % 2 = 0
+      |  GROUP BY 1, 2, 3, 4),
+      |bj AS (SELECT bid, round(max(CAST(inter AS DOUBLE) /
+      |    CAST(na + nb - inter AS DOUBLE)), 6) AS best_jaccard
+      |  FROM p GROUP BY 1),
+      |b AS (SELECT f.doc_id AS id,
+      |    CAST(cfp.fp IS NOT NULL AS BIGINT) AS dropped_exact,
+      |    bj.best_jaccard
+      |  FROM fp f LEFT JOIN cfp ON f.fp = cfp.fp
+      |  LEFT JOIN bj ON bj.bid = f.doc_id
+      |  WHERE f.doc_id % 2 = 1)
+      |SELECT id, dropped_exact, best_jaccard,
+      |  CAST(dropped_exact = 0 AND (best_jaccard IS NULL OR
+      |    best_jaccard < CAST(0.5 AS DOUBLE)) AS BIGINT) AS keep
+      |FROM b ORDER BY id""".stripMargin
+
+  // ---- maps --------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_as1_asof_join" -> qAs1asof _,
+    "q_r1_range_join" -> qR1range _,
+    "q_t7_contamination" -> qT7contam _,
+    "q_t8_repetition" -> qT8repetition _,
+    "q_x4_pack_shards" -> qX4pack _,
+    "q_d7_incremental_dedup" -> qD7incremental _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_as1_asof_join" -> oAs1,
+    "q_r1_range_join" -> oR1,
+    "q_t7_contamination" -> oT7,
+    "q_t8_repetition" -> oT8,
+    "q_x4_pack_shards" -> oX4,
+    "q_d7_incremental_dedup" -> oD7,
+  )
+}

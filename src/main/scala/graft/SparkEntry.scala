@@ -555,7 +555,7 @@ object SparkEntry {
     "q_a16_percentiles" -> qA16percentiles _,
     "q_a17_rollup" -> qA17rollup _,
     "q_w4_window_pack" -> qW4windows _,
-  ) ++ TextSimQueries.queries
+  ) ++ TextSimQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q_a1_daily_stats" -> oA1,
@@ -595,5 +595,5 @@ object SparkEntry {
     "q_a16_percentiles" -> oA16,
     "q_a17_rollup" -> oA17,
     "q_w4_window_pack" -> oW4,
-  ) ++ TextSimQueries.oracleSql
+  ) ++ TextSimQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark's built-in operators don't express directly:
+  * backward as-of join (each left row picks the latest right row at or
+  * before its timestamp) and interval range join (points matched to
+  * enclosing intervals).
+  *
+  * Scale design — both avoid the naive per-row scan:
+  *  - `asofJoinBackward` is the union + keyed-window formulation (the
+  *    standard distributed as-of shape, cf. pandas `merge_asof` semantics
+  *    and Flink temporal joins): ONE shuffle on the key columns, a
+  *    within-partition sort, no join at all — so it scales with the
+  *    larger side instead of |left|×|right| and never builds a range
+  *    index on the driver.
+  *  - `rangeJoin` turns the non-equi interval predicate into an equi-join
+  *    on (key, time-bin): intervals explode into the bins they cover,
+  *    points map to exactly one bin, and the exact between-filter runs
+  *    only on bin-collocated candidates. A broadcast nested-loop never
+  *    appears; `maxBinsPerInterval` fails loudly on pathological interval
+  *    lengths instead of silently exploding.
+  */
+object AsOf {
+
+  /** Backward (inclusive) as-of join: for every left row, attach the
+    * payload of the LATEST right row with `rightTs <= leftTs` and equal
+    * keys, or nulls when no such row exists (left outer semantics —
+    * matches DuckDB `ASOF LEFT JOIN` and pandas `merge_asof`).
+    *
+    * `payload` columns (from `right`) must not collide with left column
+    * names — alias them on the way in. The right side must be UNIQUE per
+    * (keys, rightTs): with duplicates the picked peer is tie-broken
+    * arbitrarily; pre-aggregate (`groupBy(keys, ts).agg(...)`) first.
+    * `matchedTsName` receives the matched right timestamp. `tolerance`
+    * (an interval Column, e.g. `expr("INTERVAL 1 DAY")`) nulls out
+    * matches older than `leftTs - tolerance`.
+    *
+    * Implementation: union right rows (side 0) under left rows (side 1),
+    * sort each key partition by (ts, side), and carry the last-seen right
+    * row forward with `last(struct, ignoreNulls)` — the payload struct
+    * keeps (ts, values) atomic so the matched timestamp and values always
+    * come from the SAME right row. */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTsCol: String, rightTsCol: String,
+                       payload: Seq[String],
+                       matchedTsName: String = "matched_ts",
+                       tolerance: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoinBackward needs at least one key column")
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty,
+      s"payload columns ${collide.mkString(", ")} collide with left columns — alias them")
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("_ts", col(leftTsCol)).withColumn("_side", lit(1))
+    val r = right.select((keys.map(col) :+ col(rightTsCol).as("_ts")) ++
+        payload.map(col): _*)
+      .withColumn("_side", lit(0))
+    // allowMissingColumns fills the non-shared columns with nulls on the
+    // other side — exactly the sentinel the ignoreNulls window wants
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = struct((col("_ts").as("_mts") +: payload.map(col)): _*)
+    val m = u.withColumn("_m",
+      last(when(col("_side") === 0, packed), ignoreNulls = true).over(w))
+    val matched = tolerance match {
+      case Some(tol) => when(col("_m").isNotNull &&
+          col("_ts") - col("_m._mts") <= tol, col("_m"))
+      case None => col("_m")
+    }
+    m.where(col("_side") === 1)
+      .withColumn("_m2", matched)
+      .select(leftCols.map(col) ++ (col("_m2._mts").as(matchedTsName) +:
+        payload.map(p => col(s"_m2.$p").as(p))): _*)
+  }
+
+  /** Interval range join: every (point, interval) pair with equal keys
+    * and `startCol <= pointTs <= endCol` (inclusive both ends, SQL
+    * BETWEEN). Output: all point columns plus `ivCols` from `intervals`.
+    *
+    * Equi-join on (keys, bin): each interval is exploded into the
+    * `binSeconds`-wide epoch bins it covers; each point belongs to
+    * exactly one bin, so no post-join dedup is needed. Pick `binSeconds`
+    * near the typical interval length: shorter bins multiply interval
+    * rows, longer bins widen candidate sets. Intervals covering more than
+    * `maxBinsPerInterval` bins raise rather than fan out unboundedly
+    * (an open-ended interval would otherwise explode the build side). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                pointTs: String, startCol: String, endCol: String,
+                ivCols: Seq[String], binSeconds: Long,
+                maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val collide = ivCols.toSet.intersect(points.columns.toSet)
+    require(collide.isEmpty,
+      s"interval columns ${collide.mkString(", ")} collide with point columns — alias them")
+    def binOf(ts: Column): Column = floor(unix_timestamp(ts) / binSeconds)
+    val iv = intervals
+      .withColumn("_b0", binOf(col(startCol)))
+      .withColumn("_b1", binOf(col(endCol)))
+      .withColumn("_bin", explode(when(
+        col("_b1") - col("_b0") < lit(maxBinsPerInterval.toLong),
+        sequence(col("_b0"), col("_b1"))).otherwise(raise_error(concat(
+          lit(s"interval spans more than $maxBinsPerInterval bins of "),
+          lit(s"$binSeconds s: "), col(startCol).cast("string"), lit(" .. "),
+          col(endCol).cast("string"))))))
+      .select((keys.map(col) :+ col("_bin")) ++
+        (Seq(startCol, endCol) ++ ivCols).map(col): _*)
+    val pts = points.withColumn("_bin", binOf(col(pointTs)))
+    pts.join(iv, keys :+ "_bin")
+      .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .select(points.columns.toSeq.map(col) ++ ivCols.map(col): _*)
+  }
+
+  /** Range join for SMALL interval tables: a plain broadcast non-equi
+    * join — simpler plan, right choice when the interval side fits in a
+    * broadcast (dimension-table-sized calendars, maintenance windows). */
+  def broadcastRangeJoin(points: DataFrame, intervals: DataFrame,
+                         keys: Seq[String], pointTs: String, startCol: String,
+                         endCol: String, ivCols: Seq[String]): DataFrame = {
+    val cond = keys.map(k => points(k) === intervals(k))
+      .reduce(_ && _) &&
+      points(pointTs) >= intervals(startCol) && points(pointTs) <= intervals(endCol)
+    points.join(broadcast(intervals), cond)
+      .select(points.columns.toSeq.map(points(_)) ++ ivCols.map(intervals(_)): _*)
+  }
+}

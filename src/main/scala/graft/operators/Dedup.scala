@@ -142,6 +142,76 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark-contamination fraction: for every `eval` document, the
+    * share of its distinct n-word shingles that also occur anywhere in
+    * `benchmark` (the standard train-set decontamination metric — docs
+    * above a threshold get dropped before training). Output:
+    * (id, n_sh, n_hit, frac); docs with no shingles report (0, 0, 0.0).
+    *
+    * Scale shape: both sides tokenize to hashed shingle rows; the overlap
+    * is ONE equi-join on the 8-byte hash against the benchmark's distinct
+    * shingle set (benchmarks are orders of magnitude smaller than the
+    * corpus, so the join's build side is small) plus two map-side-
+    * combinable count aggregates. Nothing pairs documents — cost is
+    * ∝ shingle rows, not docs². */
+  def contamination(eval: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evRows = shingleHashRows(eval, idCol, textCol, n)
+    val bmSet = shingleHashRows(benchmark, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val nSh = evRows.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val nHit = evRows.join(bmSet, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    eval.select(col(idCol).as("id"))
+      .join(nSh, Seq("id"), "left")
+      .join(nHit, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("frac", round(col("n_hit").cast("double") /
+        greatest(col("n_sh"), lit(1L)).cast("double"), 6))
+  }
+
+  /** Incremental dedup: new `batch` documents checked AGAINST an existing
+    * `corpus` (never batch-vs-batch — that's `jaccardPairs`). Per batch
+    * doc: `dropped_exact` (normalized fingerprint already in the corpus),
+    * `best_jaccard` (max n-gram Jaccard vs any corpus doc sharing a
+    * shingle; null when none), and `keep` (neither exact nor
+    * ≥ `minJaccard` near-dup). The realistic pipeline step for a corpus
+    * that grows batch-by-batch: only the NEW side is tokenized fresh; at
+    * scale the corpus side's fingerprints/shingle rows come precomputed
+    * from the previous increment (pass them through `corpus` as a view).
+    *
+    * Scale shape: fingerprint check is an equi-join on a 32-char hash;
+    * the near-dup check is the same inverted-index equi-join as
+    * `jaccardPairsFromHashes`, restricted to batch×corpus candidates
+    * (strictly cheaper than the self-join). */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, n: Int,
+                         minJaccard: Double): DataFrame = {
+    val fp = TextStats.fingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("fp")).distinct()
+      .withColumn("_hit", lit(1))
+    val bRows = shingleHashRows(batch, idCol, textCol, n)
+    val cRows = shingleHashRows(corpus, idCol, textCol, n)
+    val na = bRows.groupBy("id").agg(count(lit(1)).as("na"))
+    val nb = cRows.groupBy("id").agg(count(lit(1)).as("nb"))
+    val inter = bRows.join(cRows.withColumnRenamed("id", "cid"), "h")
+      .groupBy("id", "cid").agg(count(lit(1)).as("inter"))
+    val best = inter.join(na, "id").join(nb.withColumnRenamed("id", "cid"), "cid")
+      .select(col("id"), (col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
+      .groupBy("id").agg(max("j").as("best_jaccard"))
+    batch.select(col(idCol).as("id"), fp.as("fp"))
+      .join(corpusFps, Seq("fp"), "left")
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        col("_hit").isNotNull.as("dropped_exact"),
+        round(col("best_jaccard"), 6).as("best_jaccard"))
+      .withColumn("keep", !col("dropped_exact") &&
+        (col("best_jaccard").isNull || col("best_jaccard") < minJaccard))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** k-permutation MinHash signature per doc: sig[i] = min over shingles

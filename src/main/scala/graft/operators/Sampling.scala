@@ -56,4 +56,30 @@ object Sampling {
     GroupTopN.smallestPerKey(df, groupCol, item, n)
       .select(col(groupCol), explode(col("_top.id")).as(idCol))
   }
+
+  /** Token-budget shard packing: within each group, rows are laid out in
+    * deterministic (hash, id) order and cut into shards of ~`budget` cost
+    * (token/char counts) — the "pack documents into training shards"
+    * step. A row's shard is the shard its STARTING offset falls in
+    * (sequential first-fit), so a shard may overflow by at most one row —
+    * the standard trade for a single-pass assignment. Adds a `shard`
+    * column (0-based, per group).
+    *
+    * Scale shape: packing is inherently sequential WITHIN a shard
+    * sequence, so the group is the parallelism unit — one keyed window
+    * (shuffle on group, within-partition sort), no global ordering, no
+    * driver loop. For a corpus with few giant groups, pre-split the group
+    * key (e.g. lang × hash-bucket) and treat each sub-group as its own
+    * shard sequence. */
+  def packIntoShards(df: DataFrame, groupCol: String, idCol: String,
+                     costCol: String, budget: Long,
+                     salt: String = "graft"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(hash24(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("shard",
+      floor((sum(col(costCol)).over(w) - col(costCol)) / lit(budget)))
+  }
 }

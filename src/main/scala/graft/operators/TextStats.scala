@@ -108,6 +108,44 @@ object TextStats {
   def phoneCount(c: Column): Column =
     regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe)).cast("long")
 
+  // ---- repetition metrics --------------------------------------------------
+
+  /** Gopher-style repetition metrics per document — the "is this text
+    * degenerate boilerplate" filter family: duplicate-word fraction
+    * (1 − distinct/total), top-word fraction, and top-bigram fraction.
+    * High values flag the repeated-phrase spam that survives naive
+    * quality scores. Output: (id, n_words, n_uniq_words, dup_word_frac,
+    * top_word_frac, top_bigram_frac).
+    *
+    * Scale shape: one posexplode + a within-doc window `lead` for the
+    * bigram stitch (same codegen'd pattern as the shingle pipeline), then
+    * two hash aggregates (word counts, bigram counts) — all map-side
+    * combinable, shuffle ∝ distinct (doc, gram) rows, no pairing. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val wordAgg = tok.groupBy("id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n_words"),
+        count(lit(1)).as("n_uniq_words"), max("c").as("top_word_n"))
+    val bigrams = tok
+      .select(col("id"), col("w"), lead(col("w"), 1).over(byDoc).as("w2"))
+      .where(col("w2").isNotNull)
+      .select(col("id"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val bgAgg = bigrams.groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    wordAgg.join(bgAgg, Seq("id"), "left")
+      .select(col("id"), col("n_words"), col("n_uniq_words"),
+        round(lit(1.0d) - col("n_uniq_words").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6).as("dup_word_frac"),
+        round(col("top_word_n").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_frac"),
+        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("top_bigram_frac"))
+  }
+
   // ---- heavy hitters -------------------------------------------------------
 
   /** Boilerplate/template detection: n-word shingles whose DOCUMENT

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Dedup, Sampling, TextStats}
+
+/** Round-3 operators: as-of join, range join, contamination, repetition
+  * metrics, shard packing, incremental corpus dedup. */
+class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 10.0),
+    ("A", ts("2024-01-01 10:05:00"), 11.0),
+    ("B", ts("2024-01-01 10:02:00"), 20.0)
+  ).toDF("sym", "ts", "px").select($"sym", $"ts", $"px".as("q_px"))
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 09:59:00"), 1L), // before any quote → null
+    ("A", ts("2024-01-01 10:00:00"), 2L), // exact tie → inclusive match
+    ("A", ts("2024-01-01 10:04:59"), 3L), // between quotes → first quote
+    ("A", ts("2024-01-01 11:00:00"), 4L), // after both → latest quote
+    ("B", ts("2024-01-01 10:03:00"), 5L), // other key
+    ("C", ts("2024-01-01 10:03:00"), 6L)  // key with no quotes → null
+  ).toDF("sym", "ts", "trade_id")
+
+  test("as-of join: backward inclusive, per key, left outer") {
+    val j = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts",
+        Seq("q_px"), matchedTsName = "q_ts")
+      .orderBy("trade_id").collect()
+    val px = j.map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[java.lang.Double]("q_px")).map(_.toDouble)).toMap
+    assert(px(1L).isEmpty)
+    assert(px(2L).contains(10.0)) // ts == quote ts is a match (inclusive)
+    assert(px(3L).contains(10.0))
+    assert(px(4L).contains(11.0))
+    assert(px(5L).contains(20.0))
+    assert(px(6L).isEmpty)
+    // matched timestamp comes from the SAME row as the payload
+    val r4 = j.find(_.getAs[Long]("trade_id") == 4L).get
+    assert(r4.getAs[Timestamp]("q_ts") == ts("2024-01-01 10:05:00"))
+  }
+
+  test("as-of join: tolerance nulls out stale matches") {
+    val j = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts",
+        Seq("q_px"), tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .orderBy("trade_id").collect()
+    val px = j.map(r => r.getAs[Long]("trade_id") ->
+      Option(r.getAs[java.lang.Double]("q_px"))).toMap
+    assert(px(3L).isDefined)  // 4:59 old → within tolerance
+    assert(px(4L).isEmpty)    // 55 min old → nulled
+  }
+
+  test("as-of join rejects payload/left column collisions") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts", Seq("ts"))
+    }
+  }
+
+  private lazy val intervals = Seq(
+    (100L, "A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:04:00")),
+    (101L, "B", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")),
+    (102L, "A", ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"))
+  ).toDF("iv_id", "sym", "start_ts", "end_ts")
+
+  test("range join: inclusive bounds, per key, binned == broadcast") {
+    val binned = AsOf.rangeJoin(trades, intervals, Seq("sym"), "ts",
+      "start_ts", "end_ts", Seq("iv_id"), binSeconds = 60L)
+    val bcast = AsOf.broadcastRangeJoin(trades, intervals, Seq("sym"), "ts",
+      "start_ts", "end_ts", Seq("iv_id"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // trade 2 (10:00:00) hits iv 100's inclusive start; trade 3
+    // (10:04:59) is past iv 100's 10:04:00 end; trade 5 inside iv 101
+    val expected = Set((2L, 100L), (5L, 101L))
+    assert(pairs(binned) == expected)
+    assert(pairs(bcast) == expected)
+  }
+
+  test("range join fails loudly on an interval spanning too many bins") {
+    val e = intercept[Exception] {
+      AsOf.rangeJoin(trades, intervals, Seq("sym"), "ts", "start_ts",
+        "end_ts", Seq("iv_id"), binSeconds = 1L, maxBinsPerInterval = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("bins"))
+  }
+
+  private lazy val contamDocs = Seq(
+    (0L, "alpha beta gamma delta epsilon"),          // benchmark
+    (1L, "alpha beta gamma delta epsilon"),          // fully contaminated
+    (2L, "alpha beta gamma something else entirely"),// partial
+    (3L, "totally unrelated content goes right here")// clean
+  ).toDF("doc_id", "text")
+
+  test("contamination: full / partial / clean fractions") {
+    val c = Dedup.contamination(contamDocs.where($"doc_id" > 0),
+        contamDocs.where($"doc_id" === 0), "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_sh"), r.getAs[Long]("n_hit"), r.getAs[Double]("frac")))).toMap
+    assert(c(1L) == ((3L, 3L, 1.0)))
+    assert(c(2L)._2 == 1L) // only "alpha beta gamma" survives
+    assert(c(3L) == ((4L, 0L, 0.0)))
+  }
+
+  test("repetition stats: degenerate text scores high") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "six completely distinct words here now")
+    ).toDF("doc_id", "text")
+    val m = TextStats.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_words") == 6L)
+    assert(m(1L).getAs[Long]("n_uniq_words") == 1L)
+    assert(m(1L).getAs[Double]("dup_word_frac") > 0.8)
+    assert(m(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(m(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_word_frac") < 0.2)
+  }
+
+  test("shard packing: deterministic, budget respected up to one-row overflow") {
+    val df = spark.range(100).toDF("doc_id")
+      .withColumn("grp", lit("g"))
+      .withColumn("cost", lit(10L))
+    val packed = Sampling.packIntoShards(df, "grp", "doc_id", "cost", budget = 35L)
+    val sizes = packed.groupBy("shard").agg(sum("cost").as("c"), count(lit(1)).as("n"))
+      .orderBy("shard").collect()
+    // 10-cost rows into budget 35: a shard covers offsets [35k, 35k+35),
+    // so interior shards carry 30 or 40 (full budget ± one-row overflow)
+    assert(sizes.dropRight(1).forall { r =>
+      val c = r.getAs[Long]("c"); c == 30L || c == 40L
+    })
+    assert(packed.where($"shard" < 0).count() == 0)
+    // deterministic: same assignment on re-run
+    val again = Sampling.packIntoShards(df, "grp", "doc_id", "cost", budget = 35L)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = packed.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == again)
+  }
+
+  test("incremental dedup vs corpus: exact, near, and clean batch docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some existing corpus document with plenty of words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 0
+      (5L, "entirely novel text that matches nothing else")  // clean
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .collect().map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("dropped_exact"))
+    assert(!r(1L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("dropped_exact"))
+    assert(r(3L).getAs[Double]("best_jaccard") == 0.75 && !r(3L).getAs[Boolean]("keep"))
+    assert(r(5L).getAs[Boolean]("keep"))
+    assert(r(5L).isNullAt(r(5L).fieldIndex("best_jaccard")))
+  }
+}
