@@ -171,6 +171,30 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- stratified sampling -----------------------------------------------
+
+  /** Corpus rebalancing: en (the over-represented language) keeps 25%,
+    * zh keeps 100%, everything else the 50% default — all membership a
+    * pure function of doc_id. Thresholds are floor(f·2^24), embedded in
+    * the oracle as integer literals. */
+  private def qX5stratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(docs(s, d), "lang",
+        Map("en" -> 0.25, "zh" -> 1.0), defaultFraction = 0.5, idCol = "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  private val oX5 =
+    """WITH h AS (SELECT lang, doc_id,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id,
+      |  max(doc_id) AS max_id
+      |FROM h
+      |WHERE hh < (CASE lang WHEN 'en' THEN 4194304 WHEN 'zh' THEN 16777216
+      |            ELSE 8388608 END)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- incremental dedup vs corpus ---------------------------------------
 
   /** Odd-id docs treated as the NEW batch, even-id docs as the existing
@@ -225,6 +249,7 @@ object PipelineQueries {
     "q_t7_contamination" -> qT7contam _,
     "q_t8_repetition" -> qT8repetition _,
     "q_x4_pack_shards" -> qX4pack _,
+    "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
   )
 
@@ -234,6 +259,7 @@ object PipelineQueries {
     "q_t7_contamination" -> oT7,
     "q_t8_repetition" -> oT8,
     "q_x4_pack_shards" -> oX4,
+    "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
   )
 }

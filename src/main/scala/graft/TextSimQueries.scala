@@ -132,21 +132,32 @@ object TextSimQueries {
   // WeakHashMap entry's value would pin its own key forever)
   private val shingleCache = scala.collection.concurrent.TrieMap
     .empty[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
-  private def sharedShingles(s: SparkSession, d: String): DataFrame = {
+  private def cachedPerDir(s: SparkSession, key: String)
+                          (build: => DataFrame): DataFrame = {
     shingleCache.keySet.foreach { k =>
       if (k.sparkContext.isStopped) shingleCache.remove(k)
     }
     shingleCache
       .getOrElseUpdate(s,
         scala.collection.concurrent.TrieMap.empty[String, DataFrame])
-      .getOrElseUpdate(d,
-        Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElseUpdate(key,
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
+  private def sharedShingles(s: SparkSession, d: String): DataFrame =
+    cachedPerDir(s, s"shingles|$d") {
+      Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
+    }
+  /** q_d2 emits the pairs, q_d6 clusters THE SAME pairs — one pipeline,
+    * so the bench session computes the inverted-index join once (the
+    * pair set is tiny: ∝ near-dups, not corpus). */
+  private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    cachedPerDir(s, s"jacpairs|$d") {
+      Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
+        minJaccard = 0.05, maxBucketSize = Int.MaxValue)
+    }
 
   private def qD2jaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
-        minJaccard = 0.05, maxBucketSize = Int.MaxValue)
+    sharedJaccardPairs(s, d)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   private val oD2 =
@@ -170,8 +181,7 @@ object TextSimQueries {
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
     * keeper/members. Oracle replays the closure with a recursive CTE. */
   private def qD6clusters(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupClusters(Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
-        minJaccard = 0.05, maxBucketSize = Int.MaxValue))
+    Dedup.nearDupClusters(sharedJaccardPairs(s, d))
       .withColumn("members_csv",
         expr("array_join(transform(members, x -> cast(x AS string)), ',')"))
       .drop("members")

@@ -57,6 +57,21 @@ object Sampling {
       .select(col(groupCol), explode(col("_top.id")).as(idCol))
   }
 
+  /** Stratified deterministic sample: per-group keep fractions (corpus
+    * rebalancing — downsample the over-represented languages/sources,
+    * keep the rare ones whole). Same hash-threshold construction as
+    * `sampleByHash`, so membership is a pure function of (id, salt) —
+    * map-side only, no shuffle, pushes down as a filter. Groups absent
+    * from `fractions` use `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, groupCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       idCol: String, salt: String = "graft"): DataFrame = {
+    val thr = fractions.foldRight(lit(threshold(defaultFraction))) {
+      case ((g, f), acc) => when(col(groupCol) === g, lit(threshold(f))).otherwise(acc)
+    }
+    df.where(hash24(col(idCol), salt) < thr)
+  }
+
   /** Token-budget shard packing: within each group, rows are laid out in
     * deterministic (hash, id) order and cut into shards of ~`budget` cost
     * (token/char counts) — the "pack documents into training shards"

@@ -145,6 +145,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(first == again)
   }
 
+  test("stratified sample: per-group fractions, pure function of id") {
+    val df = spark.range(10000).toDF("doc_id")
+      .withColumn("grp", when($"doc_id" % 3 === 0, "a")
+        .when($"doc_id" % 3 === 1, "b").otherwise("c"))
+    val sampled = Sampling.stratifiedSample(df, "grp",
+      Map("a" -> 0.1, "b" -> 1.0), defaultFraction = 0.5, idCol = "doc_id")
+    val n = sampled.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(n("a") / 3334.0 - 0.1) < 0.03)
+    assert(n("b") == 3333L) // fraction 1.0 keeps every row
+    assert(math.abs(n("c") / 3333.0 - 0.5) < 0.05)
+    // determinism: re-run yields the identical id set
+    val ids1 = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(df, "grp",
+        Map("a" -> 0.1, "b" -> 1.0), 0.5, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("incremental dedup vs corpus: exact, near, and clean batch docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

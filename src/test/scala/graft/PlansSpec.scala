@@ -76,6 +76,37 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("as-of join plans as ONE keyed shuffle — no join operator at all") {
+    import graft.operators.AsOf
+    val ev = Tables.events(spark, sf)
+    val left = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val marks = ev.where(col("event_id") % 100 < 5)
+      .groupBy("event_type", "ts").agg(max("value").as("m_value"))
+    val df = AsOf.asofJoinBackward(left, marks, Seq("event_type"), "ts", "ts",
+      Seq("m_value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"as-of must not plan a product:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("range join plans as an equi-join on (key, bin) — never a nested loop") {
+    import graft.operators.AsOf
+    val ev = Tables.events(spark, sf)
+    val points = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val iv = ev.where(col("event_id") % 50 < 2)
+      .select(col("event_id").as("iv_id"), col("event_type"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+    val df = AsOf.rangeJoin(points, iv, Seq("event_type"), "ts",
+      "start_ts", "end_ts", Seq("iv_id"), binSeconds = 3600L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("projection pruning reaches parquet ReadSchema") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val scan = df.queryExecution.executedPlan.toString
