@@ -171,6 +171,31 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- corpus profile ----------------------------------------------------
+
+  /** Per-(source, lang) corpus profile: doc counts, total words, exact
+    * char-length percentiles, distinct fingerprints — the ingest-audit
+    * dashboard query. One hash aggregate (percentile/count-distinct are
+    * Spark's built-in exact aggregates; at 100 TB swap in
+    * approx_percentile/approx_count_distinct, same plan shape). */
+  private def qT9profile(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy("source", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.wordCount(col("text"))).as("total_words"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("chars_p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("chars_p90"),
+        countDistinct(TextStats.fingerprint(col("text"))).as("uniq_fp"))
+      .orderBy("source", "lang")
+  private val oT9 =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+      |    AS total_words,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
+      |  CAST(count(DISTINCT md5(lower(regexp_replace(text, '[^A-Za-z0-9]+',
+      |    '', 'g')))) AS BIGINT) AS uniq_fp
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- stratified sampling -----------------------------------------------
 
   /** Corpus rebalancing: en (the over-represented language) keeps 25%,
@@ -251,6 +276,7 @@ object PipelineQueries {
     "q_x4_pack_shards" -> qX4pack _,
     "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
+    "q_t9_corpus_profile" -> qT9profile _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,5 +287,6 @@ object PipelineQueries {
     "q_x4_pack_shards" -> oX4,
     "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
+    "q_t9_corpus_profile" -> oT9,
   )
 }
