@@ -88,9 +88,13 @@ object PipelineQueries {
     * distinct 3-shingles that appear anywhere in the "benchmark" slice
     * (here: every 50th doc). */
   private def qT7contam(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
-    Dedup.contamination(all.where(col("doc_id") % 50 =!= 0),
-        all.where(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+    // tokenize-once: slice the bench session's persisted full-corpus
+    // shingle rows instead of re-tokenizing each side
+    val rows = TextSimQueries.sharedShingles(s, d)
+    Dedup.contaminationFromHashes(
+        docs(s, d).where(col("doc_id") % 50 =!= 0).select(col("doc_id").as("id")),
+        rows.where(col("id") % 50 =!= 0),
+        rows.where(col("id") % 50 === 0))
       .orderBy("id")
   }
   private val oT7 =
@@ -228,8 +232,10 @@ object PipelineQueries {
     * as 0/1 BIGINT. */
   private def qD7incremental(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    Dedup.dedupAgainstCorpus(all.where(col("doc_id") % 2 === 1),
-        all.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3,
+    val rows = TextSimQueries.sharedShingles(s, d) // tokenize-once
+    Dedup.dedupAgainstCorpusFromHashes(all.where(col("doc_id") % 2 === 1),
+        all.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        rows.where(col("id") % 2 === 1), rows.where(col("id") % 2 === 0),
         minJaccard = 0.5)
       .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
         col("best_jaccard"), col("keep").cast("long").as("keep"))

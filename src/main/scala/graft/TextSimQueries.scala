@@ -143,7 +143,7 @@ object TextSimQueries {
       .getOrElseUpdate(key,
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
-  private def sharedShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame =
     cachedPerDir(s, s"shingles|$d") {
       Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
     }

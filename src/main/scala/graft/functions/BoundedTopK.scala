@@ -50,7 +50,15 @@ case class BoundedTopK(child: Expression, k: Int,
     ord.on[InternalRow](identity)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    child.dataType match {
+      // update/serialize handle InternalRow values — reject atomic
+      // children at ANALYSIS time instead of a task-side ClassCastException
+      // (wrap a single column in struct(...) to rank by it)
+      case _: StructType => TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a struct child (got ${other.simpleString}); " +
+          "wrap the sort key in struct(...)")
+    }
 
   override def prettyName: String = "bounded_top_k"
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)

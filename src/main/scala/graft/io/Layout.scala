@@ -58,6 +58,8 @@ object Layout {
     * files' min–max stats are tight on every z column. */
   def zOrdered(df: DataFrame, zCols: Seq[(String, Double, Double)],
                numFiles: Int, bits: Int = 16): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "column _z collides with z-order internals — alias it")
     val z = zValue(zCols.map { case (name, mn, mx) =>
       (col(name), lit(mn), lit(mx)) }, bits)
     df.withColumn("_z", z)

@@ -42,7 +42,15 @@ object AsOf {
     * sort each key partition by (ts, side), and carry the last-seen right
     * row forward with `last(struct, ignoreNulls)` — the payload struct
     * keeps (ts, values) atomic so the matched timestamp and values always
-    * come from the SAME right row. */
+    * come from the SAME right row. Null keys / null timestamps follow SQL
+    * join semantics: they match nothing.
+    *
+    * Skew caveat: the keyed window sorts each key's full union in one
+    * task. Fine when keys are plentiful (symbols, sensors, users); for a
+    * LOW-cardinality key at extreme scale, pre-split the key with a
+    * coarse time bucket and run this per bucket, carrying each bucket's
+    * last mark into the next (one tiny per-bucket aggregate) — the same
+    * group-is-the-parallelism-unit trade `packIntoShards` documents. */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTsCol: String, rightTsCol: String,
                        payload: Seq[String],
@@ -52,9 +60,20 @@ object AsOf {
     val collide = payload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty,
       s"payload columns ${collide.mkString(", ")} collide with left columns — alias them")
+    val reserved = Seq("_ts", "_side", "_m", "_m2").filter(left.columns.contains)
+    require(reserved.isEmpty,
+      s"left columns ${reserved.mkString(", ")} collide with as-of internals — alias them")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("_ts", col(leftTsCol)).withColumn("_side", lit(1))
-    val r = right.select((keys.map(col) :+ col(rightTsCol).as("_ts")) ++
+    // SQL join semantics for nulls: a null key or null timestamp on the
+    // right can match nothing (equality and >= are both false against
+    // null) — drop those rows BEFORE the union, otherwise the keyed
+    // window would group null keys together and a null-ts mark would sort
+    // first and leak its payload into every left row
+    val r = right
+      .where(col(rightTsCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select((keys.map(col) :+ col(rightTsCol).as("_ts")) ++
         payload.map(col): _*)
       .withColumn("_side", lit(0))
     // allowMissingColumns fills the non-shared columns with nulls on the
@@ -65,10 +84,15 @@ object AsOf {
     val packed = struct((col("_ts").as("_mts") +: payload.map(col)): _*)
     val m = u.withColumn("_m",
       last(when(col("_side") === 0, packed), ignoreNulls = true).over(w))
+    // a null-keyed LEFT row must also match nothing (its window partition
+    // could only contain other null-keyed rows, and null-keyed right rows
+    // are already excluded — but be explicit rather than structural)
+    val keyedMatch =
+      when(keys.map(col(_).isNotNull).reduce(_ && _), col("_m"))
     val matched = tolerance match {
-      case Some(tol) => when(col("_m").isNotNull &&
+      case Some(tol) => when(keyedMatch.isNotNull &&
           col("_ts") - col("_m._mts") <= tol, col("_m"))
-      case None => col("_m")
+      case None => keyedMatch
     }
     m.where(col("_side") === 1)
       .withColumn("_m2", matched)
@@ -95,6 +119,8 @@ object AsOf {
     val collide = ivCols.toSet.intersect(points.columns.toSet)
     require(collide.isEmpty,
       s"interval columns ${collide.mkString(", ")} collide with point columns — alias them")
+    require(!points.columns.contains("_bin") && !ivCols.contains("_bin"),
+      "column _bin collides with range-join internals — alias it")
     def binOf(ts: Column): Column = floor(unix_timestamp(ts) / binSeconds)
     val iv = intervals
       .withColumn("_b0", binOf(col(startCol)))

@@ -155,14 +155,23 @@ object Dedup {
     * combinable count aggregates. Nothing pairs documents — cost is
     * ∝ shingle rows, not docs². */
   def contamination(eval: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    val evRows = shingleHashRows(eval, idCol, textCol, n)
-    val bmSet = shingleHashRows(benchmark, idCol, textCol, n)
-      .select(col("h")).distinct()
-    val nSh = evRows.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val nHit = evRows.join(bmSet, "h")
+                    textCol: String, n: Int): DataFrame =
+    contaminationFromHashes(eval.select(col(idCol).as("id")),
+      shingleHashRows(eval, idCol, textCol, n),
+      shingleHashRows(benchmark, idCol, textCol, n))
+
+  /** `contamination` from precomputed `shingleHashRows` outputs
+    * (tokenize-once: a pipeline running several shingle consumers over
+    * the same corpus persists the rows and slices them per operator).
+    * `evalIds` is one `id` row per eval doc (keeps zero-shingle docs in
+    * the output). */
+  def contaminationFromHashes(evalIds: DataFrame, evalRows: DataFrame,
+                              benchmarkRows: DataFrame): DataFrame = {
+    val bmSet = benchmarkRows.select(col("h")).distinct()
+    val nSh = evalRows.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val nHit = evalRows.join(bmSet, "h")
       .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    eval.select(col(idCol).as("id"))
+    evalIds
       .join(nSh, Seq("id"), "left")
       .join(nHit, Seq("id"), "left")
       .select(col("id"),
@@ -188,12 +197,21 @@ object Dedup {
     * (strictly cheaper than the self-join). */
   def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame, idCol: String,
                          textCol: String, n: Int,
-                         minJaccard: Double): DataFrame = {
+                         minJaccard: Double): DataFrame =
+    dedupAgainstCorpusFromHashes(batch, corpus, idCol, textCol,
+      shingleHashRows(batch, idCol, textCol, n),
+      shingleHashRows(corpus, idCol, textCol, n), minJaccard)
+
+  /** `dedupAgainstCorpus` from precomputed `shingleHashRows` outputs
+    * (tokenize-once; fingerprints are a cheap map-side md5, only the
+    * shingle tokenization is worth sharing). */
+  def dedupAgainstCorpusFromHashes(batch: DataFrame, corpus: DataFrame,
+                                   idCol: String, textCol: String,
+                                   bRows: DataFrame, cRows: DataFrame,
+                                   minJaccard: Double): DataFrame = {
     val fp = TextStats.fingerprint(col(textCol))
     val corpusFps = corpus.select(fp.as("fp")).distinct()
       .withColumn("_hit", lit(1))
-    val bRows = shingleHashRows(batch, idCol, textCol, n)
-    val cRows = shingleHashRows(corpus, idCol, textCol, n)
     val na = bRows.groupBy("id").agg(count(lit(1)).as("na"))
     val nb = cRows.groupBy("id").agg(count(lit(1)).as("nb"))
     val inter = bRows.join(cRows.withColumnRenamed("id", "cid"), "h")

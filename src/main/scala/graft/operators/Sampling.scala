@@ -44,11 +44,12 @@ object Sampling {
         .otherwise(lit("train")))
 
   /** Per-group cap ("deterministic reservoir"): the `n` rows with the
-    * smallest (hash, id) per group survive. Two-phase like
-    * Similarity.topKPerQuery — a partial cap per (group, map partition)
-    * then a final cap — so a hot group (half the corpus in one language)
-    * never funnels through a single task's sort. Returns (group, id)
-    * keeper pairs; semi-join to materialize the rows. */
+    * smallest (hash, id) per group survive. Backed by the k-bounded
+    * `BoundedTopK` aggregate (via GroupTopN) — state ∝ n per group with
+    * map-side partial combine — so a hot group (half the corpus in one
+    * language) never funnels through a single task's sort or buffers its
+    * full row list. Returns (group, id) keeper pairs; semi-join to
+    * materialize the rows. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
                   salt: String = "graft"): DataFrame = {
     require(n > 0, "n must be positive")

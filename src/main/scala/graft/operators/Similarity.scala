@@ -58,9 +58,8 @@ object Similarity {
     * (query_id, neighbor_id, cosine) → (query_id, neighbor_id, cosine,
     * rank). Ordering: cosine desc, neighbor_id asc (callers round cosine
     * BEFORE this so ranks are reproducible across engines). Delegates to
-    * the shared two-phase GroupTopN aggregation — hash aggregates +
-    * `slice(array_sort(...))`, no window, so no per-query sort-shuffle
-    * funnel. */
+    * GroupTopN's k-bounded `BoundedTopK` aggregate — one exchange, state
+    * ∝ k per query, no window, so no per-query sort-shuffle funnel. */
   private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     // + 0.0 canonicalizes -0.0 to +0.0 (IEEE addition): struct ordering
     // uses Double.compare, which puts -0.0 < 0.0, while the SQL oracles'

@@ -76,14 +76,19 @@ object StreamAsOf {
             .map(r => (r.ts.getTime, r.event_id))
           St(marks, pending)
         }
-      val wm = state.getCurrentWatermarkMs()
+      // getCurrentWatermarkMs() is 0 before the first watermark is
+      // computed — Long.MinValue would mature pre-epoch events early, so
+      // treat a non-positive watermark as "hold everything"
+      val wm0 = state.getCurrentWatermarkMs()
+      val wm = if (wm0 <= 0L) Long.MinValue else wm0
       val (out, st2) = advance(key, st1, wm)
       if (st2.pending.isEmpty && st2.marks.isEmpty) state.remove()
       else {
         state.update(st2)
         if (st2.pending.nonEmpty)
           // fire once the watermark passes the oldest pending event
-          state.setTimeoutTimestamp(math.max(st2.pending.map(_._1).min, wm) + 1)
+          // (clamped above the CURRENT watermark — Spark rejects earlier)
+          state.setTimeoutTimestamp(math.max(st2.pending.map(_._1).min, wm0) + 1)
       }
       out.iterator
     }

@@ -48,6 +48,13 @@ class BoundedTopKSpec extends AnyFunSuite with SparkSpec {
       s"expected exactly one exchange in:\n$plan")
   }
 
+  test("atomic (non-struct) child is rejected at analysis time") {
+    val e = intercept[Exception] {
+      df.groupBy("key").agg(BoundedTopK.smallestK(col("v"), 3)).collect()
+    }
+    assert(e.getMessage.contains("struct"), s"unexpected: ${e.getMessage}")
+  }
+
   test("null items are skipped (collect_list semantics)") {
     val withNulls = Seq((1L, Some(5L)), (1L, None), (1L, Some(2L)))
       .toDF("key", "v")

@@ -56,6 +56,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(px(4L).isEmpty)    // 55 min old → nulled
   }
 
+  test("as-of join: null keys and null right timestamps match nothing") {
+    val nullQuotes = Seq(
+      (Some("A"), Option.empty[Timestamp], Some(99.0)), // null ts: no match
+      (Option.empty[String], Some(ts("2024-01-01 09:00:00")), Some(88.0)),
+      (Some("A"), Some(ts("2024-01-01 10:00:00")), Some(10.0))
+    ).toDF("sym", "ts", "q_px")
+    val nullTrades = Seq(
+      (Some("A"), Some(ts("2024-01-01 10:30:00")), 1L),
+      (Option.empty[String], Some(ts("2024-01-01 10:30:00")), 2L) // null key
+    ).toDF("sym", "ts", "trade_id")
+    val j = AsOf.asofJoinBackward(nullTrades, nullQuotes, Seq("sym"), "ts",
+        "ts", Seq("q_px")).collect()
+      .map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("q_px")).map(_.toDouble)).toMap
+    assert(j(1L).contains(10.0)) // real mark wins, null-ts mark ignored
+    assert(j(2L).isEmpty)        // null-keyed left row matches nothing
+  }
+
   test("as-of join rejects payload/left column collisions") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts", Seq("ts"))
