@@ -100,6 +100,74 @@ object AsOf {
         payload.map(p => col(s"_m2.$p").as(p))): _*)
   }
 
+  /** Skew-resilient as-of join for LOW-cardinality keys: identical
+    * semantics to `asofJoinBackward`, but each key's timeline is split
+    * into `bucketSeconds`-wide buckets and the window partitions on
+    * (key, bucket) — parallelism becomes keys × buckets instead of keys,
+    * so five event types over a year of data no longer sort in five
+    * tasks.
+    *
+    * Correctness across bucket boundaries: a bucket's events may need
+    * the last mark of an EARLIER bucket. A compact per-(key, bucket)
+    * aggregate (one row per non-empty mark bucket) is scanned with a
+    * small running-last window, and each bucket gets its predecessor's
+    * final mark injected as a seed row — so the per-bucket window sees
+    * exactly the marks `asofJoinBackward`'s global per-key window would
+    * have seen (asserted by equivalence in the spec). The seed table is
+    * ∝ distinct (key, bucket) — negligible next to the data. */
+  def asofJoinBackwardBucketed(left: DataFrame, right: DataFrame,
+                               keys: Seq[String], leftTsCol: String,
+                               rightTsCol: String, payload: Seq[String],
+                               bucketSeconds: Long,
+                               matchedTsName: String = "matched_ts",
+                               tolerance: Option[Column] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(!left.columns.contains("_bk") && !payload.contains("_bk"),
+      "column _bk collides with as-of internals — alias it")
+    def bucketOf(ts: Column): Column = floor(unix_timestamp(ts) / bucketSeconds)
+    val r = right.where(col(rightTsCol).isNotNull &&
+      keys.map(col(_).isNotNull).reduce(_ && _))
+    // last mark per (key, bucket): map-side-combinable max(struct)
+    val payloadStruct = struct((col(rightTsCol).as("_mts") +:
+      payload.map(col)): _*)
+    val bucketLast = r
+      .groupBy((keys.map(col) :+ bucketOf(col(rightTsCol)).as("_bk")): _*)
+      .agg(max(payloadStruct).as("_last"))
+    // every LEFT bucket needs the final mark of the nearest EARLIER mark
+    // bucket (most buckets hold no mark at all when marks are sparse) —
+    // run a running-last window over the compact union of left-bucket
+    // markers and mark-bucket rows, ordered so a same-bucket mark stays
+    // OUT of its own bucket's seed frame (in-bucket marks are already in
+    // the union below)
+    val leftBuckets = left
+      .where(col(leftTsCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ bucketOf(col(leftTsCol)).as("_bk"): _*)
+      .distinct()
+      .withColumn("_isMark", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_bk"), col("_isMark"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = leftBuckets
+      .unionByName(bucketLast.withColumn("_isMark", lit(1)),
+        allowMissingColumns = true)
+      .withColumn("_seed", last(col("_last"), ignoreNulls = true).over(w))
+      .where(col("_isMark") === 0 && col("_seed").isNotNull)
+      .select(keys.map(col) ++ Seq(col("_bk"),
+        col("_seed._mts").as(rightTsCol)) ++
+        payload.map(p => col(s"_seed.$p").as(p)): _*)
+    // NOTE the seed keeps its ORIGINAL timestamp (from the earlier
+    // bucket), so tolerance still evaluates against the true mark age.
+    val rBucketed = r.select(keys.map(col) ++ Seq(
+        bucketOf(col(rightTsCol)).as("_bk"), col(rightTsCol)) ++
+        payload.map(col): _*)
+      .unionByName(seeds)
+    val lBucketed = left.withColumn("_bk", bucketOf(col(leftTsCol)))
+    asofJoinBackward(lBucketed, rBucketed, keys :+ "_bk", leftTsCol,
+      rightTsCol, payload, matchedTsName, tolerance)
+      .drop("_bk")
+  }
+
   /** Interval range join: every (point, interval) pair with equal keys
     * and `startCol <= pointTs <= endCol` (inclusive both ends, SQL
     * BETWEEN). Output: all point columns plus `ivCols` from `intervals`.

@@ -74,6 +74,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(j(2L).isEmpty)        // null-keyed left row matches nothing
   }
 
+  test("bucketed as-of equals the plain as-of (incl. cross-bucket seeds)") {
+    // events every ~17 min, marks every ~97 min, buckets of 1 h: most
+    // events' latest mark lives in an EARLIER bucket — the seed path
+    val ev = spark.range(200).toDF("trade_id")
+      .withColumn("sym", when($"trade_id" % 2 === 0, "A").otherwise("B"))
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, trade_id * 1021)"))
+    val mk = spark.range(20).toDF("mid")
+      .withColumn("sym", when($"mid" % 2 === 0, "A").otherwise("B"))
+      .withColumn("ts", expr("timestamp'2024-01-01 00:10:00' + make_interval(0,0,0,0,0,0, mid * 5821)"))
+      .withColumn("m_px", $"mid".cast("double"))
+      .select("sym", "ts", "m_px")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "matched_ts", "m_px").collect()
+        .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val plain = AsOf.asofJoinBackward(ev, mk, Seq("sym"), "ts", "ts", Seq("m_px"))
+    val bucketed = AsOf.asofJoinBackwardBucketed(ev, mk, Seq("sym"), "ts",
+      "ts", Seq("m_px"), bucketSeconds = 3600L)
+    assert(res(bucketed) == res(plain))
+    // tolerance evaluates against the TRUE mark age, seeds included
+    val tol = Some(expr("INTERVAL 30 MINUTES"))
+    val plainT = AsOf.asofJoinBackward(ev, mk, Seq("sym"), "ts", "ts",
+      Seq("m_px"), tolerance = tol)
+    val bucketedT = AsOf.asofJoinBackwardBucketed(ev, mk, Seq("sym"), "ts",
+      "ts", Seq("m_px"), bucketSeconds = 3600L, tolerance = tol)
+    assert(res(bucketedT) == res(plainT))
+  }
+
   test("as-of join rejects payload/left column collisions") {
     intercept[IllegalArgumentException] {
       AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts", Seq("ts"))
