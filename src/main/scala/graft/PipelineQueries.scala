@@ -200,6 +200,31 @@ object PipelineQueries {
       |    '', 'g')))) AS BIGINT) AS uniq_fp
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- chunking ------------------------------------------------------------
+
+  /** Long docs split into 40-word chunks with 8-word overlap — the
+    * context-window packing step. The oracle replays the slicing with
+    * DuckDB list arithmetic over the identical word arrays. */
+  private def qT10chunks(s: SparkSession, d: String): DataFrame =
+    TextStats.chunkWords(docs(s, d), "doc_id", "text",
+        chunkWords = 40, overlapWords = 8)
+      .orderBy("id", "chunk_idx")
+  private val oT10 = {
+    val chunk = 40; val step = 32
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |FROM documents),
+       |c AS (SELECT doc_id, ws, unnest(range(0,
+       |    greatest((len(ws) - 1 - ${chunk - step}) // $step, 0) + 1)) AS ci
+       |  FROM w)
+       |SELECT doc_id AS id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(ws, ci * $step + 1, ci * $step + $chunk)) AS BIGINT)
+       |    AS n_words,
+       |  array_to_string(list_slice(ws, ci * $step + 1, ci * $step + $chunk), ' ')
+       |    AS chunk
+       |FROM c ORDER BY id, chunk_idx""".stripMargin
+  }
+
   // ---- stratified sampling -----------------------------------------------
 
   /** Corpus rebalancing: en (the over-represented language) keeps 25%,
@@ -283,6 +308,7 @@ object PipelineQueries {
     "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
     "q_t9_corpus_profile" -> qT9profile _,
+    "q_t10_chunks" -> qT10chunks _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,5 +320,6 @@ object PipelineQueries {
     "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
     "q_t9_corpus_profile" -> oT9,
+    "q_t10_chunks" -> oT10,
   )
 }

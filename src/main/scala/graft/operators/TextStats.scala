@@ -146,6 +146,35 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  // ---- chunking --------------------------------------------------------------
+
+  /** Split documents into word-bounded training chunks of `chunkWords`
+    * words stepping by `chunkWords - overlapWords` (the context-window
+    * packing step: long docs become overlapping windows, short docs one
+    * chunk). Output: (id, chunk_idx, n_words, chunk). Pure per-row array
+    * arithmetic — no shuffle, no pairing; the higher-order functions here
+    * run once per DOCUMENT (not per shingle), so interpreted evaluation
+    * is immaterial next to the scan. */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      "need chunkWords > overlapWords >= 0")
+    val step = chunkWords - overlapWords
+    val w = Dedup.words(col(textCol))
+    // chunk starts: 0, step, 2·step, … while the chunk still contributes
+    // at least one NEW word (start < n − overlap); ≥ 1 chunk always, so
+    // every document survives chunking
+    val starts = sequence(lit(0),
+      greatest((size(w) - 1 - lit(overlapWords)) / lit(step), lit(0)).cast("int"))
+    df.select(col(idCol).as("id"), w.as("_ws"),
+        posexplode(starts).as(Seq("chunk_idx", "_s")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("_ws"), col("_s") * step + 1, lit(chunkWords)).as("_cw"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("_cw")).cast("long").as("n_words"),
+        array_join(col("_cw"), " ").as("chunk"))
+  }
+
   // ---- heavy hitters -------------------------------------------------------
 
   /** Boilerplate/template detection: n-word shingles whose DOCUMENT

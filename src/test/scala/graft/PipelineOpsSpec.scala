@@ -209,6 +209,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("chunking: overlapping windows cover every word, short docs = one chunk") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 words
+      (2L, "just a short one")                          // < chunk size
+    ).toDF("doc_id", "text")
+    val c = TextStats.chunkWords(docs, "doc_id", "text",
+        chunkWords = 40, overlapWords = 8)
+      .orderBy("id", "chunk_idx").collect()
+    val doc1 = c.filter(_.getLong(0) == 1L)
+    // starts 0, 32, 64 → 40, 40, 36 words; consecutive chunks share 8
+    assert(doc1.map(_.getAs[Long]("n_words")).toSeq == Seq(40L, 40L, 36L))
+    val ch0 = doc1(0).getAs[String]("chunk").split(" ")
+    val ch1 = doc1(1).getAs[String]("chunk").split(" ")
+    assert(ch0.takeRight(8).toSeq == ch1.take(8).toSeq) // overlap region
+    assert(ch0.head == "w1" && doc1(2).getAs[String]("chunk").endsWith("w100"))
+    val doc2 = c.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getAs[Long]("n_words") == 4L)
+  }
+
   test("incremental dedup vs corpus: exact, near, and clean batch docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
