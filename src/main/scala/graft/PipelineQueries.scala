@@ -297,6 +297,52 @@ object PipelineQueries {
       |    best_jaccard < CAST(0.5 AS DOUBLE)) AS BIGINT) AS keep
       |FROM b ORDER BY id""".stripMargin
 
+  // ---- end-to-end curation -----------------------------------------------
+
+  /** The full curation chain (exact dedup → quality gate → scrub →
+    * split → shard packing) through the `api.Pipeline` facade, verified
+    * as ONE oracle — proving the oracled stages compose without parity
+    * drift. Output: the shard manifest. */
+  private def qE2Ecurate(s: SparkSession, d: String): DataFrame =
+    graft.api.Pipeline.curationManifest(docs(s, d), "doc_id", "text",
+        "lang", "n_chars")
+      .orderBy("split", "lang", "shard")
+  private val oE2E =
+    """WITH fp AS (SELECT doc_id, lang, n_chars, text,
+      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |FROM documents),
+      |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
+      |dd AS (SELECT fp.doc_id, fp.lang, fp.n_chars, fp.text FROM fp
+      |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+      |t AS (SELECT doc_id, lang, n_chars, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM dd),
+      |g AS (SELECT doc_id, lang, n_chars FROM t
+      |  WHERE round(
+      |    (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |    + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |            BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |    + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |    6) >= CAST(0.3 AS DOUBLE)),
+      |h AS (SELECT doc_id, lang, n_chars,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM g),
+      |sp AS (SELECT doc_id, lang, n_chars, hh,
+      |  CASE WHEN hh < 3355443 THEN 'test' ELSE 'train' END AS split FROM h),
+      |c AS (SELECT split, lang, doc_id, n_chars,
+      |  sum(n_chars) OVER (PARTITION BY split, lang ORDER BY hh, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM sp),
+      |s AS (SELECT split, lang, doc_id, n_chars,
+      |  CAST(floor(CAST(cum - n_chars AS DOUBLE) /
+      |    CAST(4000 AS DOUBLE)) AS BIGINT) AS shard FROM c)
+      |SELECT split, lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS cost_total,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -309,6 +355,7 @@ object PipelineQueries {
     "q_d7_incremental_dedup" -> qD7incremental _,
     "q_t9_corpus_profile" -> qT9profile _,
     "q_t10_chunks" -> qT10chunks _,
+    "q_e2e_curate" -> qE2Ecurate _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,5 +368,6 @@ object PipelineQueries {
     "q_d7_incremental_dedup" -> oD7,
     "q_t9_corpus_profile" -> oT9,
     "q_t10_chunks" -> oT10,
+    "q_e2e_curate" -> oE2E,
   )
 }

@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextStats}
+
+/** Library facade for the training-data curation flow — the composition
+  * a pipeline user actually runs, end to end:
+  *
+  *   dedup (exact, keeper = min id) → quality gate → PII scrub →
+  *   deterministic train/test split → token-budget shard packing.
+  *
+  * Every stage is one of the library's oracled operators with its
+  * default scale shape (hash aggregate, map-side filter, keyed window);
+  * the composition introduces no new shuffles beyond its stages. The
+  * full chain is itself oracle-verified (q_e2e_curate) — the stages
+  * compose without parity drift. */
+object Pipeline {
+
+  /** One row per surviving doc: the curated corpus with `split` and
+    * `shard` assignments and the scrubbed text. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             groupCol: String, costCol: String,
+             minQuality: Double = 0.3, testFraction: Double = 0.2,
+             shardBudget: Long = 4000L): DataFrame = {
+    val fp = TextStats.fingerprint(col(textCol))
+    // exact dedup: keep the smallest id per fingerprint (one aggregate,
+    // then a semi-join shaped as an inner join on (fp, id))
+    val keepers = docs.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
+    val deduped = docs.withColumn("_fp", fp)
+      .join(keepers, Seq("_fp", idCol))
+      .drop("_fp")
+    val gated = deduped
+      .where(TextStats.qualityScore(col(textCol)) >= minQuality)
+      .withColumn(textCol, TextStats.scrubPii(col(textCol)))
+    val split = Sampling.withSplit(gated, idCol, testFraction)
+    // pack per (split, group): a composite packing key keeps train and
+    // test shards disjoint
+    Sampling.packIntoShards(
+      split.withColumn("_pk", concat_ws("|", col("split"), col(groupCol))),
+      "_pk", idCol, costCol, shardBudget).drop("_pk")
+  }
+
+  /** Shard manifest of `curate`: one row per (split, group, shard). */
+  def curationManifest(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, costCol: String,
+                       minQuality: Double = 0.3, testFraction: Double = 0.2,
+                       shardBudget: Long = 4000L): DataFrame =
+    curate(docs, idCol, textCol, groupCol, costCol, minQuality,
+        testFraction, shardBudget)
+      .groupBy("split", groupCol, "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("cost_total"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  // convenience delegates with library defaults -----------------------------
+
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    graft.operators.AsOf.asofJoinBackward(left, right, keys, leftTs,
+      rightTs, payload)
+
+  def contamination(eval: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    Dedup.contamination(eval, benchmark, idCol, textCol, n = 3)
+
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double = 0.5): DataFrame =
+    Dedup.nearDupClusters(
+      Dedup.jaccardPairs(docs, idCol, textCol, n = 3, minJaccard))
+}

@@ -228,6 +228,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(doc2.length == 1 && doc2(0).getAs[Long]("n_words") == 4L)
   }
 
+  test("Pipeline.curate: dedups, gates, scrubs, splits, packs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near a quiet river bank today", "en", 70L),
+      (2L, "THE QUICK BROWN FOX jumps over a lazy dog near a quiet river bank today", "en", 70L), // dup of 1
+      (3L, "??!! ###", "en", 8L), // fails quality gate
+      (4L, "write to admin@example.com about the schedule for a new trip", "en", 60L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.api.Pipeline.curate(docs, "doc_id", "text", "lang", "n_chars")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 4L)) // 2 deduped (keeper=1), 3 gated out
+    val scrubbed = out.where($"doc_id" === 4L).select("text").collect()(0).getString(0)
+    assert(scrubbed.contains("<EMAIL>") && !scrubbed.contains("@example.com"))
+    assert(out.columns.contains("split") && out.columns.contains("shard"))
+  }
+
   test("incremental dedup vs corpus: exact, near, and clean batch docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
