@@ -24,6 +24,9 @@ object Pipeline {
              groupCol: String, costCol: String,
              minQuality: Double = 0.3, testFraction: Double = 0.2,
              shardBudget: Long = 4000L): DataFrame = {
+    val clash = Seq("_fp", "_pk", "split", "shard").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with curate internals/outputs — alias them")
     val fp = TextStats.fingerprint(col(textCol))
     // exact dedup: keep the smallest id per fingerprint (one aggregate,
     // then a semi-join shaped as an inner join on (fp, id))
