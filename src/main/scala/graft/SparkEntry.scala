@@ -50,18 +50,30 @@ object SparkEntry {
 
   // ---- A: aggregations ---------------------------------------------------
 
+  /** Order-independent money sum: the input doubles sit EXACTLY on the
+    * 2-dp grid (verified over every sf), so casting each value to
+    * DECIMAL(20,2) is lossless, the decimal addition is exact in any
+    * order, and the cast back to double is deterministic. A plain double
+    * sum folds in shuffle order and drifts a last-ulp per run — observed
+    * as a 6-dp rounding flip in q_a1's avg at sf0.1. Oracle mirror:
+    * `CAST(sum(CAST(x AS DECIMAL(20,2))) AS DOUBLE)`. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(20,2)")).cast("double")
+  private def moneySumSql(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(20,2))) AS DOUBLE)"
+
   private def qA1dailyStats(s: SparkSession, d: String): DataFrame =
     Profiles.daily(li(s, d), col("l_returnflag"), col("l_shipdate"),
         count(lit(1)).as("num_rows"),
         sum("l_quantity").as("sum_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"))
+        round(moneySum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"))
       .orderBy("l_returnflag", "date")
 
   private val oA1 =
-    """SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date,
-      |  CAST(count(*) AS BIGINT) AS num_rows, sum(l_quantity) AS sum_qty,
-      |  round(avg(l_extendedprice), 6) AS avg_price
-      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""SELECT l_returnflag, CAST(l_shipdate AS DATE) AS date,
+       |  CAST(count(*) AS BIGINT) AS num_rows, sum(l_quantity) AS sum_qty,
+       |  round(${moneySumSql("l_extendedprice")} / count(*), 6) AS avg_price
+       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private def qSummaries(s: SparkSession, d: String): DataFrame =
     Profiles.summaries(li(s, d), "l_returnflag", "l_shipdate",
@@ -165,15 +177,16 @@ object SparkEntry {
   }
 
   private def qA12yearlyCounts(s: SparkSession, d: String): DataFrame =
-    Calendars.yearlyCounts(ord(s, d), "o_orderdate", "o_custkey", col("o_totalprice"))
+    Calendars.yearlyCounts(ord(s, d), "o_orderdate", "o_custkey",
+        col("o_totalprice").cast("decimal(20,2)")) // exact, order-independent
       .withColumnRenamed("rows", "n_rows")
-      .withColumn("total", round(col("total"), 2))
+      .withColumn("total", round(col("total").cast("double"), 2))
       .orderBy("year")
   private val oA12 =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS deployments,
       |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  round(sum(o_totalprice), 2) AS total
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def qA13windowTotal(s: SparkSession, d: String): DataFrame =
@@ -211,7 +224,8 @@ object SparkEntry {
   private def custOrders(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val api = Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey")
     val erddap = ord(s, d).groupBy(col("o_custkey").as("custkey"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(moneySum(col("o_totalprice")), 2).as("sum_price"))
     (api, erddap)
   }
 
@@ -227,7 +241,7 @@ object SparkEntry {
       |  (o.n_orders IS NULL) AS orphaned
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-      |         round(sum(o_totalprice), 2) AS sum_price
+      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_price
       |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
@@ -241,7 +255,7 @@ object SparkEntry {
     """SELECT o.o_custkey AS custkey, c_name, o.n_orders, o.sum_price
       |FROM customer RIGHT JOIN (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-      |         round(sum(o_totalprice), 2) AS sum_price
+      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_price
       |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
@@ -348,7 +362,8 @@ object SparkEntry {
        |ORDER BY event_id""".stripMargin
 
   private val (qP14tail, oP14) = shared(
-    """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
       |FROM events
       |WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events)""".stripMargin)
 
@@ -479,11 +494,12 @@ object SparkEntry {
   private def qA17rollup(s: SparkSession, d: String): DataFrame =
     ord(s, d).withColumn("yr", year(col("o_orderdate")).cast("long"))
       .rollup("yr", "o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(moneySum(col("o_totalprice")), 2).as("total"))
       .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderstatus"))
   private val oA17 =
     """SELECT yr, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(o_totalprice), 2) AS total
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
       |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
       |      o_totalprice FROM orders) t
       |GROUP BY ROLLUP(yr, o_orderstatus)

@@ -424,6 +424,78 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PQ (product-quantization) ANN — codes scanned with ADC lookup
+    * tables, exact re-rank of the bounded candidate set. Fully oracled:
+    * every stage (md5-seeded codebook, normalization, argmin encoding,
+    * fixed-order LUT sums, re-rank) replays in DuckDB with identical
+    * ascending-index float math. */
+  private def qS4annPq(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Pq.pqTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, m = 16, dim = 64, codebookSize = 16,
+        rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private val oS4 = {
+    val m = 16; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |nvs AS (SELECT id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / nrm) AS nv FROM e),
+       |sd AS (SELECT code, nv FROM (SELECT id, nv, row_number() OVER (
+       |    ORDER BY CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR),
+       |      '|pq')), 1, 6)) AS BIGINT), id) - 1 AS code
+       |  FROM nvs) WHERE code < $cbk),
+       |cw AS (SELECT sd.code, r.j,
+       |    list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub) AS w,
+       |    list_sum(list_transform(
+       |      list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub),
+       |      x -> x * x)) / 2 AS half
+       |  FROM sd CROSS JOIN range(0, $m) r(j)),
+       |sc AS (SELECT n.id, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(n.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) - c.half AS s
+       |  FROM nvs n CROSS JOIN cw c),
+       |enc AS (SELECT id, list(code ORDER BY j) AS codes FROM (
+       |    SELECT id, j, code, row_number() OVER (PARTITION BY id, j
+       |      ORDER BY s DESC, code) AS rn FROM sc)
+       |  WHERE rn = 1 GROUP BY id),
+       |q AS (SELECT id AS query_id, nv FROM nvs WHERE id < 5),
+       |lutp AS (SELECT q.query_id, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(q.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) AS p
+       |  FROM q CROSS JOIN cw c),
+       |lut AS (SELECT query_id, list(pl ORDER BY j) AS lut FROM (
+       |    SELECT query_id, j, list(p ORDER BY code) AS pl
+       |    FROM lutp GROUP BY 1, 2) GROUP BY 1),
+       |adc AS (SELECT l.query_id, enc.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${m + 1}),
+       |      j -> l.lut[j][enc.codes[j] + 1])), 6) AS s
+       |  FROM lut l CROSS JOIN enc WHERE enc.id <> l.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Exact boilerplate shingles (document frequency ≥ 5). The Count-Min
     * sketch (graft.functions.CountMin) estimates the same statistic with
     * bounded state; its accuracy is gated in SinksStreamSpec. */
@@ -557,12 +629,18 @@ object TextSimQueries {
       .orderBy("event_type")
 
   private def qSt1daily(s: SparkSession, d: String): DataFrame =
-    DailyRollup.dailyStats(Tables.events(s, d), "ts", "event_type", "value")
-      .withColumn("total", round(col("total"), 2))
+    // pre-cast onto the exact 2-dp decimal grid: the sum is then exact
+    // and order-independent (see SparkEntry.moneySum)
+    DailyRollup.dailyStats(
+        Tables.events(s, d)
+          .withColumn("value", col("value").cast("decimal(20,2)")),
+        "ts", "event_type", "value")
+      .withColumn("total", round(col("total").cast("double"), 2))
       .orderBy("event_type", "date")
   private val oSt1 =
     """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date,
-      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- maps --------------------------------------------------------------
@@ -582,6 +660,7 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
+    "q_s4_ann_pq" -> qS4annPq _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_x1_split_stats" -> qX1split _,
@@ -605,6 +684,7 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> oS1,
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,
+    "q_s4_ann_pq" -> oS4,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_x1_split_stats" -> oX1,

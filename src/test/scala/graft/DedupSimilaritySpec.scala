@@ -133,6 +133,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PQ ANN: recall@5 >= 0.8 vs brute force; codes bounded (sf0.01)") {
+    import graft.operators.Pq
+    val q = sfEmb.where(col("vec_id") < 20)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = tops(Similarity.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5))
+    // this corpus is UNCLUSTERED (max pair cosine ~0.5): quantization
+    // error is large relative to the cosine spread, so recall needs a
+    // deep re-rank — rerankDepth is exactly the dial for that
+    val pq = tops(Pq.pqTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+      m = 16, dim = 64, codebookSize = 16, rerankDepth = 150))
+    val recalls = exact.keys.map(k =>
+      (pq.getOrElse(k, Set.empty) intersect exact(k)).size.toDouble / exact(k).size)
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"PQ recall@5 $recall below 0.8")
+    // codes are m small ints — the 32x memory contraction is real
+    val cb = Pq.codebook(sfEmb, "vec_id", "embedding", 16, 64, 16)
+    val codes = Pq.encode(sfEmb, "vec_id", "embedding", cb, 64)
+    assert(codes.columns.length == 17) // id + 16 codes
+    val mx = codes.select((1 to 16).map(j => max(col(s"c${j - 1}"))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Int])
+    assert(mx.forall(_ < 16))
+  }
+
   test("VectorDot: mismatched dimensions yield null, not a truncated dot") {
     val df = Seq(
       (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),
