@@ -68,18 +68,16 @@ object PipelineQueries {
         Seq("iv_id"), binSeconds = 3600L)
       .groupBy("iv_id")
       .agg(count(lit(1)).as("n_pts"), min(col("event_id")).as("min_pt"),
-        // decimal-exact sum: order-independent (see SparkEntry.moneySum)
-        round(sum(col("value").cast("decimal(20,2)")).cast("double"), 2)
-          .as("sum_value"))
+        round(graft.operators.Parity.moneySum(col("value")), 2).as("sum_value"))
       .orderBy("iv_id")
   }
   private val oR1 =
-    """WITH iv AS (SELECT event_id AS iv_id, event_type, ts AS start_ts,
+    s"""WITH iv AS (SELECT event_id AS iv_id, event_type, ts AS start_ts,
       |    ts + INTERVAL 2 HOUR AS end_ts
       |  FROM events WHERE event_id % 200 < 3)
       |SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS n_pts,
       |  min(e.event_id) AS min_pt,
-      |  round(CAST(sum(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
+      |  round(${graft.operators.Parity.moneySumSql("e.value")}, 2) AS sum_value
       |FROM iv JOIN events e
       |  ON e.event_type = iv.event_type
       |  AND e.ts BETWEEN iv.start_ts AND iv.end_ts

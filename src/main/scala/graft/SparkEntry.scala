@@ -50,17 +50,9 @@ object SparkEntry {
 
   // ---- A: aggregations ---------------------------------------------------
 
-  /** Order-independent money sum: the input doubles sit EXACTLY on the
-    * 2-dp grid (verified over every sf), so casting each value to
-    * DECIMAL(20,2) is lossless, the decimal addition is exact in any
-    * order, and the cast back to double is deterministic. A plain double
-    * sum folds in shuffle order and drifts a last-ulp per run — observed
-    * as a 6-dp rounding flip in q_a1's avg at sf0.1. Oracle mirror:
-    * `CAST(sum(CAST(x AS DECIMAL(20,2))) AS DOUBLE)`. */
-  private def moneySum(c: Column): Column =
-    sum(c.cast("decimal(20,2)")).cast("double")
-  private def moneySumSql(x: String): String =
-    s"CAST(sum(CAST($x AS DECIMAL(20,2))) AS DOUBLE)"
+  // order-independent 2-dp-exact sums (see operators.Parity scaladoc)
+  private def moneySum(c: Column) = graft.operators.Parity.moneySum(c)
+  private def moneySumSql(x: String) = graft.operators.Parity.moneySumSql(x)
 
   private def qA1dailyStats(s: SparkSession, d: String): DataFrame =
     Profiles.daily(li(s, d), col("l_returnflag"), col("l_shipdate"),
@@ -183,10 +175,10 @@ object SparkEntry {
       .withColumn("total", round(col("total").cast("double"), 2))
       .orderBy("year")
   private val oA12 =
-    """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS deployments,
       |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
+      |  round(${moneySumSql("o_totalprice")}, 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def qA13windowTotal(s: SparkSession, d: String): DataFrame =
@@ -237,11 +229,11 @@ object SparkEntry {
       .orderBy("custkey")
   }
   private val oJ2 =
-    """SELECT c_custkey AS custkey, c_name, o.n_orders, o.sum_price,
+    s"""SELECT c_custkey AS custkey, c_name, o.n_orders, o.sum_price,
       |  (o.n_orders IS NULL) AS orphaned
       |FROM customer LEFT JOIN (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_price
+      |         round(${moneySumSql("o_totalprice")}, 2) AS sum_price
       |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
@@ -252,10 +244,10 @@ object SparkEntry {
       .orderBy("custkey")
   }
   private val oJ3 =
-    """SELECT o.o_custkey AS custkey, c_name, o.n_orders, o.sum_price
+    s"""SELECT o.o_custkey AS custkey, c_name, o.n_orders, o.sum_price
       |FROM customer RIGHT JOIN (
       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-      |         round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_price
+      |         round(${moneySumSql("o_totalprice")}, 2) AS sum_price
       |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey
       |ORDER BY custkey""".stripMargin
 
@@ -362,8 +354,8 @@ object SparkEntry {
        |ORDER BY event_id""".stripMargin
 
   private val (qP14tail, oP14) = shared(
-    """SELECT CAST(count(*) AS BIGINT) AS n,
-      |  round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(${moneySumSql("value")}, 2) AS sum_value
       |FROM events
       |WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOURS FROM events)""".stripMargin)
 
@@ -498,8 +490,8 @@ object SparkEntry {
         round(moneySum(col("o_totalprice")), 2).as("total"))
       .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderstatus"))
   private val oA17 =
-    """SELECT yr, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
+    s"""SELECT yr, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(${moneySumSql("o_totalprice")}, 2) AS total
       |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
       |      o_totalprice FROM orders) t
       |GROUP BY ROLLUP(yr, o_orderstatus)

@@ -638,9 +638,9 @@ object TextSimQueries {
       .withColumn("total", round(col("total").cast("double"), 2))
       .orderBy("event_type", "date")
   private val oSt1 =
-    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date,
+    s"""SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS date,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
+      |  round(${graft.operators.Parity.moneySumSql("value")}, 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- maps --------------------------------------------------------------

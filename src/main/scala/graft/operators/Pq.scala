@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * split into `m` subvectors, and each subvector is replaced by the id
   * of its nearest codeword from a per-subspace codebook of
   * `codebookSize` entries. A 64-dim float vector (256 B) becomes m
-  * 1-byte codes — a 32× memory cut that lets a candidate scan run over
+  * 1-byte codes — a 16× memory cut that lets a candidate scan run over
   * codes instead of raw vectors.
   *
   * Search is asymmetric-distance (ADC): each QUERY precomputes a
@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
-  private def normalize(c: Column): Column = {
-    val n = Similarity.norm(c)
-    transform(c, x => x / n)
-  }
+  // nrm must be the ALREADY-COMPUTED norm column: ArrayTransform evaluates
+  // its lambda per element interpreted, so an inline norm(c) would re-run
+  // a d-dim dot + sqrt for every element (O(d²) per row on the encode scan)
+  private def normalize(c: Column, nrm: Column): Column =
+    transform(c, x => x / nrm)
 
   /** Deterministic codebook: the `codebookSize` corpus vectors with the
     * smallest md5-derived hash, L2-normalized, sliced into `m`
@@ -47,7 +48,7 @@ object Pq {
       .where(col("nrm") > 0)
       .orderBy(Sampling.hash24(col("id"), "pq").asc, col("id").asc)
       .limit(codebookSize)
-      .select(normalize(col("v")).as("nv"))
+      .select(normalize(col("v"), col("nrm")).as("nv"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(seeds.length == codebookSize,
@@ -80,7 +81,7 @@ object Pq {
     val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0)
-      .withColumn("nv", normalize(col("v")))
+      .withColumn("nv", normalize(col("v"), col("nrm")))
     base.select(col("id") +:
       (0 until m).map(j => codeOf(col("nv"), cb, j, dsub).as(s"c$j")): _*)
   }
@@ -107,7 +108,7 @@ object Pq {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
       .where(col("qn") > 0)
-      .withColumn("nq", normalize(col("qv")))
+      .withColumn("nq", normalize(col("qv"), col("qn")))
       .withColumn("lut", array((0 until m).map { j =>
         array(cb(j).map(cw =>
           Similarity.dot(slice(col("nq"), j * dsub + 1, dsub),

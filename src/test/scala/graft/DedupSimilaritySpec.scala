@@ -149,13 +149,24 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       (pq.getOrElse(k, Set.empty) intersect exact(k)).size.toDouble / exact(k).size)
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.8, s"PQ recall@5 $recall below 0.8")
-    // codes are m small ints — the 32x memory contraction is real
+    // encoding check with teeth: the distributed code of subspace 0 for
+    // one vector must equal a driver-side replay of the argmax (wrong
+    // slicing, argmax, or tiebreak would flip it)
     val cb = Pq.codebook(sfEmb, "vec_id", "embedding", 16, 64, 16)
     val codes = Pq.encode(sfEmb, "vec_id", "embedding", cb, 64)
     assert(codes.columns.length == 17) // id + 16 codes
-    val mx = codes.select((1 to 16).map(j => max(col(s"c${j - 1}"))): _*)
-      .collect()(0).toSeq.map(_.asInstanceOf[Int])
-    assert(mx.forall(_ < 16))
+    val v0 = sfEmb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val nrm = math.sqrt(v0.map(x => x * x).sum)
+    val sub0 = v0.map(_ / nrm).slice(0, 4)
+    val expected = cb(0).zipWithIndex.map { case (cw, code) =>
+      val s = sub0.zip(cw).map { case (a, b) => a * b }.sum -
+        cw.map(x => x * x).sum / 2.0
+      (-s, code)
+    }.min._2
+    val got = codes.where(col("id") === 0).select("c0").collect()(0).getInt(0)
+    assert(got == expected, s"subspace-0 code $got != driver replay $expected")
   }
 
   test("VectorDot: mismatched dimensions yield null, not a truncated dot") {
