@@ -15,10 +15,12 @@ import graft.sources.Tables
   *  - identical output column names on both sides;
   *  - deterministic row order: every query ends in ORDER BY over a unique
   *    key prefix (ties broken by explicit columns);
-  *  - aggregate outputs type-aligned (counts → BIGINT, year/month → BIGINT)
-  *    and double sums rounded onto their exact decimal grid (input values
-  *    are 2-dp / 4-dp exact, so round(·,2|4) kills cross-engine summation
-  *    ULP noise without ever sitting on a rounding boundary);
+  *  - aggregate outputs type-aligned (counts → BIGINT, year/month → BIGINT);
+  *  - sums/averages over non-integral doubles use `Parity.moneySum` (exact
+  *    DECIMAL addition, order-independent) — rounding the output alone is
+  *    NOT enough: a shuffle-order double sum can land a hair's width
+  *    across a rounding boundary (observed at sf0.1), while integral-
+  *    valued doubles (quantities) sum exactly under any order;
   *  - timestamps emitted as formatted strings or DATE casts.
   */
 object SparkEntry {
