@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.geo.GeoJson
@@ -10,9 +10,10 @@ import graft.streaming.DailyRollup
 
 /** Training-data-pipeline query pack: text analysis, dedup family,
   * similarity search, multimodal plumbing, streaming-semantics roll-up.
-  * Same oracle conventions as SparkEntry (see its scaladoc). Queries
-  * without an oracle (Spark-hash-dependent: MinHash/SimHash/LSH; or
-  * JSON/binary-shaped output) get the driver's rows-only check.
+  * Same oracle conventions as SparkEntry (see its scaladoc). Every
+  * query here is DuckDB-oracled except q_m1 (binary media output —
+  * rows-only): MinHash/SimHash hashes are md5-derived (portable), and
+  * the GeoJSON sink is verified by parse-back extraction.
   */
 object TextSimQueries {
 
@@ -63,12 +64,18 @@ object TextSimQueries {
       |FROM t ORDER BY doc_id""".stripMargin
 
   private def qT3lang(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), col("lang"),
+    // two-stage projection: scores once, guess from the score COLUMNS —
+    // CollapseProject keeps the stages apart (the regexp subtrees are
+    // non-cheap and multiply referenced), so each score is evaluated once
+    docs(s, d).select(col("doc_id"), col("lang"), col("text"),
         TextStats.langScore(col("text"), "en").as("s_en"),
         TextStats.langScore(col("text"), "de").as("s_de"),
         TextStats.langScore(col("text"), "es").as("s_es"),
-        TextStats.langScore(col("text"), "fr").as("s_fr"),
-        TextStats.langGuess(col("text")).as("guess"))
+        TextStats.langScore(col("text"), "fr").as("s_fr"))
+      .select(col("doc_id"), col("lang"), col("s_en"), col("s_de"),
+        col("s_es"), col("s_fr"),
+        TextStats.langGuessFromScores(col("text"),
+          Seq(col("s_en"), col("s_de"), col("s_es"), col("s_fr"))).as("guess"))
       .orderBy("doc_id")
   private val oT3 = {
     def occ(w: String): String = {
@@ -149,28 +156,40 @@ object TextSimQueries {
     }
   /** q_d2 emits the pairs, q_d6 clusters THE SAME pairs — one pipeline,
     * so the bench session computes the inverted-index join once (the
-    * pair set is tiny: ∝ near-dups, not corpus). */
+    * pair set is tiny: ∝ near-dups, not corpus). The skew guard runs at
+    * its PRODUCTION default — the oracle mirrors the bucket prune with a
+    * grouped-count CTE, so the measured/oracled path is the scale path. */
+  private[graft] val JaccardMaxBucket = 1000
   private def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
     cachedPerDir(s, s"jacpairs|$d") {
       Dedup.jaccardPairsFromHashes(sharedShingles(s, d),
-        minJaccard = 0.05, maxBucketSize = Int.MaxValue)
+        minJaccard = 0.05, maxBucketSize = JaccardMaxBucket)
     }
+  /** DuckDB mirror of the `maxBucketSize` prune: keep only shingles
+    * whose doc-bucket is within bound; docs' n_sh stay the FULL distinct
+    * shingle counts (the prune restricts candidate generation and the
+    * intersection count, not the denominator — exactly what
+    * `jaccardPairsFromHashes` computes). */
+  private def prunedShingleCtes: String =
+    s"""ok AS (SELECT sg FROM e GROUP BY sg HAVING count(*) <= $JaccardMaxBucket),
+       |e2 AS (SELECT e.* FROM e JOIN ok USING (sg))""".stripMargin
 
   private def qD2jaccard(s: SparkSession, d: String): DataFrame =
     sharedJaccardPairs(s, d)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   private val oD2 =
-    """WITH w AS (SELECT doc_id,
+    s"""WITH w AS (SELECT doc_id,
       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |$prunedShingleCtes,
       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
       |        count(*) AS inter
-      |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |      FROM e2 a JOIN e2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2, 3, 4)
       |SELECT ia AS id_a, ib AS id_b,
       |  round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
@@ -187,16 +206,17 @@ object TextSimQueries {
       .drop("members")
       .orderBy("keeper")
   private val oD6 =
-    """WITH RECURSIVE w AS (SELECT doc_id,
+    s"""WITH RECURSIVE w AS (SELECT doc_id,
       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |$prunedShingleCtes,
       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
       |        count(*) AS inter
-      |      FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |      FROM e2 a JOIN e2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2, 3, 4),
       |pairs AS (SELECT ia AS id_a, ib AS id_b FROM p
       |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05),
@@ -211,6 +231,11 @@ object TextSimQueries {
       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members_csv
       |FROM lab GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** MinHash+LSH — fully oracled since the portable (md5-derived)
+    * permutation hashes replay in DuckDB: signature mins, band slices,
+    * candidate join, and the agreement estimate are all engine-neutral
+    * (only the band-bucket join KEY uses xxhash64 internally; the oracle
+    * joins on band-slice equality, identical up to ~2^-60 collisions). */
   private def qD3minhash(s: SparkSession, d: String): DataFrame = {
     val sig = Dedup.minhashFromHashes(sharedShingles(s, d), k = 64)
     Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 4)
@@ -218,12 +243,67 @@ object TextSimQueries {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
+  private val oD3 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+      |hh AS (SELECT DISTINCT doc_id,
+      |  CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM e),
+      |pm AS (SELECT doc_id, r.i,
+      |    min(CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '|',
+      |      CAST(r.i AS VARCHAR))), 1, 15)) AS BIGINT)) AS mh
+      |  FROM hh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM pm GROUP BY 1),
+      |bnd AS (SELECT doc_id, sig, r.b,
+      |    list_slice(sig, r.b * 4 + 1, r.b * 4 + 4) AS bs
+      |  FROM sig CROSS JOIN range(0, 16) r(b)),
+      |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sig AS sa, b.sig AS sb
+      |  FROM bnd a JOIN bnd b ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |est AS (SELECT ia, ib,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CASE WHEN sa[j] = sb[j] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0 AS ej
+      |  FROM cand)
+      |SELECT ia AS id_a, ib AS id_b, round(ej, 6) AS est_jaccard
+      |FROM est WHERE ej >= 0.2 ORDER BY 1, 2""".stripMargin
 
+  /** SimHash — fully oracled: portable bit sources (md5-derived hash60
+    * pair), integer-only fingerprint assembly, chunk bucketing, and
+    * bit_count(xor) distance all replay in DuckDB. */
   private def qD4simhash(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.simhash(docs(s, d), "doc_id", "text")
     Dedup.simhashPairs(sh, maxHamming = 16)
       .orderBy("id_a", "id_b")
   }
+  private val oD4 =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(lower(
+      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+      |  FROM documents),
+      |hsh AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(concat('0x', substr(md5(t || '|b'), 1, 15)) AS BIGINT) AS h2
+      |  FROM tok),
+      |bs AS (SELECT doc_id, r.i,
+      |    sum(CASE WHEN (CASE WHEN r.i < 60 THEN (h1 >> r.i)
+      |      ELSE (h2 >> (r.i - 60)) END) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+      |  FROM hsh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+      |fp AS (SELECT doc_id, bit_or(CASE WHEN sb > 0 THEN
+      |      (CASE WHEN r2.i = 63 THEN (-9223372036854775807 - 1)
+      |       ELSE (1::BIGINT << CAST(r2.i AS INTEGER)) END)
+      |    ELSE 0 END) AS simhash
+      |  FROM (SELECT doc_id, i, sb FROM bs) AS r2 GROUP BY 1),
+      |ch AS (SELECT doc_id, simhash, r.c, (simhash >> (r.c * 16)) & 65535 AS cval
+      |  FROM fp CROSS JOIN range(0, 4) r(c)),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    min(bit_count(xor(a.simhash, b.simhash))) AS hamming
+      |  FROM ch a JOIN ch b ON a.c = b.c AND a.cval = b.cval AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b, CAST(hamming AS BIGINT) AS hamming
+      |FROM p WHERE hamming <= 16 ORDER BY 1, 2""".stripMargin
 
   /** Bucketed (banded hyperplane LSH) near-dup — the DEFAULT scale path.
     * Fully oracled: the DuckDB SQL replicates the banding with the SAME
@@ -234,10 +314,9 @@ object TextSimQueries {
     * DedupSimilaritySpec. */
   private def qD5embedNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, d), "vec_id", "embedding", minCosine = 0.4,
-        planes = 64, bands = 16, dim = 64,
-        // the oracle replicates the banding WITHOUT a bucket prune — pin
-        // parity by disabling the guard here (production default keeps it)
-        maxBucketSize = Int.MaxValue)
+        planes = 64, bands = 16, dim = 64)
+      // the guard runs at its production default (maxBucketSize = 100000);
+      // the oracle mirrors the bucket prune with a grouped-count CTE
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
   private val oD5 = {
@@ -258,8 +337,11 @@ object TextSimQueries {
        |  FROM e CROSS JOIN pl),
        |bnd AS (SELECT id, p // $r AS band, sum(bit * (1 << (p % $r))) AS bval
        |  FROM sig GROUP BY 1, 2),
+       |okb AS (SELECT band, bval FROM bnd GROUP BY band, bval
+       |  HAVING count(*) <= 100000),
+       |bnd2 AS (SELECT bnd.* FROM bnd JOIN okb USING (band, bval)),
        |cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib
-       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
+       |  FROM bnd2 a JOIN bnd2 b ON a.band = b.band AND a.bval = b.bval AND a.id < b.id),
        |pr AS (SELECT ia, ib, ea.embedding AS ea, eb.embedding AS eb
        |  FROM cand JOIN e ea ON ea.id = cand.ia JOIN e eb ON eb.id = cand.ib),
        |u AS (SELECT ia, ib, CAST(unnest(ea) AS DOUBLE) AS xa,
@@ -622,11 +704,72 @@ object TextSimQueries {
       .orderBy("media_id")
   }
 
-  private def qG1geojson(s: SparkSession, d: String): DataFrame =
-    GeoJson.trackFeatureCollections(
-        Tables.events(s, d).withColumn("lon", col("user_id").cast("double") / 100d),
-        "event_type", "ts", "value", "lon")
-      .orderBy("event_type")
+  /** GeoJSON sink — fully oracled via parse-back: the REAL operator
+    * renders each track's FeatureCollection JSON, then the query parses
+    * its own output and emits every feature's coordinates (milli-degree
+    * longs — the 3-dp grid ×1000, exact integers on every engine),
+    * timestamps, order, bbox, and track-LineString coordinates. The
+    * DuckDB oracle computes the same values from the raw table with the
+    * proven HALF_DOWN/HALF_UP integer mirrors (q_f6's formula), so a
+    * wrong rounding, ordering, bbox, or dropped feature in the JSON
+    * construction hash-mismatches. (Exact string formatting is covered
+    * by the parse-back spec in SourcesGeoStreamSpec.) */
+  private def qG1geojson(s: SparkSession, d: String): DataFrame = {
+    val fc = GeoJson.trackFeatureCollections(
+      Tables.events(s, d).withColumn("lon", col("user_id").cast("double") / 100d),
+      "event_type", "ts", "value", "lon")
+    val schema = "type STRING, bbox ARRAY<DOUBLE>, " +
+      "track STRUCT<type: STRING, geometry: STRUCT<type: STRING, " +
+      "coordinates: ARRAY<ARRAY<DOUBLE>>>>, " +
+      "features ARRAY<STRUCT<type: STRING, geometry: STRUCT<type: STRING, " +
+      "coordinates: ARRAY<DOUBLE>>, properties: STRUCT<ts: STRING>>>"
+    def milli(c: Column): Column = round(c * 1000).cast("long")
+    fc.select(col("event_type"),
+        from_json(col("geojson"), schema, Map.empty[String, String]).as("g"))
+      .select(col("event_type"), col("g"),
+        posexplode(col("g.features")).as(Seq("pos", "f")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast("long").as("pt"),
+        milli(element_at(col("f.geometry.coordinates"), 1)).as("lon_milli"),
+        milli(element_at(col("f.geometry.coordinates"), 2)).as("lat_milli"),
+        milli(element_at(element_at(col("g.track.geometry.coordinates"),
+          col("pos") + 1), 1)).as("tlon_milli"),
+        milli(element_at(element_at(col("g.track.geometry.coordinates"),
+          col("pos") + 1), 2)).as("tlat_milli"),
+        col("f.properties.ts").as("ts_iso"),
+        size(col("g.features")).cast("long").as("n_features"),
+        milli(element_at(col("g.bbox"), 1)).as("bb_lon_min"),
+        milli(element_at(col("g.bbox"), 2)).as("bb_lat_min"),
+        milli(element_at(col("g.bbox"), 3)).as("bb_lon_max"),
+        milli(element_at(col("g.bbox"), 4)).as("bb_lat_max"))
+      .orderBy("event_type", "pt")
+  }
+  private val oG1 = {
+    def hd(x: String): String =
+      s"CASE WHEN $x >= 0 THEN CAST(ceil($x * 1000 - 0.5) AS BIGINT) " +
+        s"ELSE CAST(floor($x * 1000 + 0.5) AS BIGINT) END"
+    def hu(x: String): String =
+      s"CASE WHEN $x >= 0 THEN CAST(floor($x * 1000 + 0.5) AS BIGINT) " +
+        s"ELSE CAST(ceil($x * 1000 - 0.5) AS BIGINT) END"
+    s"""WITH e AS (SELECT event_type, ts, CAST(value AS DOUBLE) AS lat,
+       |    CAST(user_id AS DOUBLE) / 100 AS lon FROM events),
+       |r AS (SELECT event_type, ts, ${hd("lon")} AS lon_milli,
+       |    ${hd("lat")} AS lat_milli FROM e),
+       |o AS (SELECT event_type, ts, lon_milli, lat_milli,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY epoch_ns(ts) // 1000, lon_milli, lat_milli) AS BIGINT) AS pt
+       |  FROM r),
+       |bb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_features,
+       |    ${hd("min(lon)")} AS bb_lon_min, ${hd("min(lat)")} AS bb_lat_min,
+       |    ${hu("max(lon)")} AS bb_lon_max, ${hu("max(lat)")} AS bb_lat_max
+       |  FROM e GROUP BY 1)
+       |SELECT o.event_type, o.pt, o.lon_milli, o.lat_milli,
+       |  o.lon_milli AS tlon_milli, o.lat_milli AS tlat_milli,
+       |  strftime(o.ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+       |  bb.n_features, bb.bb_lon_min, bb.bb_lat_min, bb.bb_lon_max,
+       |  bb.bb_lat_max
+       |FROM o JOIN bb USING (event_type) ORDER BY 1, 2""".stripMargin
+  }
 
   private def qSt1daily(s: SparkSession, d: String): DataFrame =
     // pre-cast onto the exact 2-dp decimal grid: the sum is then exact
@@ -678,6 +821,8 @@ object TextSimQueries {
     "q_t4_fingerprint" -> oT4,
     "q_d1_exact_dedup" -> oD1,
     "q_d2_ngram_jaccard" -> oD2,
+    "q_d3_minhash_lsh" -> oD3,
+    "q_d4_simhash" -> oD4,
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_d6_neardup_clusters" -> oD6,
@@ -690,6 +835,7 @@ object TextSimQueries {
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,
+    "q_g1_geojson_tracks" -> oG1,
     "q_st1_daily_rollup" -> oSt1,
   )
 }

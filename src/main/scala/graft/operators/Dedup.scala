@@ -51,17 +51,24 @@ object Dedup {
                   n: Int): DataFrame =
     distinctShingleRows(df, idCol, textCol, n)
 
-  /** DISTINCT (id, xxhash64(shingle)) rows — the tokenize-once form both
+  /** DISTINCT (id, hash(shingle)) rows — the tokenize-once form both
     * `jaccardPairsFromHashes` and `minhashFromHashes` consume. Hashing
     * BEFORE the distinct keeps the aggregate and any persist() 8 bytes per
     * shingle instead of a ~20-char string (measured: persisting string
     * shingles costs more than recomputing them; hashed rows cache cheaply).
-    * Collision odds over |distinct shingles|² are ~1e-11 — below any other
-    * nondeterminism in the pipeline. */
+    * Collision odds over |distinct shingles|² are negligible — below any
+    * other nondeterminism in the pipeline.
+    *
+    * `portable = true` (default) derives the hash from md5
+    * (`Sampling.hash60`), so a DuckDB oracle can replay the VALUES —
+    * required for MinHash signatures built downstream. `portable = false`
+    * uses xxhash64 (cheaper per byte; join-key-only pipelines that never
+    * surface the hash can opt in). */
   def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-                      n: Int): DataFrame =
+                      n: Int, portable: Boolean = true): DataFrame =
     rawShingleRows(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col("id"),
+        (if (portable) Sampling.hash60(col("s")) else xxhash64(col("s"))).as("h"))
       .distinct()
 
   /** Shared tokenization: NON-distinct (id, shingle-string) rows — the
@@ -125,12 +132,19 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .select(col("id"), col("n_sh"), col("h").as("s"))
       .repartition(col("s"))
+    // the guard against skew must not itself be skewed: a window over the
+    // bucket key would funnel the entire pathological bucket into ONE task
+    // before dropping it. A groupBy.count (map-side-combinable, reuses the
+    // repartition(s) exchange) finds the FEW oversized keys, and a
+    // broadcast anti-join drops their rows without any further shuffle.
     val pruned =
-      if (maxBucketSize == Int.MaxValue) inv // no prune → skip the window pass
-      else inv.withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-        .where(col("bucket_n") <= maxBucketSize)
-        .drop("bucket_n")
+      if (maxBucketSize == Int.MaxValue) inv // no prune → skip the count pass
+      else {
+        val oversized = inv.groupBy("s").agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") > maxBucketSize)
+          .select("s")
+        inv.join(broadcast(oversized), Seq("s"), "left_anti")
+      }
     val inter = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -233,29 +247,41 @@ object Dedup {
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** k-permutation MinHash signature per doc: sig[i] = min over shingles
-    * of xxhash64(i, shingle).
+    * of hash(i, shingle-hash).
     *
     * Implementation: explode shingles, then ONE hash aggregate with k
-    * `min(xxhash64(i, s))` columns. A nested higher-order-function
-    * formulation (transform ∘ array_min ∘ transform) looks natural but
-    * HOF lambdas are CodegenFallback — interpreted per row — and measured
-    * ~100× slower; k independent min-aggregates stay inside whole-stage
-    * codegen with map-side partial aggregation, so the shuffle carries one
-    * k-long row per doc. */
+    * `min(hash_i)` columns. A nested higher-order-function formulation
+    * (transform ∘ array_min ∘ transform) looks natural but HOF lambdas
+    * are CodegenFallback — interpreted per row — and measured ~100×
+    * slower; k independent min-aggregates stay inside whole-stage codegen
+    * with map-side partial aggregation, so the shuffle carries one k-long
+    * row per doc. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame =
-    minhashFromHashes(shingleHashRows(df, idCol, textCol, n), k)
+                        n: Int, k: Int, portable: Boolean = true): DataFrame =
+    minhashFromHashes(shingleHashRows(df, idCol, textCol, n, portable), k,
+      portable)
 
-  /** MinHash signatures from precomputed `shingleHashRows` output. */
-  def minhashFromHashes(rows: DataFrame, k: Int): DataFrame = {
-    // The shingle STRING was hashed once upstream; the k permutations
-    // re-hash the fixed-width digest — k string hashes per shingle would
-    // dominate the stage. (h1 + i·h2 double hashing is the textbook trick
-    // but overflows under ANSI arithmetic.)
+  /** MinHash signatures from precomputed `shingleHashRows` output (match
+    * the `portable` flag the rows were built with).
+    *
+    * The shingle STRING was hashed once upstream; the k permutations
+    * re-hash the fixed-width digest — k string hashes per shingle would
+    * dominate the stage. (h1 + i·h2 double hashing is the textbook trick
+    * but overflows under ANSI arithmetic.) `portable = true` derives each
+    * permutation from md5 of the digest's decimal form + the permutation
+    * index — exactly replayable in the DuckDB oracle; `portable = false`
+    * uses seeded xxhash64 (no SQL analog). */
+  def minhashFromHashes(rows: DataFrame, k: Int,
+                        portable: Boolean = true): DataFrame = {
     val ex = rows
       .select(col("id"), col("h").as("h1"))
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("h1"))).as(s"_h$i"))
+    val aggs = (0 until k).map { i =>
+      val perm =
+        if (portable)
+          Sampling.hash60(concat(col("h1").cast("string"), lit(s"|$i")))
+        else xxhash64(lit(i), col("h1"))
+      min(perm).as(s"_h$i")
+    }
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
   }
@@ -297,18 +323,30 @@ object Dedup {
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash per doc from word tokens: bit i of the fingerprint is
-    * the sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+    * the sign of Σ_tokens (±1 by bit i of hash(token)).
     *
     * Implementation: explode tokens, one hash aggregate with 64 signed
     * bit-sum columns (codegen + map-side combine — see minhashSignatures
     * for why not nested HOFs), then assemble the fingerprint with bitwise
-    * ORs of the 64 sign tests. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    * ORs of the 64 sign tests.
+    *
+    * `portable = true` (default) sources bits 0–59 from the md5-derived
+    * `Sampling.hash60(token)` and bits 60–63 from a second salted
+    * `hash60(token || "|b")`, so the DuckDB oracle replays every bit;
+    * `portable = false` uses all 64 bits of xxhash64 (no SQL analog). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portable: Boolean = true): DataFrame = {
+    val ex0 = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("t"))
+    val ex =
+      if (portable)
+        ex0.withColumn("h", Sampling.hash60(col("t")))
+          .withColumn("h2", Sampling.hash60(concat(col("t"), lit("|b"))))
+      else ex0.withColumn("h", xxhash64(col("t")))
+    def bitOf(i: Int): Column =
+      if (!portable || i < 60) shiftright(col("h"), i).bitwiseAND(lit(1L))
+      else shiftright(col("h2"), i - 60).bitwiseAND(lit(1L))
     val aggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_b$i")
+      sum(when(bitOf(i) === 1L, 1L).otherwise(-1L)).as(s"_b$i")
     }
     val counts = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
     val fp = (0 until 64).map { i =>
@@ -398,12 +436,18 @@ object Dedup {
     val banded = e
       .select(col("id"), posexplode(bandValues(col("v"), hp, bands)).as(Seq("band", "bval")))
       .repartition(col("band"), col("bval")) // self-join shares ONE exchange
+    // groupBy.count + broadcast anti-join of oversized keys, NOT a window
+    // over the bucket key (which would funnel the pathological bucket into
+    // one task before it could be dropped — see jaccardPairsFromHashes)
     val pruned =
       if (maxBucketSize == Int.MaxValue) banded
-      else banded.withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")))
-        .where(col("bucket_n") <= maxBucketSize)
-        .drop("bucket_n")
+      else {
+        val oversized = banded.groupBy("band", "bval")
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") > maxBucketSize)
+          .select("band", "bval")
+        banded.join(broadcast(oversized), Seq("band", "bval"), "left_anti")
+      }
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
@@ -435,22 +479,34 @@ object Dedup {
     * pass is a constant ~2 tiny stages). Superseded checkpoint blocks are
     * small (two longs per vertex, ≤ maxIters copies) and reclaimed by the
     * ContextCleaner as references drop; on clusters with dynamic
-    * allocation prefer a reliable `checkpoint()` variant —
+    * allocation pass `reliable = true` for HDFS-backed checkpoints —
     * executor-local blocks do not survive executor loss. Convergence
     * takes O(component diameter) passes; near-dup clusters are shallow,
     * so the default cap is generous. The per-pass driver step is one
     * `count` on changed labels — bounded work, and the loop FAILS LOUDLY
     * if the cap is hit rather than returning half-propagated labels.
-    * `onPass` (it, changed, seconds) observes each pass (profiling). */
+    * `onPass` (it, changed, seconds) observes each pass (profiling).
+    *
+    * `reliable = true` switches every eager checkpoint to the
+    * HDFS-backed `checkpoint()` (requires
+    * `spark.sparkContext.setCheckpointDir`): executor-local blocks die
+    * with their executor, so clusters running dynamic allocation (or any
+    * long job that must survive executor loss) should pay the
+    * distributed-FS write. Default stays `localCheckpoint` — cheaper,
+    * and fine on static allocations. */
   def componentLabels(pairs: DataFrame, maxIters: Int = 20,
-                      onPass: (Int, Long, Double) => Unit = (_, _, _) => ()): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+                      onPass: (Int, Long, Double) => Unit = (_, _, _) => (),
+                      reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable componentLabels needs spark.sparkContext.setCheckpointDir")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -461,14 +517,13 @@ object Dedup {
       // the changed-count rides the eager checkpoint job as an observed
       // metric — one job per pass, not a checkpoint job plus a count job
       val obs = new org.apache.spark.sql.Observation(s"cc_pass_$it")
-      labels = labels
+      labels = ckpt(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), col("nlabel")).as("label"), // least skips nulls
           (col("nlabel").isNotNull && col("nlabel") < col("label")).as("_chg"))
         .observe(obs,
-          coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
-        .localCheckpoint(true)
+          coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)).as("changed")))
         .drop("_chg")
       changed = obs.get("changed").asInstanceOf[Long]
       it += 1
@@ -483,8 +538,9 @@ object Dedup {
     * per component with the keeper (= min id), size, and members. The
     * end-to-end dedup step: pairs from any generator (Jaccard, SimHash,
     * embedding LSH) in, drop-list out (every member except the keeper). */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    componentLabels(pairs, maxIters)
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+                      reliable: Boolean = false): DataFrame =
+    componentLabels(pairs, maxIters, reliable = reliable)
       .groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("cluster_size"),
         array_sort(collect_list(col("id"))).as("members"))

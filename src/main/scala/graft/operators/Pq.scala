@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PqCodec
+
 /** Product quantization (PQ) for embedding search at extreme scale —
   * the IVF-PQ half Spark has no analog for: vectors are L2-normalized,
   * split into `m` subvectors, and each subvector is replaced by the id
@@ -20,10 +22,13 @@ import org.apache.spark.sql.functions._
   * Determinism/oracle story: the codebook is a hash-sample of corpus
   * vectors (md5 order, like IVF's `sampleCentroids`) collected to the
   * driver (k rows — sampling-based training is the codebook's job at
-  * any scale) and embedded as LITERALS, so encoding and ADC are pure
-  * map-side codegen'd expressions with no joins, and a SQL oracle can
-  * replay every stage bit-for-bit (fixed-order float math throughout:
-  * ascending-index dots, fixed j-order LUT sums).
+  * any scale) and bound to codegen'd codec expressions
+  * (`graft.functions.PqCodec`) as a plain reference array — NOT
+  * unrolled literals, so the plan stays constant-size at any
+  * codebookSize (the standard k=256 byte code included) while encode
+  * and ADC remain pure map-side expressions with no joins. Fixed-order
+  * float math throughout (ascending-index dots, ascending-j LUT sums)
+  * lets a SQL oracle replay every stage bit-for-bit.
   */
 object Pq {
 
@@ -56,34 +61,48 @@ object Pq {
     Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
-  /** Code of subvector j under codebook `cb`: argmin L2 distance =
-    * argmax (x_j · c − ‖c‖²/2), smallest code on exact ties. Pure
-    * codegen'd expression: codebookSize dots of dsub dims per subspace. */
-  private def codeOf(nv: Column, cb: Array[Array[Array[Double]]],
-                     j: Int, dsub: Int): Column = {
-    val sub = slice(nv, j * dsub + 1, dsub)
-    val cands = cb(j).zipWithIndex.map { case (cw, code) =>
-      val half = cw.map(x => x * x).sum / 2.0
-      // + 0.0 canonicalizes -0.0 (struct order distinguishes the zeros,
-      // SQL ORDER BY does not — same fix as topKPerQuery)
-      struct((-(Similarity.dot(sub, typedlit(cw.toSeq)) - lit(half)) + lit(0.0)).as("negs"),
-        lit(code).as("code"))
+  /** Flatten a codebook for the codec expressions:
+    * cbFlat((j·k + c)·dsub + t) = cb(j)(c)(t);
+    * halfFlat(j·k + c) = ‖cb(j)(c)‖²/2 (ascending left-fold sum — the
+    * same fold order the encode argmin and the SQL oracle use). */
+  private[operators] def flatten(
+      cb: Array[Array[Array[Double]]]): (Array[Double], Array[Double]) = {
+    val m = cb.length; val k = cb(0).length; val dsub = cb(0)(0).length
+    val cbFlat = new Array[Double](m * k * dsub)
+    val halfFlat = new Array[Double](m * k)
+    for (j <- 0 until m; c <- 0 until k) {
+      System.arraycopy(cb(j)(c), 0, cbFlat, (j * k + c) * dsub, dsub)
+      halfFlat(j * k + c) = cb(j)(c).map(x => x * x).sum / 2.0
     }
-    least(cands: _*).getField("code")
+    (cbFlat, halfFlat)
   }
 
-  /** (id, code_0 … code_{m-1}) — normalized-vector PQ codes, map-side
-    * only (zero-norm vectors excluded, mirroring Similarity). */
-  def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+  /** (id, codes array<int>) — normalized-vector PQ codes in ONE
+    * codegen'd expression (zero-norm vectors excluded, mirroring
+    * Similarity). */
+  def encodeCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                  cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
     val m = cb.length
     val dsub = dim / m
-    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val (cbFlat, halfFlat) = flatten(cb)
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0)
       .withColumn("nv", normalize(col("v"), col("nrm")))
-    base.select(col("id") +:
-      (0 until m).map(j => codeOf(col("nv"), cb, j, dsub).as(s"c$j")): _*)
+      .select(col("id"),
+        PqCodec.encodeCol(col("nv"), cbFlat, halfFlat, m, cb(0).length, dsub)
+          .as("codes"))
+  }
+
+  /** (id, code_0 … code_{m-1}) — the wide-column form of `encodeCodes`
+    * (one int column per subspace, the layout a code-only parquet scan
+    * would store). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             cb: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val m = cb.length
+    encodeCodes(corpus, idCol, vecCol, cb, dim)
+      .select(col("id") +:
+        (0 until m).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
   }
 
   /** ADC top-k with exact re-rank: ADC-score every (query, code row)
@@ -101,28 +120,23 @@ object Pq {
     require(rerankDepth >= k, "rerankDepth must be >= k")
     val dsub = dim / m
     val cb = codebook(corpus, idCol, vecCol, m, dim, codebookSize)
-    val codes = encode(corpus, idCol, vecCol, cb, dim)
+    val (cbFlat, _) = flatten(cb)
+    val codes = encodeCodes(corpus, idCol, vecCol, cb, dim)
       .withColumnRenamed("id", "neighbor_id")
-    // query-side LUT: lut[j][code] = q_j · cb(j)(code) (m·k dots per
+    // query-side LUT: lut[j·k + code] = q_j · cb(j)(code) (m·k dots per
     // query, computed once on the tiny broadcast side)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", Similarity.norm(col("qv")))
       .where(col("qn") > 0)
       .withColumn("nq", normalize(col("qv"), col("qn")))
-      .withColumn("lut", array((0 until m).map { j =>
-        array(cb(j).map(cw =>
-          Similarity.dot(slice(col("nq"), j * dsub + 1, dsub),
-            typedlit(cw.toSeq))): _*)
-      }: _*))
-    // ADC score: fixed j-order sum of LUT lookups — deterministic and
+      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
+    // ADC score: ascending-j sum of LUT lookups — deterministic and
     // cheap (no per-pair d-dim dot)
-    val adc = (0 until m).map(j =>
-      element_at(element_at(col("lut"), j + 1), col(s"c$j") + 1))
-      .reduce(_ + _)
     val scored = codes.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(adc, 6).as("cosine")) // approx cosine (normalized inputs)
+        round(PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
+          .as("cosine")) // approx cosine (normalized inputs)
     val cands = Similarity.topKPerQuery(scored, rerankDepth)
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the bounded candidate set

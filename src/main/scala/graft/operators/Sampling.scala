@@ -23,6 +23,15 @@ object Sampling {
     conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 6),
       16, 10).cast("long")
 
+  /** 60-bit uniform hash in [0, 2^60) from the first 15 hex chars of
+    * md5 — the engine-portable stand-in for xxhash64 wherever a hash
+    * VALUE must replay bit-for-bit in the DuckDB oracle (MinHash
+    * permutations, SimHash bit sources). 60 bits stay positive in an
+    * int64 on every engine; collision odds at 2^60 are below every
+    * other nondeterminism in the pipeline. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   private def threshold(fraction: Double): Long = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     math.floor(fraction * (1L << 24)).toLong

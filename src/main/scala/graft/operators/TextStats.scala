@@ -75,14 +75,27 @@ object TextStats {
     LangMarkers.toMap.apply(lang).map(w => wordOccurrences(c, w))
       .reduce(_ + _)
 
-  def langGuess(c: Column): Column = {
-    val scores = LangMarkers.map { case (l, _) => l -> langScore(c, l) }
-    val best = scores.map(_._2).reduce(greatest(_, _))
-    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
+  /** Argmax over precomputed per-language score COLUMNS (one
+    * `least(struct)` — max score, ties to the first language in
+    * `LangMarkers` order, 'und' when every score is 0). Use this form in
+    * projections that also emit the scores: the naive when-chain expands
+    * every score subtree inside conditional branches, where Spark's
+    * subexpression elimination cannot reach (branches evaluate lazily) —
+    * the q_t3-shaped projection generated a >64 KB method that failed
+    * Janino compilation and silently fell back to interpreted eval. */
+  def langGuessFromScores(text: Column, scores: Seq[Column]): Column = {
+    val cands = scores.zipWithIndex.map { case (s, i) =>
+      struct((-s).as("negs"), lit(i).as("idx"))
     }
-    when(c.rlike("[一-鿿]"), lit("zh")).otherwise(pick)
+    val bst = least(cands: _*)
+    val pick = when(bst.getField("negs") < 0,
+      element_at(typedlit(LangMarkers.map(_._1)), bst.getField("idx") + 1))
+      .otherwise(lit("und"))
+    when(text.rlike("[一-鿿]"), lit("zh")).otherwise(pick)
   }
+
+  def langGuess(c: Column): Column =
+    langGuessFromScores(c, LangMarkers.map { case (l, _) => langScore(c, l) })
 
   /** Document fingerprint: hash of the alphanumeric-normalized text —
     * the exact-dedup key (S/F analog of a rolling-hash fingerprint). */

@@ -100,10 +100,19 @@ private[v2] class ErddapTable(schema: StructType, path: String, unitsRow: String
 private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String,
     unitsRow: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Int = -1
+
+  /** LIMIT pushdown (SURVEY §4: the reference's `items_per_page` —
+    * /root/reference/gdutils/__init__.py:31-32,403 — caps each catalog
+    * REQUEST; the same cap here stops each file reader early). Partial:
+    * each partition (file ≙ request) returns at most `limit` rows, and
+    * Spark's own Limit above the scan takes the global cut. */
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = limit; true }
+  override def isPartiallyPushed(): Boolean = true
 
   private def supported(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
@@ -122,40 +131,46 @@ private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new ErddapScan(fullSchema, required, pushed, path, unitsRow)
+    new ErddapScan(fullSchema, required, pushed, path, unitsRow, pushedLimit)
 }
 
 private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
                              filters: Array[Filter], path: String,
-                             unitsRow: String)
+                             unitsRow: String, limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"ErddapScan(path=$path, pushed=${filters.mkString(",")})"
+    s"ErddapScan(path=$path, pushed=${filters.mkString(",")}, limit=$limit)"
 
   override def planInputPartitions(): Array[InputPartition] =
     ErddapV2.files(path).map(f => ErddapFilePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ErddapReaderFactory(fullSchema, required, filters, unitsRow)
+    new ErddapReaderFactory(fullSchema, required, filters, unitsRow, limit)
 }
 
 private[v2] case class ErddapFilePartition(file: String) extends InputPartition
 
 private[v2] class ErddapReaderFactory(fullSchema: StructType,
-    required: StructType, filters: Array[Filter], unitsRow: String)
+    required: StructType, filters: Array[Filter], unitsRow: String,
+    limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ErddapFileReader(p.asInstanceOf[ErddapFilePartition].file,
-      fullSchema, required, filters, unitsRow)
+      fullSchema, required, filters, unitsRow, limit)
 }
 
 /** Per-file reader: header-driven column mapping, units-row skip, NA
-  * tokens, typed parse, pushed-filter evaluation. */
+  * tokens, typed parse, pushed-filter evaluation, early stop at the
+  * pushed limit (post-filter row count, matching ERDDAP's per-request
+  * `items_per_page` semantics; -1 = no limit). */
 private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
-    required: StructType, filters: Array[Filter], unitsRow: String)
+    required: StructType, filters: Array[Filter], unitsRow: String,
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val source = scala.io.Source.fromFile(file)
   private val lines = source.getLines()
@@ -228,6 +243,7 @@ private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val cells = lines.next().split(",", -1)
       // units row handling per the `unitsRow` option:
@@ -258,6 +274,7 @@ private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
         if (filters.forall(eval(_, get))) {
           current = InternalRow.fromSeq(
             required.fields.toSeq.map(f => fieldValue(cells, f.name)))
+          emitted += 1
           return true
         }
       }

@@ -159,14 +159,55 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .select(col("embedding").cast("array<double>")).collect()(0)
       .getSeq[Double](0).toArray
     val nrm = math.sqrt(v0.map(x => x * x).sum)
-    val sub0 = v0.map(_ / nrm).slice(0, 4)
-    val expected = cb(0).zipWithIndex.map { case (cw, code) =>
-      val s = sub0.zip(cw).map { case (a, b) => a * b }.sum -
-        cw.map(x => x * x).sum / 2.0
-      (-s, code)
-    }.min._2
-    val got = codes.where(col("id") === 0).select("c0").collect()(0).getInt(0)
-    assert(got == expected, s"subspace-0 code $got != driver replay $expected")
+    val nv0 = v0.map(_ / nrm)
+    for (j <- 0 until 16) {
+      val subj = nv0.slice(j * 4, j * 4 + 4)
+      val expected = cb(j).zipWithIndex.map { case (cw, code) =>
+        val s = subj.zip(cw).map { case (a, b) => a * b }.sum -
+          cw.map(x => x * x).sum / 2.0
+        (-s, code)
+      }.min._2
+      val got = codes.where(col("id") === 0).select(s"c$j").collect()(0).getInt(0)
+      assert(got == expected, s"subspace-$j code $got != driver replay $expected")
+    }
+  }
+
+  test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
+    import graft.operators.Pq
+    // the standard PQ byte code — the literal-unrolled formulation could
+    // not codegen at this size (4,096 dot subtrees); the codec expression
+    // binds the codebook as one reference array, so the plan is the same
+    // three nodes as k=16
+    val cb = Pq.codebook(sfEmb, "vec_id", "embedding", m = 16, dim = 64,
+      codebookSize = 256)
+    val codes = Pq.encodeCodes(sfEmb, "vec_id", "embedding", cb, dim = 64)
+    val rows = codes.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      cs.length == 16 && cs.forall(c => c >= 0 && c < 256)
+    })
+    // driver replay of one full encoding at k=256 (argmin + tiebreak)
+    val v0 = sfEmb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val nrm = math.sqrt(v0.map(x => x * x).sum)
+    val nv0 = v0.map(_ / nrm)
+    val expected = (0 until 16).map { j =>
+      val subj = nv0.slice(j * 4, j * 4 + 4)
+      cb(j).zipWithIndex.map { case (cw, code) =>
+        val s = subj.zip(cw).map { case (a, b) => a * b }.sum -
+          cw.map(x => x * x).sum / 2.0
+        (-s, code)
+      }.min._2
+    }
+    val got = codes.where(col("id") === 0).collect()(0).getSeq[Int](1)
+    assert(got == expected, s"k=256 codes $got != driver replay $expected")
+    // end-to-end search at k=256 still ranks correctly
+    val out = Pq.pqTopK(sfEmb, sfEmb.where(col("vec_id") < 2), "vec_id",
+      "embedding", k = 3, m = 16, dim = 64, codebookSize = 256,
+      rerankDepth = 20)
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) == 3L))
   }
 
   test("VectorDot: mismatched dimensions yield null, not a truncated dot") {
@@ -252,6 +293,22 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
     // empty pair set → no clusters, no convergence error
     assert(Dedup.nearDupClusters(pairs.where(lit(false))).count() == 0)
+
+    // reliable (checkpoint-dir-backed) variant: identical clusters; the
+    // blocks survive executor loss on a real cluster (dynamic allocation)
+    intercept[IllegalArgumentException] { // loud without a checkpoint dir
+      Dedup.componentLabels(pairs, reliable = true)
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      val rel = Dedup.nearDupClusters(pairs, reliable = true)
+        .orderBy("keeper").collect()
+      assert(rel.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        clusters.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
+    }
   }
 
   test("embeddingNearDups fails loudly on embedding/hyperplane dim mismatch") {

@@ -49,6 +49,22 @@ class ErddapV2Spec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("limit pushdown reaches the DSv2 scan and stops the reader early") {
+    val df = read.limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), plan)
+    assert(df.count() == 2)
+    // limit composes with pushed filters: the per-file cap counts
+    // POST-filter rows (items_per_page semantics), so a filtered limit
+    // still returns `limit` matching rows when available
+    val filtered = read.where(col("profile_id") >= 2L).limit(1)
+    assert(filtered.queryExecution.executedPlan.toString.contains("limit=1"))
+    assert(filtered.count() == 1)
+    assert(filtered.collect()(0).getAs[Long]("profile_id") >= 2L)
+    // unlimited scans still read everything
+    assert(read.count() == 4)
+  }
+
   test("column pruning reaches readSchema") {
     val df = read.select("profile_id")
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString

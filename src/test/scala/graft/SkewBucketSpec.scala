@@ -37,6 +37,57 @@ class SkewBucketSpec extends AnyFunSuite with SparkSpec {
     assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("bucket-size guard prunes oversized buckets without a window over the bucket key") {
+    import graft.operators.Dedup
+    // 20 filler docs all sharing one stop phrase (their shingles form
+    // mega-buckets), plus one near-dup pair with UNIQUE shingles
+    val filler = (10L until 30L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val docs = (filler ++ Seq(
+      (1L, "zebra quokka wombat dingo platypus echidna cassowary"),
+      (2L, "zebra quokka wombat dingo platypus echidna kookaburra")
+    )).toDF("doc_id", "text")
+    val rows = Dedup.shingleHashRows(docs, "doc_id", "text", n = 3)
+      .persist()
+    val guarded = Dedup.jaccardPairsFromHashes(rows, minJaccard = 0.3,
+      maxBucketSize = 10)
+    // plan assertion: the only window is the per-doc n_sh count (partition
+    // key = doc id) — the bucket-key prune must NOT be a window (it would
+    // funnel the whole pathological bucket into one task)
+    val winParts = guarded.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql.toLowerCase).mkString(",")
+    }
+    assert(winParts.nonEmpty && winParts.forall(p => p.contains("id") && !p.contains("`s`")),
+      s"expected only the per-doc window, got partitions: $winParts")
+    val pairs = guarded.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)),
+      s"guard should drop mega-bucket pairs, keep the unique-shingle pair: ${pairs.toSet}")
+    // unguarded: the identical filler docs pair up (sanity that the guard
+    // is what pruned them)
+    val unguarded = Dedup.jaccardPairsFromHashes(rows, minJaccard = 0.3,
+      maxBucketSize = Int.MaxValue)
+    assert(unguarded.count() > 1)
+    rows.unpersist()
+
+    // embedding variant: one mega-bucket of identical vectors, one close
+    // pair elsewhere; guard keeps only the close pair, and the guarded
+    // plan has NO window at all
+    val mega = (10L until 30L).map(i => (i, Array(1.0, 0.0, 0.0, 0.0)))
+    val vecs = (mega ++ Seq(
+      (1L, Array(0.0, 1.0, 0.05, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.05))
+    )).toDF("vec_id", "embedding")
+    val g = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      minCosine = 0.9, planes = 8, bands = 4, dim = 4, maxBucketSize = 10)
+    val gw = g.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(gw.isEmpty, "guarded embeddingNearDups must be window-free")
+    val gp = g.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gp.toSet == Set((1L, 2L)), s"got ${gp.toSet}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
