@@ -253,10 +253,13 @@ object TextSimQueries {
       |e AS (SELECT doc_id, unnest(sh) AS sg FROM s),
       |hh AS (SELECT DISTINCT doc_id,
       |  CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM e),
+      |hp AS (SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '|p1')), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '|p2')), 1, 14)) AS BIGINT) AS h2
+      |  FROM hh),
       |pm AS (SELECT doc_id, r.i,
-      |    min(CAST(concat('0x', substr(md5(concat(CAST(h AS VARCHAR), '|',
-      |      CAST(r.i AS VARCHAR))), 1, 15)) AS BIGINT)) AS mh
-      |  FROM hh CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
+      |    min((h1 + r.i * h2) % 144115188075855872) AS mh
+      |  FROM hp CROSS JOIN range(0, 64) r(i) GROUP BY 1, 2),
       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM pm GROUP BY 1),
       |bnd AS (SELECT doc_id, sig, r.b,
       |    list_slice(sig, r.b * 4 + 1, r.b * 4 + 4) AS bs

@@ -261,24 +261,47 @@ object Dedup {
     minhashFromHashes(shingleHashRows(df, idCol, textCol, n, portable), k,
       portable)
 
+  /** Modulus for the portable double-hash permutations: 2^57. With
+    * h1 < 2^60 and h2 < 2^56, `h1 + i·h2` stays below
+    * 2^60 + 64·2^56 = 5·2^60 < 2^63 for any k ≤ 64 — no ANSI overflow. */
+  private[operators] val PermMod = 1L << 57
+  private val MaxDoubleHashK = 64
+  /** The two per-shingle seeds the portable permutations derive from:
+    * h1 = 60-bit, h2 = 56-bit, each one md5 of the (decimal) shingle hash
+    * plus a distinct salt. */
+  private[operators] def permSeeds(h: Column): (Column, Column) = (
+    Sampling.hash60(concat(h.cast("string"), lit("|p1"))),
+    conv(substring(md5(concat(h.cast("string"), lit("|p2"))), 1, 14), 16, 10)
+      .cast("long"))
+
   /** MinHash signatures from precomputed `shingleHashRows` output (match
     * the `portable` flag the rows were built with).
     *
     * The shingle STRING was hashed once upstream; the k permutations
-    * re-hash the fixed-width digest — k string hashes per shingle would
-    * dominate the stage. (h1 + i·h2 double hashing is the textbook trick
-    * but overflows under ANSI arithmetic.) `portable = true` derives each
-    * permutation from md5 of the digest's decimal form + the permutation
-    * index — exactly replayable in the DuckDB oracle; `portable = false`
-    * uses seeded xxhash64 (no SQL analog). */
+    * derive from the fixed-width digest — k string hashes per shingle
+    * would dominate the stage. `portable = true` uses textbook double
+    * hashing, perm_i = (h1 + i·h2) mod 2^57, from TWO md5-derived seeds
+    * per shingle row (h1 60-bit, h2 56-bit — sized so the arithmetic
+    * never overflows int64 under ANSI; see `PermMod`). Every value
+    * replays exactly in the DuckDB oracle, and the md5 volume is 2 calls
+    * per shingle row instead of the k per row a hash-per-permutation
+    * scheme costs. `portable = false` uses seeded xxhash64 per
+    * permutation (cheap per call; no SQL analog). */
   def minhashFromHashes(rows: DataFrame, k: Int,
                         portable: Boolean = true): DataFrame = {
-    val ex = rows
-      .select(col("id"), col("h").as("h1"))
+    require(!portable || k <= MaxDoubleHashK,
+      s"portable minhash supports k <= $MaxDoubleHashK (overflow headroom); got $k")
+    val ex =
+      if (portable) {
+        // h1/h2 are a separate projection consumed by k aggregates each:
+        // CollapseProject refuses to inline a non-cheap expression into
+        // multiple consumers, so the two md5 calls run ONCE per row
+        val (h1, h2) = permSeeds(col("h"))
+        rows.select(col("id"), h1.as("h1"), h2.as("h2"))
+      } else rows.select(col("id"), col("h").as("h1"))
     val aggs = (0 until k).map { i =>
       val perm =
-        if (portable)
-          Sampling.hash60(concat(col("h1").cast("string"), lit(s"|$i")))
+        if (portable) (col("h1") + lit(i.toLong) * col("h2")) % lit(PermMod)
         else xxhash64(lit(i), col("h1"))
       min(perm).as(s"_h$i")
     }
@@ -289,7 +312,18 @@ object Dedup {
   /** LSH banding: docs whose signature agrees on ALL rows of ≥1 band
     * become candidate pairs, with the signature-estimated Jaccard
     * (fraction of agreeing positions). bands×rowsPerBand must equal the
-    * signature length k. */
+    * signature length k.
+    *
+    * Shuffle shape: band rows carry ONLY (id, band, bhash) — 24 bytes.
+    * The k-long signature (k×8 B, by far the widest column) never enters
+    * the posexplode, so the band exchange is not `bands`-times-duplicated
+    * signature bytes; candidates dedup to distinct (id_a, id_b) and the
+    * (id → sig) table joins back twice to score just that tiny set. At
+    * 64 longs × 16 bands that is a ~21× cut in band-shuffle bytes per
+    * row. The minhash aggregate feeding `sig` still computes once: all
+    * three consumers sit above the SAME groupBy(id) exchange, which
+    * ReuseExchange deduplicates (callers sharing `sig` across several
+    * operators should persist it regardless). */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0,
       "bands and rowsPerBand must be positive")
@@ -298,7 +332,7 @@ object Dedup {
     // upper bands would hash identically for every doc and silently make
     // all pairs candidates — fail loudly instead
     val banded = sig
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         posexplode(expr(
           s"""transform(sequence(0, ${bands - 1}),
              |  b -> IF(size(sig) = $k,
@@ -310,14 +344,18 @@ object Dedup {
       // broadcasts one side and the EXPENSIVE minhash aggregate subtree
       // underneath runs twice (same trick as jaccardPairs' repartition(s))
       .repartition(col("band"), col("bhash"))
-    banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), p -> p))")
-          .cast("double") / size(col("a.sig"))).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(max("est_jaccard").as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sigs = sig.select(col("id"), col("sig"))
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("siga")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sigb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p))")
+          .cast("double") / size(col("siga"))).as("est_jaccard"))
   }
 
   // ---- SimHash -----------------------------------------------------------

@@ -88,6 +88,38 @@ class SkewBucketSpec extends AnyFunSuite with SparkSpec {
     assert(gp.toSet == Set((1L, 2L)), s"got ${gp.toSet}")
   }
 
+  test("LSH band exchange carries only (id, band, bhash), not the signature") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "zebra quokka wombat dingo platypus echidna cassowary"),
+      (2L, "zebra quokka wombat dingo platypus echidna kookaburra"),
+      (3L, "completely different text about catalyst physical plans here")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, k = 64)
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 16, rowsPerBand = 4)
+    // the posexploded band rows are 16× the doc count — if the 64-long
+    // signature rode along, the band exchange would be signature-dominated
+    // (~21× the bytes); assert the repartition's output excludes it
+    val reps = pairs.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+          if r.partitionExpressions.map(_.sql.toLowerCase)
+            .exists(_.contains("band")) => r
+    }
+    assert(reps.nonEmpty, "expected the (band, bhash) repartition in the plan")
+    reps.foreach { r =>
+      val out = r.output.map(_.name.toLowerCase)
+      assert(!out.exists(_.contains("sig")),
+        s"band exchange must not carry the signature, got: $out")
+    }
+    val got = pairs.collect()
+    val nearDup = got.find(p =>
+      p.getAs[Long]("id_a") == 1L && p.getAs[Long]("id_b") == 2L)
+    assert(nearDup.isDefined, s"expected (1,2) candidate, got ${got.toSeq}")
+    assert(got.forall { r =>
+      val e = r.getAs[Double]("est_jaccard"); e >= 0.0 && e <= 1.0
+    })
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
