@@ -588,6 +588,100 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ — the composed 100 TB ANN: coarse-quantizer probes restrict
+    * the ADC scan to nProbe inverted lists, exact re-rank bounds the
+    * final stage. Fully oracled by composing the proven oS3 CTEs
+    * (centroid sample, assignment, probes) with the oS4 CTEs (codebook,
+    * encode, LUT, ADC) — the only new SQL is the adc join going through
+    * probes∘assign instead of the full code table. */
+  private def qS5annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Pq.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 4, m = 16, dim = 64,
+        codebookSize = 16, rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private val oS5 = {
+    val nCent = 16; val nProbe = 4
+    val m = 16; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |nvs AS (SELECT id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / nrm) AS nv FROM e),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+       |  FROM sim WHERE vid < 5) WHERE rn <= $nProbe),
+       |sd AS (SELECT code, nv FROM (SELECT id, nv, row_number() OVER (
+       |    ORDER BY CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR),
+       |      '|pq')), 1, 6)) AS BIGINT), id) - 1 AS code
+       |  FROM nvs) WHERE code < $cbk),
+       |cw AS (SELECT sd.code, r.j,
+       |    list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub) AS w,
+       |    list_sum(list_transform(
+       |      list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub),
+       |      x -> x * x)) / 2 AS half
+       |  FROM sd CROSS JOIN range(0, $m) r(j)),
+       |sc AS (SELECT n.id, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(n.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) - c.half AS s
+       |  FROM nvs n CROSS JOIN cw c),
+       |enc AS (SELECT id, list(code ORDER BY j) AS codes FROM (
+       |    SELECT id, j, code, row_number() OVER (PARTITION BY id, j
+       |      ORDER BY s DESC, code) AS rn FROM sc)
+       |  WHERE rn = 1 GROUP BY id),
+       |q AS (SELECT id AS query_id, nv FROM nvs WHERE id < 5),
+       |lutp AS (SELECT q.query_id, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(q.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) AS p
+       |  FROM q CROSS JOIN cw c),
+       |lut AS (SELECT query_id, list(pl ORDER BY j) AS lut FROM (
+       |    SELECT query_id, j, list(p ORDER BY code) AS pl
+       |    FROM lutp GROUP BY 1, 2) GROUP BY 1),
+       |adc AS (SELECT l.query_id, a.vid AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${m + 1}),
+       |      j -> l.lut[j][enc.codes[j] + 1])), 6) AS s
+       |  FROM lut l JOIN probes pb ON pb.query_id = l.query_id
+       |  JOIN assign a ON a.cid = pb.cid
+       |  JOIN enc ON enc.id = a.vid
+       |  WHERE a.vid <> l.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Exact boilerplate shingles (document frequency ≥ 5). The Count-Min
     * sketch (graft.functions.CountMin) estimates the same statistic with
     * bounded state; its accuracy is gated in SinksStreamSpec. */
@@ -814,6 +908,7 @@ object TextSimQueries {
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
     "q_s4_ann_pq" -> qS4annPq _,
+    "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_x1_split_stats" -> qX1split _,
@@ -840,6 +935,7 @@ object TextSimQueries {
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,
     "q_s4_ann_pq" -> oS4,
+    "q_s5_ann_ivfpq" -> oS5,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_x1_split_stats" -> oX1,

@@ -151,4 +151,86 @@ object Pq {
           .as("cosine"))
     Similarity.topKPerQuery(exact, k)
   }
+
+  /** IVF-PQ: the 100 TB ANN composition. `pqTopK`'s ADC stage scans
+    * EVERY corpus code row per query batch — correct as the PQ
+    * primitive, but at scale the scan must be bounded by the coarse
+    * quantizer first. Here the corpus is bucketed into `nCentroids`
+    * inverted lists (same deterministic md5-sampled centroids and
+    * argmax-cosine assignment as `Similarity.ivfTopK`), each vector's
+    * PQ codes are stored WITH its list id, and a query's ADC runs only
+    * over the `nProbe` lists it probes — cost drops from |corpus| to
+    * ~|corpus|·nProbe/nCentroids code rows per query, the standard
+    * FAISS-style IVF-PQ layout. Exact cosine re-ranks the
+    * `rerankDepth` ADC survivors.
+    *
+    * Scale shape: centroid sample is TakeOrderedAndProject; assignment
+    * is a broadcast join reduced by a map-side-combinable min(struct);
+    * the probe restriction is an equi-join on the list id against the
+    * broadcast (query, lut) probe table; ADC is a pure map-side codegen
+    * expression over the m-byte codes; both top-k stages are k-bounded
+    * aggregates. No window, no full-corpus per-query work, nothing
+    * O(n²).
+    *
+    * The codebook trains on the corpus-wide hash sample (not per-list
+    * residuals): encode stays one map-side expression and the ADC
+    * scores are comparable across lists — residual codebooks buy
+    * tighter quantization at the cost of per-list LUTs; recall here
+    * tunes with nProbe/rerankDepth, gated in DedupSimilaritySpec. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 16, dim: Int = 64, codebookSize: Int = 16,
+                rerankDepth: Int = 50): DataFrame = {
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
+    val dsub = dim / m
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val cb = codebook(corpus, idCol, vecCol, m, dim, codebookSize)
+    val (cbFlat, halfFlat) = flatten(cb)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+      .repartition(par)
+    val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    // inverted lists: (list id, PQ codes) per vector — at rest this is
+    // the m-byte-code + centroid-id table a 100 TB index persists
+    val codes = Similarity.assignTo(c, cents)
+      .select(col("centroid_id"), col("neighbor_id"),
+        PqCodec.encodeCol(normalize(col("cv"), col("cn")), cbFlat, halfFlat,
+          m, codebookSize, dsub).as("codes"))
+    // query side: nProbe nearest lists (same probe math as ivfTopK) plus
+    // the per-query ADC lookup table
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .where(col("qn") > 0)
+      .withColumn("nq", normalize(col("qv"), col("qn")))
+      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        struct(
+          (-(Similarity.dot(col("qv"), col("centroid")) /
+            (col("qn") * col("centroid_n")))).as("negsim"),
+          col("centroid_id")).as("_cand"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
+      .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
+      .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
+    // ADC only within probed lists; assignment is unique per vector and
+    // probe lists are distinct per query, so (query, neighbor) pairs are
+    // already distinct — no dedup aggregate
+    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
+          .as("cosine"))
+    val cands = Similarity.topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cands
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
+    Similarity.topKPerQuery(exact, k)
+  }
 }

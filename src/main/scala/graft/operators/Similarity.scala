@@ -128,7 +128,7 @@ object Similarity {
     * vector via a map-side-combinable `min(struct)` aggregate (one row per
     * vector crosses the exchange — never a window over corpus×centroids).
     * Output: (centroid_id, neighbor_id, cv, cn). */
-  private def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
         struct(

@@ -172,6 +172,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN: recall@5 >= 0.8 vs brute force (sf0.01)") {
+    import graft.operators.Pq
+    val q = sfEmb.where(col("vec_id") < 20)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = tops(Similarity.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5))
+    // unclustered corpus: the two stages' misses MULTIPLY (IVF probe
+    // misses × PQ quantization misses), so the gate needs dials above
+    // either single-stage gate — nProbe=14 of 16 lists and a 300-deep
+    // re-rank. Real clustered corpora sit far to the easy side of this.
+    val ivfpq = tops(Pq.ivfPqTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 14, m = 16, dim = 64, codebookSize = 16,
+      rerankDepth = 300))
+    val recalls = exact.keys.map(k =>
+      (ivfpq.getOrElse(k, Set.empty) intersect exact(k)).size.toDouble / exact(k).size)
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"IVF-PQ recall@5 $recall below 0.8")
+    // the list restriction has teeth: with ONE probed list out of 16 the
+    // candidate pool shrinks to ~1/16 of the corpus, so recall must drop
+    // strictly below the probe-heavy run on this unclustered data
+    val oneProbe = tops(Pq.ivfPqTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 1, m = 16, dim = 64, codebookSize = 16,
+      rerankDepth = 300))
+    val oneRecalls = exact.keys.map(k =>
+      (oneProbe.getOrElse(k, Set.empty) intersect exact(k)).size.toDouble / exact(k).size)
+    assert(oneRecalls.sum / oneRecalls.size < recall,
+      "nProbe=1 should strictly reduce recall — is the ADC scan actually list-restricted?")
+  }
+
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
     import graft.operators.Pq
     // the standard PQ byte code — the literal-unrolled formulation could
