@@ -51,6 +51,46 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(meta(3L) == (("fake/raw", 0, 0))) // undecodable: meta untouched
   }
 
+  test("multimodal golden fixtures: each ImageIO codec decodes to literal features") {
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    // committed fixtures with hand-computable expectations (dim = 8
+    // luminance histogram, bucket = lum*8/256, lum = (299r+587g+114b)/1000
+    // in integer math):
+    //  - wb_4x3.png: 6 white px (lum 255 → bucket 7) + 6 black (→ 0)
+    //  - red_2x2.gif: solid 0xFF0000, lum 76 → bucket 2
+    //  - gray_3x1.bmp: solid 0x808080, lum 128 → bucket 4
+    //  - gray_4x4.jpg: solid gray is DC-only in JPEG — decodes back to
+    //    exactly 128 → bucket 4 (no quantization error on a solid block)
+    val cases = Seq(
+      ("wb_4x3.png", "image/png", 4, 3, Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f)),
+      ("red_2x2.gif", "image/gif", 2, 2, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),
+      ("gray_3x1.bmp", "image/bmp", 3, 1, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      ("gray_4x4.jpg", "image/jpeg", 4, 4, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+    val df = cases.zipWithIndex
+      .map { case ((n, _, _, _, _), i) => (i.toLong, fixture(n)) }
+      .toDF("media_id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    val feats = Multimodal.extractFeatures(df, dim = 8)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val meta = Multimodal.decodeImageMeta(df)
+      .select(col("media_id"), col("meta.format"), col("meta.width"),
+        col("meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    cases.zipWithIndex.foreach { case ((name, fmt, w, h, expected), i) =>
+      assert(feats(i.toLong) == expected,
+        s"$name: features ${feats(i.toLong)} != golden $expected")
+      assert(meta(i.toLong) == ((fmt, w, h)),
+        s"$name: meta ${meta(i.toLong)} != golden ($fmt, $w, $h)")
+    }
+  }
+
   test("KML sink renders placemarks from GeoJSON tracks (S15)") {
     val obs = Seq(
       ("ds1", Timestamp.valueOf("2024-01-01 00:00:00"), 39.5, -74.2),
