@@ -6,10 +6,17 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name prefixes (local
-    // iteration — the driver always passes exactly two args)
-    val (sfDir, outDir) = (args(0), args(1))
-    val only: Option[Seq[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSeq) else None
+    // iteration only — the driver's contract is exactly two args, and a
+    // wrong arity must fail loudly, not as an index error)
+    val (sfDir, outDir, only) = args match {
+      case Array(sf, out)       => (sf, out, None)
+      case Array(sf, out, filt) => (sf, out, Some(filt.split(",").toSeq))
+      case _ =>
+        System.err.println(
+          s"usage: graft.Verify <sfDir> <outDir> [namePrefix,...] — got ${args.length} args")
+        sys.exit(2)
+        return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,6 +56,20 @@ object Verify {
       .filter { case (k, _) => only.forall(_.exists(k.startsWith)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a filtered dump is NOT a full correctness run: mark the outDir so a
+    // driver (or human) pointed at it can't mistake the subset for the
+    // complete suite — PARTIAL_RUN.txt lists every skipped query
+    if (only.isEmpty) // a full run into a reused outDir clears a stale marker
+      Files.deleteIfExists(Paths.get(s"$outDir/PARTIAL_RUN.txt"))
+    only.foreach { filt =>
+      val skipped = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(n => filt.exists(n.startsWith))
+      System.err.println(
+        s"[verify] PARTIAL run (filter=${filt.mkString(",")}): " +
+          s"skipped ${skipped.size} queries — NOT a full correctness dump")
+      Files.writeString(Paths.get(s"$outDir/PARTIAL_RUN.txt"),
+        s"filter=${filt.mkString(",")}\nskipped:\n${skipped.mkString("\n")}\n")
+    }
     spark.stop()
   }
 }

@@ -320,10 +320,12 @@ object Dedup {
     * signature bytes; candidates dedup to distinct (id_a, id_b) and the
     * (id → sig) table joins back twice to score just that tiny set. At
     * 64 longs × 16 bands that is a ~21× cut in band-shuffle bytes per
-    * row. The minhash aggregate feeding `sig` still computes once: all
-    * three consumers sit above the SAME groupBy(id) exchange, which
-    * ReuseExchange deduplicates (callers sharing `sig` across several
-    * operators should persist it regardless). */
+    * row. PERSIST `sig` before calling: `sig` feeds three consumer
+    * subtrees (banding + two signature joins), and while ReuseExchange
+    * deduplicates the scan + partial-agg + shuffle WRITE of the
+    * groupBy(id) underneath, the post-shuffle final min-aggregates
+    * re-evaluate in each consumer — up to 3× the k min() work when the
+    * signatures are not cached (the oracled q_d3 caller persists). */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands > 0 && rowsPerBand > 0,
       "bands and rowsPerBand must be positive")

@@ -208,8 +208,9 @@ object Pq {
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"),
         struct(
+          // + 0.0 canonicalizes -0.0 (see Similarity.topKPerQuery)
           (-(Similarity.dot(col("qv"), col("centroid")) /
-            (col("qn") * col("centroid_n")))).as("negsim"),
+            (col("qn") * col("centroid_n"))) + lit(0.0)).as("negsim"),
           col("centroid_id")).as("_cand"))
       .groupBy("query_id")
       .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))

@@ -132,7 +132,10 @@ object Similarity {
     c.crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
         struct(
-          (-(dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n")))).as("negsim"),
+          // + 0.0 canonicalizes -0.0 (see topKPerQuery): an exactly-zero
+          // cosine must tie-break by centroid_id on both engines
+          (-(dot(col("cv"), col("centroid")) / (col("cn") * col("centroid_n")))
+            + lit(0.0)).as("negsim"),
           col("centroid_id"), col("cv"), col("cn")).as("_cand"))
       .groupBy("neighbor_id")
       .agg(min(col("_cand")).as("_best"))
@@ -224,7 +227,8 @@ object Similarity {
     val probes = q.crossJoin(broadcast(cents))
       .select(col("query_id"),
         struct(
-          (-(dot(col("qv"), col("centroid")) / (col("qn") * col("centroid_n")))).as("negsim"),
+          (-(dot(col("qv"), col("centroid")) / (col("qn") * col("centroid_n")))
+            + lit(0.0)).as("negsim"),
           col("centroid_id")).as("_cand"))
       .groupBy("query_id")
       .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
