@@ -49,6 +49,28 @@ object PipelineQueries {
       |  ON l.event_type = m.event_type AND l.ts >= m.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Same enrichment through `asofJoinBackwardBucketed` — the
+    * skew-resilient path for LOW-cardinality keys (here ~5 event types:
+    * the plain keyed window would sort each type's full timeline in ONE
+    * task; daily buckets make parallelism keys × days). Semantics are
+    * identical by construction (each bucket is seeded with its
+    * predecessor's final mark), so the oracle is the SAME ASOF LEFT JOIN
+    * as q_as1 — the driver's hash compare proves the bucketed
+    * decomposition, per-(key,bucket) seed injection included, equals the
+    * global as-of. */
+  private def qAs2asofBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val left = ev.select(col("event_id"), col("event_type"), col("ts"))
+    val marks = ev.where(col("event_id") % 100 < 5)
+      .groupBy("event_type", "ts").agg(max("value").as("m_value"))
+    AsOf.asofJoinBackwardBucketed(left, marks, Seq("event_type"), "ts", "ts",
+        Seq("m_value"), bucketSeconds = 86400L, matchedTsName = "m_ts")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("m_ts")).as("m_ts_us"), col("m_value"))
+      .orderBy("event_id")
+  }
+
   // ---- range join --------------------------------------------------------
 
   /** Events aggregated into enclosing 2-hour maintenance windows (one
@@ -348,6 +370,7 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_as1_asof_join" -> qAs1asof _,
+    "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
     "q_t7_contamination" -> qT7contam _,
     "q_t8_repetition" -> qT8repetition _,
@@ -361,6 +384,7 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_as1_asof_join" -> oAs1,
+    "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,
     "q_t7_contamination" -> oT7,
     "q_t8_repetition" -> oT8,

@@ -521,6 +521,86 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF with ONE spherical-Lloyd refinement pass — oracled end-to-end.
+    * The per-(cluster, dim) means use the id-ordered fold
+    * (`orderedMeans = true`), so the refined centroid values are
+    * bit-identical across engines (`list_sum(list(x ORDER BY id))` is
+    * the same left fold); the unrounded assignment/probe sims against
+    * them then carry only the dot-sum order noise the proven oS3
+    * margins argument already covers, and the final cosines re-rank
+    * exactly from raw embeddings at 6 dp. */
+  private def qS3bannIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 1,
+        orderedMeans = true)
+      .orderBy("query_id", "rank")
+  }
+  private val oS3b = {
+    val nCent = 16; val nProbe = 4; val k = 5
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+       |unit AS (SELECT a.cid, a.vid, r.i,
+       |    CAST(e2.embedding[r.i] AS DOUBLE) / e2.nrm AS x
+       |  FROM assign a JOIN e e2 ON e2.id = a.vid
+       |  CROSS JOIN range(1, 65) r(i)),
+       |nm AS (SELECT cid, i, list_sum(list(x ORDER BY vid)) / count(*) AS m
+       |  FROM unit GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(m ORDER BY i) AS ce2 FROM nm GROUP BY 1),
+       |c2n AS (SELECT cid, ce2,
+       |    sqrt(list_sum(list_transform(ce2, x -> x * x))) AS n2
+       |  FROM c2 WHERE list_sum(list_transform(ce2, x -> x * x)) > 0),
+       |p2 AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce2
+       |  FROM h CROSS JOIN c2n c),
+       |uu AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    unnest(ce2) AS xc FROM p2),
+       |gg AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv
+       |  FROM uu GROUP BY 1, 2),
+       |sim2 AS (SELECT gg.vid, gg.cid, gg.dt / (sqrt(gg.nv) * c.n2) AS s
+       |  FROM gg JOIN c2n c ON c.cid = gg.cid),
+       |assign2 AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim2) WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+       |  FROM sim2 WHERE vid < 5) WHERE rn <= $nProbe),
+       |cand AS (SELECT p.query_id, a.vid AS neighbor_id
+       |  FROM probes p JOIN assign2 a ON a.cid = p.cid
+       |  WHERE a.vid <> p.query_id),
+       |pr2 AS (SELECT query_id, neighbor_id, eq.embedding AS qe,
+       |    ec.embedding AS ce
+       |  FROM cand JOIN e eq ON eq.id = cand.query_id
+       |  JOIN e ec ON ec.id = cand.neighbor_id),
+       |u2 AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS xq,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM pr2),
+       |g2 AS (SELECT query_id, neighbor_id, sum(xq * xc) AS dt,
+       |    sum(xq * xq) AS nq, sum(xc * xc) AS nc FROM u2 GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, neighbor_id,
+       |    round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g2),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r2)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** PQ (product-quantization) ANN — codes scanned with ADC lookup
     * tables, exact re-rank of the bounded candidate set. Fully oracled:
     * every stage (md5-seeded codebook, normalization, argmin encoding,
@@ -601,13 +681,23 @@ object TextSimQueries {
     * probes∘assign instead of the full code table. */
   private def qS5annIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
+    // index parameters from the SCALE RULE, not a pinned constant: nlist
+    // grows ~√n (suggestedCentroids — list size ≈ list count), and nProbe
+    // keeps a constant ~¼ probe fraction so recall doesn't decay as the
+    // corpus grows. The one count job is index-build planning (a real
+    // build reads |corpus| from table stats); the oracle derives the SAME
+    // values with scalar-subquery arithmetic, so the graded config IS the
+    // rule's config at every sf (sf0.01 → 23 lists/6 probes, sf0.1 → 71/18).
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     graft.operators.Pq.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id",
-        "embedding", k = 5, nCentroids = 16, nProbe = 4, m = 16, dim = 64,
-        codebookSize = 16, rerankDepth = 50)
+        "embedding", k = 5, nCentroids = nCent, nProbe = nProbe, m = 16,
+        dim = 64, codebookSize = 16, rerankDepth = 50)
       .orderBy("query_id", "rank")
   }
   private val oS5 = {
-    val nCent = 16; val nProbe = 4
     val m = 16; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
     s"""WITH e AS (SELECT vec_id AS id, embedding,
        |    sqrt(list_sum(list_transform(embedding,
@@ -617,11 +707,16 @@ object TextSimQueries {
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
        |nvs AS (SELECT id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) / nrm) AS nv FROM e),
+       |ncl AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n
+       |  FROM e),
+       |npl AS (SELECT greatest(4, CAST(ceil(n / 4.0) AS BIGINT)) AS n FROM ncl),
        |h AS (SELECT id, embedding,
        |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
        |      1, 6)) AS BIGINT) AS hh FROM e),
-       |cents AS (SELECT id AS cid, embedding AS ce FROM h
-       |  ORDER BY hh, id LIMIT $nCent),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM (
+       |    SELECT id, embedding, row_number() OVER (ORDER BY hh, id) AS rn
+       |    FROM h)
+       |  WHERE rn <= (SELECT n FROM ncl)),
        |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
        |  FROM h CROSS JOIN cents c),
        |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
@@ -633,7 +728,7 @@ object TextSimQueries {
        |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
        |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
        |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
-       |  FROM sim WHERE vid < 5) WHERE rn <= $nProbe),
+       |  FROM sim WHERE vid < 5) WHERE rn <= (SELECT n FROM npl)),
        |sd AS (SELECT code, nv FROM (SELECT id, nv, row_number() OVER (
        |    ORDER BY CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR),
        |      '|pq')), 1, 6)) AS BIGINT), id) - 1 AS code
@@ -912,6 +1007,7 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
+    "q_s3b_ann_ivf_kmeans" -> qS3bannIvfKmeans _,
     "q_s4_ann_pq" -> qS4annPq _,
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_t5_heavy_shingles" -> qT5heavy _,
@@ -939,6 +1035,7 @@ object TextSimQueries {
     "q_s1_cosine_topk" -> oS1,
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,
+    "q_s3b_ann_ivf_kmeans" -> oS3b,
     "q_s4_ann_pq" -> oS4,
     "q_s5_ann_ivfpq" -> oS5,
     "q_t5_heavy_shingles" -> oT5,

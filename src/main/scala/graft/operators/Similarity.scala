@@ -151,9 +151,20 @@ object Similarity {
     * aggregate — all codegen'd hash aggregates with map-side combine,
     * shuffle ∝ corpus + k·dim. The objective Σ cos(v, c(v)) is monotone
     * non-decreasing over iterations (asserted in DedupSimilaritySpec).
-    * Empty clusters drop out (standard Lloyd behavior). */
+    * Empty clusters drop out (standard Lloyd behavior).
+    *
+    * `orderedMeans = true` computes each per-(cluster, dim) mean as an
+    * id-ordered left fold instead of a shuffle-order `sum` — the float
+    * total becomes bit-reproducible across runs AND engines, which is
+    * what lets a SQL oracle replay a refinement pass exactly
+    * (`list_sum(list(x ORDER BY id))` is the same fold). Costs a
+    * collect_list per (cluster, dim) group — state ∝ cluster size — so
+    * it is the ORACLE/debug mode; production refinement keeps the
+    * map-side-combinable sum whose ulp-level order noise k-means is
+    * insensitive to. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      init: DataFrame, iters: Int): DataFrame = {
+                      init: DataFrame, iters: Int,
+                      orderedMeans: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
     // persist across iterations: each Lloyd pass re-reads the corpus, and
@@ -166,10 +177,23 @@ object Similarity {
     try {
       var cur = init
       for (_ <- 1 to iters) {
-        val updated = assignTo(c, cur)
-          .select(col("centroid_id"), col("cn"), posexplode(col("cv")).as(Seq("_i", "_x")))
-          .groupBy("centroid_id", "_i")
-          .agg((sum(col("_x") / col("cn")) / count(lit(1))).as("_m"))
+        val exploded = assignTo(c, cur)
+          .select(col("centroid_id"), col("neighbor_id"), col("cn"),
+            posexplode(col("cv")).as(Seq("_i", "_x")))
+        val perDim =
+          if (orderedMeans)
+            exploded.groupBy("centroid_id", "_i")
+              .agg(expr(
+                """aggregate(
+                  |  transform(array_sort(collect_list(struct(neighbor_id, _x, cn))),
+                  |    p -> p._x / p.cn),
+                  |  0D, (a, x) -> a + x)""".stripMargin).as("_s"),
+                count(lit(1)).as("_n"))
+              .select(col("centroid_id"), col("_i"), (col("_s") / col("_n")).as("_m"))
+          else
+            exploded.groupBy("centroid_id", "_i")
+              .agg((sum(col("_x") / col("cn")) / count(lit(1))).as("_m"))
+        val updated = perDim
           .groupBy("centroid_id")
           .agg(expr("transform(array_sort(collect_list(struct(_i, _m))), p -> p._m)")
             .as("centroid"))
@@ -204,7 +228,8 @@ object Similarity {
     * (`suggestedCentroids`), keeping list size ≈ list count. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+              nProbe: Int = 4, kmeansIters: Int = 0,
+              orderedMeans: Boolean = false): DataFrame = {
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
@@ -214,7 +239,8 @@ object Similarity {
     val sampled = sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val cents =
       if (kmeansIters <= 0) sampled
-      else kmeansCentroids(corpus, idCol, vecCol, sampled, kmeansIters)
+      else kmeansCentroids(corpus, idCol, vecCol, sampled, kmeansIters,
+        orderedMeans)
     // corpus assignment: argmax-sim centroid per vector (min(struct) —
     // negated sim sorts best-first; centroid_id breaks ties; cv/cn ride
     // along and are never compared, centroid_id is unique in the group)
