@@ -443,6 +443,38 @@ object Dedup {
     array(vals: _*)
   }
 
+  /** Scale rule for `embeddingNearDups` banding: the (planes, bands) pair
+    * that maximizes random-pair pruning subject to an S-curve recall
+    * floor. For a pair at angle θ, one plane agrees with probability
+    * p = 1 − θ/π, a whole r-plane band with p^r, and ≥ 1 of b bands with
+    * 1 − (1 − p^r)^b. The rule takes the LARGEST bits-per-band r whose
+    * required band count b = ⌈ln(1 − targetRecall) / ln(1 − p^r)⌉ stays
+    * within `maxBands`, because the random-pair candidate rate
+    * ~ b · 2^−r falls exponentially in r while signature cost grows only
+    * linearly (r·b plane dots per vector, map-side).
+    *
+    * Honest scale limits (measured in the 10× scale smoke, COVERAGE.md):
+    * amplification separates threshold pairs from random pairs by
+    * (p_t / ½)^r, so the rule is effective in the true near-dup regime
+    * (minCosine ≥ ~0.8, where r = 12–17 makes candidates ~linear in n)
+    * and CANNOT rescue low thresholds — at minCosine 0.4, p_t ≈ 0.63 and
+    * even the 32-band optimum only reaches rate ≈ 0.7; sub-0.5
+    * thresholds on high-dim data are ANN/top-k territory, not banding. */
+  def suggestedHyperplaneConfig(minCosine: Double,
+                                targetRecall: Double = 0.9,
+                                maxBands: Int = 16): (Int, Int) = {
+    require(minCosine > -1 && minCosine < 1,
+      s"minCosine must be in (-1, 1); got $minCosine")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0, 1); got $targetRecall")
+    require(maxBands >= 1, s"maxBands must be >= 1; got $maxBands")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    def bandsFor(r: Int): Long =
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, r))).toLong
+    val r = (1 to 62).takeWhile(bandsFor(_) <= maxBands).lastOption.getOrElse(1)
+    (r * bandsFor(r).toInt, bandsFor(r).toInt)
+  }
+
   /** Embedding-cosine near-duplicates above `minCosine` — the DEFAULT,
     * scale path: banded random-hyperplane LSH generates candidates from an
     * equi-join on (band, band-bits), then the exact codegen'd cosine
@@ -451,7 +483,10 @@ object Dedup {
     * pair truly clears `minCosine`) and recall follows the LSH S-curve:
     * P[candidate] = 1 − (1 − (1 − θ/π)^r)^bands for angle θ. Longer bands
     * (r = planes/bands) cut the random-pair candidate rate ~2^−r per band;
-    * r=4 suits mid thresholds, r=8 true near-dup thresholds (≥0.9).
+    * derive (planes, bands) from `suggestedHyperplaneConfig` — at true
+    * near-dup thresholds (≥ ~0.8) the rule's r = 12+ keeps candidates
+    * near-linear in n, while short bands (r=4) degrade toward all-pairs
+    * as n grows (measured: the 10× scale smoke in COVERAGE.md).
     *
     * Shape at 100 TB: band rows are one shared hash exchange on
     * (band, bval); the self-join is an equi-join; the verify joins are

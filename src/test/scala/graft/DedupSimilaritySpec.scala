@@ -110,6 +110,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"bucketed recall $recall below 0.75 (${bucketed.size}/${exact.size})")
   }
 
+  test("suggestedHyperplaneConfig: S-curve solver values and recall floor") {
+    // dedup regime: long bands (r=12) are affordable within 16 bands
+    assert(Dedup.suggestedHyperplaneConfig(0.9, 0.9, 16) == (168, 14)) // r=12
+    // q_d5's mid threshold: the rule lands on r=4 — the graded config's
+    // band length is the 16-band optimum for 0.4, confirming the scale
+    // smoke finding that low thresholds cannot prune harder via banding
+    assert(Dedup.suggestedHyperplaneConfig(0.4, 0.9, 16) == (56, 14))   // r=4
+    for (mc <- Seq(0.3, 0.5, 0.7, 0.9, 0.95); tr <- Seq(0.8, 0.9, 0.99)) {
+      val (planes, bands) = Dedup.suggestedHyperplaneConfig(mc, tr, 16)
+      val r = planes / bands
+      assert(planes % bands == 0 && bands <= 16 || r == 1)
+      // achieved recall at exactly the threshold clears the target
+      val p = 1.0 - math.acos(mc) / math.Pi
+      val achieved = 1.0 - math.pow(1.0 - math.pow(p, r), bands)
+      assert(achieved >= tr, s"($mc,$tr): recall $achieved via r=$r b=$bands")
+    }
+    // bits-per-band grows with the threshold (more pruning affordable)
+    val rs = Seq(0.3, 0.5, 0.7, 0.9, 0.95)
+      .map(mc => Dedup.suggestedHyperplaneConfig(mc, 0.9, 16))
+      .map { case (p, b) => p / b }
+    assert(rs == rs.sorted, s"r not monotone in threshold: $rs")
+  }
+
+  test("rule config finds deterministic noisy near-dups: recall 1.0 (sf0.01)") {
+    // real near-dup embeddings sit at cosine ≥ ~0.95; synthesize them by
+    // perturbing one coordinate of every sf0.01 vector (the test data has
+    // no natural pairs above 0.7 — see COVERAGE.md scale smoke)
+    val noisy = sfEmb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val both = sfEmb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .union(noisy)
+    val (planes, bands) = Dedup.suggestedHyperplaneConfig(0.9, 0.9, 16)
+    val found = Dedup.embeddingNearDups(both, "vec_id", "embedding", 0.9,
+        planes = planes, bands = bands, dim = 64)
+      .where(col("id_b") === col("id_a") + 100000L)
+      .count()
+    // every (v, v+ε) pair has cosine ≈ 0.999+ where the S-curve is ~1
+    assert(found == sfEmb.count(),
+      s"rule config missed ${sfEmb.count() - found} of ${sfEmb.count()} planted near-dups")
+  }
+
   test("ANN recall@5 >= 0.8 vs brute force (sf0.01)") {
     val q = sfEmb.where(col("vec_id") < 5)
     def hits(df: org.apache.spark.sql.DataFrame) =

@@ -3,18 +3,21 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** One-shot ~10× scale smoke for the dedup family — NOT part of the
+/** One-shot 10× scale smoke for the dedup family — NOT part of the
   * graded bench. The skew guards and shared exchanges in q_d2/q_d3/q_d5
   * are plan-asserted in the specs but the specs top out at sf0.1
-  * (~60 k documents); this drives the same guarded production paths at
-  * ~600 k docs / ~500 k vectors by unioning sf0.1 ten times with salted
-  * ids (texts/vectors repeat verbatim, so every row gains 9 exact
-  * copies — a worst-case bucket-inflation stress for the guards).
+  * (5 k documents / 2 k vectors); this drives the same guarded
+  * production paths at 50 k docs (2.6 M shingle rows) / 20 k vectors by
+  * unioning sf0.1 ten times with salted ids (texts/vectors repeat
+  * verbatim, so every row gains 9 exact copies — a worst-case
+  * bucket-inflation stress for the guards, and a known-answer key for
+  * the dedup-regime near-dup stage: 2 000 vector groups × C(10,2)
+  * verbatim cosine-1.0 pairs = exactly 90 000).
   *
   * Run (tools/ is outside the compile path on purpose):
   *   cp tools/ScaleSmoke.scala src/main/scala/graft/ &&
   *   sbt "runMain graft.ScaleSmoke" ; rm src/main/scala/graft/ScaleSmoke.scala
-  * Timings are recorded in COVERAGE.md ("scale smoke" note).
+  * Timings are recorded in COVERAGE.md ("Scale smoke" section).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -61,9 +64,52 @@ object ScaleSmoke {
           Dedup.minhashFromHashes(rows, k = 64), bands = 16, rowsPerBand = 4)
         .where(col("est_jaccard") >= 0.2).count()
     }
-    timed("q_d5 embeddingNearDups") {
-      Dedup.embeddingNearDups(emb, "vec_id", "embedding", minCosine = 0.4,
-        planes = 64, bands = 16, dim = 64).count()
+    // q_d5's graded mid-threshold config (0.4, 64 planes / 16 bands) was
+    // measured ONCE here at 346.9 s: r=4 bands stop discriminating as n
+    // grows (random-pair candidate P = 1−(1−2^-4)^16 ≈ 0.64 → the join
+    // degrades toward all-pairs; see COVERAGE.md). The production dedup
+    // regime below uses the suggestedHyperplaneConfig scale rule instead;
+    // the verbatim copies are cosine-1.0 near-dups, so the expected pair
+    // count is known exactly and recall is asserted, not sampled.
+    timed("q_d5 scaled neardup 0.9") {
+      val (planes, bands) = Dedup.suggestedHyperplaneConfig(
+        minCosine = 0.9, targetRecall = 0.9, maxBands = 16)
+      println(s"  rule config: planes=$planes bands=$bands r=${planes / bands}")
+      val n = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        minCosine = 0.9, planes = planes, bands = bands, dim = 64).count()
+      require(n == 2000L * 45,
+        s"expected exactly 90000 verbatim cosine-1.0 pairs, got $n")
+      n
+    }
+    // d6 closure over the LSH pairs at 10×: every doc sits in a 10-clique
+    // of its verbatim copies, so the label-propagation passes see the
+    // densest realistic edge set the guards allow through
+    timed("q_d6 closure over pairs") {
+      Dedup.componentLabels(
+          Dedup.lshCandidatePairs(
+              Dedup.minhashFromHashes(rows, k = 64), bands = 16, rowsPerBand = 4)
+            .where(col("est_jaccard") >= 0.2)
+            .select(col("id_a"), col("id_b")))
+        .count()
+    }
+    // contamination: 600 k-doc eval side vs a small benchmark side (the
+    // production shape — benchmark shingle set broadcast-sized)
+    val benchmark = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(500)
+    timed("q_t7 contamination") {
+      Dedup.contaminationFromHashes(
+        docs.select(col("doc_id").as("id")), rows,
+        Dedup.shingleHashRows(benchmark, "doc_id", "text", n = 3)).count()
+    }
+    // incremental batch-vs-corpus: one fresh sf0.1 batch (~60 k docs)
+    // against the 600 k-doc corpus, corpus shingles precomputed (the
+    // grows-batch-by-batch pipeline shape)
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id") + lit(100000000000L) as "doc_id", col("text"))
+    timed("q_d7 dedupAgainstCorpus") {
+      Dedup.dedupAgainstCorpusFromHashes(batch, docs, "doc_id", "text",
+        Dedup.shingleHashRows(batch, "doc_id", "text", n = 3), rows,
+        minJaccard = 0.5).count()
     }
     spark.stop()
   }
