@@ -38,19 +38,24 @@ class ErddapTableProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = ErddapV2.firstFile(options.get("path"))
-    val header = scala.io.Source.fromFile(path)
-    try {
-      val names = header.getLines().next().split(",", -1)
-      StructType(names.map(n =>
-        StructField(graft.sources.ErddapCsv.normalizeName(n.trim), StringType)))
-    } finally header.close()
+    val src = ErddapV2.firstFile(options.get("path"))
+    ErddapV2.open(src, ErddapV2.httpConfig(k => options.get(k))) match {
+      case None => StructType(Nil) // 404'd URL: empty result, no columns
+      case Some(is) =>
+        val header = scala.io.Source.fromInputStream(is, "UTF-8")
+        try {
+          val names = header.getLines().next().split(",", -1)
+          StructType(names.map(n =>
+            StructField(graft.sources.ErddapCsv.normalizeName(n.trim), StringType)))
+        } finally header.close()
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ErddapTable(schema, properties.get("path"),
-      Option(properties.get("unitsRow")).getOrElse("always"))
+      Option(properties.get("unitsRow")).getOrElse("always"),
+      ErddapV2.httpConfig(properties.get))
 }
 
 private[v2] object ErddapV2 {
@@ -67,7 +72,37 @@ private[v2] object ErddapV2 {
     java.util.regex.Pattern.compile(sb.toString)
   }
 
+  private def isUrl(s: String): Boolean =
+    s.regionMatches(true, 0, "http://", 0, 7) ||
+      s.regionMatches(true, 0, "https://", 0, 8)
+
+  /** Build the reader-side HTTP config from DSv2 options (URLs can
+    * contain commas, so URL lists are whitespace-separated). */
+  def httpConfig(get: String => String): graft.sources.ErddapHttp.HttpConfig = {
+    def opt(k: String): Option[String] = Option(get(k))
+    val d = graft.sources.ErddapHttp.HttpConfig()
+    d.copy(
+      connectTimeoutMs = opt("httpConnectTimeoutMs").map(_.toInt).getOrElse(d.connectTimeoutMs),
+      requestTimeoutMs = opt("httpRequestTimeoutMs").map(_.toInt).getOrElse(d.requestTimeoutMs),
+      retries = opt("httpRetries").map(_.toInt).getOrElse(d.retries),
+      backoffMs = opt("httpBackoffMs").map(_.toLong).getOrElse(d.backoffMs),
+      emptyOn404 = opt("emptyOn404").map(_.toBoolean).getOrElse(d.emptyOn404))
+  }
+
+  /** One line source per partition: a local file opens directly; a URL
+    * goes through ErddapHttp's retrying fetch, where None = ERDDAP's
+    * "404 means no matching rows" → an empty partition (reference
+    * empty-frame parity), exactly how a live tabledap request behaves
+    * when its pushed-down constraints match nothing. */
+  def open(src: String, cfg: graft.sources.ErddapHttp.HttpConfig): Option[java.io.InputStream] =
+    if (isUrl(src))
+      graft.sources.ErddapHttp.fetchBytes(src, cfg)
+        .map(new java.io.ByteArrayInputStream(_))
+    else Some(new java.io.FileInputStream(src))
+
   def files(pathSpec: String): Seq[String] = {
+    if (isUrl(pathSpec.trim))
+      return pathSpec.trim.split("\\s+").toSeq
     val f = new java.io.File(pathSpec)
     if (f.isFile) Seq(f.getAbsolutePath)
     else if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
@@ -87,18 +122,19 @@ private[v2] object ErddapV2 {
       throw new IllegalArgumentException(s"no files match $pathSpec"))
 }
 
-private[v2] class ErddapTable(schema: StructType, path: String, unitsRow: String)
+private[v2] class ErddapTable(schema: StructType, path: String, unitsRow: String,
+    http: graft.sources.ErddapHttp.HttpConfig)
     extends Table with SupportsRead {
   override def name(): String = s"erddap:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ErddapScanBuilder(schema, path, unitsRow)
+    new ErddapScanBuilder(schema, path, unitsRow, http)
 }
 
 private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String,
-    unitsRow: String)
+    unitsRow: String, http: graft.sources.ErddapHttp.HttpConfig)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -131,12 +167,14 @@ private[v2] class ErddapScanBuilder(fullSchema: StructType, path: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new ErddapScan(fullSchema, required, pushed, path, unitsRow, pushedLimit)
+    new ErddapScan(fullSchema, required, pushed, path, unitsRow, pushedLimit,
+      http)
 }
 
 private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
                              filters: Array[Filter], path: String,
-                             unitsRow: String, limit: Int)
+                             unitsRow: String, limit: Int,
+                             http: graft.sources.ErddapHttp.HttpConfig)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -147,18 +185,19 @@ private[v2] class ErddapScan(fullSchema: StructType, required: StructType,
     ErddapV2.files(path).map(f => ErddapFilePartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ErddapReaderFactory(fullSchema, required, filters, unitsRow, limit)
+    new ErddapReaderFactory(fullSchema, required, filters, unitsRow, limit,
+      http)
 }
 
 private[v2] case class ErddapFilePartition(file: String) extends InputPartition
 
 private[v2] class ErddapReaderFactory(fullSchema: StructType,
     required: StructType, filters: Array[Filter], unitsRow: String,
-    limit: Int)
+    limit: Int, http: graft.sources.ErddapHttp.HttpConfig)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ErddapFileReader(p.asInstanceOf[ErddapFilePartition].file,
-      fullSchema, required, filters, unitsRow, limit)
+      fullSchema, required, filters, unitsRow, limit, http)
 }
 
 /** Per-file reader: header-driven column mapping, units-row skip, NA
@@ -167,13 +206,16 @@ private[v2] class ErddapReaderFactory(fullSchema: StructType,
   * `items_per_page` semantics; -1 = no limit). */
 private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
     required: StructType, filters: Array[Filter], unitsRow: String,
-    limit: Int = -1)
+    limit: Int = -1,
+    http: graft.sources.ErddapHttp.HttpConfig = graft.sources.ErddapHttp.HttpConfig())
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
 
-  private val source = scala.io.Source.fromFile(file)
-  private val lines = source.getLines()
+  // executor-side fetch: file or retrying HTTP GET; None = 404 = empty
+  private val source: Option[scala.io.Source] =
+    ErddapV2.open(file, http).map(scala.io.Source.fromInputStream(_, "UTF-8"))
+  private val lines = source.map(_.getLines()).getOrElse(Iterator.empty)
   private val header: Array[String] =
     if (lines.hasNext)
       lines.next().split(",", -1).map(h =>
@@ -283,5 +325,5 @@ private[v2] class ErddapFileReader(file: String, fullSchema: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = source.close()
+  override def close(): Unit = source.foreach(_.close())
 }

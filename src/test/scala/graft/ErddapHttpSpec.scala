@@ -1,0 +1,161 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ErddapHttp
+import graft.sources.ErddapHttp.HttpConfig
+
+/** Exercises the live-HTTP layer against an in-process server (zero
+  * egress here, so the network half is tested end-to-end on loopback):
+  * executor-side URL partitions in the DSv2 connector, retry/backoff on
+  * transient failures, the reference's 404→empty contract, and
+  * driver-side catalog paging. */
+class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
+
+  private val obsCsv =
+    """time,latitude,longitude,Profile ID
+      |UTC,degrees_north,degrees_east,1
+      |2021-06-01T03:12:00Z,39.102,-73.514,1
+      |2021-06-01T07:44:00Z,39.141,-73.488,2
+      |2021-06-02T01:02:00Z,none,None,3
+      |""".stripMargin
+  private val obs2Csv =
+    """time,latitude,longitude,Profile ID
+      |UTC,degrees_north,degrees_east,1
+      |2021-07-01T00:00:00Z,10.5,20.5,1
+      |""".stripMargin
+
+  // 21 catalog rows for the paging test (itemsPerPage=8 → pages of 8/8/5)
+  private val catalogHeader = "Dataset ID,Institution"
+  private val catalogRows =
+    (1 to 21).map(i => f"ru$i%02d-20210601T0000,rutgers")
+
+  private val flakyHits = new AtomicInteger(0)
+  private val searchHits = new AtomicInteger(0)
+
+  private var server: HttpServer = _
+  private var base: String = _
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length.toLong)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/erddap/tabledap/ru29_obs.csv",
+      (ex: HttpExchange) => respond(ex, 200, obsCsv))
+    server.createContext("/erddap/tabledap/sp10_obs.csv",
+      (ex: HttpExchange) => respond(ex, 200, obs2Csv))
+    // first two requests fail with 503, then success — retry coverage
+    server.createContext("/erddap/tabledap/flaky_obs.csv",
+      (ex: HttpExchange) =>
+        if (flakyHits.incrementAndGet() <= 2) respond(ex, 503, "busy")
+        else respond(ex, 200, obs2Csv))
+    // ERDDAP answers 404 when constraints match no rows
+    server.createContext("/erddap/tabledap/nomatch_obs.csv",
+      (ex: HttpExchange) => respond(ex, 404, "no rows"))
+    // an endpoint that never recovers — retry-exhaustion coverage
+    server.createContext("/erddap/tabledap/down_obs.csv",
+      (ex: HttpExchange) => respond(ex, 503, "down"))
+    server.createContext("/erddap/search/advanced.csv",
+      (ex: HttpExchange) => {
+        searchHits.incrementAndGet()
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val page = params.getOrElse("page", "1").toInt
+        val per = params.getOrElse("itemsPerPage", "1000000").toInt
+        val slice =
+          if (params.get("searchFor").contains("none")) Nil
+          else catalogRows.slice((page - 1) * per, page * per)
+        if (slice.isEmpty) respond(ex, 404, "past the end")
+        else respond(ex, 200, (catalogHeader +: slice).mkString("\n"))
+      })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}/erddap"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private val schema = StructType(Seq(
+    StructField("time", TimestampType), StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType), StructField("profile_id", LongType)))
+
+  private def readUrls(urls: String) =
+    spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .schema(schema).option("path", urls).option("httpBackoffMs", "1").load()
+
+  test("DSv2 over URL partitions: one request per partition, units row skipped") {
+    val df = readUrls(s"$base/tabledap/ru29_obs.csv $base/tabledap/sp10_obs.csv")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4)
+    assert(df.where(col("latitude").isNull).count() == 1)
+  }
+
+  test("pushed filter and limit still evaluate inside the URL reader") {
+    val df = readUrls(s"$base/tabledap/ru29_obs.csv")
+      .where(col("latitude") > 39.1).limit(1)
+    assert(df.count() == 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(latitude"), s"filter not pushed:\n$plan")
+  }
+
+  test("transient 5xx is retried with backoff until success") {
+    flakyHits.set(0)
+    val df = readUrls(s"$base/tabledap/flaky_obs.csv")
+    assert(df.count() == 1)
+    assert(flakyHits.get() == 3, s"expected 2 failures + 1 success, saw ${flakyHits.get()}")
+  }
+
+  test("retries exhaust loudly on a persistent 5xx") {
+    val e = intercept[ErddapHttp.ErddapHttpException] {
+      ErddapHttp.fetchBytes(s"$base/tabledap/down_obs.csv",
+        HttpConfig(retries = 2, backoffMs = 1))
+    }
+    assert(e.getCause.isInstanceOf[ErddapHttp.ErddapHttpException])
+    assert(e.getCause.getMessage.contains("503"))
+  }
+
+  test("404 means empty result (reference parity), or loud when disabled") {
+    val df = readUrls(s"$base/tabledap/nomatch_obs.csv $base/tabledap/sp10_obs.csv")
+    assert(df.count() == 1) // 404 partition contributes zero rows silently
+    val strict = spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .schema(schema).option("path", s"$base/tabledap/nomatch_obs.csv")
+      .option("emptyOn404", "false").load()
+    val err = intercept[Exception](strict.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(err).exists(t => t.getMessage != null && t.getMessage.contains("404")),
+      s"no 404 in error chain: $err")
+  }
+
+  test("pagedSearch concatenates pages until the short page; 404 search is empty") {
+    searchHits.set(0)
+    val cat = ErddapHttp.pagedSearch(spark, base,
+      Map("searchFor" -> "ru"), itemsPerPage = 8, HttpConfig(backoffMs = 1))
+    assert(cat.columns.toSeq == Seq("dataset_id", "institution"))
+    assert(cat.count() == 21)
+    assert(searchHits.get() == 3, s"expected 3 pages, saw ${searchHits.get()}")
+    // a search past the data: first page 404s → empty frame, no error
+    val empty = ErddapHttp.pagedSearch(spark, base,
+      Map("searchFor" -> "none", "page" -> "99"), itemsPerPage = 8,
+      HttpConfig(backoffMs = 1))
+    assert(empty.isEmpty)
+  }
+}
