@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Sampling, TextStats}
+import graft.operators.{AsOf, Dedup, Sampling, Sessions, TextStats}
 import graft.sources.Tables
 
 /** Round-3 query pack: temporal joins (as-of, range), benchmark
@@ -366,9 +366,47 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- batch sessionization ----------------------------------------------
+
+  /** Gap-based sessionization of the event stream's history (4-hour
+    * inactivity closes a session) — the batch half of the
+    * `streaming/Sessionize` pair (SessionsSpec pins their equivalence).
+    * One hash exchange end-to-end: the (user_id, session_idx) aggregate
+    * reuses the window's HashPartitioning(user_id) (plan-asserted).
+    * `event_id` tie-break makes equal-timestamp ordering, and with it
+    * the session boundaries, engine-reproducible; the oracle replays the
+    * same lag → break-flag → running-sum composition in µs arithmetic. */
+  private def qW5sessionize(s: SparkSession, d: String): DataFrame =
+    Sessions.sessionize(events(s, d), Seq("user_id"), "ts",
+        gapSeconds = 4 * 3600, tieBreak = Seq("event_id"),
+        extraAggs = Seq(
+          round(graft.operators.Parity.moneySum(col("value")), 2).as("total_value")))
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_idx")
+  private val oW5 =
+    s"""WITH o AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+      |b AS (SELECT user_id, us, value,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      > ${4L * 3600 * 1000000} THEN 1 ELSE 0 END AS brk,
+      |    event_id
+      |  FROM o),
+      |s AS (SELECT user_id, us, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM b)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(us) AS start_us, max(us) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(${graft.operators.Parity.moneySumSql("value")}, 2) AS total_value
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_w5_sessionize" -> qW5sessionize _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -383,6 +421,7 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_w5_sessionize" -> oW5,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

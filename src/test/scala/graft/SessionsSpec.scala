@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Parity, Sessions}
+import graft.streaming.Sessionize
+
+class SessionsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    // user 1: two sessions split by a > 10 min gap
+    (1L, ts("2024-01-01 12:00:00"), 1.0),
+    (1L, ts("2024-01-01 12:05:00"), 2.0),
+    (1L, ts("2024-01-01 12:14:59"), 3.0),
+    (1L, ts("2024-01-01 13:00:00"), 4.0),
+    // user 2: exactly-at-gap boundary stays ONE session (gap is <=)
+    (2L, ts("2024-01-01 00:00:00"), 5.0),
+    (2L, ts("2024-01-01 00:10:00"), 6.0),
+    // user 3: single event
+    (3L, ts("2024-01-02 09:00:00"), 7.0)
+  ).toDF("user_id", "ts", "value")
+
+  test("sessionize: gap rule, boundary inclusivity, aggregates") {
+    val out = Sessions.sessionize(events, Seq("user_id"), "ts",
+        gapSeconds = 600, extraAggs = Seq(sum("value").as("total_value")))
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L)))
+    val s10 = out(0)
+    assert(s10.getAs[Timestamp]("session_start") == ts("2024-01-01 12:00:00"))
+    assert(s10.getAs[Timestamp]("session_end") == ts("2024-01-01 12:14:59"))
+    assert(s10.getAs[Long]("n_events") == 3)
+    assert(s10.getAs[Double]("total_value") == 6.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("n_events") == 2) // 10-min gap == gapSeconds: same session
+  }
+
+  test("one exchange total: session aggregate reuses the window's partitioning") {
+    val plan = Sessions.sessionize(events, Seq("user_id"), "ts", 600)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly 1 exchange (HashPartitioning(user_id) satisfies the " +
+        s"(user_id, session_idx) aggregate's distribution), got $shuffles:\n$plan")
+  }
+
+  test("batch sessionize == streaming Sessionize on mature data (sf events slice)") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value"))
+    // compare at MILLISECOND precision: the streaming op's per-key state
+    // stores epoch millis (Timestamp.getTime), batch keeps full micros
+    val batch = Sessions.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 4 * 3600,
+        tieBreak = Seq("value"),
+        extraAggs = Seq(round(Parity.moneySum(col("value")), 2).as("total_value")))
+      .select(col("user_id"), unix_millis(col("session_start")).as("session_start"),
+        unix_millis(col("session_end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3), r.get(4))).toSet
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessionize(mem.toDS(), gapSeconds = 4 * 3600,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_batch_eq")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev.collect().map(r =>
+        Sessionize.Event(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toIndexedSeq)
+      q.processAllAvailable()
+      // push the watermark far past the data so every open session times out
+      mem.addData(Sessionize.Event(-1L, ts("2030-01-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val stream = spark.table("sess_batch_eq")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), unix_millis(col("session_start")).as("session_start"),
+          unix_millis(col("session_end")).as("session_end"),
+          col("n_events"),
+          round(col("total_value").cast("decimal(20,2)"), 2).cast("double").as("total_value"))
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3), r.get(4))).toSet
+      assert(stream == batch,
+        s"batch/stream diverge: onlyBatch=${(batch -- stream).take(3)} " +
+          s"onlyStream=${(stream -- batch).take(3)}")
+    } finally q.stop()
+  }
+}
