@@ -403,10 +403,41 @@ object PipelineQueries {
       |  round(${graft.operators.Parity.moneySumSql("value")}, 2) AS total_value
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- data-recipe mixture -----------------------------------------------
+
+  /** Training-data mixture with epoch factors: src0 oversampled at 2.5
+    * epochs (two whole copies + a half sample), src1 dropped, src2 kept
+    * exactly once, everything else thinned to 0.4 — the standard data-
+    * recipe realization step. Deterministic per (id, epoch): the oracle
+    * replays the per-epoch md5 threshold and the same double threshold
+    * arithmetic. Map-side only (no exchange in the plan — PipelineOpsSpec). */
+  private def qX6mixture(s: SparkSession, d: String): DataFrame =
+    Sampling.mixture(docs(s, d).select(col("doc_id"), col("source")),
+        "source", Map("src0" -> 2.5, "src1" -> 0.0, "src2" -> 1.0),
+        defaultWeight = 0.4, idCol = "doc_id")
+      .select(col("doc_id").as("id"), col("source"),
+        col("epoch").cast("long").as("epoch"))
+      .orderBy("id", "epoch")
+  private val oX6 =
+    """WITH w AS (SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0
+      |      WHEN 'src2' THEN 1.0 ELSE 0.4 END AS wt
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, wt,
+      |    unnest(range(0, GREATEST(CAST(ceil(wt) AS INT), 1))) AS epoch
+      |  FROM w)
+      |SELECT doc_id AS id, source, CAST(epoch AS BIGINT) AS epoch
+      |FROM e
+      |WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#',
+      |    CAST(epoch AS VARCHAR), '|graft')), 1, 6)) AS BIGINT)
+      |  < CAST(floor((wt - epoch) * 16777216) AS BIGINT)
+      |ORDER BY 1, 3""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_w5_sessionize" -> qW5sessionize _,
+    "q_x6_mixture" -> qX6mixture _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -422,6 +453,7 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_w5_sessionize" -> oW5,
+    "q_x6_mixture" -> oX6,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

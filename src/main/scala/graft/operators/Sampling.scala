@@ -82,6 +82,40 @@ object Sampling {
     df.where(hash24(col(idCol), salt) < thr)
   }
 
+  /** Data-recipe MIXTURE with epoch factors: realize each group at its
+    * weight, where a weight above 1 OVERSAMPLES by whole copies plus a
+    * fractional tail — the standard LLM data-mixing step ("web at 0.3
+    * epochs, books at 2.5"). Emits one row per surviving (row, epoch)
+    * with a 0-based `epoch` column, so downstream shuffling/packing can
+    * tell copies apart.
+    *
+    * Membership is deterministic per (id, epoch, salt): epoch `e` of a
+    * row survives iff hash24(id#e) < (weight − e)·2^24 — every epoch
+    * below floor(weight) is kept whole (threshold ≥ 2^24), the last
+    * partial epoch is an independent Bernoulli sample, and distinct
+    * epochs use independent hashes. Map-side only (explode over
+    * ⌈weight⌉ copy indices + filter): no shuffle, scales as
+    * Σ weights · |corpus|. */
+  def mixture(df: DataFrame, groupCol: String, weights: Map[String, Double],
+              defaultWeight: Double, idCol: String,
+              salt: String = "graft"): DataFrame = {
+    (defaultWeight +: weights.values.toSeq).foreach(w =>
+      require(w >= 0, s"mixture weights must be >= 0; got $w"))
+    val w = weights.foldRight(lit(defaultWeight)) {
+      case ((g, f), acc) => when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    df.withColumn("_w", w)
+      // greatest(…, 1): sequence(0, -1) would DESCEND, not be empty; a
+      // zero weight emits epoch 0 and the threshold filter drops it
+      .withColumn("epoch",
+        explode(sequence(lit(0),
+          greatest(ceil(col("_w")).cast("int"), lit(1)) - 1)))
+      .where(hash24(concat(col(idCol).cast("string"), lit("#"),
+          col("epoch").cast("string")), salt) <
+        floor((col("_w") - col("epoch")) * (1L << 24)).cast("long"))
+      .drop("_w")
+  }
+
   /** Token-budget shard packing: within each group, rows are laid out in
     * deterministic (hash, id) order and cut into shards of ~`budget` cost
     * (token/char counts) — the "pack documents into training shards"

@@ -209,6 +209,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("mixture: epoch factors oversample, zero drops, one keeps whole; no shuffle") {
+    val df = spark.range(6000).toDF("doc_id")
+      .withColumn("src", when($"doc_id" % 3 === 0, "a")
+        .when($"doc_id" % 3 === 1, "b").otherwise("c"))
+    val mixed = Sampling.mixture(df, "src",
+      Map("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0, idCol = "doc_id")
+    val byEpoch = mixed.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // weight 2.5: epochs 0 and 1 keep every row, epoch 2 samples ~50%
+    assert(byEpoch(("a", 0)) == 2000L && byEpoch(("a", 1)) == 2000L)
+    assert(math.abs(byEpoch(("a", 2)) / 2000.0 - 0.5) < 0.05)
+    // weight 0 contributes nothing; weight 1.0 keeps exactly one epoch
+    assert(!byEpoch.keys.exists(_._1 == "b"))
+    assert(byEpoch(("c", 0)) == 2000L && !byEpoch.contains(("c", 1)))
+    // copies of one doc stay distinguishable and membership is reproducible
+    assert(mixed.groupBy("doc_id", "epoch").count()
+      .where($"count" > 1).isEmpty)
+    val again = Sampling.mixture(df, "src",
+        Map("a" -> 2.5, "b" -> 0.0), 1.0, "doc_id")
+      .select("doc_id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(mixed.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == again)
+    // map-side only: the realization plans without any exchange
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture should not shuffle:\n$plan")
+  }
+
   test("chunking: overlapping windows cover every word, short docs = one chunk") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 words

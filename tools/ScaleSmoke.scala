@@ -92,7 +92,7 @@ object ScaleSmoke {
             .select(col("id_a"), col("id_b")))
         .count()
     }
-    // contamination: 600 k-doc eval side vs a small benchmark side (the
+    // contamination: 50 k-doc eval side vs a small benchmark side (the
     // production shape — benchmark shingle set broadcast-sized)
     val benchmark = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").orderBy("doc_id").limit(500)
@@ -101,8 +101,19 @@ object ScaleSmoke {
         docs.select(col("doc_id").as("id")), rows,
         Dedup.shingleHashRows(benchmark, "doc_id", "text", n = 3)).count()
     }
-    // incremental batch-vs-corpus: one fresh sf0.1 batch (~60 k docs)
-    // against the 600 k-doc corpus, corpus shingles precomputed (the
+    // the 100 TB ANN layout at 10×: IVF-PQ with √n-rule inverted lists
+    // (~141 at 20 k vectors), quarter-probe fraction — per-query ADC
+    // touches ~nProbe/nCentroids of the corpus
+    timed("q_s5 path ivfPqTopK 10x") {
+      import graft.operators.{Pq, Similarity}
+      val nlist = Similarity.suggestedCentroids(copies * 2000L)
+      val nprobe = math.max(1, nlist / 4)
+      println(s"  rule config: nlist=$nlist nprobe=$nprobe")
+      Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = nlist, nProbe = nprobe).count()
+    }
+    // incremental batch-vs-corpus: one fresh sf0.1 batch (5 k docs)
+    // against the 50 k-doc corpus, corpus shingles precomputed (the
     // grows-batch-by-batch pipeline shape)
     val batch = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id") + lit(100000000000L) as "doc_id", col("text"))
