@@ -391,6 +391,58 @@ object TextSimQueries {
       |FROM g WHERE dt / (sqrt(na) * sqrt(nb)) >= 0.4
       |ORDER BY 1, 2""".stripMargin
 
+  /** SemDeDup-style semantic dedup — paraphrase-level curation the
+    * shingle-based family cannot see. Fully oracled: hash-seeded
+    * centroids, min-struct assignment, within-cluster pairwise cosine,
+    * and the keep-min-id drop rule all replay in DuckDB (the assignment
+    * CTEs are oS3's; the guard prune mirrors as a grouped-count CTE at
+    * the production default). `dropped` crosses as 0/1 BIGINT; the drop
+    * decision compares the UNROUNDED max on both engines. */
+  private def qD8semantic(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(emb(s, d), "vec_id", "embedding", minCosine = 0.4,
+        nClusters = 16)
+      .select(col("id"), col("cluster_id"),
+        round(col("best_lower_cosine"), 6).as("best_lower_cosine"),
+        col("dropped").cast("bigint").as("dropped"))
+      .orderBy("id")
+  private val oD8 = {
+    val nCent = 16
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+       |okc AS (SELECT cid FROM assign GROUP BY cid HAVING count(*) <= 100000),
+       |a2 AS (SELECT assign.* FROM assign JOIN okc USING (cid)),
+       |pr AS (SELECT a.vid AS aid, b.vid AS id, ea.embedding AS ea,
+       |    eb.embedding AS eb
+       |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid
+       |  JOIN e ea ON ea.id = a.vid JOIN e eb ON eb.id = b.vid),
+       |u2 AS (SELECT aid, id, CAST(unnest(ea) AS DOUBLE) AS xa,
+       |    CAST(unnest(eb) AS DOUBLE) AS xb FROM pr),
+       |g2 AS (SELECT aid, id, sum(xa * xb) AS dt, sum(xa * xa) AS na,
+       |    sum(xb * xb) AS nb FROM u2 GROUP BY 1, 2),
+       |best AS (SELECT id, max(dt / (sqrt(na) * sqrt(nb))) AS best
+       |  FROM g2 GROUP BY 1)
+       |SELECT assign.vid AS id, assign.cid AS cluster_id,
+       |  round(best.best, 6) AS best_lower_cosine,
+       |  CAST(CASE WHEN best.best >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+       |FROM assign LEFT JOIN best ON best.id = assign.vid
+       |ORDER BY 1""".stripMargin
+  }
+
   // ---- similarity search -------------------------------------------------
 
   private def qS1topk(s: SparkSession, d: String): DataFrame = {
@@ -1004,6 +1056,7 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> qD5embedNearDup _,
     "q_d5b_allpairs_rerank" -> qD5ballPairs _,
     "q_d6_neardup_clusters" -> qD6clusters _,
+    "q_d8_semantic_dedup" -> qD8semantic _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
@@ -1032,6 +1085,7 @@ object TextSimQueries {
     "q_d5_embedding_neardup" -> oD5,
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_d6_neardup_clusters" -> oD6,
+    "q_d8_semantic_dedup" -> oD8,
     "q_s1_cosine_topk" -> oS1,
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,

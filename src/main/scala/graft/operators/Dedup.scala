@@ -536,6 +536,65 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style SEMANTIC dedup: partition the embedding space into
+    * `nClusters` spherical clusters (the IVF machinery — deterministic
+    * hash-seeded centroids, optional spherical-Lloyd refinement), compare
+    * vectors only WITHIN their cluster, and drop every vector that has a
+    * lower-id cluster-mate with cosine ≥ `minCosine` — the same
+    * deterministic keep-min-id rule as the rest of the dedup family.
+    * Returns one row per (norm > 0) vector: `id`, `cluster_id`,
+    * `best_lower_cosine` (max cosine to any lower-id cluster-mate, null
+    * when alone/first), `dropped`.
+    *
+    * This is the dedup that CATCHES paraphrases exact/MinHash dedup
+    * cannot (same meaning, different words) — the standard semantic-
+    * curation step for LLM corpora, run after exact+near dedup.
+    *
+    * Scale shape: clustering bounds the pairwise work at Σ|cluster|²
+    * (pick nClusters by the √n rule — `Similarity.suggestedCentroids` —
+    * to hold E|cluster| ≈ √n); assignment is the min-struct aggregate
+    * (one row per vector crosses the exchange, never a corpus×centroids
+    * window); the within-cluster self-join is an equi-join on
+    * cluster_id; a runaway cluster (collapsed embedding space) is the
+    * same failure mode as a hot LSH bucket and `maxClusterSize` guards
+    * it the same window-free way (groupBy.count + broadcast anti-join;
+    * guarded-out vectors keep their row with null best / dropped=false,
+    * like `jaccardPairs` keeps unpaired docs). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double, nClusters: Int, kmeansIters: Int = 0,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive: $nClusters")
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+    val seed = Similarity.sampleCentroids(emb, idCol, vecCol, nClusters)
+    val cents =
+      if (kmeansIters == 0) seed
+      else Similarity.kmeansCentroids(emb, idCol, vecCol, seed, kmeansIters)
+    val assigned = Similarity.assignTo(c, cents)
+      .select(col("centroid_id").as("cluster_id"), col("neighbor_id").as("id"),
+        col("cv"), col("cn"))
+    val pruned =
+      if (maxClusterSize == Int.MaxValue) assigned
+      else {
+        val oversized = assigned.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
+          .select("cluster_id")
+        assigned.join(broadcast(oversized), Seq("cluster_id"), "left_anti")
+      }
+    val best = pruned.as("a").join(pruned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"),
+        (Similarity.dot(col("a.cv"), col("b.cv")) /
+          (col("a.cn") * col("b.cn"))).as("cos"))
+      .groupBy("id").agg(max(col("cos")).as("best_lower_cosine"))
+    assigned.select(col("id"), col("cluster_id"))
+      .join(best, Seq("id"), "left")
+      .withColumn("dropped",
+        coalesce(col("best_lower_cosine") >= minCosine, lit(false)))
+  }
+
   // ---- pair graph → clusters ----------------------------------------------
 
   /** Connected components over a near-dup pair graph by MIN-LABEL

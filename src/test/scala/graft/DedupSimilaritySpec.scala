@@ -152,6 +152,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"rule config missed ${sfEmb.count() - found} of ${sfEmb.count()} planted near-dups")
   }
 
+  test("semanticDedup: keep-min-id within clusters, loners kept, guard drops") {
+    // two tight direction-clusters plus an orthogonal loner; nClusters=2
+    // seed selection is hash-ordered, so assert semantics, not seeds
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.05f, 0f)),  // near-dups
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0.98f, 0.1f)),   // near-dups
+      (9L, Array(0f, 0f, 1f))                                  // loner
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vs, "vec_id", "embedding",
+      minCosine = 0.95, nClusters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), Option(r.get(2)))).toMap
+    // min id of each near-dup group survives; its mate drops iff they
+    // share a cluster (2 clusters over 3 directions put SOME pair
+    // together — assert exactly the within-cluster drops happen)
+    assert(!out(1L)._1 && !out(3L)._1, "cluster minima must be kept")
+    val drops = out.count(_._2._1)
+    assert(drops >= 1 && drops <= 2, s"expected 1-2 within-cluster drops: $out")
+    assert(!out(9L)._1, "orthogonal loner must survive")
+    // kmeans refinement keeps the same keep-min semantics
+    val refined = Dedup.semanticDedup(vs, "vec_id", "embedding",
+      minCosine = 0.95, nClusters = 2, kmeansIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!refined(1L) && !refined(3L) && !refined(9L))
+    // guard: cap below the cluster sizes → no pairs compared, all kept
+    val guarded = Dedup.semanticDedup(vs, "vec_id", "embedding",
+      minCosine = 0.95, nClusters = 1, maxClusterSize = 2).collect()
+    assert(guarded.length == 5 && guarded.forall(!_.getBoolean(3)))
+  }
+
   test("ANN recall@5 >= 0.8 vs brute force (sf0.01)") {
     val q = sfEmb.where(col("vec_id") < 5)
     def hits(df: org.apache.spark.sql.DataFrame) =
