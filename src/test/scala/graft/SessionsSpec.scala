@@ -50,6 +50,38 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
         s"(user_id, session_idx) aggregate's distribution), got $shuffles:\n$plan")
   }
 
+  test("calendar SVG heatmap: geometry, labels, annotations, null cells") {
+    val df = Seq(
+      (2023L, java.lang.Double.valueOf(3.0), java.lang.Double.valueOf(10.0)),
+      (2024L, java.lang.Double.valueOf(7.0), null.asInstanceOf[java.lang.Double])
+    ).toDF("year", "m1", "m2")
+    val svg = graft.io.CalendarSvg.render(df)
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+    val rects = doc.getElementsByTagName("rect")
+    assert(rects.getLength == 4) // 2 rows × 2 month columns
+    val texts = (0 until doc.getElementsByTagName("text").getLength)
+      .map(doc.getElementsByTagName("text").item(_).getTextContent)
+    // month COLUMNS get full names; year index labels rows; %.0f annotations
+    assert(texts.contains("January") && texts.contains("February"))
+    assert(texts.contains("2023") && texts.contains("2024"))
+    assert(texts.contains("3") && texts.contains("7") && texts.contains("10"))
+    // the null cell is blank: 3 annotated values only
+    assert(texts.count(t => Set("3", "7", "10").contains(t)) == 3)
+    // (year, month) index → "Mon YYYY" labels; day columns keep numbers
+    val ymd = Seq((2024L, 2L, 1.0)).toDF("year", "month", "d5")
+    val svg2 = graft.io.CalendarSvg.render(ymd)
+    assert(svg2.contains(">Feb 2024<") && svg2.contains(">5<"))
+    // diverging mode emits blue-side and red-side fills around the center
+    val div = graft.io.CalendarSvg.render(df, center = Some(7.0))
+    assert(div.contains("fill=\"#ffffff\"")) // the center cell is white
+    // a non-calendar frame is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.io.CalendarSvg.render(Seq((1L, 2.0)).toDF("foo", "bar"))
+    }
+  }
+
   test("batch sessionize == streaming Sessionize on mature data (sf events slice)") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("value"))
