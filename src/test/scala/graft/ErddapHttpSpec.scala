@@ -145,6 +145,16 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
       s"no 404 in error chain: $err")
   }
 
+  test("pagedSearch output composes with the S2 search operator") {
+    val cat = ErddapHttp.pagedSearch(spark, base,
+      Map("searchFor" -> "ru"), itemsPerPage = 8, HttpConfig(backoffMs = 1))
+    // normalized column names make the fetched catalog a drop-in input
+    // for the offline operator surface
+    val hit = graft.operators.Catalog.search(cat, searchFor = Some("ru07"))
+    assert(hit.count() == 1)
+    assert(hit.head().getAs[String]("dataset_id") == "ru07-20210601T0000")
+  }
+
   test("pagedSearch concatenates pages until the short page; 404 search is empty") {
     searchHits.set(0)
     val cat = ErddapHttp.pagedSearch(spark, base,
