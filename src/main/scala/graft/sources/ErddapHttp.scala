@@ -100,10 +100,17 @@ object ErddapHttp {
     * (reference parity), never an error. */
   def pagedSearch(spark: SparkSession, server: String,
                   params: Map[String, String], itemsPerPage: Long = 1000000L,
-                  cfg: HttpConfig = HttpConfig()): DataFrame = {
+                  cfg: HttpConfig = HttpConfig(),
+                  maxPages: Int = 100000): DataFrame = {
     require(itemsPerPage > 0, s"itemsPerPage must be positive: $itemsPerPage")
     val pages = Iterator.from(1)
       .map { p =>
+        // loud cap, not silent truncation: a server that keeps answering
+        // full pages (or ignores `page`) must not spin the driver forever
+        if (p > maxPages)
+          throw new IllegalStateException(
+            s"paged search exceeded $maxPages pages of $itemsPerPage — " +
+              s"server ignoring paging? ($server)")
         fetchLines(graft.io.ErddapUrl.advancedSearch(server,
           params + ("page" -> p.toString), itemsPerPage), cfg)
       }

@@ -68,6 +68,11 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     // an endpoint that never recovers — retry-exhaustion coverage
     server.createContext("/erddap/tabledap/down_obs.csv",
       (ex: HttpExchange) => respond(ex, 503, "down"))
+    // a server that ignores `page` and always answers a full page — the
+    // pagedSearch maxPages cap must fail loudly instead of spinning
+    server.createContext("/loop/search/advanced.csv",
+      (ex: HttpExchange) => respond(ex, 200,
+        (catalogHeader +: catalogRows.take(8)).mkString("\n")))
     server.createContext("/erddap/search/advanced.csv",
       (ex: HttpExchange) => {
         searchHits.incrementAndGet()
@@ -153,6 +158,15 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     val hit = graft.operators.Catalog.search(cat, searchFor = Some("ru07"))
     assert(hit.count() == 1)
     assert(hit.head().getAs[String]("dataset_id") == "ru07-20210601T0000")
+  }
+
+  test("pagedSearch fails loudly past maxPages when a server ignores paging") {
+    val loopBase = s"http://127.0.0.1:${server.getAddress.getPort}/loop"
+    val e = intercept[IllegalStateException] {
+      ErddapHttp.pagedSearch(spark, loopBase, Map("searchFor" -> "ru"),
+        itemsPerPage = 8, HttpConfig(backoffMs = 1), maxPages = 5)
+    }
+    assert(e.getMessage.contains("5 pages"))
   }
 
   test("pagedSearch concatenates pages until the short page; 404 search is empty") {
