@@ -58,7 +58,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val spreads = queries.map { case (k, _) =>
       val xs = samples(k)
-      k -> (if (xs.min > 0) xs.max / xs.min else Double.PositiveInfinity)
+      // a 0.0 sample (skipped/failed run) gets a finite sentinel: %.3f of
+      // PositiveInfinity would print "Infinity" and break the one-line
+      // JSON contract; 999 > 2 so the query still lands in "unstable"
+      k -> (if (xs.min > 0) xs.max / xs.min
+            else if (xs.max == 0) 1.0 else 999.0)
     }
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

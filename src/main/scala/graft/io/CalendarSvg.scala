@@ -89,8 +89,12 @@ object CalendarSvg {
         MonthNames(r.getLong(r.fieldIndex("month")).toInt - 1).take(3)
       case _ => r.getLong(r.fieldIndex("year")).toString
     }
+    // `.toInt` both ways: Calendars' pivots zero-pad column names
+    // (d01..d31 / m01..m12 for lexicographic order) but the reference's
+    // ticks are the bare numbers 1..31
     def xLabel(c: String): String =
-      if (monthColumns) MonthNames(c.drop(1).toInt - 1) else c.drop(1)
+      if (monthColumns) MonthNames(c.drop(1).toInt - 1)
+      else c.drop(1).toInt.toString
 
     val left = 70; val top = if (monthColumns) 80 else 30
     val w = left + cellCols.size * Cell + 10

@@ -471,7 +471,16 @@ object Dedup {
     val p = 1.0 - math.acos(minCosine) / math.Pi
     def bandsFor(r: Int): Long =
       math.ceil(math.log1p(-targetRecall) / math.log1p(-math.pow(p, r))).toLong
-    val r = (1 to 62).takeWhile(bandsFor(_) <= maxBands).lastOption.getOrElse(1)
+    // loud, not clamped: if even 1-plane bands need more than maxBands,
+    // the recall target is UNATTAINABLE inside the caller's band budget —
+    // silently exceeding the cap would blow the shuffle/memory bound the
+    // caller set it for
+    require(bandsFor(1) <= maxBands,
+      f"targetRecall $targetRecall%.2f at minCosine $minCosine%.2f needs " +
+        s"${bandsFor(1)} bands even at 1 plane/band > maxBands $maxBands — " +
+        "raise maxBands or lower targetRecall (sub-0.5 thresholds are " +
+        "ANN/top-k territory, not banding)")
+    val r = (1 to 62).takeWhile(bandsFor(_) <= maxBands).last
     (r * bandsFor(r).toInt, bandsFor(r).toInt)
   }
 
@@ -572,9 +581,16 @@ object Dedup {
     val cents =
       if (kmeansIters == 0) seed
       else Similarity.kmeansCentroids(emb, idCol, vecCol, seed, kmeansIters)
+    // persisted: four consumers (guard count, both self-join sides, the
+    // final select) would otherwise each re-evaluate the post-shuffle
+    // assignment aggregate — ReuseExchange dedupes only the shuffle
+    // write, the same re-evaluation lshCandidatePairs documents. The
+    // block is one slim row per vector; ContextCleaner reclaims it once
+    // the plan is unreferenced.
     val assigned = Similarity.assignTo(c, cents)
       .select(col("centroid_id").as("cluster_id"), col("neighbor_id").as("id"),
         col("cv"), col("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pruned =
       if (maxClusterSize == Int.MaxValue) assigned
       else {

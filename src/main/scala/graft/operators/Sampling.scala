@@ -101,6 +101,12 @@ object Sampling {
               salt: String = "graft"): DataFrame = {
     (defaultWeight +: weights.values.toSeq).foreach(w =>
       require(w >= 0, s"mixture weights must be >= 0; got $w"))
+    // loud, not silently overwritten (same convention as the as-of _bk
+    // guard): `epoch` is this operator's OUTPUT column and `_w` its
+    // scratch — a corpus already carrying either would lose data
+    Seq("epoch", "_w").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with mixture internals — alias it"))
     val w = weights.foldRight(lit(defaultWeight)) {
       case ((g, f), acc) => when(col(groupCol) === g, lit(f)).otherwise(acc)
     }

@@ -45,15 +45,29 @@ object ErddapHttp {
   private def transient(status: Int): Boolean =
     status == 429 || (status >= 500 && status <= 599)
 
-  /** GET `url`, retrying transient failures (connect/IO errors, 429,
-    * 5xx) up to `cfg.retries` times with exponential backoff. Returns
-    * None for 404 when `cfg.emptyOn404` (the reference's empty-frame
+  /** One shared client per distinct connect-timeout, JVM-wide.
+    * HttpClient is thread-safe and owns a selector thread + connection
+    * pool; building one per request (per page, per partition task) would
+    * leak idle threads/sockets on long-lived executors and forfeit all
+    * keep-alive reuse. Connect timeout is the only per-client knob —
+    * request timeout rides on each HttpRequest. */
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[Int, HttpClient]()
+  private def client(cfg: HttpConfig): HttpClient =
+    clients.computeIfAbsent(cfg.connectTimeoutMs, ms =>
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(ms.toLong))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build())
+
+  /** GET `url` with the shared retry policy, handing the 2xx body to
+    * `handler`. Retries transient failures (connect/IO errors, 429, 5xx)
+    * up to `cfg.retries` times with exponential backoff. Returns None
+    * for 404 when `cfg.emptyOn404` (the reference's empty-frame
     * contract); throws ErddapHttpException otherwise. */
-  def fetchBytes(url: String, cfg: HttpConfig = HttpConfig()): Option[Array[Byte]] = {
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs.toLong))
-      .followRedirects(HttpClient.Redirect.NORMAL)
-      .build()
+  private def send[T, R](url: String, cfg: HttpConfig,
+                         handler: HttpResponse.BodyHandler[T],
+                         finish: HttpResponse[T] => Option[R]): Option[R] = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(cfg.requestTimeoutMs.toLong))
       .GET().build()
@@ -62,13 +76,13 @@ object ErddapHttp {
     while (attempt <= cfg.retries) {
       if (attempt > 0) Thread.sleep(cfg.backoffMs << (attempt - 1))
       try {
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        val resp = client(cfg).send(req, handler)
         resp.statusCode() match {
-          case ok if ok >= 200 && ok < 300 => return Some(resp.body())
+          case ok if ok >= 200 && ok < 300 => return finish(resp)
           case 404 if cfg.emptyOn404 => return None
           case s if transient(s) =>
-            lastErr = new ErddapHttpException(url, s)
-          case s => throw new ErddapHttpException(url, s)
+            discard(resp); lastErr = new ErddapHttpException(url, s)
+          case s => discard(resp); throw new ErddapHttpException(url, s)
         }
       } catch {
         case e: java.io.IOException => lastErr = e
@@ -78,6 +92,30 @@ object ErddapHttp {
     }
     throw new ErddapHttpException(url, -1, lastErr)
   }
+
+  /** Close a streamed error body so the pooled connection is released. */
+  private def discard[T](resp: HttpResponse[T]): Unit = resp.body() match {
+    case c: java.io.Closeable => try c.close() catch { case _: java.io.IOException => () }
+    case _ => ()
+  }
+
+  /** GET `url` fully buffered. See [[send]] for retry/404 semantics. */
+  def fetchBytes(url: String, cfg: HttpConfig = HttpConfig()): Option[Array[Byte]] =
+    send[Array[Byte], Array[Byte]](url, cfg,
+      HttpResponse.BodyHandlers.ofByteArray(), r => Some(r.body()))
+
+  /** GET `url` but read ONLY the first line, streaming — schema
+    * inference must not buffer a multi-GB CSV response driver-side just
+    * to look at its header. The connection is closed after the first
+    * line. None = empty header line or the 404-empty contract. */
+  def fetchFirstLine(url: String, cfg: HttpConfig = HttpConfig()): Option[String] =
+    send[java.io.InputStream, String](url, cfg,
+      HttpResponse.BodyHandlers.ofInputStream(),
+      { resp =>
+        val src = scala.io.Source.fromInputStream(resp.body(), "UTF-8")
+        try src.getLines().nextOption().filter(_.nonEmpty)
+        finally src.close()
+      })
 
   /** GET `url` as decoded text lines; 404 → Nil under the reference's
     * empty contract. */
@@ -118,7 +156,10 @@ object ErddapHttp {
       .takeWhile(_._2.nonEmpty)
     var header: Option[String] = None
     val data = Seq.newBuilder[String]
-    var last = Int.MaxValue
+    // Long: an itemsPerPage above Int.MaxValue ("paging disabled") must
+    // still fetch page 1 — an Int sentinel would fail `last >= per` on
+    // entry and silently return an empty frame
+    var last = Long.MaxValue
     while (last >= itemsPerPage && pages.hasNext) {
       val (h, rows) = pages.next()
       if (header.isEmpty) header = h

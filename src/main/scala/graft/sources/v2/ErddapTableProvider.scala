@@ -38,16 +38,19 @@ class ErddapTableProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val src = ErddapV2.firstFile(options.get("path"))
-    ErddapV2.open(src, ErddapV2.httpConfig(k => options.get(k))) match {
-      case None => StructType(Nil) // 404'd URL: empty result, no columns
-      case Some(is) =>
-        val header = scala.io.Source.fromInputStream(is, "UTF-8")
-        try {
-          val names = header.getLines().next().split(",", -1)
-          StructType(names.map(n =>
-            StructField(graft.sources.ErddapCsv.normalizeName(n.trim), StringType)))
-        } finally header.close()
+    val cfg = ErddapV2.httpConfig(k => options.get(k))
+    // first source whose header we can read wins — a 404 on the FIRST
+    // url (its constraints match nothing) must not collapse a multi-url
+    // read to zero columns while sibling partitions still carry data.
+    // All sources 404ing = a genuinely empty result: empty schema is the
+    // reference's empty-frame parity.
+    ErddapV2.files(options.get("path")).iterator
+      .flatMap(src => ErddapV2.headerLine(src, cfg))
+      .nextOption() match {
+      case None => StructType(Nil)
+      case Some(h) =>
+        StructType(h.split(",", -1).map(n =>
+          StructField(graft.sources.ErddapCsv.normalizeName(n.trim), StringType)))
     }
   }
 
@@ -100,6 +103,16 @@ private[v2] object ErddapV2 {
         .map(new java.io.ByteArrayInputStream(_))
     else Some(new java.io.FileInputStream(src))
 
+  /** First line of `src` WITHOUT buffering the body: a URL streams just
+    * the header through fetchFirstLine; a local file reads one line.
+    * None = 404-empty (URL) or an empty file. */
+  def headerLine(src: String, cfg: graft.sources.ErddapHttp.HttpConfig): Option[String] =
+    if (isUrl(src)) graft.sources.ErddapHttp.fetchFirstLine(src, cfg)
+    else {
+      val s = scala.io.Source.fromFile(src, "UTF-8")
+      try s.getLines().nextOption().filter(_.nonEmpty) finally s.close()
+    }
+
   def files(pathSpec: String): Seq[String] = {
     if (isUrl(pathSpec.trim))
       return pathSpec.trim.split("\\s+").toSeq
@@ -117,9 +130,6 @@ private[v2] object ErddapV2 {
       matched
     }
   }
-  def firstFile(pathSpec: String): String =
-    files(pathSpec).headOption.getOrElse(
-      throw new IllegalArgumentException(s"no files match $pathSpec"))
 }
 
 private[v2] class ErddapTable(schema: StructType, path: String, unitsRow: String,

@@ -82,6 +82,24 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("calendar SVG ticks real Calendars pivots with unpadded numbers") {
+    // the actual producers zero-pad columns (d01..d31 / m01..m12) for
+    // lexicographic order; the reference's ticks are bare numbers /
+    // month names — render must strip the padding
+    val src = Seq(
+      (ts("2024-02-05 10:00:00"), 2.0),
+      (ts("2024-02-15 10:00:00"), 3.0),
+      (ts("2023-07-01 10:00:00"), 4.0)
+    ).toDF("t", "v")
+    val svg = graft.io.CalendarSvg.render(
+      graft.operators.Calendars.ymdCalendar(src, "t", col("v")))
+    assert(svg.contains(">5<") && svg.contains(">15<"))
+    assert(!svg.contains(">05<"), "day ticks must not be zero-padded")
+    val svg2 = graft.io.CalendarSvg.render(
+      graft.operators.Calendars.ymCalendar(src, "t", col("v")))
+    assert(svg2.contains("February") && svg2.contains("July"))
+  }
+
   test("batch sessionize == streaming Sessionize on mature data (sf events slice)") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("ts"), col("value"))
