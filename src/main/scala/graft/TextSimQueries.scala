@@ -108,6 +108,70 @@ object TextSimQueries {
       |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** C4-style repeated-line removal. The synthetic corpus has no
+    * newlines, so the query first derives a lined form (8-word segments
+    * joined by \n) — duplicate documents then share every segment, and
+    * near-duplicates share most, which is exactly the boilerplate the
+    * operator strips. The derivation is mirrored in the oracle. */
+  private def qT11lineDedup(s: SparkSession, d: String): DataFrame = {
+    val lined = docs(s, d)
+      .withColumn("ws", Dedup.words(col("text")))
+      .withColumn("lined", array_join(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("ws")) / lit(8.0d)).cast("int"), lit(1)) - 1),
+          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")),
+        "\n"))
+    TextStats.dropRepeatedLines(lined, "doc_id", "lined", minDocFreq = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  private val oT11 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |seg AS (SELECT doc_id, array_to_string(list_transform(
+      |    range(0, greatest(CAST(ceil(len(ws)/8.0) AS BIGINT), 1)),
+      |    i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' ')), chr(10)) AS lined
+      |  FROM w),
+      |l AS (SELECT doc_id,
+      |    unnest(string_split(lined, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(lined, chr(10))) + 1)) AS pos
+      |  FROM seg),
+      |h AS (SELECT md5(line) AS lh FROM l WHERE trim(line) <> ''
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      |k AS (SELECT l.doc_id, l.pos, l.line FROM l
+      |  LEFT JOIN h ON md5(l.line) = h.lh WHERE h.lh IS NULL),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_kept FROM k GROUP BY 1),
+      |tot AS (SELECT doc_id, CAST(len(string_split(lined, chr(10))) AS BIGINT) AS n_lines
+      |  FROM seg)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      |  t.n_lines - coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_dropped
+      |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Hashing-trick linear classifier inference (64 buckets). w_sum is the
+    * exact integer milli-weight sum — order-independent, so the score's
+    * only float ops are one division and the sigmoid. */
+  private def qT12classifier(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        TextStats.hashedClassifierWeightSum(col("text"), dim = 64).as("w_sum"),
+        TextStats.hashedClassifierScore(col("text"), dim = 64).as("score"))
+      .orderBy("doc_id")
+  private val oT12 =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n,
+      |  coalesce(list_sum(list_transform(toks, tk ->
+      |    CAST(concat('0x', substr(md5(concat('w',
+      |      CAST(CAST(concat('0x', substr(md5(concat(tk, '|graft')), 1, 6)) AS BIGINT) % 64
+      |        AS VARCHAR), '|graft')), 1, 6)) AS BIGINT) % 2001 - 1000)), 0) AS wsum
+      |FROM t)
+      |SELECT doc_id, CAST(wsum AS BIGINT) AS w_sum,
+      |  round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (greatest(n, 1) * 1000.0)))), 6) AS score
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---- dedup -------------------------------------------------------------
 
   private def qD1exact(s: SparkSession, d: String): DataFrame = {
@@ -1065,6 +1129,8 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
+    "q_t11_line_dedup" -> qT11lineDedup _,
+    "q_t12_quality_classifier" -> qT12classifier _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -1094,6 +1160,8 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> oS5,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
+    "q_t11_line_dedup" -> oT11,
+    "q_t12_quality_classifier" -> oT12,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,

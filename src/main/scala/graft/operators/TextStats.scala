@@ -202,4 +202,83 @@ object TextStats {
       .groupBy(col("s").as("shingle"))
       .agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") >= minDocs)
+
+  // ---- line-level dedup ----------------------------------------------------
+
+  /** C4-style boilerplate LINE dedup: drop every line whose document
+    * frequency across the corpus is ≥ `minDocFreq`, then rebuild each
+    * document from its surviving lines in original order (the C4
+    * pipeline's repeated-line filter; no reference analogue — training-
+    * pipeline superset scope, complementary to document-level dedup:
+    * it strips shared boilerplate out of otherwise-distinct documents).
+    * Blank lines are never counted or dropped. Returns one row per input
+    * document: (id, clean_text, n_kept, n_dropped) — clean_text is empty
+    * when every line was boilerplate.
+    *
+    * Scale shape: three hash exchanges. (1) doc-frequency count on the
+    * 16-byte md5 of each line — the line TEXT never crosses this wire;
+    * (2) anti-join of the exploded lines against the heavy-line set
+    * (small whenever boilerplate is rare — AQE broadcasts it; a plain
+    * equi-join otherwise); (3) the per-doc rebuild aggregate. Memory is
+    * bounded by one document's lines. */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                        minDocFreq: Long, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), sepRe)))
+      .toDF("id", "pos", "line")
+      .withColumn("lh", md5(col("line")))
+    val heavy = lines.where(trim(col("line")) =!= "")
+      .groupBy("lh").agg(countDistinct(col("id")).as("doc_freq"))
+      .where(col("doc_freq") >= minDocFreq)
+      .select("lh")
+    val rebuilt = lines.join(heavy, Seq("lh"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), sepRe)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  // ---- quality classifier inference ---------------------------------------
+
+  /** fastText-style linear classifier INFERENCE via the hashing trick:
+    * each token hashes into one of `dim` weight buckets and the document
+    * accumulates its buckets' weights — the standard learned-quality-
+    * filter step of an LLM data pipeline. Weights here are derived
+    * deterministically from the bucket index in integer MILLI-units (a
+    * stand-in for a trained model, which at production is a broadcast
+    * float array indexed by the same bucket expression); the wiring —
+    * token bucketing, exact integer bag-of-buckets sum, one final
+    * sigmoid — is the pipeline shape, and the integer accumulation makes
+    * the sum order-independent and bit-replayable in any engine.
+    * Map-side only: no shuffle, no UDF, column-prunes to the text. */
+  def hashedClassifierWeightSum(c: Column, dim: Int,
+                                salt: String = "graft"): Column = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val toks = regexp_extract_all(lower(c), lit(WordPattern), lit(0))
+    aggregate(toks, lit(0L), (acc, t) =>
+      acc + (Sampling.hash24(concat(lit("w"),
+        (Sampling.hash24(t, salt) % dim).cast("string")), salt) % 2001L
+        - 1000L))
+  }
+
+  /** sigmoid(mean milli-weight) of [[hashedClassifierWeightSum]], rounded
+    * onto the 1e-6 grid (the repo's decimal-grid oracle discipline). */
+  def hashedClassifierScore(c: Column, dim: Int,
+                            salt: String = "graft"): Column = {
+    val n = greatest(size(regexp_extract_all(lower(c), lit(WordPattern),
+      lit(0))), lit(1)).cast("double")
+    val z = hashedClassifierWeightSum(c, dim, salt).cast("double") /
+      (n * lit(1000.0d))
+    round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6)
+  }
 }

@@ -255,6 +255,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(doc2.length == 1 && doc2(0).getAs[Long]("n_words") == 4L)
   }
 
+  test("line dedup: repeated lines dropped, order kept, blanks immune") {
+    val docs = Seq(
+      (1L, "keep me\nBOILER\nalso mine"),
+      (2L, "BOILER\nunique two"),
+      (3L, "BOILER\n\nBOILER"), // fully boilerplate (+ blank, never counted)
+      (4L, "  \nsolo")          // whitespace line is not countable
+    ).toDF("doc_id", "text")
+    val out = TextStats.dropRepeatedLines(docs, "doc_id", "text", minDocFreq = 2)
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("keep me\nalso mine", "unique two", "", "  \nsolo"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L, 2L)) // n_kept (blank kept)
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 1L, 2L, 0L)) // n_dropped
+    // within-doc repetition alone never crosses the doc-frequency bar
+    val solo = TextStats.dropRepeatedLines(
+      Seq((9L, "twice\ntwice")).toDF("doc_id", "text"), "doc_id", "text", 2)
+    assert(solo.head().getString(1) == "twice\ntwice")
+  }
+
+  test("hashed classifier: deterministic, integer sum, dim guard") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "ALPHA beta GAMMA"))
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextStats.hashedClassifierWeightSum(col("text"), 64).as("w"),
+        TextStats.hashedClassifierScore(col("text"), 64).as("s"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == r(2).getLong(1), "case-insensitive bucketing")
+    assert(r(1).getLong(1) == 0L && r(1).getDouble(2) == 0.5) // empty doc
+    assert(r(0).getDouble(2) > 0 && r(0).getDouble(2) < 1)
+    intercept[IllegalArgumentException] {
+      docs.select(TextStats.hashedClassifierScore(col("text"), 0))
+    }
+  }
+
   test("Pipeline.curate: dedups, gates, scrubs, splits, packs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog near a quiet river bank today", "en", 70L),
