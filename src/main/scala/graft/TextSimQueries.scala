@@ -172,6 +172,36 @@ object TextSimQueries {
       |  round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (greatest(n, 1) * 1000.0)))), 6) AS score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary heavy hitters: top-10 words per language, ranked by
+    * count desc then word asc. Window-free: one (lang, word) count
+    * shuffle with map-side combine, then the k-bounded `BoundedTopK`
+    * aggregate per language — per-group state is k rows, never the
+    * vocabulary (the row_number window the oracle uses would sort every
+    * word of every language at scale). */
+  private def qT13topWords(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang"), explode(Dedup.words(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(graft.functions.BoundedTopK.smallestK(
+        struct((-col("n")).as("negn"), col("word")), 10).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.word").as("word"), (-col("col.negn")).cast("long").as("n"))
+      .orderBy("lang", "rank")
+  private val oT13 =
+    """WITH wc AS (SELECT lang, t AS word, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT lang, unnest(string_split(trim(lower(
+      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+      |    FROM documents)
+      |  WHERE t <> '' GROUP BY 1, 2),
+      |r AS (SELECT lang, word, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+      |  FROM wc)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
+      |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
+
   // ---- dedup -------------------------------------------------------------
 
   private def qD1exact(s: SparkSession, d: String): DataFrame = {
@@ -1131,6 +1161,7 @@ object TextSimQueries {
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
     "q_t12_quality_classifier" -> qT12classifier _,
+    "q_t13_top_words" -> qT13topWords _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -1162,6 +1193,7 @@ object TextSimQueries {
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,
     "q_t12_quality_classifier" -> oT12,
+    "q_t13_top_words" -> oT13,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,

@@ -112,6 +112,26 @@ object ScaleSmoke {
       Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nCentroids = nlist, nProbe = nprobe).count()
     }
+    // line dedup at 10×: every 8-word segment of every doc has ≥ 9
+    // verbatim copies, so the heavy-line set is the ENTIRE segment
+    // vocabulary — the worst case for the anti-join side (nothing is
+    // broadcast-small) and for the rebuild (all docs fully dropped)
+    timed("q_t11 dropRepeatedLines") {
+      val lined = docs.withColumn("ws", Dedup.words(col("text")))
+        .withColumn("lined", array_join(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("ws")) / lit(8.0d)).cast("int"), lit(1)) - 1),
+            i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")),
+          "\n"))
+      val out = graft.operators.TextStats.dropRepeatedLines(
+        lined, "doc_id", "lined", minDocFreq = 2)
+      val n = out.count()
+      val kept = out.agg(sum("n_kept")).head().getLong(0)
+      require(kept == 0L,
+        s"every segment has 9 verbatim copies — expected 0 kept lines, got $kept")
+      n
+    }
     // incremental batch-vs-corpus: one fresh sf0.1 batch (5 k docs)
     // against the 50 k-doc corpus, corpus shingles precomputed (the
     // grows-batch-by-batch pipeline shape)
