@@ -202,6 +202,28 @@ object TextSimQueries {
       |SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
       |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
+  /** PCA sufficient statistics, oracled: upper-triangle Gram +
+    * covariance of the embedding corpus from ONE map-side-combinable
+    * moments aggregate (the only distributed pass of `Pca`; the eigen
+    * step is a driver-side d×d artifact, spec-gated in PcaSpec). Same
+    * double-sum + round-6 discipline as the cosine oracles. */
+  private def qE1gram(s: SparkSession, d: String): DataFrame =
+    graft.operators.Pca.gramLongForm(emb(s, d), "embedding", 64)
+      .orderBy("i", "j")
+  private val oE1 =
+    """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    unnest(range(0, len(embedding))) AS i
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |n0 AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
+      |g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS gg
+      |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+      |m AS (SELECT i, sum(v) AS s FROM u GROUP BY 1)
+      |SELECT g.i, g.j, round(g.gg, 6) AS gram,
+      |  round(g.gg / (SELECT n FROM n0)
+      |    - (ma.s / (SELECT n FROM n0)) * (mb.s / (SELECT n FROM n0)), 6) AS cov
+      |FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- dedup -------------------------------------------------------------
 
   private def qD1exact(s: SparkSession, d: String): DataFrame = {
@@ -1162,6 +1184,7 @@ object TextSimQueries {
     "q_t11_line_dedup" -> qT11lineDedup _,
     "q_t12_quality_classifier" -> qT12classifier _,
     "q_t13_top_words" -> qT13topWords _,
+    "q_e1_gram_cov" -> qE1gram _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -1194,6 +1217,7 @@ object TextSimQueries {
     "q_t11_line_dedup" -> oT11,
     "q_t12_quality_classifier" -> oT12,
     "q_t13_top_words" -> oT13,
+    "q_e1_gram_cov" -> oE1,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,
