@@ -224,6 +224,57 @@ object TextSimQueries {
       |FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i
       |ORDER BY 1, 2""".stripMargin
 
+  /** Bloom pre-filter for incremental dedup, oracled end-to-end: build
+    * the filter over the corpus fingerprints (one element-wise-OR
+    * aggregate pass), then test a mixed batch (true duplicates + novel
+    * texts) with the codegen'd bit probe. `might` must cover every
+    * `is_dup` row (no false negatives — the property that lets the
+    * pre-filter drop batch rows before the dedup join); the oracle
+    * replays the double-hash buckets and verifies membership against
+    * the corpus bucket SET (bit-packing is an engine-side layout
+    * detail, not semantics). 4 096 bits / 500 keys keeps a handful of
+    * false positives in the output so the fpp path is exercised. */
+  private def qD9bloom(s: SparkSession, d: String): DataFrame = {
+    val fp = TextStats.fingerprint(col("text"))
+    val corpusF = docs(s, d).select(fp.as("f")).distinct()
+    val bloom = graft.functions.Bloom.build(corpusF, "f",
+      numBits = 4096, numHashes = 5)
+    val batch = docs(s, d).where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .union(docs(s, d).where(col("doc_id") % 7 === 1)
+        .select(col("doc_id") + lit(1000000L), concat(col("text"), lit(" zz"))))
+    batch.withColumn("f", fp)
+      .join(corpusF.withColumn("hit", lit(true)), Seq("f"), "left")
+      .select(col("doc_id"),
+        graft.functions.Bloom.mightContain(col("f"), bloom, 5).as("might"),
+        coalesce(col("hit"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+  private val oD9 =
+    """WITH fpc AS (SELECT DISTINCT
+      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |  FROM documents),
+      |dd AS (SELECT unnest(range(0, 5)) AS d),
+      |cb AS (SELECT DISTINCT (h1 + d * h2) % 4096 AS bucket FROM (
+      |    SELECT CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) AS h1,
+      |           CAST(concat('0x', substr(md5(f || '|b2'), 1, 14)) AS BIGINT) AS h2
+      |    FROM fpc), dd),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 7 = 1),
+      |bh AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |  FROM batch),
+      |bb AS (SELECT doc_id, f,
+      |    (CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
+      |     + dd.d * CAST(concat('0x', substr(md5(f || '|b2'), 1, 14)) AS BIGINT))
+      |    % 4096 AS bucket
+      |  FROM bh, dd),
+      |chk AS (SELECT doc_id, f, bool_and(cb.bucket IS NOT NULL) AS might
+      |  FROM bb LEFT JOIN cb ON bb.bucket = cb.bucket GROUP BY 1, 2)
+      |SELECT c.doc_id, c.might, (fpc.f IS NOT NULL) AS is_dup
+      |FROM chk c LEFT JOIN fpc ON c.f = fpc.f ORDER BY c.doc_id""".stripMargin
+
   // ---- dedup -------------------------------------------------------------
 
   private def qD1exact(s: SparkSession, d: String): DataFrame = {
@@ -1185,6 +1236,7 @@ object TextSimQueries {
     "q_t12_quality_classifier" -> qT12classifier _,
     "q_t13_top_words" -> qT13topWords _,
     "q_e1_gram_cov" -> qE1gram _,
+    "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -1218,6 +1270,7 @@ object TextSimQueries {
     "q_t12_quality_classifier" -> oT12,
     "q_t13_top_words" -> oT13,
     "q_e1_gram_cov" -> oE1,
+    "q_d9_bloom_prefilter" -> oD9,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,

@@ -112,6 +112,38 @@ object ScaleSmoke {
       Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nCentroids = nlist, nProbe = nprobe).count()
     }
+    // PCA → IVF-PQ composition: project 64-d → 16-d (one moments
+    // aggregate + broadcast codegen dots), then run the full ANN layout
+    // in the PROJECTED space — 4× less ADC/dot work per probe. Recall is
+    // measured against full-dimension brute force: the spectrum of the
+    // synthetic embeddings decays, so top-16 components retain most
+    // variance and overlap should stay high.
+    timed("pca 64->16 + ivfpq recall") {
+      import graft.operators.{Pca, Pq, Similarity}
+      val (comps, vars) = Pca.principalComponents(emb, "embedding", 64, 16)
+      val (n0, sums, gram) = Pca.moments(emb, "embedding", 64)
+      val totalVar = (0 until 64).map { i =>
+        val g = gram(i * 64 - i * (i - 1) / 2)
+        g / n0 - (sums(i) / n0) * (sums(i) / n0)
+      }.sum
+      println(f"  top-16 variance share = ${vars.sum / totalVar}%.3f")
+      val proj = Pca.project(emb, "embedding", comps, "p")
+        .select(col("vec_id"), col("p").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nlist = Similarity.suggestedCentroids(copies * 2000L)
+      val ann = Pq.ivfPqTopK(proj, proj.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, nCentroids = nlist, nProbe = math.max(1, nlist / 4),
+        m = 4, dim = 16)
+      val exact = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      val hits = ann.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id")).count()
+      println(s"  recall@5 vs full-dim exact: $hits/25")
+      require(hits >= 15, s"projected-space recall collapsed: $hits/25")
+      proj.unpersist()
+      hits
+    }
     // line dedup at 10×: every 8-word segment of every doc has ≥ 9
     // verbatim copies, so the heavy-line set is the ENTIRE segment
     // vocabulary — the worst case for the anti-join side (nothing is
