@@ -160,6 +160,27 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     assert(hit.head().getAs[String]("dataset_id") == "ru07-20210601T0000")
   }
 
+  test("schema inference skips a 404 first url and streams only the header") {
+    // first URL 404s (constraints matched nothing): the schema must come
+    // from the next URL, not collapse the whole read to zero columns
+    val df = spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .option("path", s"$base/tabledap/nomatch_obs.csv $base/tabledap/sp10_obs.csv")
+      .option("httpBackoffMs", "1").load()
+    assert(df.columns.toSeq ==
+      Seq("time", "latitude", "longitude", "profile_id"))
+    assert(df.count() == 1) // sp10's units row skipped, 1 data row; 404 url empty
+    // all sources 404 = genuinely empty result: reference empty-frame parity
+    val empty = spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .option("path", s"$base/tabledap/nomatch_obs.csv")
+      .option("httpBackoffMs", "1").load()
+    assert(empty.schema.isEmpty)
+    // fetchFirstLine returns just the header line of a multi-line body
+    assert(ErddapHttp.fetchFirstLine(s"$base/tabledap/ru29_obs.csv",
+      HttpConfig(backoffMs = 1)).contains("time,latitude,longitude,Profile ID"))
+    assert(ErddapHttp.fetchFirstLine(s"$base/tabledap/nomatch_obs.csv",
+      HttpConfig(backoffMs = 1)).isEmpty)
+  }
+
   test("pagedSearch fails loudly past maxPages when a server ignores paging") {
     val loopBase = s"http://127.0.0.1:${server.getAddress.getPort}/loop"
     val e = intercept[IllegalStateException] {
