@@ -115,7 +115,12 @@ object TextSimQueries {
     * operator strips. The derivation is mirrored in the oracle. */
   private def qT11lineDedup(s: SparkSession, d: String): DataFrame = {
     val lined = docs(s, d)
-      .withColumn("ws", Dedup.words(col("text")))
+      // explode(array(…)) is a Generate boundary: CollapseProject cannot
+      // inline the tokenizer into the per-segment slice lambdas below,
+      // so each document tokenizes ONCE (the Dedup.shinglesFromWords
+      // hazard — re-tokenizing per segment — cannot occur)
+      .select(col("doc_id"),
+        explode(array(Dedup.words(col("text")))).as("ws"))
       .withColumn("lined", array_join(
         transform(
           sequence(lit(0),
@@ -246,7 +251,7 @@ object TextSimQueries {
     batch.withColumn("f", fp)
       .join(corpusF.withColumn("hit", lit(true)), Seq("f"), "left")
       .select(col("doc_id"),
-        graft.functions.Bloom.mightContain(col("f"), bloom, 5).as("might"),
+        graft.functions.Bloom.mightContain(col("f"), bloom).as("might"),
         coalesce(col("hit"), lit(false)).as("is_dup"))
       .orderBy("doc_id")
   }

@@ -23,13 +23,20 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder}
   */
 object Bloom {
 
-  /** h1/h2 columns for `key` (cast to string): 60- and 56-bit md5
-    * prefixes, salted apart. */
-  def h1(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+  /** h1/h2 columns for `key`: the documented portable hash idioms —
+    * h1 IS `Sampling.hash60` (60-bit md5 prefix); h2 is its 56-bit
+    * salted sibling. */
+  def h1(key: Column): Column = graft.operators.Sampling.hash60(key)
   def h2(key: Column): Column =
     conv(substring(md5(concat(key.cast("string"), lit("|b2"))), 1, 14), 16, 10)
       .cast("long")
+
+  /** A built filter: the packed words AND the hash count that set them.
+    * Carrying numHashes with the bits makes a build/probe mismatch — the
+    * one way to manufacture a false NEGATIVE — unrepresentable. */
+  final case class Filter(words: Array[Long], numHashes: Int) {
+    def numBits: Int = words.length * 64
+  }
 
   /** Typed Aggregator: input = (h1, h2), buffer/output = numBits/64
     * packed words. Merge is element-wise OR. */
@@ -63,29 +70,35 @@ object Bloom {
 
   /** Build the filter over `keys(keyCol)` in one distributed pass and
     * collect it (numBits/8 bytes — a driver artifact like the PQ
-    * codebook; 1 MiB covers ~1 M keys at 5 hashes / ~3% fpp). */
+    * codebook; 1 MiB covers ~1 M keys at 5 hashes / ~3% fpp). Null keys
+    * are skipped (a null would otherwise die in the tuple encoder with
+    * an opaque task error). */
   def build(keys: DataFrame, keyCol: String, numBits: Int,
-            numHashes: Int): Array[Long] = {
+            numHashes: Int): Filter = {
     val agg = udaf(new BloomAgg(numBits, numHashes),
       ExpressionEncoder[(Long, Long)]())
-    keys.select(agg(h1(col(keyCol)), h2(col(keyCol))).as("b"))
-      .head().getSeq[Long](0).toArray
+    Filter(
+      keys.where(col(keyCol).isNotNull)
+        .select(agg(h1(col(keyCol)), h2(col(keyCol))).as("b"))
+        .head().getSeq[Long](0).toArray,
+      numHashes)
   }
 
-  /** Membership test column: true iff ALL numHashes bits are set.
-    * Pure codegen'd builtins over the literal word array — map-side,
-    * no UDF, no shuffle. */
-  def mightContain(key: Column, bloom: Array[Long], numHashes: Int): Column = {
-    val numBits = bloom.length * 64
-    val words = typedlit(bloom.toSeq)
+  /** Membership test column: true iff ALL of the filter's hash bits are
+    * set; false for a null key (a null was never inserted). Pure
+    * codegen'd builtins over the literal word array — map-side, no UDF,
+    * no shuffle. */
+  def mightContain(key: Column, bloom: Filter): Column = {
+    val words = typedlit(bloom.words.toSeq)
     val k1 = h1(key); val k2 = h2(key)
-    (0 until numHashes).map { d =>
-      val bucket = (k1 + lit(d.toLong) * k2) % numBits
+    val all = (0 until bloom.numHashes).map { d =>
+      val bucket = (k1 + lit(d.toLong) * k2) % bloom.numBits
       // word index via shiftright (Column./ is double division); the
       // variable shift amount needs the SQL builtin via call_function
       call_function("shiftrightunsigned",
         element_at(words, shiftright(bucket, 6).cast("int") + 1),
         (bucket % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+    coalesce(all, lit(false))
   }
 }

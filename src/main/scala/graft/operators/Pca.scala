@@ -97,18 +97,27 @@ object Pca {
     emb.sparkSession.createDataFrame(rows).toDF("i", "j", "gram", "cov")
   }
 
-  /** Top-`k` principal components of the covariance of `vecCol` (cyclic
-    * Jacobi on the driver-side d×d matrix; deterministic — no RNG). Rows
-    * are unit-norm eigenvectors, eigenvalue-descending, sign-canonical
-    * (largest-|x| coordinate positive). Returns (components, variances). */
-  def principalComponents(emb: DataFrame, vecCol: String, dim: Int, k: Int)
-      : (Array[Array[Double]], Array[Double]) = {
+  /** A fitted PCA: `mean` of the corpus, top-k unit eigenvectors of the
+    * covariance (eigenvalue-descending, sign-canonical), their variances,
+    * and the covariance trace (total variance) for share-of-variance
+    * reporting. */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            variances: Array[Double],
+                            totalVariance: Double)
+
+  /** Fit PCA on `vecCol` with ONE distributed moments pass (cyclic
+    * Jacobi on the driver-side d×d covariance; deterministic — no RNG).
+    * Component rows are unit-norm eigenvectors, eigenvalue-descending,
+    * sign-canonical (largest-|x| coordinate positive). */
+  def fit(emb: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
     require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
     val (n, sums, gram) = moments(emb, vecCol, dim)
+    val mean = sums.map(_ / n)
     val c = Array.ofDim[Double](dim, dim)
     for (i <- 0 until dim; j <- i until dim) {
       val g = gram(i * dim - i * (i - 1) / 2 + (j - i))
-      val v = g / n - (sums(i) / n) * (sums(j) / n)
+      val v = g / n - mean(i) * mean(j)
       c(i)(j) = v; c(j)(i) = v
     }
     val (values, vectors) = jacobiEigen(c)
@@ -118,7 +127,15 @@ object Pca {
       val m = v.indices.maxBy(i => math.abs(v(i)))
       if (v(m) < 0) v.map(-_) else v
     }.toArray
-    (comps, order.map(values).toArray)
+    PcaModel(mean, comps, order.map(values).toArray,
+      (0 until dim).map(i => c(i)(i)).sum)
+  }
+
+  /** Top-`k` components + variances (see [[fit]]). */
+  def principalComponents(emb: DataFrame, vecCol: String, dim: Int, k: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    val m = fit(emb, vecCol, dim, k)
+    (m.components, m.variances)
   }
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix (in-place
@@ -167,15 +184,35 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
-  /** Project `vecCol` onto `components` (k×d, from
-    * [[principalComponents]]): adds `outCol` = array of k coordinates.
-    * Broadcast-by-literal into codegen'd dot products — map-side, no
-    * shuffle, no UDF. */
+  /** ROTATE `vecCol` onto `components` (k×d): adds `outCol` = array of k
+    * coordinates. Broadcast-by-literal into codegen'd dot products —
+    * map-side, no shuffle, no UDF.
+    *
+    * This is the raw (uncentered) rotation: at full rank it preserves
+    * inner products exactly, but its TRUNCATION error is eigenvalue-
+    * bounded only when the corpus mean is ~0 — a large mean has
+    * components along the discarded directions that the eigenvalue
+    * spectrum says nothing about. For the standard PCA guarantee use
+    * [[projectCentered]]. */
   def project(df: DataFrame, vecCol: String, components: Array[Array[Double]],
               outCol: String = "projected"): DataFrame = {
     require(components.nonEmpty, "no components")
     val dots = components.map(c =>
       Similarity.dot(col(vecCol).cast("array<double>"), typedlit(c.toSeq)))
+    df.withColumn(outCol, array(dots.toIndexedSeq: _*))
+  }
+
+  /** Standard PCA projection: (v − mean)·components. Truncation L2 error
+    * is bounded by the discarded eigenvalue sum — the guarantee the
+    * spectrum actually gives. Same map-side shape as [[project]] (the
+    * centering folds into each dot as a constant offset). */
+  def projectCentered(df: DataFrame, vecCol: String, model: PcaModel,
+                      outCol: String = "projected"): DataFrame = {
+    val dots = model.components.map { c =>
+      val offset = c.zip(model.mean).map { case (ci, mi) => ci * mi }.sum
+      Similarity.dot(col(vecCol).cast("array<double>"), typedlit(c.toSeq)) -
+        lit(offset)
+    }
     df.withColumn(outCol, array(dots.toIndexedSeq: _*))
   }
 }

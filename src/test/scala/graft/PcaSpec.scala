@@ -64,6 +64,21 @@ class PcaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("centered projection: residual variance equals discarded eigenvalue") {
+    val model = Pca.fit(stretched, "v", 2, 1)
+    val rows = Pca.projectCentered(stretched, "v", model).collect()
+      .map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    val n = rows.length
+    val centeredSq = rows.map { case (v, _) =>
+      v.zip(model.mean).map { case (x, m) => (x - m) * (x - m) }.sum
+    }.sum / n
+    val projSq = rows.map(_._2.map(x => x * x).sum).sum / n
+    // E‖v−mean‖² − E‖proj‖² = Σ discarded eigenvalues — the guarantee
+    // centering buys (and raw rotation does not, at nonzero mean)
+    val discarded = model.totalVariance - model.variances.sum
+    assert(math.abs((centeredSq - projSq) - discarded) < 1e-9)
+  }
+
   test("project: k coords, map-side plan, full-rank preserves dots") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val (comps, _) = Pca.principalComponents(emb, "embedding", 64, 64)

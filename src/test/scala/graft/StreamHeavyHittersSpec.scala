@@ -32,12 +32,12 @@ class StreamHeavyHittersSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       mem.addData(w1.drop(3) ++ w2)
       q.processAllAvailable()
-      val frames = spark.table("hh_out")
-        .orderBy(col("window_start"))
-        .collect()
-      // update mode re-emits refined rows; keep the LAST per window
+      val frames = spark.table("hh_out").collect()
+      // update mode re-emits refined rows and sink row order is not
+      // specified: keep the sketch with the largest total count per
+      // window (counters only grow, so that IS the latest refinement)
       val byWindow = frames.groupBy(_.getTimestamp(0)).map { case (k, rs) =>
-        k -> rs.last.getSeq[Long](2).toArray
+        k -> rs.map(_.getSeq[Long](2).toArray).maxBy(_.sum)
       }
       assert(byWindow.size == 2)
       val sk1 = byWindow(ts("2024-01-01 10:00:00"))

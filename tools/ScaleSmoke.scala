@@ -112,22 +112,18 @@ object ScaleSmoke {
       Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 5, nCentroids = nlist, nProbe = nprobe).count()
     }
-    // PCA → IVF-PQ composition: project 64-d → 16-d (one moments
-    // aggregate + broadcast codegen dots), then run the full ANN layout
-    // in the PROJECTED space — 4× less ADC/dot work per probe. Recall is
-    // measured against full-dimension brute force: the spectrum of the
-    // synthetic embeddings decays, so top-16 components retain most
-    // variance and overlap should stay high.
+    // PCA → IVF-PQ composition: fit once (ONE moments pass), project
+    // 64-d → 16-d, then run the full ANN layout in the PROJECTED space —
+    // 4× less ADC/dot work per probe. Honest expectation: these
+    // synthetic embeddings are near-ISOTROPIC (top-16 variance share
+    // ≈ 0.31, measured — see COVERAGE.md), so recall vs full-dim exact
+    // DROPS (≈ 15/25); the stage proves the machinery and the measured
+    // caveat, not a compression win this data cannot give.
     timed("pca 64->16 + ivfpq recall") {
       import graft.operators.{Pca, Pq, Similarity}
-      val (comps, vars) = Pca.principalComponents(emb, "embedding", 64, 16)
-      val (n0, sums, gram) = Pca.moments(emb, "embedding", 64)
-      val totalVar = (0 until 64).map { i =>
-        val g = gram(i * 64 - i * (i - 1) / 2)
-        g / n0 - (sums(i) / n0) * (sums(i) / n0)
-      }.sum
-      println(f"  top-16 variance share = ${vars.sum / totalVar}%.3f")
-      val proj = Pca.project(emb, "embedding", comps, "p")
+      val model = Pca.fit(emb, "embedding", 64, 16)
+      println(f"  top-16 variance share = ${model.variances.sum / model.totalVariance}%.3f")
+      val proj = Pca.project(emb, "embedding", model.components, "p")
         .select(col("vec_id"), col("p").as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nlist = Similarity.suggestedCentroids(copies * 2000L)
@@ -140,7 +136,9 @@ object ScaleSmoke {
         .join(exact.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id")).count()
       println(s"  recall@5 vs full-dim exact: $hits/25")
-      require(hits >= 15, s"projected-space recall collapsed: $hits/25")
+      // measured 15/25; gate with headroom — last-ulp covariance drift
+      // (partition merge order) can move borderline assignments
+      require(hits >= 12, s"projected-space recall collapsed: $hits/25")
       proj.unpersist()
       hits
     }
@@ -149,7 +147,10 @@ object ScaleSmoke {
     // vocabulary — the worst case for the anti-join side (nothing is
     // broadcast-small) and for the rebuild (all docs fully dropped)
     timed("q_t11 dropRepeatedLines") {
-      val lined = docs.withColumn("ws", Dedup.words(col("text")))
+      // explode(array(…)) = Generate boundary: tokenize once per doc,
+      // not once per segment (see qT11lineDedup)
+      val lined = docs
+        .select(col("doc_id"), explode(array(Dedup.words(col("text")))).as("ws"))
         .withColumn("lined", array_join(
           transform(
             sequence(lit(0),
