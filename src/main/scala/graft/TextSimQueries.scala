@@ -384,8 +384,12 @@ object TextSimQueries {
         expr("array_join(transform(members, x -> cast(x AS string)), ',')"))
       .drop("members")
       .orderBy("keeper")
-  private val oD6 =
-    s"""WITH RECURSIVE w AS (SELECT doc_id,
+  /** Shared closure CTE chain (shingles → pruned inverted index →
+    * Jaccard pairs → recursive min-label reach → `lab(id, label)`) —
+    * the oracle face of `componentLabels` over `sharedJaccardPairs`,
+    * reused by q_d6 (cluster rollup) and q_x7 (leakage-free split). */
+  private def closureCtes: String =
+    s"""w AS (SELECT doc_id,
       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
@@ -405,10 +409,40 @@ object TextSimQueries {
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON r.id = e2.dst),
-      |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+      |lab AS (SELECT id, min(label) AS label FROM reach GROUP BY id)""".stripMargin
+
+  private val oD6 =
+    s"""WITH RECURSIVE $closureCtes
       |SELECT label AS keeper, CAST(count(*) AS BIGINT) AS cluster_size,
       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members_csv
       |FROM lab GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  /** Leakage-free train/test split: label every document with its
+    * near-dup CLUSTER (the q_d6 closure; singletons keep their own id)
+    * and hash-split on the CLUSTER label, so near-duplicates can never
+    * straddle the train/test boundary — the eval-hygiene rule a plain
+    * doc_id split breaks (paraphrases of a test doc leak into train).
+    * Composes componentLabels with the q_x1 hash-threshold split; at
+    * scale this is the closure (bounded passes) plus one map-side hash
+    * filter — no new shuffle beyond q_d6's. */
+  private def qX7leakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.componentLabels(
+      sharedJaccardPairs(s, d).select("id_a", "id_b"))
+    val clustered = docs(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    Sampling.withSplit(clustered, "cluster", testFraction = 0.2)
+      .orderBy("doc_id")
+  }
+  private val oX7 =
+    s"""WITH RECURSIVE $closureCtes,
+      |cl AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(cluster AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) < 3355443
+      |  THEN 'test' ELSE 'train' END AS split
+      |FROM cl ORDER BY doc_id""".stripMargin
 
   /** MinHash+LSH — fully oracled since the portable (md5-derived)
     * permutation hashes replay in DuckDB: signature mins, band slices,
@@ -1242,6 +1276,7 @@ object TextSimQueries {
     "q_t13_top_words" -> qT13topWords _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
+    "q_x7_leakfree_split" -> qX7leakFreeSplit _,
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
@@ -1276,6 +1311,7 @@ object TextSimQueries {
     "q_t13_top_words" -> oT13,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
+    "q_x7_leakfree_split" -> oX7,
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,
