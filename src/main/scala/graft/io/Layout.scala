@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Bucketed table write for CO-LOCATED joins: hash-partition the data
+    * on `bucketCol` into `numBuckets` files at WRITE time
+    * (`bucketBy(...).sortBy(...).saveAsTable`), so two tables bucketed
+    * on their join keys with the same bucket count join WITHOUT a
+    * shuffle on either side — the sort-merge join reads matching
+    * buckets pairwise. This is the repeated-join amortization a 100 TB
+    * star schema lives on: pay one layout shuffle per ingest, then every
+    * fact⋈fact / fact⋈big-dim join on that key skips its exchange
+    * forever (broadcast handles the SMALL dims; bucketing handles the
+    * joins where NEITHER side fits in memory). Sorting within buckets
+    * additionally lets the join skip its per-task sort when each bucket
+    * is a single file. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortWithinBuckets: Boolean = true): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
   /** Quantize `c` into [0, 2^bits) against fixed [min, max] bounds. */
   private def quantize(c: Column, min: Column, max: Column, bits: Int): Column = {
     val levels = (1L << bits) - 1

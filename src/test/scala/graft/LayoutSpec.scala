@@ -46,6 +46,38 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       == df.agg(sum("x")).collect()(0).getDouble(0))
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located sort-merge)") {
+    val dir = "/root/testdata/sf0.001"
+    Layout.writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "li_b", "l_orderkey", 4)
+    Layout.writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet"), "ord_b", "o_orderkey", 4)
+    val (bcast, aqe) = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      // force the sort-merge path: broadcast would hide the exchange
+      // question entirely, AQE re-plans mid-flight
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.table("li_b").join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it returns the same rows as the plain shuffled join
+      val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
   test("zOrderedByStats derives bounds in one aggregate") {
     val df = Seq((1.0, 10.0), (5.0, 20.0), (9.0, 30.0)).toDF("a", "b")
     val out = Layout.zOrderedByStats(df, Seq("a", "b"), numFiles = 1)
