@@ -45,14 +45,23 @@ object Skew {
   /** Salted join for a skewed fact against a replicable dimension: the
     * fact side gets a random salt in [0, saltBuckets); the dimension is
     * exploded ×saltBuckets so every (key, salt) bucket finds its match.
-    * Semantics = plain inner equi-join; the hot key's probe rows spread
-    * over saltBuckets tasks. */
+    * Semantics = plain equi-join (`inner` or `left`: each fact row's
+    * salt matches exactly one replica-set row per dim match, and an
+    * unmatched left row survives exactly once); the hot key's probe rows
+    * spread over saltBuckets tasks. right/full would need the mirror
+    * construction (salt the dim, replicate the fact) — rejected loudly
+    * rather than risk duplicate unmatched rows. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 saltBuckets: Int = 16): DataFrame = {
+                 saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val ok = Set("inner", "left", "left_outer")
+    require(ok.contains(joinType), s"joinType must be one of $ok")
+    Seq(fact, dim).foreach(df =>
+      require(!df.columns.contains("_salt"),
+        "input column '_salt' collides with salting internals — alias it"))
     val saltedFact = fact.withColumn("_salt",
       (rand(42) * saltBuckets).cast("int"))
     val explodedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedFact.join(explodedDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
 }

@@ -37,6 +37,20 @@ class SkewBucketSpec extends AnyFunSuite with SparkSpec {
     assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("salted LEFT join keeps unmatched facts once; bad types loud") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b"), (99L, "orphan")).toDF("k", "fv")
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "dv")
+    val out = Skew.saltedJoin(fact, dim, "k", saltBuckets = 4,
+        joinType = "left").orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "y"), (99L, "orphan", null)))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(fact, dim, "k", joinType = "full"))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(fact.withColumn("_salt", lit(1)), dim, "k"))
+  }
+
   test("bucket-size guard prunes oversized buckets without a window over the bucket key") {
     import graft.operators.Dedup
     // 20 filler docs all sharing one stop phrase (their shingles form
