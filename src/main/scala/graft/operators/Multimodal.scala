@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side shape is real — schema, partition sizing, batched
-  * per-partition execution, column pruning — but the DECODE KERNELS ARE
-  * STUBS: this container has no image/audio codecs, so decode is a
-  * clearly-marked deterministic fake (byte-histogram features, stride
-  * slicing). Swapping in a real codec touches only the marked functions;
-  * the distributed plumbing is unchanged.
+  * per-partition execution, column pruning — and so are two of the three
+  * decode kernels: PNG/JPEG/GIF/BMP images decode via JDK ImageIO, and
+  * PCM WAV audio via a pure-JVM RIFF parser (neither needs a codec
+  * library). VIDEO (and compressed audio) remain clearly-marked
+  * deterministic STUBS — this container has no such codecs; swapping one
+  * in touches only the marked fallback branches, the distributed
+  * plumbing is unchanged.
   */
 object Multimodal {
 
@@ -48,6 +50,66 @@ object Multimodal {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
+  private[operators] def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Decoded PCM audio: format header + mono-mixed samples in [-1, 1]. */
+  private[operators] final case class Pcm(sampleRate: Int, channels: Int,
+                                          bitsPerSample: Int,
+                                          samples: Array[Double])
+
+  /** REAL RIFF/WAVE PCM decoder — pure JVM, no codec library needed
+    * (unlike image decode, PCM WAV is just a chunked header over raw
+    * samples). Handles 8-bit unsigned and 16-bit signed little-endian
+    * PCM (format tag 1), any channel count (mono-mixed); anything else —
+    * compressed tags, truncated chunks — returns None and falls through
+    * to the caller's fallback, never a partial decode. */
+  private[operators] def decodeWav(bytes: Array[Byte]): Option[Pcm] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, rate, bits
+      var data: Option[(Int, Int)] = None          // offset, len
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) return None
+        if (id == "fmt " && len >= 16)
+          fmt = Some((bb.getShort(pos + 8) & 0xffff,
+            bb.getShort(pos + 10) & 0xffff, bb.getInt(pos + 12),
+            bb.getShort(pos + 22) & 0xffff))
+        else if (id == "data") data = Some((pos + 8, len))
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, ch, rate, bits)), Some((off, len)))
+            if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
+          val bytesPerFrame = ch * bits / 8
+          val n = len / bytesPerFrame
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              acc += (if (bits == 16)
+                bb.getShort(off + i * bytesPerFrame + c * 2) / 32768.0
+              else ((bytes(off + i * bytesPerFrame + c) & 0xff) - 128) / 128.0)
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some(Pcm(rate, ch, bits, out))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
   private[operators] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None
     else try {
@@ -66,13 +128,15 @@ object Multimodal {
 
   /** Feature extraction over the binary column. PNG/JPEG/GIF/BMP payloads
     * are REALLY decoded (JDK ImageIO — no extra dependency) into a
-    * `dim`-bucket luminance histogram normalized by pixel count — the call
-    * shape of a decode + model forward pass, with a genuine decode.
-    * Undecodable payloads fall back to the deterministic byte-histogram
-    * stand-in (===== STUB ===== for an audio/video codec this container
-    * lacks), so the pipeline stays runnable on any input. A per-row UDF is
-    * the correct tool here: the kernel is imperative pixel work no builtin
-    * expression covers. */
+    * `dim`-bucket luminance histogram normalized by pixel count; PCM WAV
+    * payloads are REALLY decoded (pure-JVM RIFF parser) into a `dim`-
+    * window RMS energy envelope — the call shape of a decode + model
+    * forward pass, with genuine decodes. Remaining payloads fall back to
+    * the deterministic byte-histogram stand-in (===== STUB ===== for the
+    * video/compressed-audio codecs this container lacks), so the pipeline
+    * stays runnable on any input. A per-row UDF is the correct tool here:
+    * the kernel is imperative sample/pixel work no builtin expression
+    * covers. */
   def extractFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
     val featurize = udf { (bytes: Array[Byte]) =>
       if (bytes == null) null
@@ -93,16 +157,64 @@ object Multimodal {
           }
           val n = math.max(img.getWidth * img.getHeight, 1)
           h.map(_ / n)
-        case None =>
-          // ===== STUB ===== byte-histogram stand-in for non-image codecs.
-          val h = new Array[Float](dim)
-          var i = 0
-          while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-          val n = math.max(bytes.length, 1)
-          h.map(_ / n)
+        case None => decodeWav(bytes) match {
+          case Some(pcm) =>
+            // REAL audio features (pure-JVM PCM decode): RMS energy over
+            // `dim` equal time windows — the energy envelope a downstream
+            // audio model consumes
+            val h = new Array[Float](dim)
+            val n = pcm.samples.length
+            var w = 0
+            while (w < dim && n > 0) {
+              val s = w * n / dim
+              val e = math.min(math.max((w + 1) * n / dim, s + 1), n)
+              var acc = 0.0
+              var i = s
+              while (i < e) { acc += pcm.samples(i) * pcm.samples(i); i += 1 }
+              h(w) = math.sqrt(acc / math.max(e - s, 1)).toFloat
+              w += 1
+            }
+            h
+          case None =>
+            // ===== STUB ===== byte-histogram stand-in for codecs this
+            // container lacks (video; compressed audio).
+            val h = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+            val n = math.max(bytes.length, 1)
+            h.map(_ / n)
+        }
       }
     }
     df.withColumn("features", featurize(col("media")))
+  }
+
+  /** Typed audio metadata from a REAL PCM decode: sample rate, channels,
+    * bit depth, frame count, duration, RMS level, and zero-crossing rate
+    * (the cheap voicing/noisiness cue). Null struct for payloads that do
+    * not decode as PCM WAV. */
+  def decodeAudioMeta(df: DataFrame): DataFrame = {
+    val audioInfo = udf { (bytes: Array[Byte]) =>
+      decodeWav(bytes).map { pcm =>
+        val n = pcm.samples.length
+        var sq = 0.0
+        var zc = 0
+        var i = 0
+        while (i < n) {
+          sq += pcm.samples(i) * pcm.samples(i)
+          if (i > 0 && (pcm.samples(i) >= 0) != (pcm.samples(i - 1) >= 0)) zc += 1
+          i += 1
+        }
+        (pcm.sampleRate, pcm.channels, pcm.bitsPerSample, n,
+          n.toDouble / pcm.sampleRate,
+          math.sqrt(sq / math.max(n, 1)),
+          if (n > 1) zc.toDouble / (n - 1) else 0.0)
+      }
+    }
+    df.withColumn("audio_meta",
+      audioInfo(col("media")).cast(
+        "struct<sample_rate:int,channels:int,bits_per_sample:int," +
+          "n_samples:int,duration_s:double,rms:double,zcr:double>"))
   }
 
   /** Refresh the typed meta struct from a REAL decode: width/height/format

@@ -51,6 +51,60 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(meta(3L) == (("fake/raw", 0, 0))) // undecodable: meta untouched
   }
 
+  private def wavBytes(rate: Int, bits: Int, channels: Int,
+                       frames: Array[Array[Double]]): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = frames.length * channels * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * bps); bb.putShort((channels * bps).toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    frames.foreach(_.foreach(v =>
+      if (bits == 16) bb.putShort(math.round(v * 32767).toShort)
+      else bb.put((math.round(v * 127) + 128).toByte)))
+    bb.array()
+  }
+
+  test("multimodal audio: real PCM WAV decode — envelope, meta, physics") {
+    // 440 Hz sine, 8 kHz, 0.1 s, amplitude 0.5, 16-bit mono
+    val n = 800
+    val sine = Array.tabulate(n)(i =>
+      Array(0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0)))
+    // stereo with opposite-phase channels mono-mixes to silence
+    val anti = Array.tabulate(n) { i =>
+      val v = 0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0); Array(v, -v)
+    }
+    val eight = Array.tabulate(n)(i =>
+      Array(0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0)))
+    val df = Seq(
+      (1L, wavBytes(8000, 16, 1, sine)),
+      (2L, wavBytes(8000, 16, 2, anti)),
+      (3L, wavBytes(8000, 8, 1, eight)),
+      (4L, "RIFFjunk".getBytes("US-ASCII"))).toDF("media_id", "media")
+    val meta = Multimodal.decodeAudioMeta(df)
+      .select("media_id", "audio_meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // steady sine: RMS = A/√2, ZCR = 2f/rate, duration = n/rate
+    assert(meta(1L).getInt(1) == 8000 && meta(1L).getInt(2) == 1)
+    assert(math.abs(meta(1L).getDouble(5) - 0.1) < 1e-9, "duration")
+    assert(math.abs(meta(1L).getDouble(6) - 0.5 / math.sqrt(2)) < 0.01, "rms")
+    assert(math.abs(meta(1L).getDouble(7) - 2.0 * 440 / 8000) < 0.01, "zcr")
+    assert(meta(2L).getDouble(6) < 1e-4, "anti-phase stereo mixes to silence")
+    assert(math.abs(meta(3L).getDouble(6) - 0.5 / math.sqrt(2)) < 0.01,
+      "8-bit branch")
+    assert(meta(4L).isNullAt(1), "truncated RIFF → null meta, no crash")
+    // energy envelope: steady sine → all 8 windows equal (±quantization)
+    val env = Multimodal.extractFeatures(df.where(col("media_id") === 1L), dim = 8)
+      .select("features").head().getSeq[Float](0)
+    assert(env.size == 8 && env.forall(w => math.abs(w - env.head) < 0.01),
+      s"steady-tone envelope must be flat: $env")
+  }
+
   test("multimodal golden fixtures: each ImageIO codec decodes to literal features") {
     def fixture(name: String): Array[Byte] = {
       val in = getClass.getResourceAsStream(s"/media/$name")
