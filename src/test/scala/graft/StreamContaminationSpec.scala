@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamContamination
+
+class StreamContaminationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val benchmark = Seq(
+    "the quick brown fox jumps over dogs",
+    "eval question about spark shuffles here"
+  ).toDF("text")
+
+  private lazy val filter =
+    StreamContamination.benchmarkFilter(benchmark, "text", n = 3)
+
+  test("batch flags: overlapping shingle caught, clean text clean") {
+    val docs = Seq(
+      (1L, "training doc with the quick brown fox inside"), // shares 3-gram
+      (2L, "completely unrelated corpus material talking weather"),
+      (3L, "question about spark shuffles here verbatim tail"), // shares
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = StreamContamination.flag(docs, "text", filter)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) && out(3L), "contaminated docs must be flagged")
+    assert(!out(2L) && !out(4L), "clean/empty docs must pass")
+    assert(out.size == 4)
+  }
+
+  test("streaming flags identical to batch (stateless, no watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "training doc with the quick brown fox inside"),
+      (2L, "completely unrelated corpus material talking weather"),
+      (3L, "question about spark shuffles here verbatim tail"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamContamination.flag(
+        mem.toDS().toDF("doc_id", "text"), "text", filter)
+      .select("doc_id", "contaminated")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out").start()
+    try {
+      mem.addData(docs.take(1))
+      mem.addData(docs.drop(1))
+      q.processAllAvailable()
+      val stream = spark.table("contam_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val batch = StreamContamination.flag(docs.toDF("doc_id", "text"),
+          "text", filter)
+        .select("doc_id", "contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(stream == batch, s"stream $stream != batch $batch")
+    } finally q.stop()
+  }
+}
