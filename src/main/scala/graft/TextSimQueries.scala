@@ -114,13 +114,7 @@ object TextSimQueries {
     * near-duplicates share most, which is exactly the boilerplate the
     * operator strips. The derivation is mirrored in the oracle. */
   private def qT11lineDedup(s: SparkSession, d: String): DataFrame = {
-    val lined = docs(s, d)
-      // explode(array(…)) is a Generate boundary: CollapseProject cannot
-      // inline the tokenizer into the per-segment slice lambdas below,
-      // so each document tokenizes ONCE (the Dedup.shinglesFromWords
-      // hazard — re-tokenizing per segment — cannot occur)
-      .select(col("doc_id"),
-        explode(array(Dedup.words(col("text")))).as("ws"))
+    val lined = Dedup.withWords(docs(s, d), "text", "ws")
       .withColumn("lined", array_join(
         transform(
           sequence(lit(0),
@@ -417,6 +411,14 @@ object TextSimQueries {
       |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members_csv
       |FROM lab GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** DuckDB face of `Sampling.withSplit(_, key, 0.2)`: the 20% md5
+    * hash-threshold test/train case (3355443 = ⌊0.2·2^24⌋). One line on
+    * purpose — '|graft' contains a margin char, so a multi-line form
+    * would be corrupted by the enclosing stripMargin. */
+  private def splitCaseSql(key: String): String =
+    s"CASE WHEN CAST(concat('0x', substr(md5(concat(CAST($key AS VARCHAR), " +
+      "'|graft')), 1, 6)) AS BIGINT) < 3355443 THEN 'test' ELSE 'train' END"
+
   /** Leakage-free train/test split: label every document with its
     * near-dup CLUSTER (the q_d6 closure; singletons keep their own id)
     * and hash-split on the CLUSTER label, so near-duplicates can never
@@ -438,10 +440,7 @@ object TextSimQueries {
     s"""WITH RECURSIVE $closureCtes,
       |cl AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS cluster
       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
-      |SELECT doc_id, cluster,
-      |  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(cluster AS VARCHAR),
-      |    '|graft')), 1, 6)) AS BIGINT) < 3355443
-      |  THEN 'test' ELSE 'train' END AS split
+      |SELECT doc_id, cluster, ${splitCaseSql("cluster")} AS split
       |FROM cl ORDER BY doc_id""".stripMargin
 
   /** MinHash+LSH — fully oracled since the portable (md5-derived)
@@ -1103,10 +1102,8 @@ object TextSimQueries {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
       .orderBy("split", "lang")
   private val oX1 =
-    """WITH h AS (SELECT doc_id, lang,
-      |  CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
-      |    '|graft')), 1, 6)) AS BIGINT) < 3355443
-      |  THEN 'test' ELSE 'train' END AS split FROM documents)
+    s"""WITH h AS (SELECT doc_id, lang,
+      |  ${splitCaseSql("doc_id")} AS split FROM documents)
       |SELECT split, lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -26,6 +26,15 @@ object Dedup {
     * CollapseProject inlines it into these lambdas and the tokenization
     * re-executes once per shingle (measured ~25× slowdown on the
     * inverted-index build). */
+  /** Append a MATERIALIZED words-array column behind a Generate boundary
+    * (explode of a one-element array): CollapseProject cannot inline the
+    * tokenizer past a Generate, so downstream per-shingle / per-segment
+    * lambdas consume a computed array instead of re-running the
+    * tokenizer once per element — the cheap, shuffle-free form of the
+    * materialization `shinglesFromWords` requires. */
+  def withWords(df: DataFrame, textCol: String, out: String = "_ws"): DataFrame =
+    df.select(col("*"), explode(array(words(col(textCol)))).as(out))
+
   def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(transform(
       filter(

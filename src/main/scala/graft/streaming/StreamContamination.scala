@@ -27,8 +27,7 @@ object StreamContamination {
   /** Compile the benchmark corpus into the shingle Bloom filter. */
   def benchmarkFilter(benchmark: DataFrame, textCol: String, n: Int = 3,
                       numBits: Int = 1 << 20, numHashes: Int = 5): Bloom.Filter = {
-    val sh = benchmark
-      .select(explode(array(Dedup.words(col(textCol)))).as("_ws"))
+    val sh = Dedup.withWords(benchmark, textCol)
       .select(explode(Dedup.shinglesFromWords(col("_ws"), n)).as("s"))
       .distinct()
     Bloom.build(sh, "s", numBits, numHashes)
@@ -39,9 +38,7 @@ object StreamContamination {
     * safe under structured streaming with no watermark. */
   def flag(df: DataFrame, textCol: String, filter: Bloom.Filter,
            n: Int = 3): DataFrame =
-    df
-      // Generate boundary: tokenize once per doc, not once per shingle
-      .select(col("*"), explode(array(Dedup.words(col(textCol)))).as("_ws"))
+    Dedup.withWords(df, textCol) // tokenize once per doc, not per shingle
       .withColumn("contaminated",
         exists(Dedup.shinglesFromWords(col("_ws"), n),
           s => Bloom.mightContain(s, filter)))

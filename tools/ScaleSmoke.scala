@@ -147,10 +147,7 @@ object ScaleSmoke {
     // vocabulary — the worst case for the anti-join side (nothing is
     // broadcast-small) and for the rebuild (all docs fully dropped)
     timed("q_t11 dropRepeatedLines") {
-      // explode(array(…)) = Generate boundary: tokenize once per doc,
-      // not once per segment (see qT11lineDedup)
-      val lined = docs
-        .select(col("doc_id"), explode(array(Dedup.words(col("text")))).as("ws"))
+      val lined = Dedup.withWords(docs, "text", "ws")
         .withColumn("lined", array_join(
           transform(
             sequence(lit(0),
