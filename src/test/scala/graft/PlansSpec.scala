@@ -107,6 +107,25 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("withWords is a real Generate boundary: one tokenizer per doc in plan") {
+    import org.apache.spark.sql.functions._
+    // the qT11 shape: 8-word segments sliced out of the words array —
+    // without the boundary, CollapseProject inlines the regexp tokenizer
+    // into the sequence bound and every slice lambda (~10 copies)
+    val segmented = graft.operators.Dedup
+      .withWords(Tables.documents(spark, sf), "text", "ws")
+      .withColumn("lined", array_join(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("ws")) / lit(8.0d)).cast("int"), lit(1)) - 1),
+          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")),
+        "\n"))
+      .select("doc_id", "lined")
+    val optimized = segmented.queryExecution.optimizedPlan.toString
+    val n = "regexp_replace".r.findAllIn(optimized).size
+    assert(n == 1, s"tokenizer must appear exactly once, found $n:\n$optimized")
+  }
+
   test("projection pruning reaches parquet ReadSchema") {
     val df = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val scan = df.queryExecution.executedPlan.toString
