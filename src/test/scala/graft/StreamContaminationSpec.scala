@@ -32,6 +32,35 @@ class StreamContaminationSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 4)
   }
 
+  test("stateless sampling ops run unchanged on streams (split, mixture)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDS().toDF("doc_id", "lang")
+    // withSplit and mixture are pure hash-threshold projections — no
+    // state, no watermark: the SAME operator object works on a stream
+    val q = graft.operators.Sampling.mixture(
+        graft.operators.Sampling.withSplit(src, "doc_id", testFraction = 0.2),
+        "lang", Map("en" -> 2.0), defaultWeight = 1.0, idCol = "doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sampling_stream").start()
+    try {
+      val rows = (0L until 50L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      mem.addData(rows)
+      q.processAllAvailable()
+      val stream = spark.table("sampling_stream")
+        .select("doc_id", "split", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = graft.operators.Sampling.mixture(
+          graft.operators.Sampling.withSplit(
+            rows.toDF("doc_id", "lang"), "doc_id", testFraction = 0.2),
+          "lang", Map("en" -> 2.0), defaultWeight = 1.0, idCol = "doc_id")
+        .select("doc_id", "split", "epoch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(stream == batch, "stream != batch for stateless sampling")
+      assert(batch.exists(_._3 == 1), "en docs must gain a second epoch")
+    } finally q.stop()
+  }
+
   test("streaming flags identical to batch (stateless, no watermark)") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
