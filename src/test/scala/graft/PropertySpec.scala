@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Bloom, Rounding}
+import graft.io.Layout
+import graft.operators.{Sampling, TextStats}
+
+/** Property-based sweeps over the custom kernels. Each property draws a
+  * seeded (fully deterministic) sample set from a ScalaCheck Gen and
+  * evaluates it in ONE Spark job — randomized coverage without
+  * per-sample job overhead or flaky reruns. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.pureApply(Gen.Parameters.default, s))
+      .take(n).toSeq
+
+  test("property: RoundHalfDown == BigDecimal HALF_DOWN on random doubles") {
+    val xs = sample(Gen.chooseNum(-1e6, 1e6), 500, seed = 7L)
+    val scales = Seq(0, 1, 2, 3, 6)
+    for (s <- scales; x <- xs) {
+      val expect = new java.math.BigDecimal(x)
+        .setScale(s, java.math.RoundingMode.HALF_DOWN).doubleValue()
+      assert(Rounding.halfDown(x, s) == expect, s"x=$x scale=$s")
+    }
+  }
+
+  test("property: Bloom never false-negative over random key sets") {
+    val keys = sample(Gen.identifier.suchThat(_.nonEmpty), 300, seed = 11L)
+      .distinct
+    val bloom = Bloom.build(keys.toDF("k"), "k", numBits = 8192, numHashes = 5)
+    val misses = keys.toDF("k")
+      .where(!Bloom.mightContain(col("k"), bloom)).count()
+    assert(misses == 0, s"$misses members rejected — impossible for a Bloom")
+  }
+
+  test("property: Morton interleave is injective on random in-range pairs") {
+    val pairs = sample(Gen.zip(Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L)), 2000, seed = 13L).distinct
+    val n = pairs.toDF("x", "y")
+      .select(Layout.interleave(Seq(col("x"), col("y")), bits = 16).as("z"))
+      .agg(countDistinct("z")).head().getLong(0)
+    assert(n == pairs.size, "distinct (x, y) must give distinct z")
+  }
+
+  test("property: withSplit is total and deterministic on random ids") {
+    val ids = sample(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 1000,
+      seed = 17L).distinct
+    val out = Sampling.withSplit(ids.toDF("id"), "id", testFraction = 0.2)
+    val twice = Sampling.withSplit(ids.toDF("id"), "id", testFraction = 0.2)
+    assert(out.where(!col("split").isin("test", "train")).count() == 0)
+    assert(out.except(twice).isEmpty && twice.except(out).isEmpty,
+      "split must be a pure function of the id")
+  }
+
+  test("property: dropRepeatedLines is identity when all lines are unique") {
+    // doc i's lines embed the doc index → no cross-doc repetition
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"alpha$i one\nbeta$i two\ngamma$i three"))
+      .toDF("doc_id", "text")
+    val out = TextStats.dropRepeatedLines(docs, "doc_id", "text", minDocFreq = 2)
+    assert(out.where(col("n_dropped") =!= 0L).count() == 0)
+    val diff = out.select(col("id").as("doc_id"), col("clean_text").as("text"))
+      .except(docs)
+    assert(diff.isEmpty, "unique-line corpus must round-trip unchanged")
+  }
+}
