@@ -20,21 +20,23 @@ object Dedup {
   def words(c: Column): Column =
     split(trim(lower(regexp_replace(c, "[^A-Za-z0-9]+", " "))), " ")
 
-  /** n-word shingle strings from an ALREADY-MATERIALIZED words-array
-    * column. Callers must materialize the words array behind a shuffle or
-    * cache boundary first: if `w` is still the split/regexp expression,
-    * CollapseProject inlines it into these lambdas and the tokenization
-    * re-executes once per shingle (measured ~25× slowdown on the
-    * inverted-index build). */
   /** Append a MATERIALIZED words-array column behind a Generate boundary
     * (explode of a one-element array): CollapseProject cannot inline the
     * tokenizer past a Generate, so downstream per-shingle / per-segment
     * lambdas consume a computed array instead of re-running the
     * tokenizer once per element — the cheap, shuffle-free form of the
-    * materialization `shinglesFromWords` requires. */
-  def withWords(df: DataFrame, textCol: String, out: String = "_ws"): DataFrame =
+    * materialization [[shinglesFromWords]] requires. */
+  def withWords(df: DataFrame, textCol: String, out: String = "_ws"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"input column '$out' collides with the words output — pass another name")
     df.select(col("*"), explode(array(words(col(textCol)))).as(out))
+  }
 
+  /** n-word shingle strings from an ALREADY-MATERIALIZED words-array
+    * column (see [[withWords]]): if `w` is still the raw split/regexp
+    * expression, CollapseProject inlines it into these lambdas and the
+    * tokenization re-executes once per shingle (measured ~25× slowdown
+    * on the inverted-index build). */
   def shinglesFromWords(w: Column, n: Int): Column =
     array_distinct(transform(
       filter(

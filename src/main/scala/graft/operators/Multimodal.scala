@@ -77,7 +77,10 @@ object Multimodal {
       while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
-        if (len < 0 || pos + 8 + len > bytes.length) return None
+        // long compare: a crafted len near Int.MaxValue would wrap the
+        // int sum past the bounds check and drive a multi-GB allocation
+        // whose OutOfMemoryError (an Error) escapes the Exception catch
+        if (len < 0 || len.toLong > bytes.length.toLong - pos - 8) return None
         if (id == "fmt " && len >= 16)
           fmt = Some((bb.getShort(pos + 8) & 0xffff,
             bb.getShort(pos + 10) & 0xffff, bb.getInt(pos + 12),
@@ -166,8 +169,11 @@ object Multimodal {
             val n = pcm.samples.length
             var w = 0
             while (w < dim && n > 0) {
-              val s = w * n / dim
-              val e = math.min(math.max((w + 1) * n / dim, s + 1), n)
+              // long products: a decodable 2 GB WAV has ~1e9 samples and
+              // w*n would wrap int, collapsing windows then indexing
+              // negative
+              val s = (w.toLong * n / dim).toInt
+              val e = math.min(math.max(((w + 1).toLong * n / dim).toInt, s + 1), n)
               var acc = 0.0
               var i = s
               while (i < e) { acc += pcm.samples(i) * pcm.samples(i); i += 1 }

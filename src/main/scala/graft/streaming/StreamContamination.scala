@@ -24,12 +24,13 @@ import graft.operators.Dedup
   */
 object StreamContamination {
 
-  /** Compile the benchmark corpus into the shingle Bloom filter. */
+  /** Compile the benchmark corpus into the shingle Bloom filter. No
+    * distinct pass: Bloom bit-OR insertion is idempotent, so deduping
+    * keys first would only add a shuffle. */
   def benchmarkFilter(benchmark: DataFrame, textCol: String, n: Int = 3,
                       numBits: Int = 1 << 20, numHashes: Int = 5): Bloom.Filter = {
     val sh = Dedup.withWords(benchmark, textCol)
       .select(explode(Dedup.shinglesFromWords(col("_ws"), n)).as("s"))
-      .distinct()
     Bloom.build(sh, "s", numBits, numHashes)
   }
 
@@ -37,10 +38,13 @@ object StreamContamination {
     * shingles might be in the benchmark filter. Stateless and map-side —
     * safe under structured streaming with no watermark. */
   def flag(df: DataFrame, textCol: String, filter: Bloom.Filter,
-           n: Int = 3): DataFrame =
+           n: Int = 3): DataFrame = {
+    require(!df.columns.contains("contaminated"),
+      "input column 'contaminated' collides with the output flag — alias it")
     Dedup.withWords(df, textCol) // tokenize once per doc, not per shingle
       .withColumn("contaminated",
         exists(Dedup.shinglesFromWords(col("_ws"), n),
           s => Bloom.mightContain(s, filter)))
       .drop("_ws")
+  }
 }

@@ -81,11 +81,24 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     }
     val eight = Array.tabulate(n)(i =>
       Array(0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0)))
+    // crafted header: a data chunk declaring ~Int.MaxValue bytes would
+    // wrap an int bounds check and attempt a multi-GB allocation — the
+    // long-compare guard must make it undecodable instead
+    val evil = {
+      val bb = java.nio.ByteBuffer.allocate(60)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(2147483640)
+      bb.array()
+    }
     val df = Seq(
       (1L, wavBytes(8000, 16, 1, sine)),
       (2L, wavBytes(8000, 16, 2, anti)),
       (3L, wavBytes(8000, 8, 1, eight)),
-      (4L, "RIFFjunk".getBytes("US-ASCII"))).toDF("media_id", "media")
+      (4L, "RIFFjunk".getBytes("US-ASCII")),
+      (5L, evil)).toDF("media_id", "media")
     val meta = Multimodal.decodeAudioMeta(df)
       .select("media_id", "audio_meta.*").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -98,6 +111,7 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(meta(3L).getDouble(6) - 0.5 / math.sqrt(2)) < 0.01,
       "8-bit branch")
     assert(meta(4L).isNullAt(1), "truncated RIFF → null meta, no crash")
+    assert(meta(5L).isNullAt(1), "overflow-length data chunk → null, no OOM")
     // energy envelope: steady sine → all 8 windows equal (±quantization)
     val env = Multimodal.extractFeatures(df.where(col("media_id") === 1L), dim = 8)
       .select("features").head().getSeq[Float](0)
