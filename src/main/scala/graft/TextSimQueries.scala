@@ -372,8 +372,21 @@ object TextSimQueries {
 
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
     * keeper/members. Oracle replays the closure with a recursive CTE. */
+  /** One closure per (session, dir): q_d6 rolls the labels up into
+    * clusters and q_x7 splits on them — a real pipeline labels once, so
+    * the bench session does too (same rationale as the shingle cache;
+    * componentLabels already localCheckpoints its passes, the persist
+    * here just stops the SECOND consumer re-running them). */
+  private def sharedLabels(s: SparkSession, d: String): DataFrame =
+    cachedPerDir(s, s"labels|$d") {
+      Dedup.componentLabels(sharedJaccardPairs(s, d).select("id_a", "id_b"))
+    }
+
   private def qD6clusters(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupClusters(sharedJaccardPairs(s, d))
+    sharedLabels(s, d)
+      .groupBy(col("label").as("keeper"))
+      .agg(count(lit(1)).as("cluster_size"),
+        array_sort(collect_list(col("id"))).as("members"))
       .withColumn("members_csv",
         expr("array_join(transform(members, x -> cast(x AS string)), ',')"))
       .drop("members")
@@ -428,8 +441,7 @@ object TextSimQueries {
     * scale this is the closure (bounded passes) plus one map-side hash
     * filter — no new shuffle beyond q_d6's. */
   private def qX7leakFreeSplit(s: SparkSession, d: String): DataFrame = {
-    val labels = Dedup.componentLabels(
-      sharedJaccardPairs(s, d).select("id_a", "id_b"))
+    val labels = sharedLabels(s, d)
     val clustered = docs(s, d).select(col("doc_id"))
       .join(labels, col("doc_id") === col("id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
