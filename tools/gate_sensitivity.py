@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Mutation test of the correctness gate itself: perturb one value, drop
+one row, and rename one column in COPIES of real graft.Verify output, and
+assert selfcheck.py FAILS each mutant while still PASSING the pristine
+copy. A gate that cannot catch a planted wrong answer is vacuous — this
+proves the hash/row/schema compare has teeth.
+
+Usage: gate_sensitivity.py <sfDir> <verifyOutDir>
+(run AFTER a full graft.Verify dump; writes mutants under /tmp)"""
+import json, shutil, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+here = Path(__file__).resolve().parent
+
+
+def run_gate(d):
+    r = subprocess.run(
+        [sys.executable, str(here / "selfcheck.py"), sfdir, str(d)],
+        capture_output=True, text=True)
+    return r.stdout.strip().splitlines()[-1]  # "N/M queries match"
+
+
+def clone(tag, only):
+    """Copy outdir keeping ONLY `only`'s parquet + a filtered oracle map
+    (one-query gate runs keep the mutation signal unambiguous)."""
+    d = Path("/tmp") / f"gate_mut_{tag}"
+    if d.exists():
+        shutil.rmtree(d)
+    d.mkdir()
+    shutil.copytree(Path(outdir) / only, d / only)
+    oracles = json.load(open(Path(outdir) / "oracle_sql.json"))
+    json.dump({only: oracles[only]}, open(d / "oracle_sql.json", "w"))
+    return d
+
+
+TARGET = "q_t1_token_stats"  # plain typed columns: easy to mutate surgically
+con = duckdb.connect()
+
+# pristine copy must pass — otherwise the mutants prove nothing
+base = clone("pristine", TARGET)
+assert run_gate(base) == "1/1 queries match", "pristine copy failed the gate"
+
+# mutant 1: one value off by one
+d = clone("value", TARGET)
+pq = next((d / TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM '{pq}'")
+con.execute("UPDATE t SET n_words = n_words + 1 WHERE doc_id = "
+            "(SELECT min(doc_id) FROM t)")
+con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+assert run_gate(d) == "0/1 queries match", "one-value mutation NOT caught"
+
+# mutant 2: one row dropped
+d = clone("row", TARGET)
+pq = next((d / TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM '{pq}' "
+            f"WHERE doc_id <> (SELECT max(doc_id) FROM '{pq}')")
+con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+assert run_gate(d) == "0/1 queries match", "dropped-row mutation NOT caught"
+
+# mutant 3: one column renamed
+d = clone("schema", TARGET)
+pq = next((d / TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * EXCLUDE (n_words), "
+            f"n_words AS n_wordz FROM '{pq}'")
+con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
+assert run_gate(d) == "0/1 queries match", "renamed-column mutation NOT caught"
+
+print("gate sensitivity: pristine passes; value/row/schema mutants all "
+      "caught (3/3)")
