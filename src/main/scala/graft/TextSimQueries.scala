@@ -274,6 +274,39 @@ object TextSimQueries {
       |SELECT c.doc_id, c.might, (fpc.f IS NOT NULL) AS is_dup
       |FROM chk c LEFT JOIN fpc ON c.f = fpc.f ORDER BY c.doc_id""".stripMargin
 
+  /** Markup stripping over a deterministically HTML-ified corpus (the
+    * synthetic docs carry no markup, so the query wraps each in tags +
+    * entities first — the derivation is mirrored in the oracle, and the
+    * strip regexes/entity replaces are what the cross-engine equality
+    * actually exercises). */
+  private def qT14markupStrip(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("page", concat(
+        lit("<doc id=\""), col("doc_id").cast("string"),
+        lit("\">\n  <p class=\"body\">"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p>\n  <br/>\n</doc>")))
+      .select(col("doc_id"),
+        TextStats.stripMarkup(col("page")).as("clean_text"),
+        length(col("page")).cast("long").as("raw_len"))
+      .orderBy("doc_id")
+  private val oT14 =
+    """WITH p AS (SELECT doc_id,
+      |  '<doc id="' || CAST(doc_id AS VARCHAR) || '">' || chr(10) ||
+      |  '  <p class="body">' || text || ' &amp; more &lt;tags&gt;</p>' ||
+      |  chr(10) || '  <br/>' || chr(10) || '</doc>' AS page
+      |FROM documents),
+      |s AS (SELECT doc_id, page,
+      |  regexp_replace(regexp_replace(page, '<[^>]*>', ' ', 'g'),
+      |    '&#([0-9]+);', ' ', 'g') AS t1 FROM p),
+      |e AS (SELECT doc_id, page,
+      |  replace(replace(replace(replace(replace(t1,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&apos;', ''''), '&amp;', '&') AS t2 FROM s)
+      |SELECT doc_id,
+      |  trim(regexp_replace(t2, '\s+', ' ', 'g')) AS clean_text,
+      |  CAST(length(page) AS BIGINT) AS raw_len
+      |FROM e ORDER BY doc_id""".stripMargin
+
   // ---- dedup -------------------------------------------------------------
 
   private def qD1exact(s: SparkSession, d: String): DataFrame = {
@@ -1283,6 +1316,7 @@ object TextSimQueries {
     "q_t11_line_dedup" -> qT11lineDedup _,
     "q_t12_quality_classifier" -> qT12classifier _,
     "q_t13_top_words" -> qT13topWords _,
+    "q_t14_markup_strip" -> qT14markupStrip _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -1318,6 +1352,7 @@ object TextSimQueries {
     "q_t11_line_dedup" -> oT11,
     "q_t12_quality_classifier" -> oT12,
     "q_t13_top_words" -> oT13,
+    "q_t14_markup_strip" -> oT14,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

@@ -248,6 +248,30 @@ object TextStats {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  // ---- markup stripping ----------------------------------------------------
+
+  /** Strip HTML/XML markup for text curation: drop tags, decode the five
+    * predefined XML entities, DROP decimal numeric references (curation
+    * wants clean tokens, not rendering — per-match chr() decode is not
+    * expressible as one engine-portable regex), collapse whitespace
+    * runs. Regex-level stripping (the standard cheap pass a
+    * web-scrape pipeline runs at scan speed — NOT an HTML parser: a `>`
+    * inside a quoted attribute value ends the tag early, script/style
+    * BODIES survive; run a real parser upstream if those matter).
+    * RE2-portable patterns and literal replaces only, so the whole
+    * transform replays in the DuckDB oracle. `&amp;` decodes LAST —
+    * decoding it first would double-decode `&amp;lt;` into `<`. */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val numeric = regexp_replace(noTags, "&#([0-9]+);", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(numeric) { case (acc, (ent, ch)) =>
+        call_function("replace", acc, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---- quality classifier inference ---------------------------------------
 
   /** fastText-style linear classifier INFERENCE via the hashing trick:

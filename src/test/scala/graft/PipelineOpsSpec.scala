@@ -274,6 +274,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(solo.head().getString(1) == "twice\ntwice")
   }
 
+  test("markup strip: tags, entities, whitespace; documented limits hold") {
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      (2L, "a &amp;lt; b", "a &lt; b"),            // &amp; decoded LAST
+      (3L, "x &lt;tag&gt; &quot;q&quot; &apos;a&apos;", "x <tag> \"q\" 'a'"),
+      (4L, "n&#65;m", "n m"),                       // numeric ref dropped
+      (5L, "<a href=\"u\">link</a>\n\t more", "link more"),
+      (6L, "plain text untouched", "plain text untouched"),
+      // documented regex limit: '>' inside a quoted attribute ends the tag
+      (7L, "<a title=\"a>b\">t</a>", "b\">t")
+    ).toDF("id", "raw", "expect")
+    val out = cases.select(col("id"), col("expect"),
+        graft.operators.TextStats.stripMarkup(col("raw")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(2) == r.getString(1),
+      s"case ${r.getLong(0)}: got '${r.getString(2)}'"))
+  }
+
   test("hashed classifier: deterministic, integer sum, dim guard") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "ALPHA beta GAMMA"))
       .toDF("doc_id", "text")
