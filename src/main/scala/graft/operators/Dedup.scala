@@ -701,8 +701,14 @@ object Dedup {
     * embedding LSH) in, drop-list out (every member except the keeper). */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
                       reliable: Boolean = false): DataFrame =
-    componentLabels(pairs, maxIters, reliable = reliable)
-      .groupBy(col("label").as("keeper"))
+    clustersFromLabels(componentLabels(pairs, maxIters, reliable = reliable))
+
+  /** Cluster roll-up of a `componentLabels` frame: one row per cluster
+    * with keeper (= min id = the label), size, and sorted members —
+    * shared so callers that reuse a labels frame (q_d6/q_x7) stay
+    * definitionally identical to this operator. */
+  def clustersFromLabels(labels: DataFrame): DataFrame =
+    labels.groupBy(col("label").as("keeper"))
       .agg(count(lit(1)).as("cluster_size"),
         array_sort(collect_list(col("id"))).as("members"))
 

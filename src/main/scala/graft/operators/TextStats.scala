@@ -269,7 +269,9 @@ object TextStats {
       .foldLeft(numeric) { case (acc, (ent, ch)) =>
         call_function("replace", acc, lit(ent), lit(ch))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java's \s matches vertical tab, RE2's
+    // (DuckDB's) does not — the oracle needs ONE pinned semantics
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   // ---- quality classifier inference ---------------------------------------

@@ -20,7 +20,19 @@ def run_gate(d):
     r = subprocess.run(
         [sys.executable, str(here / "selfcheck.py"), sfdir, str(d)],
         capture_output=True, text=True)
-    return r.stdout.strip().splitlines()[-1]  # "N/M queries match"
+    lines = r.stdout.strip().splitlines()
+    if not lines:  # selfcheck crashed before printing its summary
+        raise SystemExit(
+            f"selfcheck produced no output (exit {r.returncode}); "
+            f"stderr:\n{r.stderr}")
+    return lines[-1]  # "N/M queries match"
+
+
+def check(cond, msg):
+    """Explicit exit, not assert: python -O strips asserts, and a
+    vacuously-green sensitivity test would defeat its own purpose."""
+    if not cond:
+        raise SystemExit(f"GATE SENSITIVITY FAILURE: {msg}")
 
 
 def clone(tag, only):
@@ -31,8 +43,10 @@ def clone(tag, only):
         shutil.rmtree(d)
     d.mkdir()
     shutil.copytree(Path(outdir) / only, d / only)
-    oracles = json.load(open(Path(outdir) / "oracle_sql.json"))
-    json.dump({only: oracles[only]}, open(d / "oracle_sql.json", "w"))
+    with open(Path(outdir) / "oracle_sql.json") as f:
+        oracles = json.load(f)
+    with open(d / "oracle_sql.json", "w") as f:
+        json.dump({only: oracles[only]}, f)
     return d
 
 
@@ -41,7 +55,7 @@ con = duckdb.connect()
 
 # pristine copy must pass — otherwise the mutants prove nothing
 base = clone("pristine", TARGET)
-assert run_gate(base) == "1/1 queries match", "pristine copy failed the gate"
+check(run_gate(base) == "1/1 queries match", "pristine copy failed the gate")
 
 # mutant 1: one value off by one
 d = clone("value", TARGET)
@@ -50,7 +64,7 @@ con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM '{pq}'")
 con.execute("UPDATE t SET n_words = n_words + 1 WHERE doc_id = "
             "(SELECT min(doc_id) FROM t)")
 con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
-assert run_gate(d) == "0/1 queries match", "one-value mutation NOT caught"
+check(run_gate(d) == "0/1 queries match", "one-value mutation NOT caught")
 
 # mutant 2: one row dropped
 d = clone("row", TARGET)
@@ -58,7 +72,7 @@ pq = next((d / TARGET).glob("*.parquet"))
 con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * FROM '{pq}' "
             f"WHERE doc_id <> (SELECT max(doc_id) FROM '{pq}')")
 con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
-assert run_gate(d) == "0/1 queries match", "dropped-row mutation NOT caught"
+check(run_gate(d) == "0/1 queries match", "dropped-row mutation NOT caught")
 
 # mutant 3: one column renamed
 d = clone("schema", TARGET)
@@ -66,7 +80,7 @@ pq = next((d / TARGET).glob("*.parquet"))
 con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * EXCLUDE (n_words), "
             f"n_words AS n_wordz FROM '{pq}'")
 con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
-assert run_gate(d) == "0/1 queries match", "renamed-column mutation NOT caught"
+check(run_gate(d) == "0/1 queries match", "renamed-column mutation NOT caught")
 
 print("gate sensitivity: pristine passes; value/row/schema mutants all "
       "caught (3/3)")
