@@ -79,9 +79,14 @@ object AsOf {
     // allowMissingColumns fills the non-shared columns with nulls on the
     // other side — exactly the sentinel the ignoreNulls window wants
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = struct((col("_ts").as("_mts") +: payload.map(col)): _*)
+    // packed as the final sort key: duplicate marks at the SAME (key, ts)
+    // resolve deterministically to the payload-MAX row (last() under asc
+    // order) — the identical tie rule asofJoinBackwardBucketed gets from
+    // its max(struct) bucket aggregate, so the two paths never diverge
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), packed)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = u.withColumn("_m",
       last(when(col("_side") === 0, packed), ignoreNulls = true).over(w))
     // a null-keyed LEFT row must also match nothing (its window partition

@@ -66,6 +66,23 @@ class OperatorsSpec extends AnyFunSuite with SparkSpec {
     assert(total == profiles.count())
   }
 
+  test("A10 calendars: leap day lands in d29; ym fills all 12 months") {
+    val leap = Seq(
+      ("L", ts("2024-02-29 12:00:00"), 1.0),
+      ("L", ts("2024-02-28 12:00:00"), 2.0),
+      ("L", ts("2023-02-28 12:00:00"), 3.0) // non-leap year, same month
+    ).toDF("id", "t", "v")
+    val cal = Calendars.ymdCalendar(leap, "t", col("v"))
+    val feb24 = cal.where($"year" === 2024 && $"month" === 2).head()
+    assert(feb24.getAs[Double]("d29") == 1.0, "leap day must land in d29")
+    assert(feb24.getAs[Double]("d28") == 2.0)
+    val feb23 = cal.where($"year" === 2023 && $"month" === 2).head()
+    assert(feb23.isNullAt(feb23.fieldIndex("d29")), "no leap day in 2023")
+    val ym = Calendars.ymCalendar(leap, "t", col("v"))
+    assert(ym.columns.toSeq == Seq("year") ++ (1 to 12).map(m => f"m$m%02d"),
+      "ym pivot must carry all 12 month columns even for Feb-only data")
+  }
+
   test("J2/J4 merge + orphan flag follows join direction") {
     val api = Seq(("A", "w1"), ("C", "w3")).toDF("dataset_id", "wmo_id")
     val catalog = Seq(("A", "urlA"), ("B", "urlB")).toDF("dataset_id", "tabledap")

@@ -46,6 +46,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r4.getAs[Timestamp]("q_ts") == ts("2024-01-01 10:05:00"))
   }
 
+  test("as-of join: duplicate same-ts marks resolve payload-max in BOTH variants") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 10.0),
+      ("A", ts("2024-01-01 10:00:00"), 13.0), // same instant, higher px
+      ("A", ts("2024-01-01 10:00:00"), 11.0)
+    ).toDF("sym", "ts", "q_px")
+    val t = Seq(("A", ts("2024-01-01 10:05:00"), 1L)).toDF("sym", "ts", "trade_id")
+    val plain = AsOf.asofJoinBackward(t, dupQuotes, Seq("sym"), "ts", "ts",
+      Seq("q_px")).head().getAs[Double]("q_px")
+    val bucketed = AsOf.asofJoinBackwardBucketed(t, dupQuotes, Seq("sym"),
+      "ts", "ts", Seq("q_px"), bucketSeconds = 3600)
+      .head().getAs[Double]("q_px")
+    assert(plain == 13.0 && bucketed == 13.0,
+      s"tie must resolve payload-max on both paths: plain=$plain bucketed=$bucketed")
+  }
+
   test("as-of join: tolerance nulls out stale matches") {
     val j = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts",
         Seq("q_px"), tolerance = Some(expr("INTERVAL 10 MINUTES")))
