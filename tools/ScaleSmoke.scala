@@ -142,6 +142,21 @@ object ScaleSmoke {
       proj.unpersist()
       hits
     }
+    // semantic dedup at 10×: identical vectors assign to the SAME
+    // cluster deterministically, so each group of 10 verbatim copies
+    // must drop exactly 9 (the lower-id keeper survives) — a known
+    // answer that also exercises the persisted assignment and the
+    // cluster-size guard at 20 k vectors / √n-rule clusters
+    timed("q_d8 semanticDedup 10x") {
+      import graft.operators.Similarity
+      val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        minCosine = 0.95,
+        nClusters = Similarity.suggestedCentroids(copies * 2000L))
+      val dropped = out.where(col("dropped")).count()
+      require(dropped == 9L * 2000,
+        s"expected exactly 18000 dropped verbatim copies, got $dropped")
+      out.count()
+    }
     // line dedup at 10×: every 8-word segment of every doc has ≥ 9
     // verbatim copies, so the heavy-line set is the ENTIRE segment
     // vocabulary — the worst case for the anti-join side (nothing is
