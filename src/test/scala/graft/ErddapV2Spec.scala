@@ -40,6 +40,28 @@ class ErddapV2Spec extends AnyFunSuite with SparkSpec {
     assert(df.rdd.getNumPartitions == 2) // one partition per file
   }
 
+  test("unitsRow modes: always skips, never keeps, auto detects by parse") {
+    val d2 = Files.createTempDirectory("erddapv2units").toFile
+    // classic ERDDAP shape: units row has UNPARSEABLE typed cells
+    Files.writeString(new java.io.File(d2, "a.csv").toPath,
+      "time,latitude\nUTC,degrees_north\n2021-06-01T00:00:00Z,1.5\n")
+    // plain CSV: the first data row is real data (parses fine)
+    Files.writeString(new java.io.File(d2, "b.csv").toPath,
+      "time,latitude\n2021-06-01T00:00:00Z,1.5\n2021-06-02T00:00:00Z,2.5\n")
+    val s2 = StructType(Seq(StructField("time", TimestampType),
+      StructField("latitude", DoubleType)))
+    def readWith(file: String, mode: String) =
+      spark.read.format("graft.sources.v2.ErddapTableProvider")
+        .schema(s2).option("path", s"${d2.getAbsolutePath}/$file")
+        .option("unitsRow", mode).load()
+    assert(readWith("a.csv", "always").count() == 1)
+    assert(readWith("a.csv", "auto").count() == 1) // 'degrees_north' fails parse → skipped
+    assert(readWith("a.csv", "never").count() == 2) // units row coerces to (ts=null, lat=null)
+    assert(readWith("b.csv", "always").count() == 1) // blind skip eats a REAL row
+    assert(readWith("b.csv", "auto").count() == 2)   // parseable first row kept
+    assert(readWith("b.csv", "never").count() == 2)
+  }
+
   test("filter pushdown reaches the DSv2 scan and filters rows") {
     val df = read.where(col("time") >= lit("2021-06-01 05:00:00"))
       .where(col("latitude").isNotNull)
