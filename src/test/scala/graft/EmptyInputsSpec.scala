@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Empty-corpus behavior: a 100 TB pipeline's first run on a new
+  * partition is often an EMPTY frame — operators must return empty (or
+  * fail loudly by documented design), never crash on a stray head() or
+  * an empty reduce. */
+class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val noDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val noVecs =
+    Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+
+  test("text/dedup operators: empty in, empty out") {
+    assert(TextStats.dropRepeatedLines(noDocs, "doc_id", "text", 2).isEmpty)
+    assert(TextStats.repetitionStats(noDocs, "doc_id", "text").isEmpty)
+    val sh = Dedup.shingleHashRows(noDocs, "doc_id", "text", 3)
+    assert(sh.isEmpty)
+    assert(Dedup.jaccardPairsFromHashes(sh, 0.5, 1000).isEmpty)
+    assert(Dedup.minhashFromHashes(sh, k = 16).isEmpty)
+    assert(Dedup.exactGroups(noDocs, "doc_id", md5(col("text"))).isEmpty)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.componentLabels(noPairs).isEmpty)
+    assert(Dedup.nearDupClusters(noPairs).isEmpty)
+  }
+
+  test("sampling/session operators: empty in, empty out") {
+    assert(Sampling.withSplit(noDocs, "doc_id", 0.2).isEmpty)
+    assert(Sampling.mixture(noDocs, "text", Map("en" -> 2.0), 1.0,
+      "doc_id").isEmpty)
+    assert(Sampling.packIntoShards(
+      noDocs.withColumn("cost", lit(1L)), "text", "doc_id", "cost", 10L).isEmpty)
+    val noEvents = Seq.empty[(Long, Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(Sessions.sessionize(noEvents, Seq("user_id"), "ts", 600).isEmpty)
+  }
+
+  test("similarity: empty corpus/queries empty out; moments loud by design") {
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding",
+      k = 5).isEmpty)
+    val e = intercept[IllegalArgumentException](
+      Pca.moments(noVecs, "embedding", 4))
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("as-of/range joins: empty right keeps left with null payload") {
+    val t = Seq(("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("sym", "ts", "trade_id")
+    val noQuotes = Seq.empty[(String, Timestamp, Double)]
+      .toDF("sym", "ts", "q_px")
+    val out = AsOf.asofJoinBackward(t, noQuotes, Seq("sym"), "ts", "ts",
+      Seq("q_px")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("q_px")))
+  }
+}
