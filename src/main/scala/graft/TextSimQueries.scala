@@ -217,9 +217,10 @@ object TextSimQueries {
       |g AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS gg
       |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
       |m AS (SELECT i, sum(v) AS s FROM u GROUP BY 1)
-      |SELECT g.i, g.j, round(g.gg, 6) AS gram,
+      |SELECT g.i, g.j, round(g.gg, 6) + 0.0 AS gram,
       |  round(g.gg / (SELECT n FROM n0)
-      |    - (ma.s / (SELECT n FROM n0)) * (mb.s / (SELECT n FROM n0)), 6) AS cov
+      |    - (ma.s / (SELECT n FROM n0)) * (mb.s / (SELECT n FROM n0)), 6)
+      |    + 0.0 AS cov
       |FROM g JOIN m ma ON g.i = ma.i JOIN m mb ON g.j = mb.i
       |ORDER BY 1, 2""".stripMargin
 

@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Can this type appear in an ORDER BY / max(struct)? (MapType cannot,
+    * at any nesting depth — Spark has no map ordering.) */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => isOrderable(f.dataType))
+      case a: ArrayType => isOrderable(a.elementType)
+      case _ => true
+    }
+  }
+
   /** Backward (inclusive) as-of join: for every left row, attach the
     * payload of the LATEST right row with `rightTs <= leftTs` and equal
     * keys, or nulls when no such row exists (left outer semantics —
@@ -80,12 +92,22 @@ object AsOf {
     // other side — exactly the sentinel the ignoreNulls window wants
     val u = l.unionByName(r, allowMissingColumns = true)
     val packed = struct((col("_ts").as("_mts") +: payload.map(col)): _*)
-    // packed as the final sort key: duplicate marks at the SAME (key, ts)
-    // resolve deterministically to the payload-MAX row (last() under asc
-    // order) — the identical tie rule asofJoinBackwardBucketed gets from
-    // its max(struct) bucket aggregate, so the two paths never diverge
+    // tie-break sort key: duplicate marks at the SAME (key, ts) resolve
+    // deterministically to the payload-MAX row (last() under asc order) —
+    // the identical tie rule asofJoinBackwardBucketed gets from its
+    // max(struct) bucket aggregate, so the two paths never diverge.
+    // Only ORDERABLE payload columns join the sort key: a MapType payload
+    // can be carried (struct values don't need ordering) but not sorted
+    // on — for such payloads ties among identical (key, ts) marks fall
+    // back to the orderable subset (and are nondeterministic only if two
+    // marks differ solely in unorderable columns)
+    val rSchema = r.schema
+    val tieCols = payload.filter(p => isOrderable(rSchema(p).dataType))
+    val tieKey: Seq[Column] =
+      if (tieCols.isEmpty) Nil
+      else Seq(struct(tieCols.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), packed)
+      .orderBy((col("_ts") +: col("_side") +: tieKey): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = u.withColumn("_m",
       last(when(col("_side") === 0, packed), ignoreNulls = true).over(w))

@@ -596,8 +596,8 @@ object Dedup {
     // final select) would otherwise each re-evaluate the post-shuffle
     // assignment aggregate — ReuseExchange dedupes only the shuffle
     // write, the same re-evaluation lshCandidatePairs documents. The
-    // block is one slim row per vector; ContextCleaner reclaims it once
-    // the plan is unreferenced.
+    // block is one slim row per vector and is explicitly unpersisted
+    // below once the result is materialized.
     val assigned = Similarity.assignTo(c, cents)
       .select(col("centroid_id").as("cluster_id"), col("neighbor_id").as("id"),
         col("cv"), col("cn"))
@@ -616,10 +616,18 @@ object Dedup {
         (Similarity.dot(col("a.cv"), col("b.cv")) /
           (col("a.cn") * col("b.cn"))).as("cos"))
       .groupBy("id").agg(max(col("cos")).as("best_lower_cosine"))
-    assigned.select(col("id"), col("cluster_id"))
+    val out = assigned.select(col("id"), col("cluster_id"))
       .join(best, Seq("id"), "left")
       .withColumn("dropped",
         coalesce(col("best_lower_cosine") >= minCosine, lit(false)))
+    // Materialize now (cuts lineage, one slim decision row per vector) so
+    // the MEMORY_AND_DISK assignment cache can be released immediately
+    // instead of lingering until ContextCleaner GC in long-lived sessions.
+    // Executor-local blocks, like componentLabels' per-pass checkpoints —
+    // on dynamic-allocation clusters wrap with a reliable checkpoint dir.
+    val result = out.localCheckpoint(true)
+    assigned.unpersist(false)
+    result
   }
 
   // ---- pair graph → clusters ----------------------------------------------

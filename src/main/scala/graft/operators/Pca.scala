@@ -83,9 +83,12 @@ object Pca {
   def gramLongForm(emb: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val (n, sums, gram) = moments(emb, vecCol, dim)
     // HALF_UP, not rint (half-even): Spark's round() and DuckDB's round()
-    // both round ties away from zero — the driver-side rounding must too
+    // both round ties away from zero — the driver-side rounding must too.
+    // `+ 0.0` canonicalizes -0.0 → +0.0 (BigDecimal has no signed zero so
+    // a tiny negative that rounds to zero loses its sign bit here, while
+    // DuckDB's round() keeps it — same IEEE discipline as Similarity.topKPerQuery)
     def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val rows = for {
       i <- 0 until dim
       j <- i until dim

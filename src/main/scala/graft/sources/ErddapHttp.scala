@@ -79,7 +79,7 @@ object ErddapHttp {
         val resp = client(cfg).send(req, handler)
         resp.statusCode() match {
           case ok if ok >= 200 && ok < 300 => return finish(resp)
-          case 404 if cfg.emptyOn404 => return None
+          case 404 if cfg.emptyOn404 => discard(resp); return None
           case s if transient(s) =>
             discard(resp); lastErr = new ErddapHttpException(url, s)
           case s => discard(resp); throw new ErddapHttpException(url, s)

@@ -43,6 +43,11 @@ for name, sql in sorted(oracles.items()):
             if xn and yn: continue
             if xn != yn or x is None or y is None or x != y:
                 bad = (c, i, x, y); break
+            # the driver hashes canonical reprs, where -0.0 != 0.0 —
+            # plain float != treats them equal, so check the sign bit too
+            if (isinstance(x, float) and isinstance(y, float) and x == 0.0
+                    and math.copysign(1.0, x) != math.copysign(1.0, y)):
+                bad = (c, i, x, y); break
         if bad: break
     if bad:
         c, i, x, y = bad
