@@ -1,20 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Emits ONE JSON line:
+/** Benchmark main. Emits ONE SLIM JSON line:
   * {"metric":"total","value":S,"unit":"sec","runs":N,
-  *  "queries":{q:medianSec,…},"samples":{q:[sec,…]},"spread":{q:maxOverMin},
-  *  "unstable":[q,…],"sf":dir}
+  *  "queries":{q:medianSec,…},"spread":{q:maxOverMin},"unstable":[q,…],
+  *  "sf":dir}
+  *
+  * Raw per-run samples are NOT on the stdout line (round 6's line carried
+  * them and the record-keeper's tail-capture truncated it mid-object —
+  * an unparseable official record). They go to stderr and to a sidecar
+  * file (SPARK_GRAFT_BENCH_SAMPLES, default
+  * /tmp/graft_bench_samples.json) instead; the stdout line stays a few
+  * KB so it survives any tail window.
   *
   * Isolation: repeat runs in ONE JVM proved invalid — accumulated session
   * state (persist/unpersist churn, ContextCleaner backlog, GC pressure)
   * inflated heavy queries 3–9× in round 5's medians vs a fresh single run
-  * of the same code. So when SPARK_GRAFT_BENCH_RUNS > 1 the parent forks
-  * one FRESH child JVM per run (same classpath and JVM flags as this
-  * process — `run / fork := true` in build.sbt makes both real) and takes
-  * per-query medians ACROSS the isolated runs. Every raw sample is kept
-  * in the JSON, and any query whose max/min run ratio exceeds 2× is
-  * listed in "unstable" (its median is host noise, not a measurement).
+  * of the same code. So when SPARK_GRAFT_BENCH_RUNS > 1 (default 5) the
+  * parent forks one FRESH child JVM per run (same classpath and JVM flags
+  * as this process — `run / fork := true` in build.sbt makes both real)
+  * and takes per-query TRIMMED medians across the isolated runs (drop
+  * the min and max sample when ≥4 runs land, median of the rest — a
+  * contended-window outlier run can no longer drag the median). Any
+  * query whose max/min run ratio exceeds 2× is listed in "unstable"
+  * (its median is host noise, not a measurement).
   * SPARK_GRAFT_BENCH_RUNS=1 runs inline, exactly the judge's fresh-run
   * cross-check.
   */
@@ -48,14 +57,19 @@ object Bench {
     out
   }
 
+  /** Samples as a JSON object string — written to the sidecar + stderr,
+    * never to the stdout line (see the object scaladoc). */
+  private def samplesJson(queries: Seq[(String, Double)],
+                          samples: Map[String, Seq[Double]]): String =
+    queries.map { case (k, _) =>
+      "\"" + k + "\":" + samples(k).map(v => f"$v%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
   private def jsonLine(queries: Seq[(String, Double)],
                        samples: Map[String, Seq[Double]], runs: Int,
                        sfDir: String): String = {
-    val qs = queries.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val ss = queries.map { case (k, _) =>
-      "\"" + k + "\":" + samples(k).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     val spreads = queries.map { case (k, _) =>
       val xs = samples(k)
       // a 0.0 sample (skipped/failed run) gets a finite sentinel: %.3f of
@@ -69,8 +83,8 @@ object Bench {
     val unstable = spreads.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = queries.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":$qs,"samples":$ss,"spread":$sp,"unstable":$unstable,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","runs":$runs,""" +
+      s""""queries":$qs,"spread":$sp,"unstable":$unstable,"sf":"$sfDir"}"""
   }
 
   /** Fork a fresh child JVM running one inline pass; returns its
@@ -112,21 +126,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
+      "/tmp/graft_bench_samples.json")
+    def emit(meds: Seq[(String, Double)], bySample: Map[String, Seq[Double]],
+             n: Int): Unit = {
+      val ss = samplesJson(meds, bySample)
+      System.err.println(s"[bench] samples: $ss")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), ss)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+      println(jsonLine(meds, bySample, n, sfDir))
+    }
     if (runs <= 1) {
       val r = runOnce(sfDir, cpus)
-      println(jsonLine(r, r.map { case (k, v) => k -> Seq(v) }.toMap, 1, sfDir))
+      emit(r, r.map { case (k, v) => k -> Seq(v) }.toMap, 1)
     } else {
       val samples = (1 to runs).flatMap(forkOnce(_, runs))
       require(samples.nonEmpty, s"all $runs forked bench runs failed")
       val names = samples.head.keys.toSeq.sorted
+      // trimmed median: with ≥4 surviving runs drop the min and max sample
+      // first — one run landing in a contended host window then has zero
+      // influence instead of pulling the median a slot toward itself
       def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted
+        val s0 = xs.sorted
+        val s = if (s0.size >= 4) s0.slice(1, s0.size - 1) else s0
         if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
       val bySample = names.map(n => n -> samples.map(_(n))).toMap
       val meds = names.map(n => n -> median(bySample(n)))
-      println(jsonLine(meds, bySample, samples.size, sfDir))
+      emit(meds, bySample, samples.size)
     }
   }
 }

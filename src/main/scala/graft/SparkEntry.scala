@@ -307,6 +307,34 @@ object SparkEntry {
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_j2's result computed through the SKEW tools, under the same hash
+    * gate (oracle = oJ2 verbatim): the per-custkey aggregation runs as
+    * `Skew.saltedAgg` (groupBy(key, salt) partial → groupBy(key) merge —
+    * a hot key's rows spread over 16 reducers instead of funneling into
+    * one) and the customer⋈agg left join as `Skew.saltedJoin` (fact side
+    * salted, dim side exploded ×16, equi-join on (key, salt)). The
+    * result is salt-invariant by construction — the merge phase sums
+    * across salts and each fact row's single salt matches exactly one
+    * replica — which is precisely what the hash gate proves. Money sums
+    * stay decimal(20,2) through BOTH phases and round once after the
+    * merge (partial-then-merge double sums would re-order float adds;
+    * decimal partials keep the two-phase sum exact). */
+  private def qJ8salted(s: SparkSession, d: String): DataFrame = {
+    val api = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val agg = graft.operators.Skew.saltedAgg(
+      ord(s, d).select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      Seq("custkey"), saltBuckets = 16, Map(
+        "n_orders" -> ((count(lit(1)), (c: String) => sum(col(c)).cast("long"))),
+        "sum_price" -> ((sum(col("o_totalprice").cast("decimal(20,2)")),
+          (c: String) => round(sum(col(c)).cast("double"), 2)))))
+    graft.operators.Skew.saltedJoin(api, agg, "custkey",
+        saltBuckets = 16, joinType = "left")
+      .withColumn("orphaned", col("n_orders").isNull)
+      .select("custkey", "c_name", "n_orders", "sum_price", "orphaned")
+      .orderBy("custkey")
+  }
+
   // ---- P: filters / predicates ------------------------------------------
 
   private def qP6prefix(s: SparkSession, d: String): DataFrame =
@@ -548,6 +576,7 @@ object SparkEntry {
     "q_j5_overlay" -> qJ5overlay _,
     "q_j6_pivot_wide" -> qJ6pivotWide _,
     "q_j7_semi_join" -> qJ7semi _,
+    "q_j8_salted_join" -> qJ8salted _,
     "q_p6_prefix_suffix" -> qP6prefix _,
     "q_p8_inlist" -> qP8inlist _,
     "q_p9_status_filters" -> qP9status _,
@@ -588,6 +617,7 @@ object SparkEntry {
     "q_j5_overlay" -> oJ5,
     "q_j6_pivot_wide" -> oJ6,
     "q_j7_semi_join" -> oJ7,
+    "q_j8_salted_join" -> oJ2,
     "q_p6_prefix_suffix" -> oP6,
     "q_p8_inlist" -> oP8,
     "q_p9_status_filters" -> oP9,

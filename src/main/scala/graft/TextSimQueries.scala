@@ -11,9 +11,12 @@ import graft.streaming.DailyRollup
 /** Training-data-pipeline query pack: text analysis, dedup family,
   * similarity search, multimodal plumbing, streaming-semantics roll-up.
   * Same oracle conventions as SparkEntry (see its scaladoc). Every
-  * query here is DuckDB-oracled except q_m1 (binary media output —
-  * rows-only): MinHash/SimHash hashes are md5-derived (portable), and
-  * the GeoJSON sink is verified by parse-back extraction.
+  * query here is DuckDB-oracled — including q_m1, whose synthetic
+  * payloads (UTF-8 text bytes) make the byte-histogram feature path
+  * pure byte arithmetic replayable from `hex(encode(text))`; real-codec
+  * decode coverage lives in the committed golden fixtures
+  * (MultimodalSpec). MinHash/SimHash hashes are md5-derived (portable),
+  * and the GeoJSON sink is verified by parse-back extraction.
   */
 object TextSimQueries {
 
@@ -1199,6 +1202,20 @@ object TextSimQueries {
 
   // ---- multimodal + geo + streaming-semantics ----------------------------
 
+  /** Multimodal plumbing, FULLY oracled: the synthetic payloads are the
+    * UTF-8 bytes of `text`, so the byte-histogram fallback the UDF takes
+    * for them is pure byte arithmetic the oracle replays from
+    * `hex(encode(text))` — bucket 0 of the dim-16 histogram is the count
+    * of low-nibble-zero bytes, i.e. of '0' hex chars at even positions.
+    * The oracle mirrors the kernel's Float division with REAL casts
+    * before widening to DOUBLE (float-rounded quotients differ from
+    * double quotients at the 1e-7 digit — under the shared round-6 grid
+    * only bit-exact float replication is hash-safe). Frame counting:
+    * stride = frameBytes·everyN = 128 over the BYTE length, every frame
+    * in the sequence is non-empty for L ≥ 1, so n_frames =
+    * ⌊(L−1)/128⌋+1 (null when L = 0 — left join, no frames row).
+    * Real-codec decode coverage (PNG/JPEG/GIF/BMP, PCM WAV) is pinned by
+    * the committed golden fixtures in MultimodalSpec, not this query. */
   private def qM1multimodal(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.syntheticMedia(docs(s, d), "doc_id", "text")
     val feats = Multimodal.extractFeatures(media, dim = 16)
@@ -1211,6 +1228,22 @@ object TextSimQueries {
         col("n_frames"))
       .orderBy("media_id")
   }
+  private val oM1 =
+    """WITH b AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    octet_length(encode(text)) AS nb,
+      |    hex(encode(text)) AS h
+      |  FROM documents)
+      |SELECT media_id,
+      |  n_chars AS n_bytes,
+      |  CAST(n_chars % 640 AS INT) AS width,
+      |  CAST(16 AS INT) AS feat_dim,
+      |  round(CAST(CAST(len(list_filter(range(1, CAST(nb AS BIGINT) + 1),
+      |      i -> substr(h, CAST(2*i AS INT), 1) = '0')) AS REAL)
+      |    / CAST(greatest(nb, 1) AS REAL) AS DOUBLE), 6) AS f0,
+      |  CASE WHEN nb >= 1 THEN CAST((nb - 1) // 128 + 1 AS BIGINT) END AS n_frames
+      |FROM b ORDER BY media_id""".stripMargin
 
   /** GeoJSON sink — fully oracled via parse-back: the REAL operator
     * renders each track's FeatureCollection JSON, then the query parses
@@ -1365,5 +1398,6 @@ object TextSimQueries {
     "q_x3_cap_per_group" -> oX3,
     "q_g1_geojson_tracks" -> oG1,
     "q_st1_daily_rollup" -> oSt1,
+    "q_m1_multimodal_features" -> oM1,
   )
 }

@@ -29,7 +29,7 @@ object CalendarSvg {
     "May", "June", "July", "August", "September", "October", "November",
     "December")
 
-  private val Cell = 28 // px, square (reference: square=True)
+  private[graft] val Cell = 28 // px, square (reference: square=True)
 
   private def lerp(a: Int, b: Int, t: Double): Int =
     math.round(a + (b - a) * t).toInt
@@ -38,8 +38,9 @@ object CalendarSvg {
     f"#${rgb._1}%02x${rgb._2}%02x${rgb._3}%02x"
 
   /** Sequential 3-stop ramp (dark → mid → light) or, with a center,
-    * blue → white → red diverging. */
-  private def color(v: Double, lo: Double, hi: Double,
+    * blue → white → red diverging. Shared by the SVG and PNG backends —
+    * one colormap, two output media. */
+  private[graft] def color(v: Double, lo: Double, hi: Double,
                     center: Option[Double]): String = center match {
     case None =>
       val t = if (hi > lo) (v - lo) / (hi - lo) else 0.5
@@ -55,11 +56,25 @@ object CalendarSvg {
       else hex((lerp(255, 178, t), lerp(255, 24, t), lerp(255, 43, t)))
   }
 
-  /** Render a calendar pivot from `operators/Calendars` (index columns
-    * `year` and/or `month`, cell columns `d1..d31` or `m1..m12`) to an
-    * SVG string. `center` mirrors seaborn's diverging switch. */
-  def render(calendar: DataFrame, center: Option[Double] = None,
-             maxRows: Int = 200): String = {
+  /** Shared geometry/label/value model for one rendered calendar — the
+    * SVG and PNG backends draw the SAME grid from it, so layout changes
+    * cannot drift between media. */
+  private[graft] final case class Grid(cellCols: Seq[String],
+                                    monthColumns: Boolean,
+                                    xLabels: Seq[String],
+                                    yLabels: Seq[String],
+                                    values: Array[Seq[Option[Double]]],
+                                    lo: Double, hi: Double,
+                                    left: Int, top: Int, w: Int, h: Int) {
+    /** Annotation text color: dark on light cells, light on dark —
+      * same rule in both backends. */
+    def textColor(v: Double, center: Option[Double]): String = center match {
+      case Some(_) => "#222222"
+      case None => if (v < (lo + hi) / 2) "#f0f0f0" else "#222222"
+    }
+  }
+
+  private[graft] def grid(calendar: DataFrame, maxRows: Int): Grid = {
     val cols = calendar.columns
     val idxCols = cols.takeWhile(c => c == "year" || c == "month").toSeq
     require(idxCols.nonEmpty,
@@ -97,33 +112,38 @@ object CalendarSvg {
       else c.drop(1).toInt.toString
 
     val left = 70; val top = if (monthColumns) 80 else 30
-    val w = left + cellCols.size * Cell + 10
-    val h = top + rows.length * Cell + 10
+    Grid(cellCols, monthColumns, cellCols.map(xLabel), rows.map(yLabel).toSeq,
+      values, lo, hi, left, top,
+      w = left + cellCols.size * Cell + 10,
+      h = top + rows.length * Cell + 10)
+  }
+
+  /** Render a calendar pivot from `operators/Calendars` (index columns
+    * `year` and/or `month`, cell columns `d1..d31` or `m1..m12`) to an
+    * SVG string. `center` mirrors seaborn's diverging switch. */
+  def render(calendar: DataFrame, center: Option[Double] = None,
+             maxRows: Int = 200): String = {
+    val g = grid(calendar, maxRows)
+    import g._
     val sb = new StringBuilder
     sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" font-family="sans-serif">"""
     // column labels (rotated 90° for month columns, like the reference)
-    cellCols.zipWithIndex.foreach { case (c, i) =>
+    xLabels.zipWithIndex.foreach { case (lbl, i) =>
       val cx = left + i * Cell + Cell / 2
-      val lbl = xLabel(c)
       if (monthColumns)
         sb ++= s"""<text x="$cx" y="${top - 6}" font-size="11" text-anchor="start" transform="rotate(-90 $cx ${top - 6})">$lbl</text>"""
       else
         sb ++= s"""<text x="$cx" y="${top - 6}" font-size="10" text-anchor="middle">$lbl</text>"""
     }
-    rows.zipWithIndex.foreach { case (r, ri) =>
+    yLabels.zipWithIndex.foreach { case (lbl, ri) =>
       val cy = top + ri * Cell
-      sb ++= s"""<text x="${left - 6}" y="${cy + Cell / 2 + 4}" font-size="11" text-anchor="end">${yLabel(r)}</text>"""
+      sb ++= s"""<text x="${left - 6}" y="${cy + Cell / 2 + 4}" font-size="11" text-anchor="end">$lbl</text>"""
       values(ri).zipWithIndex.foreach { case (vOpt, ci) =>
         val cx = left + ci * Cell
         vOpt match {
           case Some(v) =>
             sb ++= s"""<rect x="$cx" y="$cy" width="$Cell" height="$Cell" fill="${color(v, lo, hi, center)}" stroke="white" stroke-width="0.5"/>"""
-            val mid = (lo + hi) / 2
-            val tcol = center match {
-              case Some(_) => "#222222"
-              case None => if (v < mid) "#f0f0f0" else "#222222"
-            }
-            sb ++= f"""<text x="${cx + Cell / 2}" y="${cy + Cell / 2 + 4}" font-size="10" text-anchor="middle" fill="$tcol">$v%.0f</text>"""
+            sb ++= f"""<text x="${cx + Cell / 2}" y="${cy + Cell / 2 + 4}" font-size="10" text-anchor="middle" fill="${g.textColor(v, center)}">$v%.0f</text>"""
           case None =>
             sb ++= s"""<rect x="$cx" y="$cy" width="$Cell" height="$Cell" fill="white" stroke="white" stroke-width="0.5"/>"""
         }

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side shape is real — schema, partition sizing, batched
-  * per-partition execution, column pruning — and so are two of the three
-  * decode kernels: PNG/JPEG/GIF/BMP images decode via JDK ImageIO, and
-  * PCM WAV audio via a pure-JVM RIFF parser (neither needs a codec
-  * library). VIDEO (and compressed audio) remain clearly-marked
-  * deterministic STUBS — this container has no such codecs; swapping one
-  * in touches only the marked fallback branches, the distributed
-  * plumbing is unchanged.
+  * per-partition execution, column pruning — and so are the decode
+  * kernels the JDK can honestly provide: PNG/JPEG/GIF/BMP images via
+  * ImageIO, PCM WAV audio via a pure-JVM RIFF parser, and MULTI-FRAME
+  * animated GIF via ImageIO's frame-indexed reader (frameSampleDecoded
+  * — real per-frame sampling for one container format). Other video
+  * containers and compressed audio remain clearly-marked deterministic
+  * STUBS — this environment has no such codecs; swapping one in touches
+  * only the marked fallback branches, the distributed plumbing is
+  * unchanged.
   */
 object Multimodal {
 
@@ -129,6 +131,62 @@ object Multimodal {
       finally { try iis.close() catch { case _: Exception => () } }
     } catch { case _: Exception => None }
 
+  /** Integer-math luminance histogram over `dim` buckets, normalized by
+    * pixel count — the shared image-feature kernel (extractFeatures on
+    * whole images, frameSampleDecoded per frame). */
+  private[operators] def luminanceHistogram(img: java.awt.image.BufferedImage,
+                                            dim: Int): Array[Float] = {
+    val h = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        h(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth * img.getHeight, 1)
+    h.map(_ / n)
+  }
+
+  /** ===== STUB ===== deterministic byte-histogram stand-in for codecs
+    * this container lacks (video containers; compressed audio). */
+  private[operators] def byteHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val h = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+    val n = math.max(bytes.length, 1)
+    h.map(_ / n)
+  }
+
+  /** REAL multi-frame decode for animated GIF — the one video-adjacent
+    * container the JDK decodes natively (ImageIO's GIF reader exposes
+    * every frame). Returns each frame's raster AS STORED (no disposal-
+    * method compositing: frame i of an optimized GIF may be a partial
+    * patch — fine for feature extraction, documented rather than hidden).
+    * None for non-GIF payloads or any decode failure, never partial. */
+  private[operators] def decodeGifFrames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    if (bytes == null || bytes.length < 3 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') None
+    else try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some((0 until r.getNumImages(true)).map(r.read).toVector)
+          finally r.dispose()
+        }
+      } finally { try iis.close() catch { case _: Exception => () } }
+    } catch { case _: Exception => None }
+
   /** Feature extraction over the binary column. PNG/JPEG/GIF/BMP payloads
     * are REALLY decoded (JDK ImageIO — no extra dependency) into a
     * `dim`-bucket luminance histogram normalized by pixel count; PCM WAV
@@ -144,22 +202,7 @@ object Multimodal {
     val featurize = udf { (bytes: Array[Byte]) =>
       if (bytes == null) null
       else decodeImage(bytes) match {
-        case Some(img) =>
-          val h = new Array[Float](dim)
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-              h(lum * dim / 256) += 1f
-              x += 1
-            }
-            y += 1
-          }
-          val n = math.max(img.getWidth * img.getHeight, 1)
-          h.map(_ / n)
+        case Some(img) => luminanceHistogram(img, dim)
         case None => decodeWav(bytes) match {
           case Some(pcm) =>
             // REAL audio features (pure-JVM PCM decode): RMS energy over
@@ -184,11 +227,7 @@ object Multimodal {
           case None =>
             // ===== STUB ===== byte-histogram stand-in for codecs this
             // container lacks (video; compressed audio).
-            val h = new Array[Float](dim)
-            var i = 0
-            while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-            val n = math.max(bytes.length, 1)
-            h.map(_ / n)
+            byteHistogram(bytes, dim)
         }
       }
     }
@@ -247,9 +286,60 @@ object Multimodal {
       .drop("_d")
   }
 
+  /** One sampled frame row from [[frameSampleDecoded]]: `frame_no` is
+    * the ORIGINAL frame index (GIF) or the stub slice index; width/
+    * height only when really decoded; `decoded` marks which path fired. */
+  private final case class SampledFrame(frame_no: Int, width: Option[Int],
+                                        height: Option[Int],
+                                        features: Array[Float],
+                                        decoded: Boolean)
+
+  /** Frame sampling with a REAL decode path: animated-GIF payloads
+    * decode every `everyN`-th frame via ImageIO ([[decodeGifFrames]])
+    * and featurize each with the shared luminance-histogram kernel —
+    * actual per-frame video-pipeline plumbing, not a stand-in. Payloads
+    * in containers this environment cannot decode (mp4 etc.) fall back
+    * to the ===== STUB ===== byte-stride slices with byte-histogram
+    * features, flagged `decoded = false` so downstream consumers can
+    * tell real frames from stand-ins. Output: one row per sampled frame
+    * (media_id, frame_no, width, height, features, decoded); a per-row
+    * UDF is the right tool for the imperative decode, and each row's
+    * work is bounded by its own payload — the operator stays map-side
+    * and embarrassingly parallel at any scale. */
+  def frameSampleDecoded(df: DataFrame, everyN: Int, dim: Int = 16,
+                         frameBytes: Int = 64): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1: $everyN")
+    require(dim >= 1 && frameBytes >= 1, "dim and frameBytes must be positive")
+    val sample = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else decodeGifFrames(bytes) match {
+        case Some(frames) =>
+          frames.zipWithIndex.collect {
+            case (img, i) if i % everyN == 0 =>
+              SampledFrame(i, Some(img.getWidth), Some(img.getHeight),
+                luminanceHistogram(img, dim), decoded = true)
+          }
+        case None =>
+          val stride = frameBytes * everyN
+          (0 until math.max((bytes.length + stride - 1) / stride, 0)).map { i =>
+            val s = i * stride
+            val slice = java.util.Arrays.copyOfRange(bytes, s,
+              math.min(s + frameBytes, bytes.length))
+            SampledFrame(i, None, None, byteHistogram(slice, dim),
+              decoded = false)
+          }
+      }
+    }
+    df.select(col("media_id"), col("meta"),
+        explode(sample(col("media"))).as("f"))
+      .select(col("media_id"), col("meta"), col("f.*"))
+  }
+
   /** ===== STUB ===== "frame sampling": slice the binary payload at a
     * byte stride, standing in for video frame extraction. Pure builtin
-    * expressions (substring works on binary). */
+    * expressions (substring works on binary). Kept as the zero-decode
+    * fast path; [[frameSampleDecoded]] is the real-decode variant (GIF
+    * frames actually decode there). */
   def frameSample(df: DataFrame, frameBytes: Int, everyN: Int): DataFrame =
     df.select(col("media_id"), col("meta"),
         posexplode(expr(

@@ -30,17 +30,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ErddapHttp {
 
   /** All knobs serializable — the config rides into executor-side
-    * partition readers. */
+    * partition readers. `maxResponseBytes` caps how much of ONE response
+    * body a fetch will buffer (default 256 MiB): each DSv2 URL partition
+    * buffers its response in executor memory, so a misbehaving server
+    * streaming an unbounded CSV would otherwise OOM the executor; past
+    * the cap the fetch fails LOUDLY (ErddapResponseTooLarge, not
+    * retried) naming the knob to raise. */
   final case class HttpConfig(connectTimeoutMs: Int = 10000,
                               requestTimeoutMs: Int = 60000,
                               retries: Int = 3,
                               backoffMs: Long = 500,
-                              emptyOn404: Boolean = true)
+                              emptyOn404: Boolean = true,
+                              maxResponseBytes: Long = 256L * 1024 * 1024)
 
   final class ErddapHttpException(val url: String, val status: Int,
                                   cause: Throwable = null)
       extends RuntimeException(
         s"ERDDAP request failed with HTTP $status: $url", cause)
+
+  final class ErddapResponseTooLarge(val url: String, val cap: Long)
+      extends RuntimeException(
+        s"ERDDAP response exceeded maxResponseBytes=$cap: $url — raise " +
+          "HttpConfig.maxResponseBytes (DSv2 option httpMaxResponseBytes) " +
+          "or push constraints/limits to shrink the response")
 
   private def transient(status: Int): Boolean =
     status == 429 || (status >= 500 && status <= 599)
@@ -99,10 +111,31 @@ object ErddapHttp {
     case _ => ()
   }
 
-  /** GET `url` fully buffered. See [[send]] for retry/404 semantics. */
+  /** GET `url` fully buffered, up to `cfg.maxResponseBytes` — the body
+    * streams through a counting copy so an over-cap response fails as
+    * soon as the cap is crossed (ErddapResponseTooLarge, NOT retried —
+    * a bigger response won't shrink on retry) instead of after buffering
+    * it all. See [[send]] for retry/404 semantics. */
   def fetchBytes(url: String, cfg: HttpConfig = HttpConfig()): Option[Array[Byte]] =
-    send[Array[Byte], Array[Byte]](url, cfg,
-      HttpResponse.BodyHandlers.ofByteArray(), r => Some(r.body()))
+    send[java.io.InputStream, Array[Byte]](url, cfg,
+      HttpResponse.BodyHandlers.ofInputStream(),
+      { resp =>
+        val in = resp.body()
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > cfg.maxResponseBytes)
+              throw new ErddapResponseTooLarge(url, cfg.maxResponseBytes)
+            out.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          Some(out.toByteArray)
+        } finally { try in.close() catch { case _: java.io.IOException => () } }
+      })
 
   /** GET `url` but read ONLY the first line, streaming — schema
     * inference must not buffer a multi-GB CSV response driver-side just

@@ -89,7 +89,9 @@ private[v2] object ErddapV2 {
       requestTimeoutMs = opt("httpRequestTimeoutMs").map(_.toInt).getOrElse(d.requestTimeoutMs),
       retries = opt("httpRetries").map(_.toInt).getOrElse(d.retries),
       backoffMs = opt("httpBackoffMs").map(_.toLong).getOrElse(d.backoffMs),
-      emptyOn404 = opt("emptyOn404").map(_.toBoolean).getOrElse(d.emptyOn404))
+      emptyOn404 = opt("emptyOn404").map(_.toBoolean).getOrElse(d.emptyOn404),
+      maxResponseBytes = opt("httpMaxResponseBytes").map(_.toLong)
+        .getOrElse(d.maxResponseBytes))
   }
 
   /** One line source per partition: a local file opens directly; a URL

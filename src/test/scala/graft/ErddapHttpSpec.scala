@@ -68,6 +68,20 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
     // an endpoint that never recovers — retry-exhaustion coverage
     server.createContext("/erddap/tabledap/down_obs.csv",
       (ex: HttpExchange) => respond(ex, 503, "down"))
+    // a "misbehaving" endpoint that streams a body far past any sane
+    // response size (chunked, so no Content-Length to pre-check) — the
+    // per-partition byte cap must fail loudly mid-stream, not buffer it
+    server.createContext("/erddap/tabledap/huge_obs.csv",
+      (ex: HttpExchange) => {
+        ex.sendResponseHeaders(200, 0) // chunked
+        val out = ex.getResponseBody
+        val row = "2021-06-01T03:12:00Z,39.102,-73.514,1\n".getBytes("UTF-8")
+        try {
+          out.write("time,latitude,longitude,Profile ID\nUTC,d,d,1\n".getBytes("UTF-8"))
+          (1 to 20000).foreach(_ => out.write(row)) // ~780 KB
+        } catch { case _: java.io.IOException => () } // client hung up at cap
+        ex.close()
+      })
     // a server that ignores `page` and always answers a full page — the
     // pagedSearch maxPages cap must fail loudly instead of spinning
     server.createContext("/loop/search/advanced.csv",
@@ -179,6 +193,29 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
       HttpConfig(backoffMs = 1)).contains("time,latitude,longitude,Profile ID"))
     assert(ErddapHttp.fetchFirstLine(s"$base/tabledap/nomatch_obs.csv",
       HttpConfig(backoffMs = 1)).isEmpty)
+  }
+
+  test("a response past maxResponseBytes fails loudly, direct and via DSv2") {
+    // direct fetch: the cap names the knob and fires before buffering it all
+    val e = intercept[ErddapHttp.ErddapResponseTooLarge] {
+      ErddapHttp.fetchBytes(s"$base/tabledap/huge_obs.csv",
+        HttpConfig(backoffMs = 1, maxResponseBytes = 64 * 1024))
+    }
+    assert(e.cap == 64 * 1024)
+    assert(e.getMessage.contains("httpMaxResponseBytes"))
+    // an executor-side URL partition honors the DSv2 option; the error
+    // surfaces through the task instead of OOMing the executor
+    val strict = spark.read.format("graft.sources.v2.ErddapTableProvider")
+      .schema(schema).option("path", s"$base/tabledap/huge_obs.csv")
+      .option("httpBackoffMs", "1")
+      .option("httpMaxResponseBytes", (64 * 1024).toString).load()
+    val err = intercept[Exception](strict.count())
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(err).exists(_.isInstanceOf[ErddapHttp.ErddapResponseTooLarge]),
+      s"no ErddapResponseTooLarge in chain: $err")
+    // under the default (256 MiB) cap the same endpoint reads fine
+    assert(readUrls(s"$base/tabledap/huge_obs.csv").count() == 20000L)
   }
 
   test("pagedSearch fails loudly past maxPages when a server ignores paging") {

@@ -82,6 +82,41 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("calendar PNG raster: same grid/colormap as the SVG, pixel-verified") {
+    val df = Seq(
+      (2023L, java.lang.Double.valueOf(3.0), java.lang.Double.valueOf(10.0)),
+      (2024L, java.lang.Double.valueOf(7.0), null.asInstanceOf[java.lang.Double])
+    ).toDF("year", "m1", "m2")
+    val png = graft.io.CalendarPng.render(df)
+    // PNG magic + decodes
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // dimensions come from the SHARED grid model (month columns → top=80)
+    val grid = graft.io.CalendarSvg.grid(df, 200)
+    assert(img.getWidth == grid.w && img.getHeight == grid.h)
+    val cell = graft.io.CalendarSvg.Cell
+    // sample inside each cell fill, away from the annotation text and the
+    // hairline border; the pixel must equal the SHARED colormap's hex
+    def px(ri: Int, ci: Int): Int =
+      img.getRGB(grid.left + ci * cell + 4, grid.top + ri * cell + 4) & 0xFFFFFF
+    def expected(v: Double): Int =
+      Integer.decode(graft.io.CalendarSvg.color(v, grid.lo, grid.hi, None)).intValue()
+    assert(px(0, 0) == expected(3.0), f"cell(0,0) ${px(0, 0)}%06x")
+    assert(px(0, 1) == expected(10.0), f"cell(0,1) ${px(0, 1)}%06x")
+    assert(px(1, 0) == expected(7.0), f"cell(1,0) ${px(1, 0)}%06x")
+    assert(px(1, 1) == 0xFFFFFF, "null cell must render white")
+    // diverging mode: the center cell is white, like the SVG
+    val div = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      graft.io.CalendarPng.render(df, center = Some(7.0))))
+    assert((div.getRGB(grid.left + 4, grid.top + cell + 4) & 0xFFFFFF) == 0xFFFFFF)
+    // file write path round-trips
+    val f = java.io.File.createTempFile("cal", ".png")
+    try {
+      graft.io.CalendarPng.write(df, f.getAbsolutePath)
+      assert(javax.imageio.ImageIO.read(f).getWidth == grid.w)
+    } finally f.delete()
+  }
+
   test("calendar SVG ticks real Calendars pivots with unpadded numbers") {
     // the actual producers zero-pad columns (d01..d31 / m01..m12) for
     // lexicographic order; the reference's ticks are bare numbers /

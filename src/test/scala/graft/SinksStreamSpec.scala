@@ -159,6 +159,47 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multimodal frame sampling: animated GIF decodes real frames; stub flagged") {
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    // anim_4x4x4.gif: 4 full-size 4x4 frames — black, white, red, gray
+    // (committed fixture; writer/reader round-trip verified at creation).
+    // dim-8 luminance buckets: black→0, white→7, red(lum 76)→2, gray→4.
+    val gif = fixture("anim_4x4x4.gif")
+    val junk = "no codec for this payload, use the stub".getBytes("UTF-8")
+    val df = Seq((1L, gif), (2L, junk)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col("media")).cast("long").as("n_bytes")))
+    // everyN=1: all four frames, real decode, full dims, exact histograms
+    val all = Multimodal.frameSampleDecoded(df.where(col("media_id") === 1L),
+        everyN = 1, dim = 8)
+      .select("frame_no", "width", "height", "features", "decoded")
+      .collect().sortBy(_.getInt(0))
+    assert(all.length == 4)
+    val golden = Seq(0 -> 0, 1 -> 7, 2 -> 2, 3 -> 4) // frame_no -> hot bucket
+    golden.foreach { case (i, bucket) =>
+      val r = all(i)
+      assert(r.getInt(0) == i && r.getInt(1) == 4 && r.getInt(2) == 4 &&
+        r.getBoolean(4), s"frame $i not a real 4x4 decode: $r")
+      val feats = r.getSeq[Float](3)
+      assert(feats(bucket) == 1.0f && feats.sum == 1.0f,
+        s"frame $i: expected solid bucket $bucket, got $feats")
+    }
+    // everyN=2 keeps ORIGINAL frame indices 0 and 2 (black, red)
+    val sampled = Multimodal.frameSampleDecoded(
+        df.where(col("media_id") === 1L), everyN = 2, dim = 8)
+      .select("frame_no").collect().map(_.getInt(0)).sorted
+    assert(sampled.toSeq == Seq(0, 2))
+    // non-GIF payload: stub slices, no dims, decoded=false
+    val stub = Multimodal.frameSampleDecoded(df.where(col("media_id") === 2L),
+        everyN = 2, dim = 8, frameBytes = 10)
+      .select("frame_no", "width", "decoded").collect()
+    assert(stub.nonEmpty && stub.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
+  }
+
   test("KML sink renders placemarks from GeoJSON tracks (S15)") {
     val obs = Seq(
       ("ds1", Timestamp.valueOf("2024-01-01 00:00:00"), 39.5, -74.2),

@@ -142,6 +142,71 @@ object ScaleSmoke {
       proj.unpersist()
       hits
     }
+    // PCA pay-off case: the isotropic stage above proves the CAVEAT (no
+    // structure → projection costs recall); this stage proves the WIN the
+    // operator exists for. Deterministic rank-8-plus-noise table: latent
+    // z(id) ∈ R^8 from md5-uniforms, mixed through a fixed gaussian
+    // 8×64 matrix, + 0.05-amplitude noise — real embedding corpora are
+    // low-rank-ish, synthetic sf tables are not. Top-16 PCA captures
+    // 0.998 of variance, so projected dots ≈ full dots; the one subtlety
+    // (measured here, kept honest) is that PCA concentrates variance into
+    // the leading PQ subvectors, so 4-bit codes go too coarse in the
+    // projected space (12/25). Byte codes (codebookSize=256) plus re-rank
+    // depth 200 fix that at EQUAL re-rank flops (200 exact 16-d dots =
+    // 50 exact 64-d dots) and 4× fewer ADC adds per probed vector
+    // (m=4 vs m=16) — the projected layout then matches/beats the
+    // full-dim default. Full-dim byte codes (24/25) remain the recall
+    // ceiling; the projected point buys 4× ADC and 4× code memory.
+    timed("pca low-rank payoff") {
+      import graft.operators.{Pca, Pq, Similarity}
+      val rank = 8
+      val dim = 64
+      val rnd = new scala.util.Random(42)
+      val w = Array.fill(rank, dim)(rnd.nextGaussian() / math.sqrt(rank.toDouble))
+      def u01(salt: Int) = // md5-uniform in [-1, 1), deterministic per (id, salt)
+        conv(substring(md5(concat_ws("|", col("id"), lit(salt))), 1, 6), 16, 10)
+          .cast("double") / lit(8388607.5d) - 1.0d
+      val nVec = copies * 2000L
+      val lowRank = spark.range(nVec).select(col("id").as("vec_id"),
+        array((0 until dim).map { d =>
+          val signal = (0 until rank).map(r => u01(r) * lit(w(r)(d))).reduce(_ + _)
+          (signal + u01(1000 + d) * lit(0.05d)).cast("float")
+        }: _*).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lowRank.count()
+      val model = Pca.fit(lowRank, "embedding", dim, 16)
+      println(f"  top-16 variance share = ${model.variances.sum / model.totalVariance}%.3f (low-rank)")
+      val proj = Pca.project(lowRank, "embedding", model.components, "p")
+        .select(col("vec_id"), col("p").as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nlist = Similarity.suggestedCentroids(nVec)
+      val nprobe = math.max(1, nlist / 4)
+      val exact = Similarity.bruteForceTopK(lowRank,
+        lowRank.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      def recall(ann: DataFrame): Long =
+        ann.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+      val fullDefault = recall(Pq.ivfPqTopK(lowRank,
+        lowRank.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = nlist, nProbe = nprobe))
+      val fullByte = recall(Pq.ivfPqTopK(lowRank,
+        lowRank.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = nlist, nProbe = nprobe, codebookSize = 256))
+      val projected = recall(Pq.ivfPqTopK(proj,
+        proj.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = nlist, nProbe = nprobe, m = 4, dim = 16,
+        codebookSize = 256, rerankDepth = 200))
+      println(s"  recall@5 vs exact: full default $fullDefault/25, " +
+        s"full byte-codes $fullByte/25, projected m=4 byte-codes $projected/25 " +
+        "(4x fewer ADC adds, equal re-rank flops)")
+      require(projected >= 18, s"low-rank projected recall should be high: $projected/25")
+      require(projected >= fullDefault - 2,
+        s"projected layout must match the full-dim default on low-rank data: " +
+          s"$projected vs $fullDefault")
+      lowRank.unpersist(); proj.unpersist()
+      projected
+    }
     // semantic dedup at 10×: identical vectors assign to the SAME
     // cluster deterministically, so each group of 10 verbatim copies
     // must drop exactly 9 (the lower-id keeper survives) — a known
