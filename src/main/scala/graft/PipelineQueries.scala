@@ -198,6 +198,34 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** GPT-style concat-and-chunk sequence packing, fully oracled: per
+    * language, docs concatenate in the deterministic (hash, id) order
+    * and cut into exact 512-char sequences with cross-boundary document
+    * SPANS. Integer-only span arithmetic (cumsum + floor-div + min/max)
+    * replays exactly in DuckDB's window + range(). */
+  private def qX8seqpack(s: SparkSession, d: String): DataFrame =
+    Sampling.packSequences(docs(s, d), "lang", "doc_id", "n_chars",
+        seqLen = 512L)
+      .select("lang", "doc_id", "seq_no", "tok_start", "tok_end", "seq_offset")
+      .orderBy("lang", "seq_no", "seq_offset", "doc_id")
+  private val oX8 =
+    """WITH h AS (SELECT lang, doc_id, n_chars,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM documents),
+      |c AS (SELECT lang, doc_id, n_chars,
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+      |s AS (SELECT lang, doc_id, cum, cum - n_chars AS st FROM c
+      |  WHERE n_chars > 0),
+      |sp AS (SELECT lang, doc_id, cum, st,
+      |    unnest(range(st // 512, (cum - 1) // 512 + 1)) AS seq_no
+      |  FROM s)
+      |SELECT lang, doc_id, CAST(seq_no AS BIGINT) AS seq_no,
+      |  CAST(greatest(st, seq_no * 512) - st AS BIGINT) AS tok_start,
+      |  CAST(least(cum, (seq_no + 1) * 512) - st AS BIGINT) AS tok_end,
+      |  CAST(greatest(st, seq_no * 512) - seq_no * 512 AS BIGINT) AS seq_offset
+      |FROM sp ORDER BY lang, seq_no, seq_offset, doc_id""".stripMargin
+
   // ---- corpus profile ----------------------------------------------------
 
   /** Per-(source, lang) corpus profile: doc counts, total words, exact
@@ -444,6 +472,7 @@ object PipelineQueries {
     "q_t7_contamination" -> qT7contam _,
     "q_t8_repetition" -> qT8repetition _,
     "q_x4_pack_shards" -> qX4pack _,
+    "q_x8_pack_sequences" -> qX8seqpack _,
     "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
     "q_t9_corpus_profile" -> qT9profile _,
@@ -460,6 +489,7 @@ object PipelineQueries {
     "q_t7_contamination" -> oT7,
     "q_t8_repetition" -> oT8,
     "q_x4_pack_shards" -> oX4,
+    "q_x8_pack_sequences" -> oX8,
     "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
     "q_t9_corpus_profile" -> oT9,

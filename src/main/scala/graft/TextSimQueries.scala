@@ -204,6 +204,40 @@ object TextSimQueries {
       |SELECT lang, CAST(rank AS BIGINT) AS rank, word, n
       |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin
 
+  /** Bigram LM perplexity scoring (CCNet-style quality filter), oracled
+    * end-to-end: DuckDB re-trains the same add-0.5-smoothed bigram model
+    * (identical tokenization, bigram construction via list_transform,
+    * counts, vocabulary) and replays the nll formula with the same `ln`
+    * the proven BM25 oracle uses; per-bigram round-6 DECIMAL sums make
+    * the per-doc total exact in any partition order on both engines. */
+  private def qT15lm(s: SparkSession, d: String): DataFrame =
+    TextStats.bigramLm(docs(s, d), "doc_id", "text").orderBy("doc_id")
+  private val oT15 =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(string_split(trim(lower(
+      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |      x -> x <> '') AS ws
+      |  FROM documents),
+      |big AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b FROM base)),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM big GROUP BY 1, 2),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ws) AS w FROM base)),
+      |model AS (SELECT w1, w2,
+      |    CAST(round(ln(CAST(c1.c1 AS DOUBLE) + 0.5 * CAST((SELECT v FROM v) AS DOUBLE))
+      |      - ln(CAST(c12.c12 AS DOUBLE) + 0.5), 6) AS DECIMAL(28,6)) AS nll
+      |  FROM c12 JOIN c1 USING (w1)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+      |    sum(nll) AS snll
+      |  FROM big JOIN model USING (w1, w2) GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+      |  round(CAST(agg.snll AS DOUBLE) / agg.n, 6) AS avg_nll
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY 1""".stripMargin
+
   /** PCA sufficient statistics, oracled: upper-triangle Gram +
     * covariance of the embedding corpus from ONE map-side-combinable
     * moments aggregate (the only distributed pass of `Pca`; the eigen
@@ -1354,6 +1388,7 @@ object TextSimQueries {
     "q_t12_quality_classifier" -> qT12classifier _,
     "q_t13_top_words" -> qT13topWords _,
     "q_t14_markup_strip" -> qT14markupStrip _,
+    "q_t15_lm_score" -> qT15lm _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -1390,6 +1425,7 @@ object TextSimQueries {
     "q_t12_quality_classifier" -> oT12,
     "q_t13_top_words" -> oT13,
     "q_t14_markup_strip" -> oT14,
+    "q_t15_lm_score" -> oT15,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

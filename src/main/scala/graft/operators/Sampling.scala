@@ -147,4 +147,54 @@ object Sampling {
     df.withColumn("shard",
       floor((sum(col(costCol)).over(w) - col(costCol)) / lit(budget)))
   }
+
+  /** Fixed-length training-SEQUENCE packing (GPT-style concat-and-chunk):
+    * within each group, documents are concatenated in deterministic
+    * (hash, id) order and cut into sequences of EXACTLY `seqLen` tokens,
+    * documents splitting across sequence boundaries — the step that turns
+    * a curated corpus into the dense fixed-shape batches a trainer
+    * consumes (vs [[packIntoShards]], which assigns WHOLE rows to
+    * ~budget-sized shards). Emits one row per (document, sequence) SPAN:
+    *   seq_no     - 0-based sequence index within the group
+    *   tok_start  - first token of this doc in the span (0-based, incl.)
+    *   tok_end    - one past the last token (excl.; span = [start, end))
+    *   seq_offset - where the span begins inside its sequence
+    * Invariants (spec-gated): every sequence except each group's last
+    * holds exactly `seqLen` tokens with gap-free spans; each document's
+    * spans tile [0, cost) in order. Zero-cost rows emit no span.
+    *
+    * Scale shape: ONE keyed window (shuffle on group, within-partition
+    * sort) for the running offset, then pure map-side span arithmetic —
+    * the explode fans each doc to ⌈cost/seqLen⌉+1 spans at most. The
+    * group is the parallelism unit (packing is sequential within a
+    * sequence stream by nature); compose with a hash-bucketed group key
+    * for giant corpora, exactly as [[packIntoShards]] documents. */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    costCol: String, seqLen: Long,
+                    salt: String = "graft"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val reserved = Seq("_cum", "_start", "seq_no", "tok_start", "tok_end",
+      "seq_offset").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns ${reserved.mkString(", ")} collide with packing outputs — alias them")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(hash24(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.where(col(costCol) > 0)
+      .withColumn("_cum", sum(col(costCol)).over(w))
+      .withColumn("_start", col("_cum") - col(costCol))
+      // a doc spans sequences floor(start/L) .. floor((cum-1)/L); `div`
+      // is integer division (offsets are non-negative longs)
+      .select(col("*"), explode(sequence(
+        expr(s"_start div ${seqLen}L"),
+        expr(s"(_cum - 1) div ${seqLen}L"))).as("seq_no"))
+      .withColumn("tok_start",
+        greatest(col("_start"), col("seq_no") * seqLen) - col("_start"))
+      .withColumn("tok_end",
+        least(col("_cum"), (col("seq_no") + 1) * seqLen) - col("_start"))
+      .withColumn("seq_offset",
+        greatest(col("_start"), col("seq_no") * seqLen) - col("seq_no") * seqLen)
+      .drop("_cum", "_start")
+  }
 }

@@ -307,4 +307,57 @@ object TextStats {
       (n * lit(1000.0d))
     round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6)
   }
+
+  /** CCNet-style bigram language-model scoring — the standard LM-quality
+    * filter of an LLM curation pipeline (train an n-gram LM on the
+    * corpus, keep documents whose perplexity under it is low): per
+    * document, the average negative log-likelihood (nats) of its word
+    * bigrams under an add-k-smoothed bigram model fit on the SAME corpus
+    * pass. nll(w1 w2) = ln(c(w1·) + k·V) − ln(c(w1 w2) + k), V = corpus
+    * vocabulary size, c(w1·) = bigram-start count.
+    *
+    * Scale shape: the "training" is two hash aggregates (bigram and
+    * bigram-start counts — map-side combinable); scoring joins each
+    * bigram OCCURRENCE to the model row by (w1, w2) equi-key, so the
+    * model is never collected or broadcast (a web-corpus vocabulary
+    * doesn't fit a broadcast; hot heads like "the" are exactly the AQE
+    * skew-join case). V rides in as a broadcast 1-row aggregate, not a
+    * driver constant. Cross-engine hash discipline: per-bigram nll is
+    * rounded onto the 1e-6 grid and summed as DECIMAL (exact in any
+    * partition order — the moneySum pattern), and the per-doc average is
+    * one double division rounded once; `ln` is the same libm-grade call
+    * the proven BM25 oracle already replays in DuckDB. Docs with < 2
+    * tokens keep their row: n_bigrams = 0, avg_nll null. */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+               k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive: $k")
+    val base = docs.select(col(idCol).as("_lm_id"),
+      filter(Dedup.words(col(textCol)), w => w =!= lit("")).as("_ws"))
+    val big = base.select(col("_lm_id"),
+      explode(when(size(col("_ws")) >= 2,
+        transform(sequence(lit(1), size(col("_ws")) - 1),
+          i => struct(element_at(col("_ws"), i).as("w1"),
+            element_at(col("_ws"), i + 1).as("w2"))))).as("_b"))
+      .select(col("_lm_id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val c1 = big.groupBy("_w1").agg(count(lit(1)).as("_c1"))
+    val c12 = big.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+    val vocab = base.select(explode(col("_ws")).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    // one model row per DISTINCT bigram (not per occurrence): the ln is
+    // evaluated once per model row, occurrences join the finished score
+    val model = c12.join(c1, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("_w1"), col("_w2"),
+        round(log(col("_c1").cast("double") + lit(k) * col("_v").cast("double"))
+          - log(col("_c12").cast("double") + lit(k)), 6)
+          .cast("decimal(28,6)").as("_nll"))
+    val agg = big.join(model, Seq("_w1", "_w2"))
+      .groupBy("_lm_id")
+      .agg(count(lit(1)).as("_n"), sum(col("_nll")).as("_snll"))
+    docs.select(col(idCol))
+      .join(agg, col(idCol) === col("_lm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_bigrams"),
+        round(col("_snll").cast("double") / col("_n"), 6).as("avg_nll"))
+  }
 }

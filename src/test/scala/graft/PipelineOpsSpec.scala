@@ -323,6 +323,75 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sequence packing: exact-length tiling, span continuity, zero-cost dropped") {
+    val docs = Seq(
+      (1L, "g", 7L), (2L, "g", 13L), (3L, "g", 4L), (4L, "g", 25L),
+      (5L, "g", 0L),                       // zero-cost: no span
+      (6L, "h", 3L)                        // tiny group: one short sequence
+    ).toDF("id", "grp", "cost")
+    val L = 10L
+    val out = graft.operators.Sampling
+      .packSequences(docs, "grp", "id", "cost", seqLen = L)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Long]("seq_no"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("tok_end"), r.getAs[Long]("seq_offset")))
+    assert(!out.exists(_._2 == 5L), "zero-cost row must emit no span")
+    // each doc's spans tile [0, cost) contiguously and in order
+    val costs = Map(1L -> 7L, 2L -> 13L, 3L -> 4L, 4L -> 25L, 6L -> 3L)
+    costs.foreach { case (id, c) =>
+      val spans = out.filter(_._2 == id).sortBy(_._4).map(s => (s._4, s._5))
+      assert(spans.head._1 == 0 && spans.last._2 == c,
+        s"doc $id spans must cover [0, $c): ${spans.mkString}")
+      spans.sliding(2).foreach {
+        case Array((_, e), (s2, _)) => assert(e == s2, s"doc $id gap at $e")
+        case _ => ()
+      }
+    }
+    // every sequence except each group's last holds exactly L tokens,
+    // tiled with no gaps from offset 0
+    val byGroupSeq = out.groupBy(s => (s._1, s._3))
+    val lastSeq = out.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    byGroupSeq.foreach { case ((g, seq), spans) =>
+      val sorted = spans.sortBy(_._6)
+      assert(sorted.head._6 == 0, s"($g,$seq) must start at offset 0")
+      val total = spans.map(s => s._5 - s._4).sum
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 + (a._5 - a._4) == b._6,
+          s"($g,$seq) span gap")
+        case _ => ()
+      }
+      if (seq != lastSeq(g))
+        assert(total == L, s"($g,$seq) must hold exactly $L tokens, got $total")
+    }
+    // group g has 49 tokens → 5 sequences (last holds 9); h has 1 short
+    assert(lastSeq("g") == 4L && lastSeq("h") == 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.packSequences(docs, "grp", "id", "cost", 0)
+    }
+  }
+
+  test("bigram LM: hand-checked nll, repeated text scores lower, short docs null") {
+    // corpus: "a b" ×2, "a c" ×1, "solo" → c(a·)=3, c(ab)=2, c(ac)=1,
+    // V = |{a, b, c, solo}| = 4 ("solo" forms no bigram but IS vocabulary)
+    // nll(ab) = ln(3 + 0.5·4) − ln(2 + 0.5) = ln(5) − ln(2.5)
+    // nll(ac) = ln(5) − ln(1.5)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextStats.bigramLm(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = r6(math.log(5.0) - math.log(2.5))
+    val ac = r6(math.log(5.0) - math.log(1.5))
+    assert(out(0).getLong(1) == 1 && out(0).getDouble(2) == ab)
+    assert(out(1).getDouble(2) == ab)
+    assert(out(2).getDouble(2) == ac)
+    // the twice-seen bigram is less surprising than the once-seen one
+    assert(ab < ac)
+    assert(out(3).getLong(1) == 0 && out(3).isNullAt(2), "1-token doc: no bigrams")
+    assert(out(4).getLong(1) == 0 && out(4).isNullAt(2), "empty doc: no bigrams")
+  }
+
   test("Pipeline.curate: dedups, gates, scrubs, splits, packs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog near a quiet river bank today", "en", 70L),
