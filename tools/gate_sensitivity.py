@@ -82,5 +82,25 @@ con.execute(f"CREATE OR REPLACE TABLE t AS SELECT * EXCLUDE (n_words), "
 con.execute(f"COPY t TO '{pq}' (FORMAT PARQUET)")
 check(run_gate(d) == "0/1 queries match", "renamed-column mutation NOT caught")
 
-print("gate sensitivity: pristine passes; value/row/schema mutants all "
-      "caught (3/3)")
+# mutant 4: a SIGNED-ZERO flip — the exact failure class that shipped in
+# round 6 (driver hash treats -0.0 != 0.0; python float != does not).
+# Planted on q_e1's cov column, where the regression actually lived.
+SZ_TARGET = "q_e1_gram_cov"
+ds = clone("signedzero", SZ_TARGET)
+pqz = next((ds / SZ_TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE z AS SELECT * FROM '{pqz}'")
+n_zero = con.execute("SELECT count(*) FROM z WHERE cov = 0.0").fetchone()[0]
+check(n_zero > 0, "q_e1 dump has no zero cov cell to flip — pick another")
+# NB: a bare -0.0 literal binds as DECIMAL (no signed zero) and the flip
+# would silently no-op — negate a DOUBLE cast instead
+con.execute("""UPDATE z SET cov = -CAST(0.0 AS DOUBLE)
+    WHERE i || '_' || j = (
+      SELECT i || '_' || j FROM z WHERE cov = 0.0 ORDER BY i, j LIMIT 1)""")
+check(con.execute(
+    "SELECT count(*) FROM z WHERE cov = 0.0 AND signbit(cov)").fetchone()[0]
+      == 1, "the -0.0 flip did not stick in the mutant table")
+con.execute(f"COPY z TO '{pqz}' (FORMAT PARQUET)")
+check(run_gate(ds) == "0/1 queries match", "signed-zero mutation NOT caught")
+
+print("gate sensitivity: pristine passes; value/row/schema/signed-zero "
+      "mutants all caught (4/4)")
