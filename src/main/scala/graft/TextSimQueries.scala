@@ -1177,6 +1177,76 @@ object TextSimQueries {
        |ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** Hybrid retrieval (the RAG-serving shape): BM25 keyword retrieve
+    * (top-50, deterministic (score desc, id) cut) → exact embedding-
+    * cosine rerank of just those candidates against one query vector —
+    * lexical recall, semantic precision. Scale shape: the BM25 stage is
+    * the proven one-aggregate + broadcast-stats plan with a
+    * TakeOrderedAndProject cut; the rerank touches ONLY the candidate
+    * set (candidates ⋈ embeddings equi-join, broadcast 1-row query
+    * vector, codegen VectorDot) — never a corpus-wide scan per query.
+    * Oracle: oT6's scoring CTEs composed with oS1's unnest cosine
+    * replay, same round-6 grid. */
+  private def qS6hybrid(s: SparkSession, d: String): DataFrame = {
+    val cands = Ranking.bm25(docs(s, d), "doc_id", "text", Bm25Terms,
+      topK = 50)
+    val e = emb(s, d)
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qe"))
+      .withColumn("qn", Similarity.norm(col("qe")))
+      .where(col("qn") > 0)
+    cands
+      .join(e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("ce")),
+        col("doc_id") === col("vec_id"))
+      .withColumn("cn", Similarity.norm(col("ce")))
+      .where(col("cn") > 0)
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), col("score"),
+        round(Similarity.dot(col("qe"), col("ce")) /
+          (col("qn") * col("cn")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("doc_id"))
+  }
+  private val oS6 = {
+    val k1 = 1.2; val b = 0.75
+    val idx = Bm25Terms.indices
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(count(*) FILTER (t = '$t') AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = idx.map(i =>
+      s"CAST(count(*) FILTER (tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+    val avgdl = "(CAST(sumlen AS DOUBLE) / n)"
+    val contribs = idx.map { i =>
+      s"(ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))" +
+        s" * (tf$i * CAST(${k1 + 1.0} AS DOUBLE)))" +
+        s" / (tf$i + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)" +
+        s" + CAST($b AS DOUBLE) * len / $avgdl))"
+    }.mkString(" + ")
+    val anyTf = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |FROM documents),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len, $tfCols
+       |  FROM tok GROUP BY 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM d),
+       |cands AS (SELECT doc_id, round($contribs, 6) AS score
+       |  FROM d CROSS JOIN g WHERE ($anyTf) > 0
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |p AS (SELECT c.doc_id, c.score, ce.embedding AS ce,
+       |    (SELECT embedding FROM e WHERE vec_id = 0) AS qv
+       |  FROM cands c JOIN e ce ON c.doc_id = ce.vec_id),
+       |u AS (SELECT doc_id, score, CAST(unnest(ce) AS DOUBLE) AS xc,
+       |    CAST(unnest(qv) AS DOUBLE) AS xq FROM p),
+       |g2 AS (SELECT doc_id, score, sum(xq * xc) AS dt, sum(xc * xc) AS nc,
+       |    sum(xq * xq) AS nq FROM u GROUP BY 1, 2)
+       |SELECT doc_id, score, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+       |FROM g2 ORDER BY cosine DESC, doc_id""".stripMargin
+  }
+
   // ---- sampling / splitting / PII -----------------------------------------
 
   /** Deterministic train/test split: membership is md5(id)-derived, so the
@@ -1382,6 +1452,7 @@ object TextSimQueries {
     "q_s3b_ann_ivf_kmeans" -> qS3bannIvfKmeans _,
     "q_s4_ann_pq" -> qS4annPq _,
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
+    "q_s6_hybrid_rerank" -> qS6hybrid _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1419,6 +1490,7 @@ object TextSimQueries {
     "q_s3b_ann_ivf_kmeans" -> oS3b,
     "q_s4_ann_pq" -> oS4,
     "q_s5_ann_ivfpq" -> oS5,
+    "q_s6_hybrid_rerank" -> oS6,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,

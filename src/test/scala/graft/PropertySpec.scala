@@ -59,6 +59,37 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       "split must be a pure function of the id")
   }
 
+  test("property: packSequences tiles every group exactly on random costs") {
+    // random per-row costs (some zero) in random-sized groups: total
+    // packed tokens must equal the sum of positive costs, every sequence
+    // except each group's last must hold exactly L, and no span may
+    // escape [0, L) within its sequence
+    val rows = sample(for {
+      g <- Gen.chooseNum(0, 6)
+      c <- Gen.chooseNum(0L, 40L)
+    } yield (g, c), 400, seed = 23L)
+      .zipWithIndex.map { case ((g, c), i) => (i.toLong, s"g$g", c) }
+    val L = 17L
+    val out = Sampling.packSequences(rows.toDF("id", "grp", "cost"),
+        "grp", "id", "cost", seqLen = L)
+      .select("grp", "seq_no", "tok_start", "tok_end", "seq_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val totalPacked = out.map(s => s._4 - s._3).sum
+    assert(totalPacked == rows.map(_._3).filter(_ > 0).sum,
+      "packed token total must equal the positive-cost total")
+    assert(out.forall(s => s._5 >= 0 && s._5 + (s._4 - s._3) <= L),
+      "a span may never escape its sequence window")
+    val lastSeq = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    out.groupBy(s => (s._1, s._2)).foreach { case ((g, seq), spans) =>
+      val filled = spans.map(s => s._4 - s._3).sum
+      if (seq != lastSeq(g))
+        assert(filled == L, s"($g,$seq) holds $filled, expected $L")
+      else assert(filled >= 1 && filled <= L, s"($g,$seq) last-seq fill")
+    }
+  }
+
   test("property: dropRepeatedLines is identity when all lines are unique") {
     // doc i's lines embed the doc index → no cross-doc repetition
     val docs = (0 until 60)
