@@ -38,9 +38,28 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
       "doc_id").isEmpty)
     assert(Sampling.packIntoShards(
       noDocs.withColumn("cost", lit(1L)), "text", "doc_id", "cost", 10L).isEmpty)
+    assert(Sampling.packSequences(
+      noDocs.withColumn("cost", lit(1L)), "text", "doc_id", "cost", 10L).isEmpty)
     val noEvents = Seq.empty[(Long, Timestamp, Double)]
       .toDF("user_id", "ts", "value")
     assert(Sessions.sessionize(noEvents, Seq("user_id"), "ts", 600).isEmpty)
+  }
+
+  test("LM / multimodal / calendar renderers on empty input") {
+    // empty corpus: the bigram model has nothing to train on — empty out
+    assert(TextStats.bigramLm(noDocs, "doc_id", "text").isEmpty)
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "media")
+      .withColumn("meta", struct(lit("fake/raw").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("n_bytes")))
+    assert(Multimodal.frameSampleDecoded(noMedia, everyN = 2).isEmpty)
+    // an empty (but well-formed) calendar pivot renders a headers-only
+    // artifact on BOTH backends rather than crashing on an empty extent
+    val emptyCal = Seq.empty[(Long, java.lang.Double)].toDF("year", "m1")
+    val svg = graft.io.CalendarSvg.render(emptyCal)
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    val png = graft.io.CalendarPng.render(emptyCal)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png)) != null)
   }
 
   test("similarity: empty corpus/queries empty out; moments loud by design") {

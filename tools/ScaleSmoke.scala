@@ -242,6 +242,38 @@ object ScaleSmoke {
         s"every segment has 9 verbatim copies — expected 0 kept lines, got $kept")
       n
     }
+    // bigram LM at 10×: the verbatim copies multiply every bigram count
+    // by exactly 10 while V is unchanged, so each doc's avg_nll must
+    // equal its twin's — and the stage stresses the (w1, w2) scoring
+    // joins with the corpus's hottest heads at 50 k docs / ~2.9 M bigram
+    // occurrences (the shape AQE's skew split exists for)
+    timed("q_t15 bigramLm 10x") {
+      val out = graft.operators.TextStats.bigramLm(docs, "doc_id", "text")
+      val distinctScores = out.where(col("avg_nll").isNotNull)
+        .select((col("doc_id") % 1000000000L).as("base"), col("avg_nll"))
+        .distinct().groupBy("base").count().where(col("count") > 1).count()
+      require(distinctScores == 0L,
+        s"verbatim copies must score identically: $distinctScores bases diverge")
+      out.count()
+    }
+    // sequence packing at 10×: 50 k docs through the keyed window +
+    // span explode; per-group token conservation is the known answer
+    timed("q_x8 packSequences 10x") {
+      val docsFull = times10(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang", "n_chars"), "doc_id")
+      val packed = graft.operators.Sampling.packSequences(
+        docsFull, "lang", "doc_id", "n_chars", seqLen = 2048L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val packedTotal = packed
+        .agg(sum(col("tok_end") - col("tok_start"))).head().getLong(0)
+      val costTotal = docsFull.where(col("n_chars") > 0)
+        .agg(sum("n_chars")).head().getLong(0)
+      require(packedTotal == costTotal,
+        s"span tokens must conserve the corpus total: $packedTotal != $costTotal")
+      val n = packed.count()
+      packed.unpersist()
+      n
+    }
     // incremental batch-vs-corpus: one fresh sf0.1 batch (5 k docs)
     // against the 50 k-doc corpus, corpus shingles precomputed (the
     // grows-batch-by-batch pipeline shape)
