@@ -57,18 +57,26 @@ object Bench {
     out
   }
 
+  /** Locale-invariant fixed-point formatting: an `f"..."` interpolation
+    * uses the DEFAULT locale, and a comma-decimal locale (de_DE, fr_FR…)
+    * would emit `1,2345` — invalid JSON for the official record AND
+    * silently mis-parsed by forkOnce's `[0-9.eE+-]+` value regex. */
+  private def num(v: Double, decimals: Int = 4): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(v))
+
   /** Samples as a JSON object string — written to the sidecar + stderr,
     * never to the stdout line (see the object scaladoc). */
   private def samplesJson(queries: Seq[(String, Double)],
                           samples: Map[String, Seq[Double]]): String =
     queries.map { case (k, _) =>
-      "\"" + k + "\":" + samples(k).map(v => f"$v%.4f").mkString("[", ",", "]")
+      "\"" + k + "\":" + samples(k).map(num(_)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
   private def jsonLine(queries: Seq[(String, Double)],
                        samples: Map[String, Seq[Double]], runs: Int,
                        sfDir: String): String = {
-    val qs = queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val spreads = queries.map { case (k, _) =>
       val xs = samples(k)
@@ -78,12 +86,12 @@ object Bench {
       k -> (if (xs.min > 0) xs.max / xs.min
             else if (xs.max == 0) 1.0 else 999.0)
     }
-    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val unstable = spreads.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = queries.map(_._2).sum
-    s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","runs":$runs,""" +
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"spread":$sp,"unstable":$unstable,"sf":"$sfDir"}"""
   }
 

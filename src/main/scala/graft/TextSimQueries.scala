@@ -1236,9 +1236,9 @@ object TextSimQueries {
        |e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE list_sum(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
-       |p AS (SELECT c.doc_id, c.score, ce.embedding AS ce,
-       |    (SELECT embedding FROM e WHERE vec_id = 0) AS qv
-       |  FROM cands c JOIN e ce ON c.doc_id = ce.vec_id),
+       |p AS (SELECT c.doc_id, c.score, ce.embedding AS ce, q.qv
+       |  FROM cands c JOIN e ce ON c.doc_id = ce.vec_id
+       |  CROSS JOIN (SELECT embedding AS qv FROM e WHERE vec_id = 0) q),
        |u AS (SELECT doc_id, score, CAST(unnest(ce) AS DOUBLE) AS xc,
        |    CAST(unnest(qv) AS DOUBLE) AS xq FROM p),
        |g2 AS (SELECT doc_id, score, sum(xq * xc) AS dt, sum(xc * xc) AS nc,

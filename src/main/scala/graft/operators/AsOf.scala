@@ -94,13 +94,15 @@ object AsOf {
     val packed = struct((col("_ts").as("_mts") +: payload.map(col)): _*)
     // tie-break sort key: duplicate marks at the SAME (key, ts) resolve
     // deterministically to the payload-MAX row (last() under asc order) —
-    // the identical tie rule asofJoinBackwardBucketed gets from its
-    // max(struct) bucket aggregate, so the two paths never diverge.
-    // Only ORDERABLE payload columns join the sort key: a MapType payload
-    // can be carried (struct values don't need ordering) but not sorted
-    // on — for such payloads ties among identical (key, ts) marks fall
-    // back to the orderable subset (and are nondeterministic only if two
-    // marks differ solely in unorderable columns)
+    // for fully-orderable payloads this is the identical tie rule
+    // asofJoinBackwardBucketed gets from its max(struct) bucket
+    // aggregate, so the two paths never diverge there. Only ORDERABLE
+    // payload columns join the sort key: a MapType payload can be
+    // carried (struct values don't need ordering) but not sorted on —
+    // such payloads work ONLY on this path (the bucketed variant rejects
+    // them loudly), with ties falling back to the orderable subset
+    // (nondeterministic only if two marks differ solely in unorderable
+    // columns)
     val rSchema = r.schema
     val tieCols = payload.filter(p => isOrderable(rSchema(p).dataType))
     val tieKey: Seq[Column] =
@@ -151,6 +153,16 @@ object AsOf {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(!left.columns.contains("_bk") && !payload.contains("_bk"),
       "column _bk collides with as-of internals — alias it")
+    // the bucketed mechanism AGGREGATES marks with max(struct(payload)),
+    // so every payload column must be orderable here (the plain path
+    // merely degrades its tie-break for unorderable columns) — reject
+    // loudly up front instead of an AnalysisException mid-plan
+    val unorderable = payload.filter(p =>
+      !isOrderable(right.schema(p).dataType))
+    require(unorderable.isEmpty,
+      s"asofJoinBackwardBucketed requires ORDERABLE payload columns " +
+        s"(max(struct) aggregation); ${unorderable.mkString(", ")} are not " +
+        s"— use asofJoinBackward, or project maps into orderable columns")
     def bucketOf(ts: Column): Column = floor(unix_timestamp(ts) / bucketSeconds)
     val r = right.where(col(rightTsCol).isNotNull &&
       keys.map(col(_).isNotNull).reduce(_ && _))

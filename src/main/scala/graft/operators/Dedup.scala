@@ -579,10 +579,22 @@ object Dedup {
     * same failure mode as a hot LSH bucket and `maxClusterSize` guards
     * it the same window-free way (groupBy.count + broadcast anti-join;
     * guarded-out vectors keep their row with null best / dropped=false,
-    * like `jaccardPairs` keeps unpaired docs). */
+    * like `jaccardPairs` keeps unpaired docs).
+    *
+    * Caching lifetime — `materialize` picks the trade explicitly:
+    *  - `true` (default): compute NOW, localCheckpoint the slim decision
+    *    table (cuts lineage), and unpersist the internal assignment
+    *    cache immediately — nothing lingers but the result blocks, which
+    *    the ContextCleaner reclaims when the returned frame is dropped
+    *    (executor-local, like componentLabels' checkpoints).
+    *  - `false`: stay LAZY (compose into a larger plan, pay nothing until
+    *    an action); the internal assignment persist then outlives the
+    *    first action until the ContextCleaner collects the unreferenced
+    *    plan — the caller owns that window. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, nClusters: Int, kmeansIters: Int = 0,
-                    maxClusterSize: Int = 100000): DataFrame = {
+                    maxClusterSize: Int = 100000,
+                    materialize: Boolean = true): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     val c = emb.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -620,14 +632,18 @@ object Dedup {
       .join(best, Seq("id"), "left")
       .withColumn("dropped",
         coalesce(col("best_lower_cosine") >= minCosine, lit(false)))
-    // Materialize now (cuts lineage, one slim decision row per vector) so
-    // the MEMORY_AND_DISK assignment cache can be released immediately
-    // instead of lingering until ContextCleaner GC in long-lived sessions.
-    // Executor-local blocks, like componentLabels' per-pass checkpoints —
-    // on dynamic-allocation clusters wrap with a reliable checkpoint dir.
-    val result = out.localCheckpoint(true)
-    assigned.unpersist(false)
-    result
+    if (!materialize) out
+    else {
+      // Materialize now (cuts lineage, one slim decision row per vector)
+      // so the MEMORY_AND_DISK assignment cache can be released
+      // immediately instead of lingering until ContextCleaner GC in
+      // long-lived sessions. Executor-local blocks, like componentLabels'
+      // per-pass checkpoints — on dynamic-allocation clusters wrap with a
+      // reliable checkpoint dir.
+      val result = out.localCheckpoint(true)
+      assigned.unpersist(false)
+      result
+    }
   }
 
   // ---- pair graph → clusters ----------------------------------------------

@@ -331,8 +331,14 @@ object TextStats {
   def bigramLm(docs: DataFrame, idCol: String, textCol: String,
                k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive: $k")
+    // materialize the filtered words array behind a Generate boundary
+    // (the Dedup.withWords trick): a plain projection would let
+    // CollapseProject re-inline the regexp tokenizer into every
+    // element_at/size lambda across the four consumers below — the
+    // measured ~25× trap Dedup.shinglesFromWords documents
     val base = docs.select(col(idCol).as("_lm_id"),
-      filter(Dedup.words(col(textCol)), w => w =!= lit("")).as("_ws"))
+        explode(array(filter(Dedup.words(col(textCol)),
+          w => w =!= lit("")))).as("_ws"))
     val big = base.select(col("_lm_id"),
       explode(when(size(col("_ws")) >= 2,
         transform(sequence(lit(1), size(col("_ws")) - 1),

@@ -62,6 +62,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"tie must resolve payload-max on both paths: plain=$plain bucketed=$bucketed")
   }
 
+  test("as-of join: MapType payload works on the plain path, loud on bucketed") {
+    // maps carry fine through last(struct) (values need no ordering) but
+    // cannot feed the bucketed variant's max(struct) aggregation
+    val mapQuotes = Seq(("A", ts("2024-01-01 10:00:00"), Map("px" -> 10.0)))
+      .toDF("sym", "ts", "q_map")
+    val t = Seq(("A", ts("2024-01-01 10:05:00"), 1L)).toDF("sym", "ts", "trade_id")
+    val plain = AsOf.asofJoinBackward(t, mapQuotes, Seq("sym"), "ts", "ts",
+      Seq("q_map")).head()
+    assert(plain.getAs[Map[String, Double]]("q_map") == Map("px" -> 10.0))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackwardBucketed(t, mapQuotes, Seq("sym"), "ts", "ts",
+        Seq("q_map"), bucketSeconds = 3600)
+    }
+    assert(e.getMessage.contains("ORDERABLE") &&
+      e.getMessage.contains("q_map"))
+  }
+
   test("as-of join: tolerance nulls out stale matches") {
     val j = AsOf.asofJoinBackward(trades, quotes, Seq("sym"), "ts", "ts",
         Seq("q_px"), tolerance = Some(expr("INTERVAL 10 MINUTES")))
