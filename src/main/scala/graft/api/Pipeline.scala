@@ -56,6 +56,21 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("cost_total"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** The last mile to a trainer: `curate`'s TRAIN split packed into
+    * exact-`seqLen` training sequences with cross-boundary document
+    * spans (`Sampling.packSequences`) — one span row per (doc,
+    * sequence). The test split never enters the packer, so held-out
+    * text cannot leak into a training sequence by construction. Adds
+    * only the packer's keyed window beyond `curate`'s own stages. */
+  def prepareSequences(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, costCol: String, seqLen: Long,
+                       minQuality: Double = 0.3,
+                       testFraction: Double = 0.2): DataFrame =
+    Sampling.packSequences(
+      curate(docs, idCol, textCol, groupCol, costCol, minQuality,
+        testFraction).where(col("split") === "train").drop("split", "shard"),
+      groupCol, idCol, costCol, seqLen)
+
   // convenience delegates with library defaults -----------------------------
 
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -424,6 +424,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.contains("split") && out.columns.contains("shard"))
   }
 
+  test("Pipeline.prepareSequences: curated train split packs losslessly, test never enters") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"document number $i with enough ordinary words to pass the gate easily",
+        "en", 60L + i)).toDF("doc_id", "text", "lang", "n_chars")
+    val curated = graft.api.Pipeline.curate(docs, "doc_id", "text", "lang", "n_chars")
+    val train = curated.where($"split" === "train")
+    val packed = graft.api.Pipeline.prepareSequences(docs, "doc_id", "text",
+      "lang", "n_chars", seqLen = 128L)
+    // span tokens conserve the curated TRAIN total exactly
+    val packedTotal = packed.agg(sum($"tok_end" - $"tok_start")).head().getLong(0)
+    val trainTotal = train.agg(sum("n_chars")).head().getLong(0)
+    assert(packedTotal == trainTotal,
+      s"packed $packedTotal must equal curated train total $trainTotal")
+    // no held-out doc may appear in any training sequence
+    val testIds = curated.where($"split" === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(testIds.nonEmpty && packedIds.intersect(testIds).isEmpty,
+      "test-split docs leaked into training sequences")
+  }
+
   test("incremental dedup vs corpus: exact, near, and clean batch docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
