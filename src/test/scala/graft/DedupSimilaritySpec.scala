@@ -273,6 +273,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "nProbe=1 should strictly reduce recall — is the ADC scan actually list-restricted?")
   }
 
+  test("persisted IVF-PQ index: search == in-memory operator, scan prunes partitions") {
+    import graft.operators.{IvfPqIndex, Pq}
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val q = sfEmb.where(col("vec_id") < 10)
+    IvfPqIndex.build(sfEmb, "vec_id", "embedding", dir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    // byte-identical results: same deterministic centroids/codebook/encode
+    val fromIndex = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankDepth = 50, rerank = Some(sfEmb))
+    val inMemory = Pq.ivfPqTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, rerankDepth = 50)
+    assert(rows(fromIndex) == rows(inMemory),
+      "persisted-index search must equal the in-memory operator")
+    // the probe manifest actually prunes: the codes scan carries a
+    // centroid_id partition filter, not a full-index read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"codes scan must push the probed-list partition filter:\n$plan")
+    // ADC-only mode (no raw-vector refetch) still ranks the obvious ones
+    val adcOnly = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 16, rerank = None)
+    assert(adcOnly.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
     import graft.operators.Pq
     // the standard PQ byte code — the literal-unrolled formulation could
