@@ -1177,6 +1177,29 @@ object TextSimQueries {
        |ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** The PERSISTED IVF-PQ index under the same hash gate as q_s5: build
+    * the index to disk (codes parquet partitioned by inverted list,
+    * centroid + codebook sidecars), then answer the query batch from the
+    * index files alone (+ the corpus table for exact re-rank). Same
+    * scale-rule parameters as q_s5, so the oracle is oS5 VERBATIM — the
+    * round trip through the persisted layout must be invisible to the
+    * results (the partition-pruned scan is asserted in
+    * DedupSimilaritySpec). */
+  private def qS7indexSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_q").toString
+    graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
+      nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
+    graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = nProbe, rerankDepth = 50,
+        rerank = Some(e))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval (the RAG-serving shape): BM25 keyword retrieve
     * (top-50, deterministic (score desc, id) cut) → exact embedding-
     * cosine rerank of just those candidates against one query vector —
@@ -1453,6 +1476,7 @@ object TextSimQueries {
     "q_s4_ann_pq" -> qS4annPq _,
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_s6_hybrid_rerank" -> qS6hybrid _,
+    "q_s7_index_search" -> qS7indexSearch _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1491,6 +1515,7 @@ object TextSimQueries {
     "q_s4_ann_pq" -> oS4,
     "q_s5_ann_ivfpq" -> oS5,
     "q_s6_hybrid_rerank" -> oS6,
+    "q_s7_index_search" -> oS5,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,
