@@ -1191,7 +1191,10 @@ object TextSimQueries {
       .count()
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_q").toString
+    // deterministic per-SF path, overwritten in place: a fresh temp dir
+    // per invocation would accumulate index copies across gate runs
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivfpq_q_" + Integer.toHexString(d.hashCode)).getAbsolutePath
     graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
       nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
     graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),

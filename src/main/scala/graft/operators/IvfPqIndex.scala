@@ -63,15 +63,27 @@ object IvfPqIndex {
 
   /** Search a built index. Per query: probe the `nProbe` nearest
     * inverted lists (broadcast centroid table), ADC-score ONLY those
-    * lists' code rows — the union of probed list ids is collected
-    * driver-side (≤ nProbe·|queries| ints, a bounded probe manifest,
-    * like the PQ codebook itself) and pushed into the codes scan as an
-    * IN filter, so parquet partition pruning skips every unprobed
-    * directory — then exact-cosine re-rank the `rerankDepth` survivors
-    * against `rerank`'s raw vectors (usually the original corpus table).
-    * `rerank = None` returns ADC-approximate cosines directly.
-    * Output: (query_id, neighbor_id, cosine, rank), like the in-memory
-    * operator. */
+    * lists' code rows, then exact-cosine re-rank the `rerankDepth`
+    * survivors against `rerank`'s raw vectors (usually the original
+    * corpus table). `rerank = None` returns ADC-approximate cosines
+    * directly. Output: (query_id, neighbor_id, cosine, rank), like the
+    * in-memory operator — the probe/ADC/re-rank stages ARE
+    * `Pq`'s own (shared `private[operators]` helpers), so the two
+    * cannot drift.
+    *
+    * The probe table (query_id, centroid_id, lut — ≤ nProbe·|queries|
+    * rows, bounded like every broadcast query side in this package) is
+    * computed ONCE and collected: its list ids become the IN filter the
+    * codes scan prunes partitions with, and its rows come back as a
+    * local relation so the returned plan never re-runs the probe
+    * subtree.
+    *
+    * Drift contract for `rerank`: the re-rank is an inner join on the
+    * candidate ids, so an index entry missing from the rerank table
+    * (corpus changed since `build`) silently drops out of the results —
+    * a query can then return fewer than k rows. That is the honest
+    * semantics of re-ranking against a drifted corpus; rebuild the index
+    * (or pass `rerank = None`) when the corpus moves. */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
              rerankDepth: Int = 50,
@@ -83,48 +95,26 @@ object IvfPqIndex {
     val cbSize = meta.getAs[Int]("k")
     val dim = meta.getAs[Int]("dim")
     val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
-    val dsub = dim / m
     val cents = spark.read.parquet(s"$path/centroids")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-      .where(col("qn") > 0)
-      .withColumn("nq", transform(col("qv"), x => x / col("qn")))
-      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, cbSize, dsub))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"),
-        struct(
-          (-(Similarity.dot(col("qv"), col("centroid")) /
-            (col("qn") * col("centroid_n"))) + lit(0.0)).as("negsim"),
-          col("centroid_id")).as("_cand"))
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
-      .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
-      .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
-    // the bounded probe manifest → partition-pruning IN filter
-    val probedLists = probes.select("centroid_id").distinct()
-      .collect().map(_.getLong(0))
+    val q = Pq.prepQueries(queries, idCol, vecCol, cbFlat, m, cbSize, dim / m)
+    val probes0 = Pq.probeTable(q, cents, nProbe)
+    // one execution of the probe subtree: manifest + local probe relation
+    val probeRows = probes0.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probes0.schema)
+    val listIdx = probes0.schema.fieldIndex("centroid_id")
+    // untyped manifest values: centroid_id inherits idCol's type (long,
+    // int, string…) — isin resolves the comparison for any of them
+    val probedLists = probeRows.map(_.get(listIdx)).distinct.toSeq
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedLists: _*))
-    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(PqCodec.adcCol(col("lut"), col("codes"), cbSize), 6).as("cosine"))
+    val scored = Pq.adcScored(codes, probes, cbSize)
     rerank match {
       case None => Similarity.topKPerQuery(scored, k)
       case Some(corpus) =>
         val cands = Similarity.topKPerQuery(scored, rerankDepth)
           .select(col("query_id"), col("neighbor_id"))
-        val e = corpus.select(col(idCol).as("neighbor_id"),
-            asDouble(col(vecCol)).as("cv"))
-          .withColumn("cn", Similarity.norm(col("cv")))
-          .where(col("cn") > 0)
-        val exact = cands.join(e, Seq("neighbor_id"))
-          .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
-            Seq("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            round(Similarity.dot(col("qv"), col("cv")) /
-              (col("qn") * col("cn")), 6).as("cosine"))
-        Similarity.topKPerQuery(exact, k)
+        Pq.exactRerank(cands, corpus, idCol, vecCol, q, k)
     }
   }
 }

@@ -105,6 +105,66 @@ object Pq {
         (0 until m).map(j => element_at(col("codes"), j + 1).as(s"c$j")): _*)
   }
 
+  // ---- shared search stages (in-memory operator AND persisted index) -----
+  // One implementation each of query prep, probe selection, ADC scoring,
+  // and exact re-rank: `IvfPqIndex.search`'s byte-identical-to-in-memory
+  // guarantee rests on these being literally the same code, not synced
+  // copies.
+
+  /** (query_id, qv, qn, nq, lut): normalized queries with their ADC
+    * lookup tables — lut[j·k + code] = q_j · cb(j)(code), m·k dots per
+    * query computed once on the tiny broadcast side. */
+  private[operators] def prepQueries(queries: DataFrame, idCol: String,
+      vecCol: String, cbFlat: Array[Double], m: Int, codebookSize: Int,
+      dsub: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .where(col("qn") > 0)
+      .withColumn("nq", normalize(col("qv"), col("qn")))
+      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
+
+  /** (query_id, centroid_id, lut): each query's nProbe nearest inverted
+    * lists (same probe math as ivfTopK; + 0.0 canonicalizes -0.0 — see
+    * Similarity.topKPerQuery). */
+  private[operators] def probeTable(q: DataFrame, cents: DataFrame,
+                                    nProbe: Int): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        struct(
+          (-(Similarity.dot(col("qv"), col("centroid")) /
+            (col("qn") * col("centroid_n"))) + lit(0.0)).as("negsim"),
+          col("centroid_id")).as("_cand"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
+      .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
+      .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
+
+  /** ADC scores of code rows joined to their probing queries —
+    * ascending-j LUT-lookup sums, deterministic and d-free per pair. */
+  private[operators] def adcScored(codes: DataFrame, probes: DataFrame,
+                                   codebookSize: Int): DataFrame =
+    codes.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
+          .as("cosine"))
+
+  /** Exact-cosine re-rank of a bounded (query_id, neighbor_id) candidate
+    * set against raw vectors, then the k-bounded top-k. */
+  private[operators] def exactRerank(cands: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, q: DataFrame, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+    val exact = cands
+      .join(e, Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
+    Similarity.topKPerQuery(exact, k)
+  }
+
   /** ADC top-k with exact re-rank: ADC-score every (query, code row)
     * pair via the query-side LUT (m lookups + adds per pair), keep
     * `rerankDepth` per query, re-rank those exactly by cosine.
@@ -123,15 +183,8 @@ object Pq {
     val (cbFlat, _) = flatten(cb)
     val codes = encodeCodes(corpus, idCol, vecCol, cb, dim)
       .withColumnRenamed("id", "neighbor_id")
-    // query-side LUT: lut[j·k + code] = q_j · cb(j)(code) (m·k dots per
-    // query, computed once on the tiny broadcast side)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-      .where(col("qn") > 0)
-      .withColumn("nq", normalize(col("qv"), col("qn")))
-      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
-    // ADC score: ascending-j sum of LUT lookups — deterministic and
-    // cheap (no per-pair d-dim dot)
+    val q = prepQueries(queries, idCol, vecCol, cbFlat, m, codebookSize, dsub)
+    // full-corpus ADC (the PQ primitive; ivfPqTopK bounds the scan)
     val scored = codes.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -139,17 +192,7 @@ object Pq {
           .as("cosine")) // approx cosine (normalized inputs)
     val cands = Similarity.topKPerQuery(scored, rerankDepth)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the bounded candidate set
-    val e = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
-      .where(col("cn") > 0)
-    val exact = cands
-      .join(e, Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("cosine"))
-    Similarity.topKPerQuery(exact, k)
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
   }
 
   /** IVF-PQ: the 100 TB ANN composition. `pqTopK`'s ADC stage scans
@@ -200,38 +243,14 @@ object Pq {
           m, codebookSize, dsub).as("codes"))
     // query side: nProbe nearest lists (same probe math as ivfTopK) plus
     // the per-query ADC lookup table
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-      .where(col("qn") > 0)
-      .withColumn("nq", normalize(col("qv"), col("qn")))
-      .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"),
-        struct(
-          // + 0.0 canonicalizes -0.0 (see Similarity.topKPerQuery)
-          (-(Similarity.dot(col("qv"), col("centroid")) /
-            (col("qn") * col("centroid_n"))) + lit(0.0)).as("negsim"),
-          col("centroid_id")).as("_cand"))
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
-      .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
-      .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
+    val q = prepQueries(queries, idCol, vecCol, cbFlat, m, codebookSize, dsub)
+    val probes = probeTable(q, cents, nProbe)
     // ADC only within probed lists; assignment is unique per vector and
     // probe lists are distinct per query, so (query, neighbor) pairs are
     // already distinct — no dedup aggregate
-    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
-          .as("cosine"))
+    val scored = adcScored(codes, probes, codebookSize)
     val cands = Similarity.topKPerQuery(scored, rerankDepth)
       .select(col("query_id"), col("neighbor_id"))
-    val exact = cands
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
-          .as("cosine"))
-    Similarity.topKPerQuery(exact, k)
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
   }
 }

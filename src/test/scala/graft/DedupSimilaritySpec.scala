@@ -291,15 +291,20 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(fromIndex) == rows(inMemory),
       "persisted-index search must equal the in-memory operator")
     // the probe manifest actually prunes: the codes scan carries a
-    // centroid_id partition filter, not a full-index read
+    // NON-EMPTY centroid_id partition filter (every parquet scan prints
+    // a "PartitionFilters:" header — only brackets with centroid_id
+    // inside prove the pruning happened)
     val plan = fromIndex.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
-      s"codes scan must push the probed-list partition filter:\n$plan")
-    // ADC-only mode (no raw-vector refetch) still ranks the obvious ones
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r
+      .findFirstIn(plan).isDefined,
+      s"codes scan must push a non-empty probed-list partition filter:\n$plan")
+    // ADC-only mode (no raw-vector refetch): all 10 queries, 5 rows each
+    // (a size assertion too — an empty result must not pass vacuously)
     val adcOnly = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
       k = 5, nProbe = 16, rerank = None)
-    assert(adcOnly.groupBy("query_id").count().collect()
-      .forall(_.getLong(1) == 5L))
+      .groupBy("query_id").count().collect()
+    assert(adcOnly.length == 10 && adcOnly.forall(_.getLong(1) == 5L),
+      s"expected 10 queries x 5 ADC rows, got ${adcOnly.length} groups")
   }
 
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
