@@ -238,6 +238,32 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
 
+  /** Per-doc TF-IDF keyword extraction, oracled: DuckDB recomputes
+    * tf/df/N with identical tokenization and replays tf·ln(N/df) with
+    * the same operation order and row_number tie rule; the engine side
+    * is window-free (BoundedTopK). */
+  private def qT16tfidf(s: SparkSession, d: String): DataFrame =
+    TextStats.tfidfTopTerms(docs(s, d), "doc_id", "text", topK = 5)
+      .orderBy("doc_id", "rank")
+  private val oT16 =
+    """WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id,
+      |    unnest(string_split(trim(lower(
+      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+      |  FROM documents) WHERE t <> ''),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tf),
+      |s AS (SELECT doc_id, t,
+      |    round(n * ln(CAST((SELECT nd FROM nn) AS DOUBLE)
+      |      / CAST(df AS DOUBLE)), 6) + 0.0 AS score
+      |  FROM tf JOIN df USING (t)),
+      |r AS (SELECT doc_id, t, score, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, t) AS BIGINT) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, t AS word, score
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   /** PCA sufficient statistics, oracled: upper-triangle Gram +
     * covariance of the embedding corpus from ONE map-side-combinable
     * moments aggregate (the only distributed pass of `Pca`; the eigen
@@ -1487,6 +1513,7 @@ object TextSimQueries {
     "q_t13_top_words" -> qT13topWords _,
     "q_t14_markup_strip" -> qT14markupStrip _,
     "q_t15_lm_score" -> qT15lm _,
+    "q_t16_tfidf_terms" -> qT16tfidf _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -1526,6 +1553,7 @@ object TextSimQueries {
     "q_t13_top_words" -> oT13,
     "q_t14_markup_strip" -> oT14,
     "q_t15_lm_score" -> oT15,
+    "q_t16_tfidf_terms" -> oT16,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

@@ -308,6 +308,43 @@ object TextStats {
     round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6)
   }
 
+  /** Per-document TF-IDF keyword extraction: the `topK` highest-scoring
+    * terms of each document under tf·idf with idf = ln(N/df) (N = docs
+    * with ≥ 1 token, df = docs containing the term) — the standard
+    * corpus-analysis "what is this document about" op (tag clouds,
+    * facets, weak labels).
+    *
+    * Scale shape: tf is one hash aggregate over exploded tokens; df
+    * falls out of tf for free (tf rows are distinct (doc, term) pairs —
+    * `groupBy(term).count`, no countDistinct); N rides in as a broadcast
+    * 1-row aggregate; per-doc top-k is the k-bounded `BoundedTopK`
+    * aggregate (state ∝ k, one exchange, never a window). Ties break by
+    * term ascending; scores round onto the 1e-6 grid with `+ 0.0`
+    * signed-zero canonicalization (df = N ⇒ score exactly 0). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val tok = docs.select(col(idCol).as("_tt_id"),
+        explode(array(filter(Dedup.words(col(textCol)),
+          w => w =!= lit("")))).as("_ws"))
+      .select(col("_tt_id"), explode(col("_ws")).as("_t"))
+    val tf = tok.groupBy("_tt_id", "_t").agg(count(lit(1)).as("_n"))
+    val df = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val n = tf.agg(countDistinct(col("_tt_id")).as("_nd"))
+    val scored = tf.join(df, Seq("_t")).crossJoin(broadcast(n))
+      .select(col("_tt_id"), col("_t"),
+        round(col("_n") * log(col("_nd").cast("double") /
+          col("_df").cast("double")), 6).as("_s"))
+    scored.groupBy("_tt_id")
+      .agg(graft.functions.BoundedTopK.smallestK(
+        struct((-col("_s")).as("negs"), col("_t")), topK).as("_tk"))
+      .select(col("_tt_id"), posexplode(col("_tk")))
+      .select(col("_tt_id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._t").as("word"),
+        (-col("col.negs") + lit(0.0)).as("score"))
+  }
+
   /** CCNet-style bigram language-model scoring — the standard LM-quality
     * filter of an LLM curation pipeline (train an n-gram LM on the
     * corpus, keep documents whose perplexity under it is low): per

@@ -387,6 +387,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tfidf top terms: hand-checked scores, ubiquitous term scores zero") {
+    // N = 3 docs; "apple" in all → idf ln(1) = 0; "banana"/"cherry"
+    // unique → idf ln(3); doc 3 has only the zero-scored term
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"), (3L, "apple"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, "doc_id", "text", topK = 2)
+      .orderBy("doc_id", "rank").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3 = r6(math.log(3.0))
+    assert(out.length == 5) // 2 + 2 + 1 rows
+    assert(out(0).getString(2) == "banana" && out(0).getDouble(3) == ln3)
+    assert(out(1).getString(2) == "apple" && out(1).getDouble(3) == 0.0)
+    // the zero score carries a POSITIVE sign bit (the driver hash cares)
+    assert(math.copySign(1.0, out(1).getDouble(3)) == 1.0)
+    assert(out(2).getString(2) == "cherry" && out(2).getDouble(3) == ln3)
+    assert(out(4).getLong(1) == 1 && out(4).getString(2) == "apple")
+  }
+
   test("bigram LM: hand-checked nll, repeated text scores lower, short docs null") {
     // corpus: "a b" ×2, "a c" ×1, "solo" → c(a·)=3, c(ab)=2, c(ac)=1,
     // V = |{a, b, c, solo}| = 4 ("solo" forms no bigram but IS vocabulary)
