@@ -1218,9 +1218,16 @@ object TextSimQueries {
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     // deterministic per-SF path, overwritten in place: a fresh temp dir
-    // per invocation would accumulate index copies across gate runs
+    // per invocation would accumulate index copies across gate runs.
+    // Keyed by md5 of the FULL dataset path (hashCode could collide
+    // across different dirs → silently searching a stale index) plus the
+    // process PID (two concurrent runs against the same SF must not race
+    // one dir with build-overwrite vs search)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val pid = java.lang.ProcessHandle.current().pid()
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivfpq_q_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      s"graft_ivfpq_q_${dirKey}_p$pid").getAbsolutePath
     graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
       nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
     graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),

@@ -582,19 +582,24 @@ object Dedup {
     * like `jaccardPairs` keeps unpaired docs).
     *
     * Caching lifetime — `materialize` picks the trade explicitly:
-    *  - `true` (default): compute NOW, localCheckpoint the slim decision
-    *    table (cuts lineage), and unpersist the internal assignment
-    *    cache immediately — nothing lingers but the result blocks, which
-    *    the ContextCleaner reclaims when the returned frame is dropped
-    *    (executor-local, like componentLabels' checkpoints).
-    *  - `false`: stay LAZY (compose into a larger plan, pay nothing until
-    *    an action); the internal assignment persist then outlives the
-    *    first action until the ContextCleaner collects the unreferenced
-    *    plan — the caller owns that window. */
+    *  - `false` (default): stay LAZY — the universal DataFrame contract
+    *    (compose into a larger plan, pay nothing until an action), so an
+    *    existing caller never gets a surprise eager job at call time;
+    *    the internal assignment persist then outlives the first action
+    *    until the ContextCleaner collects the unreferenced plan — the
+    *    caller owns that window.
+    *  - `true`: compute NOW, localCheckpoint the slim decision table
+    *    (cuts lineage), and unpersist the internal assignment cache
+    *    immediately — nothing lingers but the result blocks, which the
+    *    ContextCleaner reclaims when the returned frame is dropped.
+    *    NOTE the result blocks are EXECUTOR-LOCAL: on dynamic-allocation
+    *    / executor-loss clusters the returned frame becomes
+    *    unrecomputable, so there set a reliable checkpoint dir and
+    *    checkpoint the result yourself instead of opting in here. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, nClusters: Int, kmeansIters: Int = 0,
                     maxClusterSize: Int = 100000,
-                    materialize: Boolean = true): DataFrame = {
+                    materialize: Boolean = false): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     val c = emb.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))

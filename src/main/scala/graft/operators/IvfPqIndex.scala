@@ -106,7 +106,18 @@ object IvfPqIndex {
     // untyped manifest values: centroid_id inherits idCol's type (long,
     // int, string…) — isin resolves the comparison for any of them
     val probedLists = probeRows.map(_.get(listIdx)).distinct.toSeq
-    val codes = spark.read.parquet(s"$path/codes")
+    // centroid_id comes back from partition DIRECTORY NAMES, and Spark's
+    // partition type inference doesn't round-trip every id type (a
+    // zero-padded string "0012" infers as int 12) — which would silently
+    // break both the isin filter and the adcScored join. The centroids
+    // sidecar holds the authoritative type, so pin the partition column
+    // to it with an explicit read schema (the first read is a
+    // footer-metadata peek for the data columns, no data scan).
+    val centType = cents.schema("centroid_id").dataType
+    val codesSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$path/codes").schema.map(f =>
+        if (f.name == "centroid_id") f.copy(dataType = centType) else f))
+    val codes = spark.read.schema(codesSchema).parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedLists: _*))
     val scored = Pq.adcScored(codes, probes, cbSize)
     rerank match {

@@ -111,6 +111,39 @@ object ErddapHttp {
     case _ => ()
   }
 
+  /** One daemon watchdog thread, JVM-wide — closes a streamed body at
+    * its deadline so a blocked `InputStream.read` (server stalls without
+    * sending or closing) unblocks with an IOException instead of hanging
+    * the executor task forever. */
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "erddap-http-watchdog"); t.setDaemon(true); t
+    }
+
+  /** Run `read` over a streamed body with `requestTimeoutMs` as a
+    * wall-clock deadline on the WHOLE download. `ofInputStream` bodies
+    * complete the HttpResponse at the headers, so the HttpRequest
+    * timeout no longer bounds the body read (the old `ofByteArray`
+    * path's contract); this restores it two ways: (a) the caller's copy
+    * loop checks `deadline` between reads (the trickle / slow-loris
+    * case) and (b) the watchdog closes the stream at the deadline (the
+    * fully-blocked-read case — a blocked read only unblocks on close).
+    * Both surface as IOException, so `send` retries them exactly like
+    * the old timeout path did. */
+  private def withBodyDeadline[R](in: java.io.InputStream, cfg: HttpConfig)
+                                 (read: Long => R): R = {
+    val deadline = System.nanoTime() + cfg.requestTimeoutMs * 1000000L
+    val kill = watchdog.schedule(new Runnable {
+      def run(): Unit = try in.close() catch { case _: java.io.IOException => () }
+    }, cfg.requestTimeoutMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try read(deadline) finally kill.cancel(false)
+  }
+
+  private def checkDeadline(deadline: Long, url: String, cfg: HttpConfig): Unit =
+    if (System.nanoTime() > deadline)
+      throw new java.net.http.HttpTimeoutException(
+        s"body read exceeded requestTimeoutMs=${cfg.requestTimeoutMs}: $url")
+
   /** GET `url` fully buffered, up to `cfg.maxResponseBytes` — the body
     * streams through a counting copy so an over-cap response fails as
     * soon as the cap is crossed (ErddapResponseTooLarge, NOT retried —
@@ -121,7 +154,7 @@ object ErddapHttp {
       HttpResponse.BodyHandlers.ofInputStream(),
       { resp =>
         val in = resp.body()
-        try {
+        try withBodyDeadline(in, cfg) { deadline =>
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](64 * 1024)
           var total = 0L
@@ -130,6 +163,7 @@ object ErddapHttp {
             total += n
             if (total > cfg.maxResponseBytes)
               throw new ErddapResponseTooLarge(url, cfg.maxResponseBytes)
+            checkDeadline(deadline, url, cfg)
             out.write(buf, 0, n)
             n = in.read(buf)
           }
@@ -146,7 +180,9 @@ object ErddapHttp {
       HttpResponse.BodyHandlers.ofInputStream(),
       { resp =>
         val src = scala.io.Source.fromInputStream(resp.body(), "UTF-8")
-        try src.getLines().nextOption().filter(_.nonEmpty)
+        try withBodyDeadline(resp.body(), cfg) { _ =>
+          src.getLines().nextOption().filter(_.nonEmpty)
+        }
         finally src.close()
       })
 

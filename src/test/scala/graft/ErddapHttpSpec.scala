@@ -82,6 +82,28 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
         } catch { case _: java.io.IOException => () } // client hung up at cap
         ex.close()
       })
+    // a slow-loris endpoint: headers arrive instantly, then the body
+    // trickles one byte per 50 ms forever — the ofInputStream response
+    // "completes" at the headers, so only the body-read deadline bounds
+    // this. The write loop exits when the client hangs up.
+    server.createContext("/erddap/tabledap/trickle_obs.csv",
+      (ex: HttpExchange) => {
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        try { while (true) { out.write('x'); out.flush(); Thread.sleep(50) } }
+        catch { case _: java.io.IOException => () }
+        ex.close()
+      })
+    // a fully-stalled endpoint: headers, then NO bytes at all — a plain
+    // InputStream.read blocks forever here; only the watchdog close can
+    // unblock it. Bounded server-side sleep so the dispatcher thread
+    // frees itself shortly after the client has long since failed.
+    server.createContext("/erddap/tabledap/stall_obs.csv",
+      (ex: HttpExchange) => {
+        ex.sendResponseHeaders(200, 0)
+        Thread.sleep(1500)
+        ex.close()
+      })
     // a server that ignores `page` and always answers a full page — the
     // pagedSearch maxPages cap must fail loudly instead of spinning
     server.createContext("/loop/search/advanced.csv",
@@ -216,6 +238,23 @@ class ErddapHttpSpec extends AnyFunSuite with SparkSpec with BeforeAndAfterAll {
       s"no ErddapResponseTooLarge in chain: $err")
     // under the default (256 MiB) cap the same endpoint reads fine
     assert(readUrls(s"$base/tabledap/huge_obs.csv").count() == 20000L)
+  }
+
+  test("requestTimeoutMs bounds the BODY download: trickle and full stall") {
+    // headers arrive instantly in both cases, so only the body-read
+    // deadline (copy-loop check + watchdog close) can bound these
+    val cfg = HttpConfig(requestTimeoutMs = 300, retries = 0, backoffMs = 1)
+    for (ep <- Seq("trickle_obs.csv", "stall_obs.csv")) {
+      val t0 = System.nanoTime()
+      val e = intercept[ErddapHttp.ErddapHttpException] {
+        ErddapHttp.fetchBytes(s"$base/tabledap/$ep", cfg)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // stalled-body failures surface as IOException → retried like the
+      // old ofByteArray timeout path → ErddapHttpException after retries
+      assert(e.getCause.isInstanceOf[java.io.IOException], s"$ep: ${e.getCause}")
+      assert(sec < 5.0, s"$ep took ${sec}s — deadline did not bound the body read")
+    }
   }
 
   test("pagedSearch fails loudly past maxPages when a server ignores paging") {
