@@ -747,15 +747,15 @@ object Dedup {
     * scale. */
   def allPairsNearDups(emb: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double): DataFrame = {
-    // Norms once per vector; spread the pair loop across all cores (the
-    // single-file source would otherwise make the nested-loop join one
-    // task).
+    // Norms once per vector; widen spreads the pair loop across all
+    // cores when the source is narrow (a single-file source would
+    // otherwise make the nested-loop join one task).
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val e = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
       .where(col("nrm") > 0) // zero-norm: cosine = NaN sorts above minCosine
-    e.repartition(par).as("a").join(e.as("b"), col("a.id") < col("b.id"))
+    Similarity.widen(e, par).as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (Similarity.dot(col("a.v"), col("b.v")) /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))

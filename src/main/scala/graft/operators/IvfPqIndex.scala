@@ -31,6 +31,30 @@ object IvfPqIndex {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
+  /** Assign + PQ-encode `rows` against a FIXED quantizer (centroids +
+    * flattened codebook) and write them into `path/codes` partitioned by
+    * inverted list — the one encode stage `build` and `append` share, so
+    * the incremental path cannot drift from the full build. Map-side
+    * behind one broadcast of the centroids; the partitioned write is the
+    * only fan-out, one directory per list. Assignment can only land on
+    * the STORED centroid ids, so an append never mints a partition the
+    * probe pruning doesn't know. */
+  private def encodeInto(rows: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame, cbFlat: Array[Double],
+                         halfFlat: Array[Double], m: Int, codebookSize: Int,
+                         dsub: Int, path: String, mode: String): Unit = {
+    val c = rows.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+    Similarity.assignTo(c, cents)
+      .select(col("centroid_id"), col("neighbor_id"),
+        PqCodec.encodeCol(transform(col("cv"), x => x / col("cn")),
+          cbFlat, halfFlat, m, codebookSize, dsub).as("codes"))
+      .write.mode(mode).partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Train + encode + write the index under `path`. One pass over the
     * corpus (assignment + encode are map-side behind one broadcast of
     * the centroids); the partitioned write is the only shuffle-free
@@ -42,23 +66,47 @@ object IvfPqIndex {
     val spark = corpus.sparkSession
     val cb = Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize)
     val (cbFlat, halfFlat) = Pq.flatten(cb)
-    val dsub = dim / m
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-        asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
-      .where(col("cn") > 0)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
-    Similarity.assignTo(c, cents)
-      .select(col("centroid_id"), col("neighbor_id"),
-        PqCodec.encodeCol(transform(col("cv"), x => x / col("cn")),
-          cbFlat, halfFlat, m, codebookSize, dsub).as("codes"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$path/codes")
+    encodeInto(corpus, idCol, vecCol, cents, cbFlat, halfFlat, m,
+      codebookSize, dim / m, path, "overwrite")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     import spark.implicits._
     Seq((m, codebookSize, dim, cbFlat.toSeq, halfFlat.toSeq))
       .toDF("m", "k", "dim", "cb_flat", "half_flat")
       .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Append a new batch into an existing index — the incremental-arrival
+    * path a daily 100 TB pipeline needs (build once, append per batch,
+    * never re-encode the corpus). The batch is assigned + encoded with
+    * the STORED centroids and codebook (read from the sidecars, never
+    * retrained — retraining would silently re-key every existing list)
+    * and lands as new files inside the existing centroid_id partition
+    * directories, so probe-time partition pruning covers old and new
+    * rows alike.
+    *
+    * Semantics: if the batch lies outside the seed-selection sets,
+    * `build(corpus); append(batch)` is row-identical to
+    * `build(corpus ∪ batch)` (asserted in DedupSimilaritySpec) — the
+    * quantizer is frozen, only rows accrue. Caller owns id uniqueness
+    * across batches (a re-appended id simply appears twice, like any
+    * append-only table) and schema stability (the batch's idCol type
+    * must match the built index's). Quantizer drift — a batch far from
+    * every stored centroid still lands in its nearest list, just with
+    * coarser codes — is the standard IVF trade; rebuild when recall
+    * decays. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/codebook").head()
+    val m = meta.getAs[Int]("m")
+    val cbSize = meta.getAs[Int]("k")
+    val dim = meta.getAs[Int]("dim")
+    val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
+    val halfFlat = meta.getSeq[Double](meta.fieldIndex("half_flat")).toArray
+    val cents = spark.read.parquet(s"$path/centroids")
+    encodeInto(batch, idCol, vecCol, cents, cbFlat, halfFlat, m, cbSize,
+      dim / m, path, "append")
   }
 
   /** Search a built index. Per query: probe the `nProbe` nearest

@@ -230,10 +230,10 @@ object Pq {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cb = codebook(corpus, idCol, vecCol, m, dim, codebookSize)
     val (cbFlat, halfFlat) = flatten(cb)
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", Similarity.norm(col("cv")))
-      .where(col("cn") > 0)
-      .repartition(par)
+    val c = Similarity.widen(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", Similarity.norm(col("cv")))
+        .where(col("cn") > 0), par)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
     // inverted lists: (list id, PQ codes) per vector — at rest this is
     // the m-byte-code + centroid-id table a 100 TB index persists

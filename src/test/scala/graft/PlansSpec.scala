@@ -132,4 +132,28 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       scan)
   }
+
+  test("widen: a pre-partitioned corpus is NOT reshuffled by ivfPqTopK") {
+    import graft.operators.Pq
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // a many-file source stands in for the 100 TB corpus: thousands of
+    // splits arrive already parallel, so the single-file-fixture widen
+    // must pass it through instead of shuffling the fattest table
+    val wideDir = java.nio.file.Files
+      .createTempDirectory("graft_wide_emb").toString
+    e.repartition(8).write.mode("overwrite").parquet(wideDir)
+    val wide = spark.read.parquet(wideDir)
+    assert(wide.rdd.getNumPartitions >= 4, "fixture must be multi-split")
+    val q = e.where(col("vec_id") < 3)
+    val widePlan = Pq.ivfPqTopK(wide, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 2).queryExecution.optimizedPlan.toString
+    assert(!widePlan.contains("Repartition"),
+      s"pre-partitioned corpus still reshuffled:\n$widePlan")
+    // the single-file fixture still widens (one split would otherwise
+    // run the whole encode/assignment stage one-task)
+    val narrowPlan = Pq.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 2).queryExecution.optimizedPlan.toString
+    assert(narrowPlan.contains("Repartition"),
+      s"narrow corpus not widened:\n$narrowPlan")
+  }
 }
