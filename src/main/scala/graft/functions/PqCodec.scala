@@ -57,6 +57,26 @@ object PqCodec {
     ColumnBridge.column(PqAdcExpr(
       ColumnBridge.expression(lut), ColumnBridge.expression(codes),
       codebookSize))
+
+  /** Per-LIST encode: like [[encodeCol]] but `cbFlat`/`halfFlat` stack
+    * every inverted list's codebook and `listIdx` (int column) selects
+    * the slab — the residual-IVF-PQ variant, where each list quantizes
+    * its own residual cloud. */
+  def encodeListCol(vec: Column, listIdx: Column, cbFlat: Array[Double],
+                    halfFlat: Array[Double], m: Int, codebookSize: Int,
+                    dsub: Int): Column =
+    ColumnBridge.column(PqEncodeListExpr(
+      toDoubleArray(ColumnBridge.expression(vec)),
+      ColumnBridge.expression(listIdx), cbFlat, halfFlat, m, codebookSize,
+      dsub))
+
+  /** Per-LIST query LUT: like [[lutCol]] against `listIdx`'s slab of the
+    * stacked codebook — computed once per (query, probed list) pair. */
+  def lutListCol(vec: Column, listIdx: Column, cbFlat: Array[Double],
+                 m: Int, codebookSize: Int, dsub: Int): Column =
+    ColumnBridge.column(PqLutListExpr(
+      toDoubleArray(ColumnBridge.expression(vec)),
+      ColumnBridge.expression(listIdx), cbFlat, m, codebookSize, dsub))
 }
 
 /** argmin-encode a normalized vector against the bound codebook.
@@ -236,4 +256,151 @@ case class PqAdcExpr(left: Expression, right: Expression, codebookSize: Int)
       newLeft: Expression, newRight: Expression): PqAdcExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "pq_adc"
+}
+
+/** Per-list argmin-encode: `left` is the residual vector, `right` the
+  * int list index selecting a slab of the STACKED codebook
+  * (cbFlat(((li·m + j)·k + c)·dsub + t), halfFlat((li·m + j)·k + c)).
+  * Same float-math conventions as [[PqEncodeExpr]] (ascending-t dots,
+  * strict-< argmin with the +0.0 canon). Null on null/mis-sized input
+  * or a list index outside the stacked range — an out-of-range slab
+  * read would be silently wrong. */
+case class PqEncodeListExpr(left: Expression, right: Expression,
+                            cbFlat: Array[Double], halfFlat: Array[Double],
+                            m: Int, codebookSize: Int,
+                            dsub: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any, liAny: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val li = liAny.asInstanceOf[Int]
+    if (v.numElements() != m * dsub) return null
+    if (li < 0 || (li + 1) * m * codebookSize > halfFlat.length) return null
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.PositiveInfinity
+      var bestCode = 0
+      var c = 0
+      while (c < codebookSize) {
+        var acc = 0.0
+        val base = (((li * m + j) * codebookSize) + c) * dsub
+        var t = 0
+        while (t < dsub) { acc += v.getDouble(j * dsub + t) * cbFlat(base + t); t += 1 }
+        val negs = -(acc - halfFlat((li * m + j) * codebookSize + c)) + 0.0
+        if (negs < best) { best = negs; bestCode = c }
+        c += 1
+      }
+      codes(j) = bestCode
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCbL", cbFlat, "double[]")
+    val half = ctx.addReferenceObj("pqHalfL", halfFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, li) => {
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best"); val bestCode = ctx.freshName("bestCode")
+      val negs = ctx.freshName("negs"); val codes = ctx.freshName("codes")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != ${m * dsub} ||
+         |    $li < 0 || ($li + 1) * ${m * codebookSize} > $half.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    double $best = Double.POSITIVE_INFINITY;
+         |    int $bestCode = 0;
+         |    for (int $c = 0; $c < $codebookSize; $c++) {
+         |      double $acc = 0.0;
+         |      int $base = ((($li * $m + $j) * $codebookSize) + $c) * $dsub;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        $acc += $v.getDouble($j * $dsub + $t) * $cb[$base + $t];
+         |      }
+         |      double $negs = -($acc - $half[($li * $m + $j) * $codebookSize + $c]) + 0.0;
+         |      if ($negs < $best) { $best = $negs; $bestCode = $c; }
+         |    }
+         |    $codes[$j] = $bestCode;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeListExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_encode_list"
+}
+
+/** Per-list query LUT against `right`'s slab of the stacked codebook —
+  * the residual-IVF-PQ query side, one LUT per (query, probed list). */
+case class PqLutListExpr(left: Expression, right: Expression,
+                         cbFlat: Array[Double], m: Int, codebookSize: Int,
+                         dsub: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any, liAny: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val li = liAny.asInstanceOf[Int]
+    if (v.numElements() != m * dsub) return null
+    if (li < 0 || ((li + 1) * m * codebookSize) * dsub > cbFlat.length) return null
+    val lut = new Array[Double](m * codebookSize)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < codebookSize) {
+        var acc = 0.0
+        val base = (((li * m + j) * codebookSize) + c) * dsub
+        var t = 0
+        while (t < dsub) { acc += v.getDouble(j * dsub + t) * cbFlat(base + t); t += 1 }
+        lut(j * codebookSize + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCbL", cbFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, li) => {
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+      val lut = ctx.freshName("lut"); val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != ${m * dsub} ||
+         |    $li < 0 || (($li + 1) * ${m * codebookSize}) * ${dsub} > $cb.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $lut = new double[${m * codebookSize}];
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    for (int $c = 0; $c < $codebookSize; $c++) {
+         |      double $acc = 0.0;
+         |      int $base = ((($li * $m + $j) * $codebookSize) + $c) * $dsub;
+         |      for (int $t = 0; $t < $dsub; $t++) {
+         |        $acc += $v.getDouble($j * $dsub + $t) * $cb[$base + $t];
+         |      }
+         |      $lut[$j * $codebookSize + $c] = $acc;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($lut);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqLutListExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_lut_list"
 }

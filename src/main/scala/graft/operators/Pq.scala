@@ -123,10 +123,10 @@ object Pq {
       .withColumn("nq", normalize(col("qv"), col("qn")))
       .withColumn("lut", PqCodec.lutCol(col("nq"), cbFlat, m, codebookSize, dsub))
 
-  /** (query_id, centroid_id, lut): each query's nProbe nearest inverted
+  /** (query_id, centroid_id): each query's nProbe nearest inverted
     * lists (same probe math as ivfTopK; + 0.0 canonicalizes -0.0 — see
     * Similarity.topKPerQuery). */
-  private[operators] def probeTable(q: DataFrame, cents: DataFrame,
+  private[operators] def probePairs(q: DataFrame, cents: DataFrame,
                                     nProbe: Int): DataFrame =
     q.crossJoin(broadcast(cents))
       .select(col("query_id"),
@@ -137,6 +137,11 @@ object Pq {
       .groupBy("query_id")
       .agg(slice(array_sort(collect_list(col("_cand"))), 1, nProbe).as("_top"))
       .select(col("query_id"), explode(col("_top.centroid_id")).as("centroid_id"))
+
+  /** [[probePairs]] with each query's global-codebook LUT attached. */
+  private[operators] def probeTable(q: DataFrame, cents: DataFrame,
+                                    nProbe: Int): DataFrame =
+    probePairs(q, cents, nProbe)
       .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
 
   /** ADC scores of code rows joined to their probing queries —
@@ -215,17 +220,22 @@ object Pq {
     * aggregates. No window, no full-corpus per-query work, nothing
     * O(n²).
     *
-    * The codebook trains on the corpus-wide hash sample (not per-list
-    * residuals): encode stays one map-side expression and the ADC
-    * scores are comparable across lists — residual codebooks buy
-    * tighter quantization at the cost of per-list LUTs; recall here
-    * tunes with nProbe/rerankDepth, gated in DedupSimilaritySpec. */
+    * By default the codebook trains on the corpus-wide hash sample (not
+    * per-list residuals): encode stays one map-side expression and the
+    * ADC scores are comparable across lists; recall tunes with
+    * nProbe/rerankDepth, gated in DedupSimilaritySpec. `residual = true`
+    * switches to per-list residual codebooks ([[ivfPqResidualTopK]]) —
+    * tighter quantization at equal code bytes, at the cost of per-list
+    * LUTs and a stacked codebook that grows with nCentroids. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 16, dim: Int = 64, codebookSize: Int = 16,
-                rerankDepth: Int = 50): DataFrame = {
+                rerankDepth: Int = 50, residual: Boolean = false): DataFrame = {
     require(rerankDepth >= k, "rerankDepth must be >= k")
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
+    if (residual)
+      return ivfPqResidualTopK(corpus, queries, idCol, vecCol, k, nCentroids,
+        nProbe, m, dim, codebookSize, rerankDepth)
     val dsub = dim / m
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val cb = codebook(corpus, idCol, vecCol, m, dim, codebookSize)
@@ -249,6 +259,117 @@ object Pq {
     // probe lists are distinct per query, so (query, neighbor) pairs are
     // already distinct — no dedup aggregate
     val scored = adcScored(codes, probes, codebookSize)
+    val cands = Similarity.topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
+  }
+
+  /** Residual IVF-PQ (`ivfPqTopK(residual = true)`): each inverted list
+    * quantizes its OWN residual cloud r = v̂ − ĉ (unit vector minus unit
+    * assigned centroid) with a per-list codebook, and ADC becomes
+    * `q̂·ĉ (exact, per probed list) + q̂·r̃ (per-list LUT)` — the FAISS
+    * residual formulation. Residuals are tighter than raw vectors
+    * (within-list spread only), so at EQUAL code bytes the quantizer is
+    * finer; the cost is the per-list codebook table.
+    *
+    * Scale shape: everything the non-residual path proves, plus one
+    * broadcast (centroid_id → list_idx, unit centroid) join on each
+    * side; the per-list codebooks ride codegen as ONE stacked array
+    * indexed by list slab, trained by the same deterministic
+    * smallest-md5 sampling (k-bounded per-list via `BoundedTopK`, never
+    * a per-list window), with short lists padded cyclically. HONEST
+    * trade: the stacked array is nCentroids·codebookSize·dim doubles —
+    * at the √n rule and 1e9 vectors that is ~260 MB riding the plan, so
+    * at extreme scale cap nCentroids for residual mode (or shard the
+    * index) where the global-codebook path has no such ceiling. The
+    * corpus is assigned twice (once to train, once to encode) — the
+    * same recompute-over-persist choice `codebook` makes, since caching
+    * the fattest table is the wrong default at 100 TB. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nCentroids: Int = 16,
+                        nProbe: Int = 4, m: Int = 16, dim: Int = 64,
+                        codebookSize: Int = 16,
+                        rerankDepth: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val c = Similarity.widen(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", Similarity.norm(col("cv")))
+        .where(col("cn") > 0), par)
+    val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val unitCents = cents.select(col("centroid_id"),
+      transform(col("centroid"), x => x / col("centroid_n")).as("cu"))
+    // (centroid_id, neighbor_id, rv): per-vector residual vs its list
+    def assignedResiduals: DataFrame = Similarity.assignTo(c, cents)
+      .join(broadcast(unitCents), Seq("centroid_id"))
+      .select(col("centroid_id"), col("neighbor_id"),
+        zip_with(transform(col("cv"), x => x / col("cn")), col("cu"),
+          (a, b) => a - b).as("rv"))
+    // per-list codebooks: the codebookSize smallest-hash members'
+    // residuals of each list (k-bounded aggregate), cyclically padded
+    // when a list is shorter than the codebook
+    val seedRows = GroupTopN.smallestPerKey(assignedResiduals, "centroid_id",
+      struct(Sampling.hash24(col("neighbor_id"), "pqr").as("h"),
+        col("neighbor_id").as("id"), col("rv")).as("_it"), codebookSize)
+      .collect()
+    val seedsByList: Map[Any, Seq[Seq[Double]]] = seedRows.map { r =>
+      r.get(0) -> r.getSeq[Row](1).map(_.getSeq[Double](2))
+    }.toMap
+    val orderedIds = cents.select("centroid_id").orderBy("centroid_id")
+      .collect().map(_.get(0))
+    val nLists = orderedIds.length
+    val cbFlat = new Array[Double](nLists * m * codebookSize * dsub)
+    val halfFlat = new Array[Double](nLists * m * codebookSize)
+    for ((lid, li) <- orderedIds.zipWithIndex; seeds <- seedsByList.get(lid)) {
+      for (ci <- 0 until codebookSize) {
+        val rv = seeds(ci % seeds.size)
+        for (j <- 0 until m) {
+          var half = 0.0 // ascending-t left fold, the oracle convention
+          for (t <- 0 until dsub) {
+            val x = rv(j * dsub + t)
+            cbFlat((((li * m + j) * codebookSize) + ci) * dsub + t) = x
+            half += x * x
+          }
+          halfFlat((li * m + j) * codebookSize + ci) = half / 2.0
+        }
+      }
+    } // an empty list keeps a zero slab: it has no code rows to score
+    val idxDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        orderedIds.zipWithIndex.map { case (v, i) => Row(v, i) }: _*),
+      StructType(Seq(cents.schema("centroid_id"),
+        StructField("list_idx", IntegerType, nullable = false))))
+    val codes = assignedResiduals.join(broadcast(idxDf), Seq("centroid_id"))
+      .select(col("centroid_id"), col("neighbor_id"),
+        PqCodec.encodeListCol(col("rv"), col("list_idx"), cbFlat, halfFlat,
+          m, codebookSize, dsub).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .where(col("qn") > 0)
+      .withColumn("nq", normalize(col("qv"), col("qn")))
+    // per-(query, probed list): exact coarse term + that list's LUT —
+    // all on the bounded (nProbe·|queries|) broadcast side
+    val probes = probePairs(q, cents, nProbe)
+      .join(q.select(col("query_id"), col("qv"), col("qn"), col("nq")),
+        Seq("query_id"))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .join(broadcast(idxDf), Seq("centroid_id"))
+      .select(col("query_id"), col("centroid_id"),
+        (Similarity.dot(col("qv"), col("centroid")) /
+          (col("qn") * col("centroid_n"))).as("qdotc"),
+        PqCodec.lutListCol(col("nq"), col("list_idx"), cbFlat, m,
+          codebookSize, dsub).as("lut"))
+    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qdotc") +
+          PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
+          .as("cosine"))
     val cands = Similarity.topKPerQuery(scored, rerankDepth)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(cands, corpus, idCol, vecCol, q, k)

@@ -361,6 +361,43 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"post-append codes scan lost the probed-list partition filter:\n$incPlan")
   }
 
+  test("residual IVF-PQ beats the global codebook at equal code bytes (low-rank)") {
+    import graft.operators.{Pq, Similarity}
+    // the deterministic rank-8-plus-noise table from the PCA pay-off
+    // smoke — real embedding corpora are low-rank-ish, which is exactly
+    // where per-list residuals are much tighter than raw vectors
+    val rank = 8; val dim = 64
+    val rnd = new scala.util.Random(42)
+    val w = Array.fill(rank, dim)(rnd.nextGaussian() / math.sqrt(rank.toDouble))
+    def u01(salt: Int) = // md5-uniform in [-1, 1), deterministic per (id, salt)
+      conv(substring(md5(concat_ws("|", col("id"), lit(salt))), 1, 6), 16, 10)
+        .cast("double") / lit(8388607.5d) - 1.0d
+    val lowRank = spark.range(2000).select(col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        val signal = (0 until rank).map(r => u01(r) * lit(w(r)(d))).reduce(_ + _)
+        (signal + u01(1000 + d) * lit(0.05d)).cast("float")
+      }: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lowRank.count()
+    val q = lowRank.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(lowRank, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    // nProbe = all lists and rerankDepth = k: coarse-probe recall and
+    // re-rank rescue are both OFF, so the ADC ordering alone decides —
+    // a pure equal-code-bytes quantizer comparison (m=16, k=16 both)
+    def recall(residual: Boolean): Long =
+      Pq.ivfPqTopK(lowRank, q, "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 16, rerankDepth = 5, residual = residual)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+    val global = recall(false)
+    val res = recall(true)
+    info(s"recall@5 vs exact: global codebook $global/25, residual $res/25")
+    assert(res > global,
+      s"residual codebooks must win at equal code bytes: residual $res <= global $global")
+    lowRank.unpersist()
+  }
+
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
     import graft.operators.Pq
     // the standard PQ byte code — the literal-unrolled formulation could
