@@ -394,6 +394,55 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** `Pipeline.prepareSequences` end to end: the full curation chain,
+    * its TRAIN split only, packed into exact-512 training sequences —
+    * composing oE2E's curation CTEs with oX8's packing replay. Under
+    * the hash gate this also pins the no-leak claim: every (doc_id,
+    * span) row must come from a doc the oracle's own train filter kept,
+    * so a test doc in any sequence is a hash mismatch. */
+  private def qE2Epack(s: SparkSession, d: String): DataFrame =
+    graft.api.Pipeline.prepareSequences(docs(s, d), "doc_id", "text",
+        "lang", "n_chars", seqLen = 512L)
+      .select("lang", "doc_id", "seq_no", "tok_start", "tok_end", "seq_offset")
+      .orderBy("lang", "seq_no", "seq_offset", "doc_id")
+  private val oE2Epack =
+    """WITH fp AS (SELECT doc_id, lang, n_chars, text,
+      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |FROM documents),
+      |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
+      |dd AS (SELECT fp.doc_id, fp.lang, fp.n_chars, fp.text FROM fp
+      |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+      |t AS (SELECT doc_id, lang, n_chars, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM dd),
+      |g AS (SELECT doc_id, lang, n_chars FROM t
+      |  WHERE round(
+      |    (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |    + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |            BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |    + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |    6) >= CAST(0.3 AS DOUBLE)),
+      |h AS (SELECT doc_id, lang, n_chars,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM g),
+      |tr AS (SELECT doc_id, lang, n_chars, hh FROM h WHERE hh >= 3355443),
+      |pc AS (SELECT lang, doc_id, n_chars,
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tr),
+      |ps AS (SELECT lang, doc_id, cum, cum - n_chars AS st FROM pc
+      |  WHERE n_chars > 0),
+      |pspan AS (SELECT lang, doc_id, cum, st,
+      |    unnest(range(st // 512, (cum - 1) // 512 + 1)) AS seq_no
+      |  FROM ps)
+      |SELECT lang, doc_id, CAST(seq_no AS BIGINT) AS seq_no,
+      |  CAST(greatest(st, seq_no * 512) - st AS BIGINT) AS tok_start,
+      |  CAST(least(cum, (seq_no + 1) * 512) - st AS BIGINT) AS tok_end,
+      |  CAST(greatest(st, seq_no * 512) - seq_no * 512 AS BIGINT) AS seq_offset
+      |FROM pspan ORDER BY lang, seq_no, seq_offset, doc_id""".stripMargin
+
   // ---- batch sessionization ----------------------------------------------
 
   /** Gap-based sessionization of the event stream's history (4-hour
@@ -478,6 +527,7 @@ object PipelineQueries {
     "q_t9_corpus_profile" -> qT9profile _,
     "q_t10_chunks" -> qT10chunks _,
     "q_e2e_curate" -> qE2Ecurate _,
+    "q_e2e_pack" -> qE2Epack _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -495,5 +545,6 @@ object PipelineQueries {
     "q_t9_corpus_profile" -> oT9,
     "q_t10_chunks" -> oT10,
     "q_e2e_curate" -> oE2E,
+    "q_e2e_pack" -> oE2Epack,
   )
 }
