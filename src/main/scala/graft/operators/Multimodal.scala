@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * animated GIF via ImageIO's frame-indexed reader (frameSampleDecoded
   * — real per-frame sampling for one container format). Other video
   * containers and compressed audio remain clearly-marked deterministic
-  * STUBS — this environment has no such codecs; swapping one in touches
-  * only the marked fallback branches, the distributed plumbing is
-  * unchanged.
+  * STUBS for their PAYLOADS — this environment has no such codecs;
+  * swapping one in touches only the marked fallback branches, the
+  * distributed plumbing is unchanged. Their HEADERS are really parsed,
+  * though: [[sniffContainerMeta]] reads mp4 box trees (duration,
+  * dimensions, brand), mp3 frame headers (bitrate, sample rate, CBR
+  * duration), and webm/Matroska EBML doctypes with no codec at all.
   */
 object Multimodal {
 
@@ -355,4 +358,146 @@ object Multimodal {
     df.withColumn("meta", col("meta")
       .withField("width", lit(w))
       .withField("height", lit(h)))
+
+  // ---- container header sniffing (REAL — no codec needed) -----------------
+
+  /** Header-only container metadata — REAL parsing, no decode: the
+    * container formats whose PAYLOAD this environment cannot decode
+    * (mp4/mp3/webm) still carry machine-readable headers, and a curation
+    * pipeline wants duration/dimensions/codec for filtering and cost
+    * estimation long before any decode stage runs. Everything here reads
+    * a bounded prefix-structure of the byte array; nothing touches codec
+    * frames, so none of it is a stub. */
+  private[operators] final case class ContainerMeta(
+      container: String, codec: String, duration_s: Option[Double],
+      width: Option[Int], height: Option[Int], sample_rate: Option[Int],
+      bitrate_kbps: Option[Int])
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** ISO-BMFF (mp4/mov/m4a) header walk: `ftyp` major brand as the
+    * codec tag, `moov/mvhd` timescale+duration, and the first non-zero
+    * `moov/trak/tkhd` 16.16-fixed width/height. Box sizes are validated
+    * (64-bit and to-end sizes included); a malformed tree yields what
+    * was parsed up to the corruption, never a throw. */
+  private[operators] def sniffMp4(b: Array[Byte]): Option[ContainerMeta] = {
+    if (b == null || b.length < 12 || b(4) != 'f' || b(5) != 't' ||
+        b(6) != 'y' || b(7) != 'p') return None
+    val brand = new String(b, 8, 4, "US-ASCII").trim
+    var dur: Option[Double] = None
+    var w: Option[Int] = None
+    var h: Option[Int] = None
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && depth < 8) {
+        var size = be32(b, off.toInt)
+        val typ = new String(b, off.toInt + 4, 4, "US-ASCII")
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) { size = be64(b, off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return // corrupt: keep what we have
+        val p = (off + hdr).toInt
+        typ match {
+          case "moov" | "trak" => walk(off + hdr, off + size, depth + 1)
+          case "mvhd" if dur.isEmpty && off + hdr + 4 <= end =>
+            val v = b(p) & 0xff
+            if (v == 1 && p + 32 <= end) {
+              val ts = be32(b, p + 20); val d = be64(b, p + 24)
+              if (ts > 0) dur = Some(d.toDouble / ts)
+            } else if (v == 0 && p + 20 <= end) {
+              val ts = be32(b, p + 12); val d = be32(b, p + 16)
+              if (ts > 0) dur = Some(d.toDouble / ts)
+            }
+          case "tkhd" if w.isEmpty && off + hdr + 4 <= end =>
+            val v = b(p) & 0xff
+            val wOff = if (v == 1) p + 88 else p + 76
+            if (wOff + 8 <= end) {
+              val tw = (be32(b, wOff) >> 16).toInt
+              val th = (be32(b, wOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = Some(tw); h = Some(th) }
+            }
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, b.length.toLong, 0)
+    Some(ContainerMeta("video/mp4", brand, dur, w, h, None, None))
+  }
+
+  /** MPEG audio (mp3) first-frame header past any ID3v2 tag: version,
+    * Layer III bitrate/sample-rate tables, and the CBR duration
+    * estimate (payload bytes · 8 / bitrate — honest for constant-rate
+    * streams, the usual header-only estimator). None for free-format,
+    * reserved, or non-Layer-III frames. */
+  private[operators] def sniffMp3(b: Array[Byte]): Option[ContainerMeta] = {
+    if (b == null || b.length < 4) return None
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      off = 10 + (((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f))
+    }
+    if (off + 4 > b.length) return None
+    val h = be32(b, off)
+    if ((h & 0xFFE00000L) != 0xFFE00000L) return None
+    val verBits = ((h >> 19) & 3).toInt  // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layerBits = ((h >> 17) & 3).toInt // 1=Layer III
+    if (verBits == 1 || layerBits != 1) return None
+    val brIdx = ((h >> 12) & 0xf).toInt
+    val srIdx = ((h >> 10) & 3).toInt
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val kbps =
+      if (verBits == 3)
+        Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+      else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+    val sr = (verBits match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val ver = verBits match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+    Some(ContainerMeta("audio/mpeg", s"mpeg$ver-layer3",
+      Some((b.length - off) * 8.0 / (kbps * 1000.0)), None, None,
+      Some(sr), Some(kbps)))
+  }
+
+  /** Matroska/WebM EBML header: magic + the DocType string scanned from
+    * the bounded EBML head — container identification without an EBML
+    * tree walk (duration lives deep in Segment/Info; honest null). */
+  private[operators] def sniffWebm(b: Array[Byte]): Option[ContainerMeta] = {
+    if (b == null || b.length < 8 || b(0) != 0x1A.toByte ||
+        b(1) != 0x45.toByte || b(2) != 0xDF.toByte || b(3) != 0xA3.toByte)
+      return None
+    // DocType element id 0x4282, size as a 1-byte vint (doc types are
+    // short ASCII), within the EBML head
+    val limit = math.min(b.length - 3, 128)
+    var i = 4
+    var doc = "matroska"
+    while (i < limit) {
+      if (b(i) == 0x42.toByte && b(i + 1) == 0x82.toByte &&
+          (b(i + 2) & 0x80) != 0) {
+        val n = b(i + 2) & 0x7f
+        if (i + 3 + n <= b.length) doc = new String(b, i + 3, n, "US-ASCII")
+        i = limit
+      } else i += 1
+    }
+    Some(ContainerMeta(if (doc == "webm") "video/webm" else "video/x-matroska",
+      doc, None, None, None, None, None))
+  }
+
+  private[operators] def sniffContainer(b: Array[Byte]): Option[ContainerMeta] =
+    sniffMp4(b).orElse(sniffMp3(b)).orElse(sniffWebm(b))
+
+  /** `container_meta` struct from header-only sniffing of the `media`
+    * column (null for unrecognized payloads) — the metadata a pipeline
+    * filters/estimates on before any decode stage. Map-side, bounded
+    * per-row work (headers only), the package's justified-UDF shape. */
+  def sniffContainerMeta(df: DataFrame): DataFrame = {
+    val sniff = udf { (bytes: Array[Byte]) => sniffContainer(bytes) }
+    df.withColumn("container_meta", sniff(col("media")))
+  }
 }

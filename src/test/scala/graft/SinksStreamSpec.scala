@@ -200,6 +200,55 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(stub.nonEmpty && stub.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
   }
 
+  test("container sniffing: mp4/mp3/webm headers parse without any codec") {
+    // hand-assembled minimal containers, every field pinned — the headers
+    // are REAL (a demuxer would accept the same structure), only payloads
+    // are absent, which is exactly what header-only sniffing never reads
+    val bo = new java.io.ByteArrayOutputStream()
+    def i32(v: Long): Unit = { bo.write((v >> 24).toInt & 0xff)
+      bo.write((v >> 16).toInt & 0xff); bo.write((v >> 8).toInt & 0xff)
+      bo.write(v.toInt & 0xff) }
+    def tag(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+    // mp4: ftyp(isom) + moov{ mvhd v0 (timescale 1000, duration 5000),
+    // trak{ tkhd v0 (width 320, height 240 as 16.16 fixed) } }
+    i32(16); tag("ftyp"); tag("isom"); i32(0)
+    i32(8 + 28 + 100); tag("moov")
+    i32(28); tag("mvhd"); i32(0); i32(0); i32(0); i32(1000); i32(5000)
+    i32(100); tag("trak")
+    i32(92); tag("tkhd"); (0 until 19).foreach(_ => i32(0)) // v0 + 72 bytes
+    i32(320L << 16); i32(240L << 16)
+    val mp4 = bo.toByteArray; bo.reset()
+    // mp3: empty ID3v2 tag + MPEG1 Layer III frame header (128 kbps,
+    // 44100 Hz) + 1000 payload bytes → CBR estimate 1000*8/128000 s
+    tag("ID3"); bo.write(3); bo.write(0); bo.write(0)
+    (0 until 4).foreach(_ => bo.write(0))
+    bo.write(0xFF); bo.write(0xFB); bo.write(0x90); bo.write(0)
+    (0 until 996).foreach(_ => bo.write(0xAA))
+    val mp3 = bo.toByteArray; bo.reset()
+    // webm: EBML magic + size vint + DocType(0x4282) "webm"
+    Seq(0x1A, 0x45, 0xDF, 0xA3, 0x9F).foreach(bo.write)
+    Seq(0x42, 0x82, 0x84).foreach(bo.write); tag("webm")
+    val webm = bo.toByteArray; bo.reset()
+    val junk = "not a container at all".getBytes("UTF-8")
+    val df = Seq((1L, mp4), (2L, mp3), (3L, webm), (4L, junk))
+      .toDF("media_id", "media")
+    val out = Multimodal.sniffContainerMeta(df)
+      .select("media_id", "container_meta.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val m4 = out(1L)
+    assert(m4.getString(1) == "video/mp4" && m4.getString(2) == "isom")
+    assert(m4.getDouble(3) == 5.0, s"mvhd duration: $m4")
+    assert(m4.getInt(4) == 320 && m4.getInt(5) == 240, s"tkhd dims: $m4")
+    val m3 = out(2L)
+    assert(m3.getString(1) == "audio/mpeg" && m3.getString(2) == "mpeg1-layer3")
+    assert(m3.getDouble(3) == 1000 * 8.0 / 128000.0, s"mp3 duration: $m3")
+    assert(m3.getInt(6) == 44100 && m3.getInt(7) == 128, s"mp3 rates: $m3")
+    val wb = out(3L)
+    assert(wb.getString(1) == "video/webm" && wb.getString(2) == "webm")
+    assert(wb.isNullAt(3), "webm duration is honestly null (no EBML walk)")
+    assert(out(4L).isNullAt(1), "junk must sniff to null")
+  }
+
   test("KML sink renders placemarks from GeoJSON tracks (S15)") {
     val obs = Seq(
       ("ds1", Timestamp.valueOf("2024-01-01 00:00:00"), 39.5, -74.2),
