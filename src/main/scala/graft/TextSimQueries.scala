@@ -1236,6 +1236,50 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** The index's INCREMENTAL path under the same hash gate: build over
+    * the corpus minus an engineered batch, `append` the batch, then
+    * serve the q_s5 query set from the stitched index. The batch is the
+    * 8 largest vec_ids outside BOTH deterministic seed selections (IVF
+    * centroids, PQ codebook = the smallest-md5 ids under their salts),
+    * so removing and re-appending it cannot change the trained
+    * quantizer — build+append is row-identical to the full build, and
+    * the oracle is oS5 VERBATIM: a single drifted code row in the
+    * appended partition files is a hash mismatch. Driver-side work is
+    * three bounded collects (16 + 16 seed ids, 64 candidate ids). */
+  private def qS9indexAppend(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
+    val ivfSeeds = Similarity.sampleCentroids(e, "vec_id", "embedding", nCent)
+      .select("centroid_id").collect().map(_.getLong(0)).toSet
+    val pqSeeds = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v"))).where(col("nrm") > 0)
+      .orderBy(graft.operators.Sampling.hash24(col("vec_id"), "pq").asc,
+        col("vec_id").asc)
+      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = e.select("vec_id").orderBy(desc("vec_id")).limit(64)
+      .collect().map(_.getLong(0)).filterNot(ivfSeeds ++ pqSeeds)
+      .take(8).toSeq
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#append").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val pid = java.lang.ProcessHandle.current().pid()
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_a_${dirKey}_p$pid").getAbsolutePath
+    graft.operators.IvfPqIndex.build(
+      e.where(!col("vec_id").isin(batchIds: _*)), "vec_id", "embedding",
+      dir, nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
+    graft.operators.IvfPqIndex.append(
+      e.where(col("vec_id").isin(batchIds: _*)), "vec_id", "embedding", dir)
+    graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = nProbe, rerankDepth = 50,
+        rerank = Some(e))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval (the RAG-serving shape): BM25 keyword retrieve
     * (top-50, deterministic (score desc, id) cut) → exact embedding-
     * cosine rerank of just those candidates against one query vector —
@@ -1513,6 +1557,7 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_s6_hybrid_rerank" -> qS6hybrid _,
     "q_s7_index_search" -> qS7indexSearch _,
+    "q_s9_index_append" -> qS9indexAppend _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1553,6 +1598,7 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> oS5,
     "q_s6_hybrid_rerank" -> oS6,
     "q_s7_index_search" -> oS5,
+    "q_s9_index_append" -> oS5,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,
