@@ -358,10 +358,18 @@ object ScaleSmoke {
         "vec_id", "embedding", k = 5, nProbe = 8, rerankDepth = 50,
         rerank = Some(emb))
       val n = res.count()
-      val fsScan = res.queryExecution.executedPlan.collectLeaves()
-        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec
-            if s.relation.location.rootPaths.exists(_.toString.contains("/codes"))
-          => s }
+      // AQE-aware scan hunt: AdaptiveSparkPlanExec presents as a leaf to
+      // collect(), so recurse through its current physical plan
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+        }.flatten
+      val fsScan = scans(res.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("/codes")))
         .head
       val read = fsScan.relation.location
         .listFiles(fsScan.partitionFilters, Nil).map(_.files.size).sum
