@@ -1280,6 +1280,131 @@ object TextSimQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual IVF-PQ under the FULL hash gate: same scale-rule
+    * parameters as q_s5 but with `residual = true` — per-list residual
+    * codebooks, ADC = exact per-list coarse term + per-(query, list)
+    * LUT. The oracle extends oS5's proven CTE structure with the
+    * residual stages: unit centroids, per-vector residuals, per-LIST
+    * seed selection (row_number over (hash, id) within each list,
+    * cyclically padded via `srn = code % list_seed_count`), per-list
+    * codeword slices/halves, argmin encode against the OWN list's
+    * codewords only, and the qdotc + LUT-sum score — every float fold
+    * ascending, the package's parity conventions throughout. */
+  private def qS10annResidual(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
+    graft.operators.Pq.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, nCentroids = nCent, nProbe = nProbe, m = 16,
+        dim = 64, codebookSize = 16, rerankDepth = 50, residual = true)
+      .orderBy("query_id", "rank")
+  }
+  private val oS10 = {
+    val m = 16; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |nvs AS (SELECT id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / nrm) AS nv FROM e),
+       |ncl AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n
+       |  FROM e),
+       |npl AS (SELECT greatest(4, CAST(ceil(n / 4.0) AS BIGINT)) AS n FROM ncl),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM (
+       |    SELECT id, embedding, row_number() OVER (ORDER BY hh, id) AS rn
+       |    FROM h)
+       |  WHERE rn <= (SELECT n FROM ncl)),
+       |cn AS (SELECT cid, ce, sqrt(list_sum(list_transform(ce,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm FROM cents),
+       |cu AS (SELECT cid, list_transform(ce,
+       |    x -> CAST(x AS DOUBLE) / cnrm) AS cu FROM cn),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+       |  FROM sim WHERE vid < 5) WHERE rn <= (SELECT n FROM npl)),
+       |rsd AS (SELECT a.vid, a.cid,
+       |    list_transform(range(1, 65), i -> n.nv[i] - cu.cu[i]) AS rv
+       |  FROM assign a JOIN nvs n ON n.id = a.vid JOIN cu ON cu.cid = a.cid),
+       |sh AS (SELECT vid, cid, rv,
+       |    CAST(concat('0x', substr(md5(concat(CAST(vid AS VARCHAR), '|pqr')),
+       |      1, 6)) AS BIGINT) AS hh FROM rsd),
+       |seedk AS (SELECT cid, rv, srn FROM (SELECT cid, rv,
+       |    row_number() OVER (PARTITION BY cid ORDER BY hh, vid) - 1 AS srn
+       |  FROM sh) WHERE srn < $cbk),
+       |scnt AS (SELECT cid, count(*) AS sc FROM seedk GROUP BY 1),
+       |cb AS (SELECT s2.cid, r.c AS code, sk.rv
+       |  FROM scnt s2 CROSS JOIN range(0, $cbk) r(c)
+       |  JOIN seedk sk ON sk.cid = s2.cid AND sk.srn = r.c % s2.sc),
+       |cw AS (SELECT cb.cid, cb.code, r.j,
+       |    list_slice(cb.rv, r.j * $dsub + 1, r.j * $dsub + $dsub) AS w,
+       |    list_sum(list_transform(
+       |      list_slice(cb.rv, r.j * $dsub + 1, r.j * $dsub + $dsub),
+       |      x -> x * x)) / 2 AS half
+       |  FROM cb CROSS JOIN range(0, $m) r(j)),
+       |sc2 AS (SELECT rs.vid, rs.cid, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(rs.rv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) - c.half AS s
+       |  FROM rsd rs JOIN cw c ON c.cid = rs.cid),
+       |enc AS (SELECT vid, cid, list(code ORDER BY j) AS codes FROM (
+       |    SELECT vid, cid, j, code, row_number() OVER (PARTITION BY vid, j
+       |      ORDER BY s DESC, code) AS rn FROM sc2)
+       |  WHERE rn = 1 GROUP BY vid, cid),
+       |q2 AS (SELECT id AS query_id, nv FROM nvs WHERE id < 5),
+       |qc AS (SELECT pb.query_id, pb.cid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(cn.ce[i] AS DOUBLE)))
+       |      / (eq.nrm * cn.cnrm) AS qdotc
+       |  FROM probes pb JOIN e eq ON eq.id = pb.query_id
+       |  JOIN cn ON cn.cid = pb.cid),
+       |lutr AS (SELECT pb.query_id, c.cid, c.j, c.code,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      i -> list_slice(q2.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+       |        * c.w[i])) AS p
+       |  FROM probes pb JOIN q2 ON q2.query_id = pb.query_id
+       |  JOIN cw c ON c.cid = pb.cid),
+       |lut2 AS (SELECT query_id, cid, list(pl ORDER BY j) AS lut FROM (
+       |    SELECT query_id, cid, j, list(p ORDER BY code) AS pl
+       |    FROM lutr GROUP BY 1, 2, 3) GROUP BY 1, 2),
+       |adc AS (SELECT l.query_id, enc.vid AS neighbor_id,
+       |    round(qc.qdotc + list_sum(list_transform(range(1, ${m + 1}),
+       |      j -> l.lut[j][enc.codes[j] + 1])), 6) AS s
+       |  FROM lut2 l JOIN qc ON qc.query_id = l.query_id AND qc.cid = l.cid
+       |  JOIN enc ON enc.cid = l.cid
+       |  WHERE enc.vid <> l.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Hybrid retrieval (the RAG-serving shape): BM25 keyword retrieve
     * (top-50, deterministic (score desc, id) cut) → exact embedding-
     * cosine rerank of just those candidates against one query vector —
@@ -1558,6 +1683,7 @@ object TextSimQueries {
     "q_s6_hybrid_rerank" -> qS6hybrid _,
     "q_s7_index_search" -> qS7indexSearch _,
     "q_s9_index_append" -> qS9indexAppend _,
+    "q_s10_ann_residual" -> qS10annResidual _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1599,6 +1725,7 @@ object TextSimQueries {
     "q_s6_hybrid_rerank" -> oS6,
     "q_s7_index_search" -> oS5,
     "q_s9_index_append" -> oS5,
+    "q_s10_ann_residual" -> oS10,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,
