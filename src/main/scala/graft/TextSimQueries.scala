@@ -1405,6 +1405,32 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The persisted RESIDUAL index under the hash gate: q_s10's residual
+    * pipeline through the build-once/query-many layout (stacked per-list
+    * codebook in the sidecar, same partitioned codes). Oracle is oS10
+    * VERBATIM — the persisted round trip must be invisible to results,
+    * exactly the q_s7-vs-q_s5 contract for the residual mode. */
+  private def qS11residualIndex(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#residual").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val pid = java.lang.ProcessHandle.current().pid()
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_r_${dirKey}_p$pid").getAbsolutePath
+    graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
+      nCentroids = nCent, m = 16, dim = 64, codebookSize = 16,
+      residual = true)
+    graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = nProbe, rerankDepth = 50,
+        rerank = Some(e))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval (the RAG-serving shape): BM25 keyword retrieve
     * (top-50, deterministic (score desc, id) cut) → exact embedding-
     * cosine rerank of just those candidates against one query vector —
@@ -1684,6 +1710,7 @@ object TextSimQueries {
     "q_s7_index_search" -> qS7indexSearch _,
     "q_s9_index_append" -> qS9indexAppend _,
     "q_s10_ann_residual" -> qS10annResidual _,
+    "q_s11_residual_index" -> qS11residualIndex _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1726,6 +1753,7 @@ object TextSimQueries {
     "q_s7_index_search" -> oS5,
     "q_s9_index_append" -> oS5,
     "q_s10_ann_residual" -> oS10,
+    "q_s11_residual_index" -> oS10,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,

@@ -58,21 +58,43 @@ object IvfPqIndex {
   /** Train + encode + write the index under `path`. One pass over the
     * corpus (assignment + encode are map-side behind one broadcast of
     * the centroids); the partitioned write is the only shuffle-free
-    * fan-out to one directory per inverted list. */
+    * fan-out to one directory per inverted list.
+    *
+    * `residual = true` persists the per-list-residual-codebook variant
+    * (`Pq.ivfPqResidualTopK`): the codes layout is IDENTICAL (the slab
+    * mapping is a pure function of the centroid table —
+    * `Pq.listIndexFrame`), only the codebook sidecar carries the stacked
+    * per-list arrays and the flag `search`/`append` branch on. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nCentroids: Int = 16, m: Int = 16, dim: Int = 64,
-            codebookSize: Int = 16): Unit = {
+            codebookSize: Int = 16, residual: Boolean = false): Unit = {
     require(nCentroids > 0, "nCentroids must be positive")
     val spark = corpus.sparkSession
-    val cb = Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize)
-    val (cbFlat, halfFlat) = Pq.flatten(cb)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
-    encodeInto(corpus, idCol, vecCol, cents, cbFlat, halfFlat, m,
-      codebookSize, dim / m, path, "overwrite")
+    val (cbFlat, halfFlat) =
+      if (!residual) {
+        val (cf, hf) = Pq.flatten(
+          Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize))
+        encodeInto(corpus, idCol, vecCol, cents, cf, hf, m,
+          codebookSize, dim / m, path, "overwrite")
+        (cf, hf)
+      } else {
+        val c = corpus.select(col(idCol).as("neighbor_id"),
+            asDouble(col(vecCol)).as("cv"))
+          .withColumn("cn", Similarity.norm(col("cv")))
+          .where(col("cn") > 0)
+        val ar = Pq.assignedResiduals(c, cents)
+        val (cf, hf, idxDf) =
+          Pq.residualTrain(ar, cents, m, codebookSize, dim / m)
+        Pq.residualEncode(ar, idxDf, cf, hf, m, codebookSize, dim / m)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$path/codes")
+        (cf, hf)
+      }
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     import spark.implicits._
-    Seq((m, codebookSize, dim, cbFlat.toSeq, halfFlat.toSeq))
-      .toDF("m", "k", "dim", "cb_flat", "half_flat")
+    Seq((m, codebookSize, dim, cbFlat.toSeq, halfFlat.toSeq, residual))
+      .toDF("m", "k", "dim", "cb_flat", "half_flat", "residual")
       .write.mode("overwrite").parquet(s"$path/codebook")
   }
 
@@ -105,8 +127,19 @@ object IvfPqIndex {
     val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
     val halfFlat = meta.getSeq[Double](meta.fieldIndex("half_flat")).toArray
     val cents = spark.read.parquet(s"$path/centroids")
-    encodeInto(batch, idCol, vecCol, cents, cbFlat, halfFlat, m, cbSize,
-      dim / m, path, "append")
+    if (!meta.getAs[Boolean]("residual"))
+      encodeInto(batch, idCol, vecCol, cents, cbFlat, halfFlat, m, cbSize,
+        dim / m, path, "append")
+    else {
+      val c = batch.select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", Similarity.norm(col("cv")))
+        .where(col("cn") > 0)
+      Pq.residualEncode(Pq.assignedResiduals(c, cents),
+          Pq.listIndexFrame(cents), cbFlat, halfFlat, m, cbSize, dim / m)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/codes")
+    }
   }
 
   /** Search a built index. Per query: probe the `nProbe` nearest
@@ -142,10 +175,16 @@ object IvfPqIndex {
     val m = meta.getAs[Int]("m")
     val cbSize = meta.getAs[Int]("k")
     val dim = meta.getAs[Int]("dim")
+    val residual = meta.getAs[Boolean]("residual")
     val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
     val cents = spark.read.parquet(s"$path/centroids")
-    val q = Pq.prepQueries(queries, idCol, vecCol, cbFlat, m, cbSize, dim / m)
-    val probes0 = Pq.probeTable(q, cents, nProbe)
+    val q =
+      if (residual) Pq.prepQueriesBase(queries, idCol, vecCol)
+      else Pq.prepQueries(queries, idCol, vecCol, cbFlat, m, cbSize, dim / m)
+    val probes0 =
+      if (residual) Pq.residualProbes(q, cents, Pq.listIndexFrame(cents),
+        nProbe, cbFlat, m, cbSize, dim / m)
+      else Pq.probeTable(q, cents, nProbe)
     // one execution of the probe subtree: manifest + local probe relation
     val probeRows = probes0.collect()
     val probes = spark.createDataFrame(
@@ -167,7 +206,9 @@ object IvfPqIndex {
         if (f.name == "centroid_id") f.copy(dataType = centType) else f))
     val codes = spark.read.schema(codesSchema).parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedLists: _*))
-    val scored = Pq.adcScored(codes, probes, cbSize)
+    val scored =
+      if (residual) Pq.residualAdcScored(codes, probes, cbSize)
+      else Pq.adcScored(codes, probes, cbSize)
     rerank match {
       case None => Similarity.topKPerQuery(scored, k)
       case Some(corpus) =>

