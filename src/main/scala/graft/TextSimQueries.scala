@@ -1586,6 +1586,37 @@ object TextSimQueries {
         col("n_frames"))
       .orderBy("media_id")
   }
+  /** The mp3 HEADER PARSER under the hash gate: every document's text
+    * becomes the payload of a deterministically-framed CBR mp3 (empty
+    * ID3v2 tag + MPEG1 Layer III frame header, 128 kbps / 44100 Hz),
+    * and `sniffContainerMeta` must recover container/codec/rates and
+    * the CBR duration from the BYTES alone. The oracle replays the
+    * construction's arithmetic — (frame header + payload octets)·8 /
+    * bitrate — so an off-by-one anywhere in the parser (ID3 syncsafe
+    * size, bitrate/sample-rate table index, payload offset) is a hash
+    * mismatch on every row. */
+  private def qM2sniff(s: SparkSession, d: String): DataFrame = {
+    val mp3Prefix: Array[Byte] = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0,
+      0, 0, 0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)
+    val df = docs(s, d).select(col("doc_id"),
+      concat(lit(mp3Prefix), encode(col("text"), "UTF-8")).as("media"))
+    Multimodal.sniffContainerMeta(df)
+      .select(col("doc_id"),
+        col("container_meta.container").as("container"),
+        col("container_meta.codec").as("codec"),
+        round(col("container_meta.duration_s"), 6).as("duration_s"),
+        col("container_meta.sample_rate").cast("long").as("sample_rate"),
+        col("container_meta.bitrate_kbps").cast("long").as("bitrate_kbps"))
+      .orderBy("doc_id")
+  }
+  private val oM2 =
+    """SELECT doc_id, 'audio/mpeg' AS container, 'mpeg1-layer3' AS codec,
+      |  round((4 + octet_length(encode(text))) * 8.0 / 128000.0, 6)
+      |    AS duration_s,
+      |  CAST(44100 AS BIGINT) AS sample_rate,
+      |  CAST(128 AS BIGINT) AS bitrate_kbps
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val oM1 =
     """WITH b AS (
       |  SELECT CAST(doc_id AS BIGINT) AS media_id, text,
@@ -1726,6 +1757,7 @@ object TextSimQueries {
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
     "q_m1_multimodal_features" -> qM1multimodal _,
+    "q_m2_container_sniff" -> qM2sniff _,
     "q_g1_geojson_tracks" -> qG1geojson _,
     "q_st1_daily_rollup" -> qSt1daily _,
   )
@@ -1771,5 +1803,6 @@ object TextSimQueries {
     "q_g1_geojson_tracks" -> oG1,
     "q_st1_daily_rollup" -> oSt1,
     "q_m1_multimodal_features" -> oM1,
+    "q_m2_container_sniff" -> oM2,
   )
 }
