@@ -1203,6 +1203,34 @@ object TextSimQueries {
        |ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** One per-process root for the gate queries' on-disk indexes,
+    * deleted by a shutdown hook. Inside it, paths are deterministic per
+    * (variant, dataset dir) and overwritten in place, so repeated gate
+    * runs in one session reuse one dir; the per-process root (a) keeps
+    * two concurrent JVMs against the same SF from racing
+    * build-overwrite vs search on one directory and (b) guarantees the
+    * bytes don't outlive the process — a PID-suffixed name alone would
+    * leak one tree per forked bench JVM forever. Keyed by md5 of the
+    * FULL dataset path (hashCode could collide across dirs → silently
+    * searching a stale index). */
+  private lazy val indexTmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def indexDir(variant: String, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new java.io.File(indexTmpRoot.toFile, s"${variant}_$key").getAbsolutePath
+  }
+
   /** The PERSISTED IVF-PQ index under the same hash gate as q_s5: build
     * the index to disk (codes parquet partitioned by inverted list,
     * centroid + codebook sidecars), then answer the query batch from the
@@ -1217,17 +1245,7 @@ object TextSimQueries {
       .count()
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
-    // deterministic per-SF path, overwritten in place: a fresh temp dir
-    // per invocation would accumulate index copies across gate runs.
-    // Keyed by md5 of the FULL dataset path (hashCode could collide
-    // across different dirs → silently searching a stale index) plus the
-    // process PID (two concurrent runs against the same SF must not race
-    // one dir with build-overwrite vs search)
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val pid = java.lang.ProcessHandle.current().pid()
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_q_${dirKey}_p$pid").getAbsolutePath
+    val dir = indexDir("q", d)
     graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
       nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
     graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
@@ -1263,12 +1281,7 @@ object TextSimQueries {
     val batchIds = e.select("vec_id").orderBy(desc("vec_id")).limit(64)
       .collect().map(_.getLong(0)).filterNot(ivfSeeds ++ pqSeeds)
       .take(8).toSeq
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#append").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val pid = java.lang.ProcessHandle.current().pid()
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_a_${dirKey}_p$pid").getAbsolutePath
+    val dir = indexDir("a", d)
     graft.operators.IvfPqIndex.build(
       e.where(!col("vec_id").isin(batchIds: _*)), "vec_id", "embedding",
       dir, nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
@@ -1416,12 +1429,7 @@ object TextSimQueries {
       .count()
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest((d + "#residual").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val pid = java.lang.ProcessHandle.current().pid()
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_r_${dirKey}_p$pid").getAbsolutePath
+    val dir = indexDir("r", d)
     graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
       nCentroids = nCent, m = 16, dim = 64, codebookSize = 16,
       residual = true)
