@@ -133,6 +133,18 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       scan)
   }
 
+  test("residual IVF-PQ plan is window-free too (per-list seeds are k-bounded)") {
+    import graft.operators.Pq
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val df = Pq.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 4, nProbe = 2, residual = true)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"),
+      s"residual plan contains a window operator:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("widen: a pre-partitioned corpus is NOT reshuffled by ivfPqTopK") {
     import graft.operators.Pq
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
