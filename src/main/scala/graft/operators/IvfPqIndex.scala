@@ -155,6 +155,41 @@ object IvfPqIndex {
     }
   }
 
+  /** Rewrite the codes table through [[writeCodes]] — the maintenance
+    * pass a long-lived index needs after many appends (each append adds
+    * ≥ 1 file per touched list; compaction folds them back to ~one file
+    * per list). Results are unaffected — the codes rows are the same
+    * rows — only the file layout changes. The rewrite stages through a
+    * sibling directory and swaps by rename, so a crash mid-compact
+    * leaves the original codes intact (a stale `codes_compacting_root`
+    * leftover is overwritten by the next attempt). Not safe against a
+    * CONCURRENT reader of the same path across the swap instant — run
+    * it in the index's write lane, like the appends themselves. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val centType = cents.schema("centroid_id").dataType
+    val codesSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$path/codes").schema.map(f =>
+        if (f.name == "centroid_id") f.copy(dataType = centType) else f))
+    // writeCodes appends "/codes" itself — stage under a sibling root
+    writeCodes(spark.read.schema(codesSchema).parquet(s"$path/codes"),
+      s"$path/codes_compacting_root", "overwrite")
+    val fs = new java.io.File(path)
+    val live = new java.io.File(fs, "codes")
+    val old = new java.io.File(fs, "codes_old")
+    val fresh = new java.io.File(new java.io.File(fs,
+      "codes_compacting_root"), "codes")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(old)
+    require(live.renameTo(old) && fresh.renameTo(live),
+      s"compact swap failed under $path — original codes left at " +
+        s"${old.getAbsolutePath}")
+    rm(old); rm(new java.io.File(fs, "codes_compacting_root"))
+  }
+
   /** Search a built index. Per query: probe the `nProbe` nearest
     * inverted lists (broadcast centroid table), ADC-score ONLY those
     * lists' code rows, then exact-cosine re-rank the `rerankDepth`

@@ -361,6 +361,42 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s"post-append codes scan lost the probed-list partition filter:\n$incPlan")
   }
 
+  test("IvfPqIndex.compact: appends fold back to ~one file per list, results fixed") {
+    import graft.operators.IvfPqIndex
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cpt").toString
+    val base = sfEmb.where(col("vec_id") >= 100)
+    IvfPqIndex.build(base, "vec_id", "embedding", dir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    // three small appends: each adds >= 1 file per touched list
+    for (b <- 0 until 3)
+      IvfPqIndex.append(
+        sfEmb.where(col("vec_id") >= b * 30 && col("vec_id") < (b + 1) * 30),
+        "vec_id", "embedding", dir)
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(dir, "codes"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val q = sfEmb.where(col("vec_id") < 10)
+    def rows() = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerankDepth = 50, rerank = Some(sfEmb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val before = rows()
+    val filesBefore = files()
+    IvfPqIndex.compact(spark, dir)
+    val filesAfter = files()
+    assert(filesAfter < filesBefore,
+      s"compact must shrink the layout: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 16, s"expected ~one file per list, got $filesAfter")
+    assert(rows() == before, "compaction changed search results")
+    assert(!new java.io.File(dir, "codes_compacting_root").exists() &&
+      !new java.io.File(dir, "codes_old").exists(), "staging dirs left behind")
+  }
+
   test("persisted RESIDUAL index: search == in-memory operator, append stitches") {
     import graft.operators.{IvfPqIndex, Pq}
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
