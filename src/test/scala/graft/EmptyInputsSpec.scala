@@ -68,6 +68,16 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalArgumentException](
       Pca.moments(noVecs, "embedding", 4))
     assert(e.getMessage.contains("empty"))
+    // residual IVF-PQ: empty corpus → zero-slab codebook, empty result —
+    // no throw anywhere in train/encode/probe (the useful behavior for a
+    // filtered-to-nothing partition of a larger job)
+    assert(graft.operators.Pq.ivfPqTopK(noVecs, noVecs, "vec_id",
+      "embedding", k = 5, nCentroids = 4, nProbe = 2,
+      residual = true).isEmpty)
+    // container sniffing: null payload row sniffs to null, not a throw
+    val nullMedia = Seq((1L, null: Array[Byte])).toDF("media_id", "media")
+    assert(graft.operators.Multimodal.sniffContainerMeta(nullMedia)
+      .where(col("container_meta").isNotNull).isEmpty)
   }
 
   test("as-of/range joins: empty right keeps left with null payload") {
