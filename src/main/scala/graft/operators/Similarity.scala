@@ -138,7 +138,7 @@ object Similarity {
     * vector via a map-side-combinable `min(struct)` aggregate (one row per
     * vector crosses the exchange — never a window over corpus×centroids).
     * Output: (centroid_id, neighbor_id, cv, cn). */
-  private[operators] def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
         struct(
@@ -151,6 +151,70 @@ object Similarity {
       .agg(min(col("_cand")).as("_best"))
       .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
         col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+
+  /** Two-level (hierarchical) nearest-centroid assignment — the
+    * extreme-scale escape from exact assignment's O(n·nlist·d) FLOPs.
+    * With nlist on the √n rule, exact assignment of 1e9 vectors costs
+    * n·31623·d multiplies; here each vector scores the √nlist
+    * super-centroids first, then exact-argmaxes only the centroids
+    * whose super is among its `probeSupers` nearest — total
+    * n·(√nlist + probeSupers·√nlist)·d, a ~nlist/(2·probeSupers·√nlist)
+    * ≈ 90× FLOP cut at that scale. APPROXIMATE by design: a vector
+    * whose true centroid lives in an unprobed super lands in its best
+    * probed list instead (the standard IMI/two-level-IVF trade, tuned
+    * by probeSupers). USE ONLY ON CLUSTERED embedding spaces — real
+    * corpora cluster by topic/language and there the super level
+    * mirrors the true structure (≥ 0.9 agreement gated in
+    * DedupSimilaritySpec); on a uniform-random corpus there is no
+    * super-structure to exploit and agreement degrades toward
+    * probeSupers/nSupers (measured and reported in the same spec). Deterministic: supers are the smallest-hash
+    * sample of the centroids (salt "ivf2"), both argmax stages use the
+    * min-struct convention. Plan shape matches [[assignTo]]: broadcast
+    * super/centroid tables, map-side-combinable aggregates, ONE vector
+    * copy per row across each exchange, no window. */
+  private[graft] def assignToHierarchical(c: DataFrame, cents: DataFrame,
+      probeSupers: Int = 2): DataFrame = {
+    require(probeSupers > 0, "probeSupers must be positive")
+    val nCents = cents.count()
+    val nSup = math.max(1, math.ceil(math.sqrt(nCents.toDouble)).toInt)
+    val supers = cents
+      .orderBy(Sampling.hash24(col("centroid_id"), "ivf2").asc,
+        col("centroid_id").asc)
+      .limit(nSup)
+      .select(col("centroid_id").as("super_id"), col("centroid").as("sv"),
+        col("centroid_n").as("sn"))
+    // each centroid joins its ONE nearest super (nlist × √nlist dots)
+    val centSup = assignTo(
+        cents.select(col("centroid_id").as("neighbor_id"),
+          col("centroid").as("cv"), col("centroid_n").as("cn")),
+        supers.select(col("super_id").as("centroid_id"),
+          col("sv").as("centroid"), col("sn").as("centroid_n")))
+      .select(col("centroid_id").as("super_id"),
+        col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
+        col("cn").as("centroid_n"))
+    // vector → its probeSupers nearest supers: k-bounded aggregate, one
+    // vector copy rides the exchange beside the p-struct state
+    val topSup = c.crossJoin(broadcast(supers))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        struct((-(dot(col("cv"), col("sv")) / (col("cn") * col("sn")))
+          + lit(0.0)).as("negsim"), col("super_id")).as("_cand"))
+      .groupBy("neighbor_id")
+      .agg(graft.functions.BoundedTopK.smallestK(col("_cand"), probeSupers)
+          .as("_sup"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        explode(col("_sup.super_id")).as("super_id"))
+    // exact argmax over ONLY the probed supers' centroids
+    topSup.join(broadcast(centSup), Seq("super_id"))
+      .select(col("neighbor_id"),
+        struct((-(dot(col("cv"), col("centroid")) /
+            (col("cn") * col("centroid_n"))) + lit(0.0)).as("negsim"),
+          col("centroid_id"), col("cv"), col("cn")).as("_cand"))
+      .groupBy("neighbor_id")
+      .agg(min(col("_cand")).as("_best"))
+      .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
+        col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+  }
 
   /** Spherical k-means (Lloyd) refinement of IVF centroids: assignment by
     * cosine, update = per-cluster mean of UNIT vectors (the argmax of
@@ -238,7 +302,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
               nProbe: Int = 4, kmeansIters: Int = 0,
-              orderedMeans: Boolean = false): DataFrame = {
+              orderedMeans: Boolean = false,
+              hierarchicalAssign: Boolean = false): DataFrame = {
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = widen(corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
@@ -251,8 +316,14 @@ object Similarity {
         orderedMeans)
     // corpus assignment: argmax-sim centroid per vector (min(struct) —
     // negated sim sorts best-first; centroid_id breaks ties; cv/cn ride
-    // along and are never compared, centroid_id is unique in the group)
-    val assigned = assignTo(c, cents)
+    // along and are never compared, centroid_id is unique in the group).
+    // `hierarchicalAssign` swaps in the two-level approximate assignment
+    // (assignToHierarchical) — the extreme-scale FLOP cut; default stays
+    // exact (the oracled path). Queries always probe the full centroid
+    // table either way (query batches are small).
+    val assigned =
+      if (hierarchicalAssign) assignToHierarchical(c, cents)
+      else assignTo(c, cents)
     // queries probe their nProbe nearest lists (queries are small — the
     // slice aggregate and re-join are driver-cheap and window-free)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

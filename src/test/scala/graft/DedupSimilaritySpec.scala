@@ -439,6 +439,73 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(batchIds.subsetOf(codeIds), "appended rows missing from residual index")
   }
 
+  test("hierarchical assignment: agreement + recall on clustered data") {
+    import graft.operators.Similarity
+    // 40 tight clusters around fixed gaussian centers (md5-uniform
+    // noise) — the CLUSTERED regime two-level assignment exists for:
+    // real embedding corpora cluster by topic/language; uniform-random
+    // vectors (like the sf fixtures) have no super-structure to exploit
+    // and two-level degrades toward probeSupers/nSup there (measured
+    // and reported below, not asserted)
+    val kC = 40; val dim = 64
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(kC, dim)(rnd.nextGaussian())
+    def u01(salt: Int) =
+      conv(substring(md5(concat_ws("|", col("id"), lit(salt))), 1, 6), 16, 10)
+        .cast("double") / lit(8388607.5d) - 1.0d
+    val clustered = spark.range(2000).select(col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        (element_at(typedlit(centers.map(_(d)).toSeq),
+          (col("id") % kC).cast("int") + 1) + u01(1000 + d) * lit(0.05d))
+          .cast("float")
+      }: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clustered.count()
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cn", Similarity.norm(col("cv")))
+        .where(col("cn") > 0)
+    def byId(df: org.apache.spark.sql.DataFrame) =
+      df.select("neighbor_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Similarity.sampleCentroids(clustered, "vec_id", "embedding", 45)
+    val exact = byId(Similarity.assignTo(prep(clustered), cents))
+    val hier = byId(
+      Similarity.assignToHierarchical(prep(clustered), cents, probeSupers = 2))
+    assert(hier.keySet == exact.keySet, "every vector must still be assigned")
+    val frac = exact.count { case (id, cid) => hier(id) == cid }
+      .toDouble / exact.size
+    info(f"clustered agreement with exact assignment: $frac%.3f (${exact.size} vectors)")
+    assert(frac >= 0.9,
+      f"on clustered data probeSupers=2 must recover exact assignments: $frac%.3f")
+    // the unclustered sf corpus: reported for honesty, not asserted —
+    // this is the regime the scaladoc says NOT to use two-level in
+    val sfFrac = {
+      val sc = Similarity.sampleCentroids(sfEmb, "vec_id", "embedding", 45)
+      val e = byId(Similarity.assignTo(prep(sfEmb), sc))
+      val h = byId(Similarity.assignToHierarchical(prep(sfEmb), sc, 2))
+      e.count { case (id, cid) => h(id) == cid }.toDouble / e.size
+    }
+    info(f"unclustered (sf0.01) agreement: $sfFrac%.3f — the documented degradation")
+    // end-to-end on the clustered table: ANN recall must hold
+    val q = clustered.where(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = hits(Similarity.bruteForceTopK(clustered, q, "vec_id",
+      "embedding", 5))
+    val ivfExact = hits(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
+      5, nCentroids = 45, nProbe = 12)).intersect(exactTop).size
+    val ivfHier = hits(Similarity.ivfTopK(clustered, q, "vec_id", "embedding",
+      5, nCentroids = 45, nProbe = 12, hierarchicalAssign = true))
+      .intersect(exactTop).size
+    info(s"recall@5 vs exact: ivf exact-assign $ivfExact/25, two-level $ivfHier/25")
+    assert(ivfHier >= ivfExact - 2,
+      s"two-level assignment recall too far below exact: $ivfHier vs $ivfExact")
+    clustered.unpersist()
+  }
+
   test("residual IVF-PQ beats the global codebook at equal code bytes (low-rank)") {
     import graft.operators.{Pq, Similarity}
     // the deterministic rank-8-plus-noise table from the PCA pay-off
