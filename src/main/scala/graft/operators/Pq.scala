@@ -230,7 +230,8 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 16, dim: Int = 64, codebookSize: Int = 16,
-                rerankDepth: Int = 50, residual: Boolean = false): DataFrame = {
+                rerankDepth: Int = 50, residual: Boolean = false,
+                hierarchicalAssign: Boolean = false): DataFrame = {
     require(rerankDepth >= k, "rerankDepth must be >= k")
     require(nCentroids > 0 && nProbe > 0, "nCentroids and nProbe must be positive")
     if (residual)
@@ -246,8 +247,14 @@ object Pq {
         .where(col("cn") > 0), par)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
     // inverted lists: (list id, PQ codes) per vector — at rest this is
-    // the m-byte-code + centroid-id table a 100 TB index persists
-    val codes = Similarity.assignTo(c, cents)
+    // the m-byte-code + centroid-id table a 100 TB index persists.
+    // hierarchicalAssign swaps in the two-level approximate assignment
+    // (Similarity.assignToHierarchical — clustered corpora only, see its
+    // scaladoc); default stays exact, the oracled path.
+    val assigned =
+      if (hierarchicalAssign) Similarity.assignToHierarchical(c, cents)
+      else Similarity.assignTo(c, cents)
+    val codes = assigned
       .select(col("centroid_id"), col("neighbor_id"),
         PqCodec.encodeCol(normalize(col("cv"), col("cn")), cbFlat, halfFlat,
           m, codebookSize, dsub).as("codes"))

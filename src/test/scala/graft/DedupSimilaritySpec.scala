@@ -503,6 +503,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     info(s"recall@5 vs exact: ivf exact-assign $ivfExact/25, two-level $ivfHier/25")
     assert(ivfHier >= ivfExact - 2,
       s"two-level assignment recall too far below exact: $ivfHier vs $ivfExact")
+    // same flag on the composed IVF-PQ operator
+    val pqHier = hits(graft.operators.Pq.ivfPqTopK(clustered, q, "vec_id",
+      "embedding", 5, nCentroids = 45, nProbe = 12,
+      hierarchicalAssign = true)).intersect(exactTop).size
+    info(s"ivfPqTopK two-level recall@5: $pqHier/25")
+    assert(pqHier >= ivfExact - 4,
+      s"IVF-PQ with two-level assignment cratered: $pqHier vs $ivfExact")
     clustered.unpersist()
   }
 
