@@ -890,6 +890,93 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Two-level (hierarchical) IVF assignment under the FULL hash gate:
+    * `ivfTopK(hierarchicalAssign = true)` — corpus vectors probe their
+    * 2 nearest of the √nlist super-centroids and argmax only those
+    * supers' centroids. Every stage is deterministic (supers are the
+    * smallest-md5 sample of the centroids under salt "ivf2"; both
+    * argmax stages are the min-struct convention), so the oracle
+    * extends oS3 with the super-selection, centroid→super, vector→
+    * top-2-supers, and restricted-argmax CTEs — the approximate
+    * assignment is replayed EXACTLY, not bounded. */
+  private def qS12annHier(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4, hierarchicalAssign = true)
+      .orderBy("query_id", "rank")
+  }
+  private val oS12 = {
+    val nCent = 16; val nProbe = 4; val k = 5
+    val nSup = 4; val probeSupers = 2 // ceil(sqrt(16)); operator default
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |sh2 AS (SELECT cid, ce,
+       |    CAST(concat('0x', substr(md5(concat(CAST(cid AS VARCHAR),
+       |      '|ivf2')), 1, 6)) AS BIGINT) AS shh FROM cents),
+       |supers AS (SELECT cid AS sid, ce AS se FROM sh2
+       |  ORDER BY shh, cid LIMIT $nSup),
+       |pcs AS (SELECT c.cid, s.sid, c.ce, s.se
+       |  FROM cents c CROSS JOIN supers s),
+       |ucs AS (SELECT cid, sid, CAST(unnest(ce) AS DOUBLE) AS xa,
+       |    CAST(unnest(se) AS DOUBLE) AS xb FROM pcs),
+       |gcs AS (SELECT cid, sid, sum(xa * xb) AS dt, sum(xa * xa) AS na,
+       |    sum(xb * xb) AS nb FROM ucs GROUP BY 1, 2),
+       |scs AS (SELECT cid, sid, dt / (sqrt(na) * sqrt(nb)) AS s FROM gcs),
+       |centsup AS (SELECT cid, sid FROM (SELECT cid, sid, row_number()
+       |    OVER (PARTITION BY cid ORDER BY s DESC, sid) AS rn FROM scs)
+       |  WHERE rn = 1),
+       |pvs AS (SELECT h.id AS vid, s.sid, h.embedding AS ve, s.se
+       |  FROM h CROSS JOIN supers s),
+       |uvs AS (SELECT vid, sid, CAST(unnest(ve) AS DOUBLE) AS xa,
+       |    CAST(unnest(se) AS DOUBLE) AS xb FROM pvs),
+       |gvs AS (SELECT vid, sid, sum(xa * xb) AS dt, sum(xa * xa) AS na,
+       |    sum(xb * xb) AS nb FROM uvs GROUP BY 1, 2),
+       |svs AS (SELECT vid, sid, dt / (sqrt(na) * sqrt(nb)) AS s FROM gvs),
+       |vsup AS (SELECT vid, sid FROM (SELECT vid, sid, row_number() OVER (
+       |    PARTITION BY vid ORDER BY s DESC, sid) AS rn FROM svs)
+       |  WHERE rn <= $probeSupers),
+       |hassign AS (SELECT vid, cid FROM (SELECT si.vid, si.cid,
+       |    row_number() OVER (PARTITION BY si.vid
+       |      ORDER BY si.s DESC, si.cid) AS rn
+       |  FROM sim si JOIN vsup ON vsup.vid = si.vid
+       |  JOIN centsup ON centsup.cid = si.cid AND centsup.sid = vsup.sid)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vid AS query_id, cid FROM (SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+       |  FROM sim WHERE vid < 5) WHERE rn <= $nProbe),
+       |cand AS (SELECT p.query_id, a.vid AS neighbor_id
+       |  FROM probes p JOIN hassign a ON a.cid = p.cid
+       |  WHERE a.vid <> p.query_id),
+       |pr2 AS (SELECT query_id, neighbor_id, eq.embedding AS qe,
+       |    ec.embedding AS ce
+       |  FROM cand JOIN e eq ON eq.id = cand.query_id
+       |  JOIN e ec ON ec.id = cand.neighbor_id),
+       |u2 AS (SELECT query_id, neighbor_id, CAST(unnest(qe) AS DOUBLE) AS xq,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM pr2),
+       |g2 AS (SELECT query_id, neighbor_id, sum(xq * xc) AS dt,
+       |    sum(xq * xq) AS nq, sum(xc * xc) AS nc FROM u2 GROUP BY 1, 2),
+       |r2 AS (SELECT query_id, neighbor_id,
+       |    round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g2),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM r2)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF with ONE spherical-Lloyd refinement pass — oracled end-to-end.
     * The per-(cluster, dim) means use the id-ordered fold
     * (`orderedMeans = true`), so the refined centroid values are
@@ -1750,6 +1837,7 @@ object TextSimQueries {
     "q_s9_index_append" -> qS9indexAppend _,
     "q_s10_ann_residual" -> qS10annResidual _,
     "q_s11_residual_index" -> qS11residualIndex _,
+    "q_s12_ann_hier" -> qS12annHier _,
     "q_t5_heavy_shingles" -> qT5heavy _,
     "q_t6_bm25_rank" -> qT6bm25 _,
     "q_t11_line_dedup" -> qT11lineDedup _,
@@ -1794,6 +1882,7 @@ object TextSimQueries {
     "q_s9_index_append" -> oS5,
     "q_s10_ann_residual" -> oS10,
     "q_s11_residual_index" -> oS10,
+    "q_s12_ann_hier" -> oS12,
     "q_t5_heavy_shingles" -> oT5,
     "q_t6_bm25_rank" -> oT6,
     "q_t11_line_dedup" -> oT11,
