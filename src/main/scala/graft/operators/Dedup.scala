@@ -599,7 +599,8 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     minCosine: Double, nClusters: Int, kmeansIters: Int = 0,
                     maxClusterSize: Int = 100000,
-                    materialize: Boolean = false): DataFrame = {
+                    materialize: Boolean = false,
+                    hierarchicalAssign: Boolean = false): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     val c = emb.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -615,7 +616,15 @@ object Dedup {
     // write, the same re-evaluation lshCandidatePairs documents. The
     // block is one slim row per vector and is explicitly unpersisted
     // below once the result is materialized.
-    val assigned = Similarity.assignTo(c, cents)
+    // hierarchicalAssign: the two-level approximate assignment
+    // (Similarity.assignToHierarchical) — at √n-rule clusters the exact
+    // assignment is this operator's O(n^1.5·d) seam, and dedup only
+    // needs DUPLICATES to co-locate, which they do under ANY
+    // deterministic assignment (identical vectors take identical
+    // paths). Clustered corpora only; default stays exact.
+    val assigned = (if (hierarchicalAssign)
+        Similarity.assignToHierarchical(c, cents)
+      else Similarity.assignTo(c, cents))
       .select(col("centroid_id").as("cluster_id"), col("neighbor_id").as("id"),
         col("cv"), col("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -510,6 +510,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     info(s"ivfPqTopK two-level recall@5: $pqHier/25")
     assert(pqHier >= ivfExact - 4,
       s"IVF-PQ with two-level assignment cratered: $pqHier vs $ivfExact")
+    // semanticDedup with two-level assignment: verbatim duplicates take
+    // IDENTICAL assignment paths under any deterministic scheme, so
+    // every twin must still co-locate and drop — same known answer as
+    // the exact path, on the operator whose √n-rule clusters make exact
+    // assignment the O(n^1.5·d) seam
+    import graft.operators.Dedup
+    val withTwins = clustered.union(
+      clustered.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+    def droppedIds(hier: Boolean) =
+      Dedup.semanticDedup(withTwins, "vec_id", "embedding", minCosine = 0.99,
+          nClusters = 45, hierarchicalAssign = hier)
+        .where(col("dropped")).select("id").collect().map(_.getLong(0)).toSet
+    val dExact = droppedIds(false)
+    val dHier = droppedIds(true)
+    // the GUARANTEED subset: every twin has an exact cosine-1.0 lower-id
+    // partner in its own cluster under either scheme, so all 2000 must
+    // drop in BOTH runs. The tight clusters also produce legitimate
+    // non-twin drops at 0.99, and a borderline vector can land in a
+    // different cluster under the two schemes — so full set equality is
+    // NOT the contract; the symmetric difference is reported instead
+    val twins = (10000L until 12000L).toSet
+    assert(twins.subsetOf(dHier) && twins.subsetOf(dExact),
+      s"every verbatim twin must drop under both schemes: " +
+        s"hier misses ${(twins -- dHier).size}, exact misses ${(twins -- dExact).size}")
+    info(s"dropped: exact ${dExact.size}, two-level ${dHier.size}, " +
+      s"symmetric diff ${(dHier diff dExact).size + (dExact diff dHier).size}")
     clustered.unpersist()
   }
 
