@@ -344,6 +344,26 @@ object ScaleSmoke {
       cands.unpersist()
       n
     }
+    // hierarchical assignment at 10×: verbatim copies are IDENTICAL
+    // vectors, so each group of 10 must take the exact same two-level
+    // path (same top supers, same restricted argmax) — zero diverging
+    // copy-groups, while the stage pushes 20 k vectors through the
+    // super + restricted stages at √n-rule lists
+    timed("hierarchical assign 10x") {
+      import graft.operators.Similarity
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cn", Similarity.norm(col("cv")))
+        .where(col("cn") > 0)
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding",
+        Similarity.suggestedCentroids(copies * 2000L))
+      val diverging = Similarity.assignToHierarchical(c, cents, probeSupers = 2)
+        .select((col("neighbor_id") % 1000000000L).as("base"), col("centroid_id"))
+        .distinct().groupBy("base").count().where(col("count") > 1).count()
+      require(diverging == 0L,
+        s"verbatim copies must assign identically: $diverging bases diverge")
+      c.count()
+    }
     // persisted index at 10×: build over 20 k vectors (√n-rule lists),
     // then PROVE the probe prunes file reads — the planned scan's
     // selected files are counted against the index's total files via
