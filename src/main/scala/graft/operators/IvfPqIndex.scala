@@ -42,12 +42,14 @@ object IvfPqIndex {
   private def encodeInto(rows: DataFrame, idCol: String, vecCol: String,
                          cents: DataFrame, cbFlat: Array[Double],
                          halfFlat: Array[Double], m: Int, codebookSize: Int,
-                         dsub: Int, path: String, mode: String): Unit = {
+                         dsub: Int, path: String, mode: String,
+                         hierarchicalAssign: Boolean = false): Unit = {
     val c = rows.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", Similarity.norm(col("cv")))
       .where(col("cn") > 0)
-    writeCodes(Similarity.assignTo(c, cents)
+    writeCodes((if (hierarchicalAssign) Similarity.assignToHierarchical(c, cents)
+      else Similarity.assignTo(c, cents))
       .select(col("centroid_id"), col("neighbor_id"),
         PqCodec.encodeCol(transform(col("cv"), x => x / col("cn")),
           cbFlat, halfFlat, m, codebookSize, dsub).as("codes")),
@@ -81,8 +83,13 @@ object IvfPqIndex {
     * per-list arrays and the flag `search`/`append` branch on. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nCentroids: Int = 16, m: Int = 16, dim: Int = 64,
-            codebookSize: Int = 16, residual: Boolean = false): Unit = {
+            codebookSize: Int = 16, residual: Boolean = false,
+            hierarchicalAssign: Boolean = false): Unit = {
     require(nCentroids > 0, "nCentroids must be positive")
+    require(!(residual && hierarchicalAssign),
+      "residual codebooks train on exact-assignment residuals; combine " +
+        "is unsupported (approximate residuals would poison the per-list " +
+        "codebooks silently)")
     val spark = corpus.sparkSession
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
     val (cbFlat, halfFlat) =
@@ -90,7 +97,7 @@ object IvfPqIndex {
         val (cf, hf) = Pq.flatten(
           Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize))
         encodeInto(corpus, idCol, vecCol, cents, cf, hf, m,
-          codebookSize, dim / m, path, "overwrite")
+          codebookSize, dim / m, path, "overwrite", hierarchicalAssign)
         (cf, hf)
       } else {
         val c = corpus.select(col(idCol).as("neighbor_id"),

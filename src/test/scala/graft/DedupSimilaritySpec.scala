@@ -510,6 +510,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     info(s"ivfPqTopK two-level recall@5: $pqHier/25")
     assert(pqHier >= ivfExact - 4,
       s"IVF-PQ with two-level assignment cratered: $pqHier vs $ivfExact")
+    // the persisted index can build with two-level assignment too —
+    // search is layout-agnostic (probes score whatever lists rows
+    // landed in), so only recall can move, and it must hold
+    val hierDir = java.nio.file.Files.createTempDirectory("ivfpq_hier").toString
+    graft.operators.IvfPqIndex.build(clustered, "vec_id", "embedding",
+      hierDir, nCentroids = 45, hierarchicalAssign = true)
+    val idxHier = hits(graft.operators.IvfPqIndex.search(spark, hierDir, q,
+      "vec_id", "embedding", k = 5, nProbe = 12, rerankDepth = 50,
+      rerank = Some(clustered))).intersect(exactTop).size
+    info(s"persisted index built with two-level assignment: recall@5 $idxHier/25")
+    assert(idxHier >= ivfExact - 4,
+      s"hier-built index recall cratered: $idxHier vs $ivfExact")
     // semanticDedup with two-level assignment: verbatim duplicates take
     // IDENTICAL assignment paths under any deterministic scheme, so
     // every twin must still co-locate and drop — same known answer as
