@@ -35,8 +35,8 @@ object PipelineQueries {
     AsOf.asofJoinBackward(left, marks, Seq("event_type"), "ts", "ts",
         Seq("m_value"), matchedTsName = "m_ts")
       .select(col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"),
-        unix_micros(col("m_ts")).as("m_ts_us"), col("m_value"))
+        Sessions.epochUs(col("ts")).as("ts_us"),
+        Sessions.epochUs(col("m_ts")).as("m_ts_us"), col("m_value"))
       .orderBy("event_id")
   }
   private val oAs1 =
@@ -66,8 +66,8 @@ object PipelineQueries {
     AsOf.asofJoinBackwardBucketed(left, marks, Seq("event_type"), "ts", "ts",
         Seq("m_value"), bucketSeconds = 86400L, matchedTsName = "m_ts")
       .select(col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"),
-        unix_micros(col("m_ts")).as("m_ts_us"), col("m_value"))
+        Sessions.epochUs(col("ts")).as("ts_us"),
+        Sessions.epochUs(col("m_ts")).as("m_ts_us"), col("m_value"))
       .orderBy("event_id")
   }
 
@@ -459,8 +459,8 @@ object PipelineQueries {
         extraAggs = Seq(
           round(graft.operators.Parity.moneySum(col("value")), 2).as("total_value")))
       .select(col("user_id"), col("session_idx"),
-        unix_micros(col("session_start")).as("start_us"),
-        unix_micros(col("session_end")).as("end_us"),
+        Sessions.epochUs(col("session_start")).as("start_us"),
+        Sessions.epochUs(col("session_end")).as("end_us"),
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_idx")
   private val oW5 =

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Epoch microseconds for any timestamp flavor: `unix_micros` accepts
+    * only TIMESTAMP (LTZ), so NTZ columns (naive parquet `timestamp[us]`,
+    * e.g. the driver testdata's `events.ts`) are cast first — a no-op for
+    * LTZ inputs, and under the project-wide UTC session timezone the NTZ
+    * wall-clock reinterpretation matches the DuckDB oracle's
+    * `epoch_us(ts)` on the same naive values. */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Tag every event with a 0-based `session_idx` per key. `tieBreak`
     * columns order equal timestamps deterministically (pass the event's
     * unique id; engines disagree on unstable sort ties otherwise). */
@@ -37,7 +45,7 @@ object Sessions {
     // microsecond-exact gap test (unix_timestamp would truncate to
     // seconds and disagree with an interval-comparison oracle)
     val isBreak = when(prev.isNull, lit(0L))
-      .otherwise((unix_micros(col(tsCol)) - unix_micros(prev) >
+      .otherwise((epochUs(col(tsCol)) - epochUs(prev) >
         gapSeconds * 1000000L).cast("long"))
     events.withColumn("session_idx",
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -27,10 +27,17 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = table(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions) — convert ns→µs with integer `div` (ns-since-epoch exceeds
-    * double's exact range, so no floating-point division). */
+  /** `events.ts` arrives in one of two generations of the driver's
+    * testdata: parquet TIMESTAMP(NANOS) (readable only with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench/test
+    * sessions — converted ns→µs with integer `div`, since ns-since-epoch
+    * exceeds double's exact range), or plain naive `timestamp[us]`, which
+    * Spark 4 reads as TIMESTAMP_NTZ and which passes through untouched so
+    * `ts` predicates stay plain column comparisons the parquet scan can
+    * prune on. Sessions run with `spark.sql.session.timeZone=UTC`, so
+    * NTZ wall-clock == the DuckDB oracle's naive-timestamp epoch; callers
+    * needing epoch extraction cast to TIMESTAMP first (no-op for LTZ,
+    * UTC reinterpretation for NTZ — see `Sessions.epochUs`). */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
     if (raw.schema("ts").dataType == LongType)

@@ -25,7 +25,7 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     val t1 = "2024-01-12 00:00:00"
     val withRule = ev.where(col("ts").between(lit(t0), lit(t1))).count()
     // reference computation that the rule cannot touch: filter post-collect
-    val expected = ev.select(col("ts")).collect()
+    val expected = ev.select(col("ts").cast("timestamp")).collect()
       .map(_.getTimestamp(0))
       .count(t => !t.before(java.sql.Timestamp.valueOf(t0)) &&
         !t.after(java.sql.Timestamp.valueOf(t1)))

@@ -137,7 +137,10 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
 
   test("batch sessionize == streaming Sessionize on mature data (sf events slice)") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .select(col("user_id"), col("ts"), col("value"))
+      // LTZ view of the (possibly NTZ) source ts: the streaming twin's
+      // Event case class carries java.sql.Timestamp, and the UTC session
+      // makes the reinterpretation epoch-exact
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
     // compare at MILLISECOND precision: the streaming op's per-key state
     // stores epoch millis (Timestamp.getTime), batch keeps full micros
     val batch = Sessions.sessionize(ev, Seq("user_id"), "ts", gapSeconds = 4 * 3600,
