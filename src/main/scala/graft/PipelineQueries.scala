@@ -317,6 +317,26 @@ object PipelineQueries {
         col("best_jaccard"), col("keep").cast("long").as("keep"))
       .orderBy("id")
   }
+  /** The PERSISTED dedup index under the same hash gate as q_d7: build
+    * the index from the even-id corpus (shingle/count/fp parquet +
+    * frozen meta), then answer the odd-id batch check from the index
+    * files alone with the batch sides broadcast. Same split and
+    * threshold as q_d7, so the oracle is oD7 VERBATIM — the round trip
+    * through the persisted layout (and the broadcast join orientation)
+    * must be invisible to the results. A single drifted hash, count, or
+    * fingerprint in the stored artifacts is a hash mismatch. */
+  private def qD10dedupIndex(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val dir = TextSimQueries.indexDir("dedup", d)
+    graft.operators.DedupIndex.build(all.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, n = 3)
+    graft.operators.DedupIndex.checkBatch(all.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir, minJaccard = 0.5)
+      .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
+        col("best_jaccard"), col("keep").cast("long").as("keep"))
+      .orderBy("id")
+  }
+
   private val oD7 =
     """WITH fp AS (SELECT doc_id,
       |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
@@ -524,6 +544,7 @@ object PipelineQueries {
     "q_x8_pack_sequences" -> qX8seqpack _,
     "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
+    "q_d10_dedup_index" -> qD10dedupIndex _,
     "q_t9_corpus_profile" -> qT9profile _,
     "q_t10_chunks" -> qT10chunks _,
     "q_e2e_curate" -> qE2Ecurate _,
@@ -542,6 +563,7 @@ object PipelineQueries {
     "q_x8_pack_sequences" -> oX8,
     "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
+    "q_d10_dedup_index" -> oD7,
     "q_t9_corpus_profile" -> oT9,
     "q_t10_chunks" -> oT10,
     "q_e2e_curate" -> oE2E,

@@ -1312,7 +1312,7 @@ object TextSimQueries {
     p
   }
 
-  private def indexDir(variant: String, d: String): String = {
+  private[graft] def indexDir(variant: String, d: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     new java.io.File(indexTmpRoot.toFile, s"${variant}_$key").getAbsolutePath

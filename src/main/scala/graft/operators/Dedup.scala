@@ -237,23 +237,53 @@ object Dedup {
     val fp = TextStats.fingerprint(col(textCol))
     val corpusFps = corpus.select(fp.as("fp")).distinct()
       .withColumn("_hit", lit(1))
-    val na = bRows.groupBy("id").agg(count(lit(1)).as("na"))
+    val bfp = batch.select(col(idCol).as("id"), fp.as("fp"))
+    // fp is 1:≤1 against the DISTINCT corpus fps, so this left join keeps
+    // exactly one row per batch id
+    val exactHits = bfp.join(corpusFps, Seq("fp"), "left").select("id", "_hit")
     val nb = cRows.groupBy("id").agg(count(lit(1)).as("nb"))
-    val inter = bRows.join(cRows.withColumnRenamed("id", "cid"), "h")
+      .withColumnRenamed("id", "cid")
+    assembleCheck(bfp.select("id"), exactHits,
+      bestJaccardAgainst(bRows, cRows, nb, broadcastBatch = false), minJaccard)
+  }
+
+  /** Best exact n-gram Jaccard of each batch doc against any corpus doc
+    * sharing ≥ 1 shingle hash — the candidate-bounded core both
+    * `dedupAgainstCorpusFromHashes` and the persisted [[DedupIndex]]
+    * share, so the in-memory and served paths cannot drift. `nb` is the
+    * corpus-side distinct-shingle count per doc as (cid, nb) — computed
+    * here by the in-memory path, read from the stored sidecar by the
+    * index (saving a second pass over the corpus-sized shingle table).
+    * `broadcastBatch = true` broadcasts the batch side of the h-join:
+    * the corpus shingle table is then SCANNED IN PLACE, never shuffled —
+    * the shape a daily batch against a 100 TB corpus needs (the
+    * post-join (id, cid) aggregate exchanges only matching-pair rows). */
+  private[operators] def bestJaccardAgainst(bRows: DataFrame, cRows: DataFrame,
+                                            nb: DataFrame,
+                                            broadcastBatch: Boolean): DataFrame = {
+    val na = bRows.groupBy("id").agg(count(lit(1)).as("na"))
+    val b = if (broadcastBatch) broadcast(bRows) else bRows
+    val inter = cRows.withColumnRenamed("id", "cid").join(b, "h")
       .groupBy("id", "cid").agg(count(lit(1)).as("inter"))
-    val best = inter.join(na, "id").join(nb.withColumnRenamed("id", "cid"), "cid")
+    inter.join(na, "id").join(nb, "cid")
       .select(col("id"), (col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double")).as("j"))
       .groupBy("id").agg(max("j").as("best_jaccard"))
-    batch.select(col(idCol).as("id"), fp.as("fp"))
-      .join(corpusFps, Seq("fp"), "left")
+  }
+
+  /** Assemble the per-batch-doc verdict frame from the exact-hit flags
+    * ((id, _hit), one row per hit id) and the best-Jaccard table —
+    * shared by the in-memory and persisted-index incremental paths. */
+  private[operators] def assembleCheck(batchIds: DataFrame, exactHits: DataFrame,
+                                       best: DataFrame,
+                                       minJaccard: Double): DataFrame =
+    batchIds.join(exactHits, Seq("id"), "left")
       .join(best, Seq("id"), "left")
       .select(col("id"),
         col("_hit").isNotNull.as("dropped_exact"),
         round(col("best_jaccard"), 6).as("best_jaccard"))
       .withColumn("keep", !col("dropped_exact") &&
         (col("best_jaccard").isNull || col("best_jaccard") < minJaccard))
-  }
 
   // ---- MinHash + LSH -----------------------------------------------------
 

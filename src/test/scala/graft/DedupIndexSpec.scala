@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, DedupIndex}
+
+class DedupIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def corpus = docs.where(col("doc_id") % 2 === 0)
+  private def batch = docs.where(col("doc_id") % 2 === 1)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dedupidx_$tag").toString
+
+  private def rows(df: DataFrame): Set[(Long, Boolean, Option[Double], Boolean)] =
+    df.collect().map { r =>
+      (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))
+    }.toSet
+
+  test("checkBatch over a built index == the in-memory dedupAgainstCorpus") {
+    val dir = tmp("parity")
+    DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
+    val served = DedupIndex.checkBatch(batch, "doc_id", "text", dir,
+      minJaccard = 0.5)
+    val inMem = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+    assert(rows(served) == rows(inMem))
+    assert(served.count() == batch.count()) // one verdict per batch doc
+  }
+
+  test("append is row-identical to a full rebuild (no trained state)") {
+    val split = tmp("split"); val full = tmp("full")
+    DedupIndex.build(corpus.where(col("doc_id") % 4 === 0),
+      "doc_id", "text", split, n = 3)
+    DedupIndex.append(corpus.where(col("doc_id") % 4 === 2),
+      "doc_id", "text", split)
+    DedupIndex.build(corpus, "doc_id", "text", full, n = 3)
+    val a = DedupIndex.checkBatch(batch, "doc_id", "text", split, 0.5)
+    val b = DedupIndex.checkBatch(batch, "doc_id", "text", full, 0.5)
+    assert(rows(a) == rows(b))
+  }
+
+  test("broadcast check never shuffles the stored corpus tables") {
+    val dir = tmp("plan")
+    DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
+    val plan = DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5)
+      .queryExecution.executedPlan.toString
+    // both corpus-facing joins (shingle h-join, fp hit-join) must be
+    // broadcast joins with the BATCH side built — the stored tables are
+    // scanned in place. The verdict assembly SMJs on batch `id` are
+    // batch×batch-sized and allowed; what must NOT appear is a shuffle
+    // join on the corpus-facing keys.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected >= 2 broadcast joins in:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[(h|fp)#".r
+      .findFirstIn(plan).isEmpty,
+      s"stored corpus side shuffle-joined on h/fp:\n$plan")
+  }
+
+  test("frozen meta: check hashes with the stored shingle width") {
+    val dir = tmp("meta")
+    DedupIndex.build(corpus, "doc_id", "text", dir, n = 5)
+    val served = DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5)
+    val inMem = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+      n = 5, minJaccard = 0.5)
+    assert(rows(served) == rows(inMem)) // n came from meta, not a default
+  }
+
+  test("empty batch in, empty verdicts out; unknown text keeps") {
+    val dir = tmp("empty")
+    DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
+    assert(DedupIndex.checkBatch(batch.limit(0), "doc_id", "text", dir, 0.5)
+      .count() == 0)
+    import spark.implicits._
+    val novel = Seq((9_000_001L, "zyx wvu tsr qpo nml kji hgf edc ba"))
+      .toDF("doc_id", "text")
+    val out = DedupIndex.checkBatch(novel, "doc_id", "text", dir, 0.5)
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Boolean]("keep")
+      && !out(0).getAs[Boolean]("dropped_exact"))
+  }
+}
