@@ -284,6 +284,29 @@ object ScaleSmoke {
         Dedup.shingleHashRows(batch, "doc_id", "text", n = 3), rows,
         minJaccard = 0.5).count()
     }
+    // persisted dedup index at 10×: build over the 50 k-doc corpus once
+    // (2.6 M stored shingle rows), then check the fresh 5 k batch from
+    // the stored artifacts with the batch sides broadcast. Known answer:
+    // every batch text appears verbatim in the corpus, so ALL 5 000
+    // verdicts are dropped_exact and ZERO keep — one wrong stored hash
+    // or fingerprint and a verdict flips
+    timed("q_d10 DedupIndex build+check") {
+      import graft.operators.DedupIndex
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_dedupidx").toString
+      DedupIndex.build(docs, "doc_id", "text", dir, n = 3)
+      val out = DedupIndex.checkBatch(batch, "doc_id", "text", dir,
+          minJaccard = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = out.count()
+      val dropped = out.where(col("dropped_exact")).count()
+      val kept = out.where(col("keep")).count()
+      require(total == 5000L && dropped == 5000L && kept == 0L,
+        s"verbatim batch must be fully dropped: total=$total " +
+          s"dropped=$dropped kept=$kept")
+      out.unpersist()
+      total
+    }
     // TF-IDF keywords at 10×: verbatim copies scale N and every df by
     // exactly 10, so idf = ln(N/df) is INVARIANT and each copy's ranked
     // keyword rows must equal its twin's — zero diverging (base, rank)
