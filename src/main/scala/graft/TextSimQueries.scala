@@ -242,6 +242,65 @@ object TextSimQueries {
     * tf/df/N with identical tokenization and replays tf·ln(N/df) with
     * the same operation order and row_number tie rule; the engine side
     * is window-free (BoundedTopK). */
+  /** Gopher quality rules; metrics + keep cross the gate, so every
+    * rule's arithmetic (including the replace-length stopword-presence
+    * trick and both line-fraction filters) is hash-checked, not just the
+    * final verdict. One knob moves off the published default:
+    * minStopwordHits = 1 (the synthetic corpus averages 0.76 hits of the
+    * 8-word list, so the published 2 fails ALL 500 docs and the keep
+    * flag would gate nothing; at 1 the suite splits 251 keep / 249
+    * drop — every rule still exercises both branches across the
+    * corpus). */
+  private def qT17gopher(s: SparkSession, d: String): DataFrame =
+    TextStats.gopherQualityFlags(docs(s, d), "doc_id", "text",
+        TextStats.GopherParams(minStopwordHits = 1))
+      .withColumn("keep", col("keep").cast("long"))
+      .orderBy("id")
+  // Mirrors gopherQualityFlags metric-by-metric: same tokenizations,
+  // same greatest()-guards, same rounding, thresholds applied to the
+  // ROUNDED values (as the Spark side does via its output columns).
+  private val oT17 = {
+    val stop = TextStats.GopherStopwords.map { w =>
+      s"""CASE WHEN (length(' '||lower(text)||' ') -
+         |  length(regexp_replace(' '||lower(text)||' ', ' $w ', ' ', 'g')))
+         |  / ${w.length + 1} > 0 THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH m AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE),
+      |    1.0) AS nw,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE) AS alnum,
+      |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+      |  CAST(len(regexp_extract_all(text, '#')) +
+      |    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
+      |  greatest(CAST(len(string_split(text, chr(10))) AS DOUBLE), 1.0) AS nl,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS bullets,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) AS ellipses,
+      |  CAST($stop AS BIGINT) AS stop_hits
+      |FROM documents),
+      |r AS (SELECT doc_id AS id, n_words,
+      |  round(alnum / nw, 6) AS mean_word_len,
+      |  round(alpha_words / nw, 6) AS alpha_word_frac,
+      |  round(symbols / nw, 6) AS symbol_ratio,
+      |  round(bullets / nl, 6) AS bullet_line_frac,
+      |  round(ellipses / nl, 6) AS ellipsis_line_frac,
+      |  stop_hits
+      |FROM m)
+      |SELECT id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+      |  bullet_line_frac, ellipsis_line_frac, stop_hits,
+      |  CAST(n_words BETWEEN 50 AND 100000
+      |    AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND alpha_word_frac >= 0.8
+      |    AND symbol_ratio < 0.1
+      |    AND bullet_line_frac < 0.9
+      |    AND ellipsis_line_frac < 0.3
+      |    AND stop_hits >= 1 AS BIGINT) AS keep
+      |FROM r ORDER BY id""".stripMargin
+  }
+
   private def qT16tfidf(s: SparkSession, d: String): DataFrame =
     TextStats.tfidfTopTerms(docs(s, d), "doc_id", "text", topK = 5)
       .orderBy("doc_id", "rank")
@@ -1846,6 +1905,7 @@ object TextSimQueries {
     "q_t14_markup_strip" -> qT14markupStrip _,
     "q_t15_lm_score" -> qT15lm _,
     "q_t16_tfidf_terms" -> qT16tfidf _,
+    "q_t17_gopher_quality" -> qT17gopher _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -1891,6 +1951,7 @@ object TextSimQueries {
     "q_t14_markup_strip" -> oT14,
     "q_t15_lm_score" -> oT15,
     "q_t16_tfidf_terms" -> oT16,
+    "q_t17_gopher_quality" -> oT17,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

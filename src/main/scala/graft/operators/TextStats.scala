@@ -308,6 +308,83 @@ object TextStats {
     round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6)
   }
 
+  /** Thresholds for [[gopherQualityFlags]] — defaults are the published
+    * Gopher rules (Rae et al. 2021, "Scaling Language Models", §A1.1.1),
+    * stated against this package's portable tokenization (alnum-run
+    * words; see the metric scaladocs). */
+  case class GopherParams(minWords: Long = 50L, maxWords: Long = 100000L,
+                          minMeanWordLen: Double = 3.0,
+                          maxMeanWordLen: Double = 10.0,
+                          minAlphaWordFrac: Double = 0.8,
+                          maxSymbolWordRatio: Double = 0.1,
+                          maxBulletLineFrac: Double = 0.9,
+                          maxEllipsisLineFrac: Double = 0.3,
+                          minStopwordHits: Int = 2)
+
+  /** The Gopher stopword-presence list: a document must contain at least
+    * `minStopwordHits` DISTINCT of these to pass (a cheap
+    * is-this-running-English-prose test). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rules — the published heuristic filter set a
+    * pretraining corpus runs before any model-based scoring: word-count
+    * band, mean-word-length band, minimum fraction of words containing
+    * a letter, symbol-to-word ratio cap ('#' and '…'/'...'), bullet- and
+    * ellipsis-line fraction caps, and distinct-stopword presence.
+    *
+    * Everything is a map-side expression over the text column — no
+    * shuffle, no UDF; at 100 TB this is a pure scan stage that fuses
+    * into whatever reads the corpus next. The two per-word/per-line
+    * fractions use higher-order `filter` over the tokenized arrays
+    * (CodegenFallback, but per-row over ~100-element arrays — unlike the
+    * per-shingle aggregates where this package avoids HOFs, there is no
+    * 100× blowup surface here) and every metric lands on the 1e-6
+    * decimal grid so the DuckDB oracle replays it exactly.
+    *
+    * Output per doc: `id`, the six metrics, `stop_hits`, and the
+    * composite `keep`. Empty/wordless docs keep = false via the
+    * word-count band (divisions are guarded, never null). */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         p: GopherParams = GopherParams()): DataFrame = {
+    val c = col(textCol)
+    val words = regexp_extract_all(c, lit(WordPattern), lit(0))
+    val nWords = size(words).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val meanWordLen = round(
+      countMatches(c, "[A-Za-z0-9]").cast("double") / nWordsSafe, 6)
+    val alphaWordFrac = round(
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+        nWordsSafe, 6)
+    val symbolRatio = round(
+      (countMatches(c, "#") + countMatches(c, "\\.\\.\\.|…"))
+        .cast("double") / nWordsSafe, 6)
+    val lines = split(c, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") /
+        nLines, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+        .cast("double") / nLines, 6)
+    val stopHits = GopherStopwords
+      .map(w => when(wordOccurrences(lower(c), w) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol).as("id"),
+        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        alphaWordFrac.as("alpha_word_frac"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_line_frac"),
+        ellipsisFrac.as("ellipsis_line_frac"), stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(p.minWords, p.maxWords) &&
+          col("mean_word_len").between(p.minMeanWordLen, p.maxMeanWordLen) &&
+          col("alpha_word_frac") >= p.minAlphaWordFrac &&
+          col("symbol_ratio") < p.maxSymbolWordRatio &&
+          col("bullet_line_frac") < p.maxBulletLineFrac &&
+          col("ellipsis_line_frac") < p.maxEllipsisLineFrac &&
+          col("stop_hits") >= p.minStopwordHits)
+  }
+
   /** Per-document TF-IDF keyword extraction: the `topK` highest-scoring
     * terms of each document under tf·idf with idf = ln(N/df) (N = docs
     * with ≥ 1 token, df = docs containing the term) — the standard

@@ -484,4 +484,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(5L).getAs[Boolean]("keep"))
     assert(r(5L).isNullAt(r(5L).fieldIndex("best_jaccard")))
   }
+
+  test("gopher rules: each rule flips keep independently") {
+    val prose = ("the data and the model have to be of use with " * 6).trim
+    val docs = Seq(
+      1L -> prose,                                   // 60 words, plain prose
+      2L -> "the short one",                         // word band (too few)
+      3L -> ("the " + "pneumonoultramicroscopics " * 60).trim, // mean len > 10
+      4L -> ("the be to of and that have with " +
+        (1 to 52).map(_.toString).mkString(" ")),    // digits: alpha frac < 0.8
+      5L -> (prose + " " + "#" * 10),                // symbol ratio ≥ 0.1
+      6L -> (1 to 10).map(i => s"- the item $i of the set with all parts be that have").mkString("\n"), // all bullet lines
+      7L -> (1 to 10).map(i => s"the part $i of the doc that we have with more...").mkString("\n"), // all ellipsis lines
+      8L -> ("green ideas sleep furiously under glass towers " * 8).trim // < 2 stopwords
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherQualityFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"prose must pass: ${out(1L)}")
+    for (id <- 2L to 8L)
+      assert(!out(id).getAs[Boolean]("keep"), s"doc $id must fail: ${out(id)}")
+    // the failing metric is the intended one
+    assert(out(2L).getAs[Long]("n_words") < 50)
+    assert(out(3L).getAs[Double]("mean_word_len") > 10.0)
+    assert(out(4L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(out(5L).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(out(6L).getAs[Double]("bullet_line_frac") >= 0.9)
+    assert(out(7L).getAs[Double]("ellipsis_line_frac") >= 0.3)
+    assert(out(8L).getAs[Long]("stop_hits") < 2)
+    // empty text: guarded divisions, word band rejects
+    val empty = TextStats.gopherQualityFlags(
+      Seq(9L -> "").toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(!empty.getAs[Boolean]("keep") && empty.getAs[Long]("n_words") == 0L)
+  }
 }
