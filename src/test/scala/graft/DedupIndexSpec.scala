@@ -72,6 +72,35 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(rows(served) == rows(inMem)) // n came from meta, not a default
   }
 
+  test("streaming ingest with appendKept: later epochs dedupe against earlier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("stream")
+    val corpusA = "the quick brown fox jumps over the lazy dog tonight"
+    val novel1 = "entirely fresh words about spark shuffles and broadcast joins"
+    val novel2 = "another brand new document covering parquet pruning stats"
+    DedupIndex.build(Seq((1L, corpusA)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 3)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = graft.streaming.StreamIndexDedup.writer(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", dir,
+        minJaccard = 0.5, appendKept = true) { (kept, epoch) =>
+      seen(epoch) = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      ()
+    }.start()
+    try {
+      mem.addData((10L, corpusA), (11L, novel1)) // 10 dups the corpus
+      q.processAllAvailable()
+      mem.addData((20L, novel1), (21L, novel2))  // 20 dups epoch-0's keeper
+      q.processAllAvailable()
+      val byEpoch = seen.toSeq.sortBy(_._1).map(_._2)
+      assert(byEpoch == Seq(Set(11L), Set(21L)),
+        s"expected epoch keeps [Set(11), Set(21)], got $byEpoch")
+    } finally q.stop()
+  }
+
   test("empty batch in, empty verdicts out; unknown text keeps") {
     val dir = tmp("empty")
     DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
