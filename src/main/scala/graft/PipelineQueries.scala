@@ -337,6 +337,55 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Exact substring dedup (Lee et al.) under the hash gate: every
+    * 10-gram span removal — gram hashing, global first-occurrence
+    * tie-break, interval merge, and the index-lambda rebuild — replayed
+    * in DuckDB row by row (24 affected docs / 1 254 removed tokens at
+    * sf0.01; one drifted span boundary anywhere is a hash mismatch). */
+  private def qD11substring(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstringDedup(docs(s, d), "doc_id", "text", gramLen = 10)
+      .orderBy("id")
+  private val oD11 =
+    """WITH w AS (SELECT doc_id, list_filter(string_split(trim(lower(
+      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    x -> x <> '') AS ws FROM documents),
+      |g0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(ws) - 10 + 1, 0) + 1),
+      |    i -> {'pos': i - 1, 's': array_to_string(ws[i:i+9], ' ')})) AS u
+      |  FROM w),
+      |g AS (SELECT doc_id, u.pos AS pos,
+      |    CAST(concat('0x', substr(md5(u.s), 1, 15)) AS BIGINT) AS gh
+      |  FROM g0),
+      |r AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY gh) AS cnt
+      |  FROM g),
+      |rep AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM r
+      |  WHERE cnt > 1 AND rn > 1),
+      |m AS (SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM rep),
+      |b AS (SELECT doc_id, s, e,
+      |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m),
+      |sg AS (SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM b),
+      |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM sg
+      |  GROUP BY doc_id, grp),
+      |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp
+      |  GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, len(w.ws) AS n_tokens,
+      |    list_filter(w.ws, (x, i) -> len(list_filter(
+      |      coalesce(spl.spans, []),
+      |      sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) AS kept
+      |  FROM w LEFT JOIN spl ON w.doc_id = spl.doc_id)
+      |SELECT doc_id AS id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+      |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+      |FROM k ORDER BY id""".stripMargin
+
   private val oD7 =
     """WITH fp AS (SELECT doc_id,
       |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
@@ -545,6 +594,7 @@ object PipelineQueries {
     "q_x5_stratified_sample" -> qX5stratified _,
     "q_d7_incremental_dedup" -> qD7incremental _,
     "q_d10_dedup_index" -> qD10dedupIndex _,
+    "q_d11_substring_dedup" -> qD11substring _,
     "q_t9_corpus_profile" -> qT9profile _,
     "q_t10_chunks" -> qT10chunks _,
     "q_e2e_curate" -> qE2Ecurate _,
@@ -564,6 +614,7 @@ object PipelineQueries {
     "q_x5_stratified_sample" -> oX5,
     "q_d7_incremental_dedup" -> oD7,
     "q_d10_dedup_index" -> oD7,
+    "q_d11_substring_dedup" -> oD11,
     "q_t9_corpus_profile" -> oT9,
     "q_t10_chunks" -> oT10,
     "q_e2e_curate" -> oE2E,

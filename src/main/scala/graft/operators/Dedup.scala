@@ -285,6 +285,96 @@ object Dedup {
       .withColumn("keep", !col("dropped_exact") &&
         (col("best_jaccard").isNull || col("best_jaccard") < minJaccard))
 
+  // ---- exact substring dedup (Lee et al. 2021) ---------------------------
+
+  /** Merged repeated-token-span table for [[exactSubstringDedup]]:
+    * (id, start, end) half-open 0-based token ranges covered by some
+    * `gramLen`-token window whose exact token sequence occurs elsewhere
+    * in the corpus (or earlier in the same doc), EXCLUDING each
+    * sequence's single global first occurrence (min (id, pos) — the
+    * copy that survives).
+    *
+    * Scale shape: gram hashes are per-doc array arithmetic (one
+    * ~8 B hash per token position — never the gram STRINGS into a
+    * shuffle); the first-occurrence table is ONE hash aggregate over
+    * (gh) keeping only repeated grams (the dup fraction of the corpus),
+    * and the join back is an equi-join against that reduced table. The
+    * span-merge window partitions by doc over REPEATED-span rows only —
+    * rows proportional to duplicated text, not corpus size. */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                          gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramLen > 0, s"gramLen must be positive: $gramLen")
+    val ws = filter(words(col(textCol)), w => w =!= lit(""))
+    val grams = docs.select(col(idCol).as("id"), ws.as("ws"))
+      .select(col("id"), posexplode(
+        when(size(col("ws")) >= gramLen,
+          transform(sequence(lit(0), size(col("ws")) - gramLen),
+            i => Sampling.hash60(array_join(
+              slice(col("ws"), i + 1, lit(gramLen)), " "))))
+          .otherwise(typedLit(Seq.empty[Long]))).as(Seq("pos", "gh")))
+    val firstOcc = grams.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("gh"), col("first.id").as("fid"), col("first.pos").as("fpos"))
+    val repeats = grams.join(firstOcc, "gh")
+      .where(!(col("id") === col("fid") && col("pos") === col("fpos")))
+      .select(col("id"), col("pos").as("start"),
+        (col("pos") + gramLen).as("end"))
+    // classic interval merge: a span starting past the running max end of
+    // everything before it opens a new group
+    val w = Window.partitionBy("id").orderBy("start", "end")
+    val prevMax = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    repeats
+      .withColumn("brk",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "grp")
+      .agg(min("start").as("start"), max("end").as("end"))
+      .drop("grp")
+  }
+
+  /** Exact substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): any `gramLen`-token
+    * window whose exact token sequence appears more than once in the
+    * corpus is removed everywhere EXCEPT its first occurrence;
+    * overlapping removals chain, so a wholesale copied passage of any
+    * length ≥ gramLen disappears as one span. The reference
+    * implementation builds a corpus suffix array — inherently
+    * single-machine; the standard distributed equivalent used here is
+    * fixed-width gram fingerprints + first-occurrence wins, which finds
+    * exactly the duplicated substrings of length ≥ gramLen (a suffix
+    * array additionally finds no shorter ones — same detection set).
+    *
+    * Operates on (and returns) the package's normalized token stream —
+    * `text_clean` is the kept tokens re-joined; a production pipeline
+    * carrying raw text would map spans back through char offsets, which
+    * the (id, start, end) frame from [[exactSubstringSpans]] supports.
+    * Output: id, n_tokens, n_removed, text_clean. */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+                          gramLen: Int = 50): DataFrame = {
+    val spanArr = exactSubstringSpans(docs, idCol, textCol, gramLen)
+      .groupBy("id")
+      .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+    val ws = filter(words(col(textCol)), w => w =!= lit(""))
+    docs.select(col(idCol).as("id"), ws.as("ws"))
+      .join(spanArr, Seq("id"), "left")
+      .select(col("id"), col("ws"),
+        coalesce(col("spans"),
+          typedLit(Seq.empty[(Int, Int)])
+            .cast("array<struct<start:int,end:int>>")).as("spans"))
+      .withColumn("kept", filter(col("ws"), (x, i) =>
+        !exists(col("spans"),
+          s => i >= s.getField("start") && i < s.getField("end"))))
+      .select(col("id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** k-permutation MinHash signature per doc: sig[i] = min over shingles

@@ -485,6 +485,43 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(5L).isNullAt(r(5L).fieldIndex("best_jaccard")))
   }
 
+  test("exact substring dedup: first occurrence survives, overlaps chain") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 tokens
+    val docs = Seq(
+      1L -> s"one two three $passage four five six",
+      2L -> s"seven eight nine $passage ten eleven twelve", // copies the passage
+      3L -> "completely different words that never repeat anywhere else",
+      // self-repetition: the same 10-gram twice inside ONE doc
+      4L -> (s"$passage zz $passage")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", gramLen = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds the global first occurrence → intact
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(1L).getAs[String]("text_clean").contains("tok1 tok2"))
+    // doc 2's copy: three overlapping repeated 10-grams merge into ONE
+    // 12-token span; the non-shared frame stays
+    assert(out(2L).getAs[Long]("n_removed") == 12L)
+    assert(out(2L).getAs[String]("text_clean") ==
+      "seven eight nine ten eleven twelve")
+    assert(out(3L).getAs[Long]("n_removed") == 0L)
+    // doc 4: its first passage copy already repeats doc 1's → both go;
+    // every 10-gram crossing the zz bridge is unique, so zz survives
+    assert(out(4L).getAs[String]("text_clean") == "zz",
+      s"got: ${out(4L).getAs[String]("text_clean")}")
+    // spans frame is half-open and merged
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", 10)
+      .where(col("id") === 2L).collect()
+    assert(spans.length == 1 &&
+      spans(0).getAs[Int]("end") - spans(0).getAs[Int]("start") == 12)
+    // short docs (< gramLen tokens) pass through untouched
+    val shortDoc = Dedup.exactSubstringDedup(
+      Seq(9L -> "only few words here").toDF("doc_id", "text"),
+      "doc_id", "text", gramLen = 10).collect()(0)
+    assert(shortDoc.getAs[Long]("n_removed") == 0L &&
+      shortDoc.getAs[Long]("n_tokens") == 4L)
+  }
+
   test("gopher rules: each rule flips keep independently") {
     val prose = ("the data and the model have to be of use with " * 6).trim
     val docs = Seq(

@@ -284,6 +284,32 @@ object ScaleSmoke {
         Dedup.shingleHashRows(batch, "doc_id", "text", n = 3), rows,
         minJaccard = 0.5).count()
     }
+    // exact substring dedup at 10×: the verbatim copies make EVERY gram
+    // of every copied doc repeated, and the global first occurrence
+    // (min (id, pos)) always lies in the base copy — so (a) every
+    // non-base doc with ≥ gramLen tokens must be FULLY hollowed out and
+    // (b) base-copy verdicts must be IDENTICAL to a 1×-only run (copies
+    // are never first occurrences, so they cannot change base spans)
+    timed("q_d11 exactSubstringDedup") {
+      val out10 = Dedup.exactSubstringDedup(docs, "doc_id", "text",
+          gramLen = 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val partial = out10.where(col("id") >= 1000000000L &&
+        col("n_tokens") >= 10 && col("n_removed") =!= col("n_tokens")).count()
+      require(partial == 0L,
+        s"every copied doc must be fully removed: $partial survive partially")
+      val base10 = out10.where(col("id") < 1000000000L)
+        .select("id", "n_removed", "text_clean")
+      val base1 = Dedup.exactSubstringDedup(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"), "doc_id", "text", gramLen = 10)
+        .select("id", "n_removed", "text_clean")
+      val drift = base10.exceptAll(base1).count() + base1.exceptAll(base10).count()
+      require(drift == 0L, s"base verdicts drifted under 10x copies: $drift rows")
+      val n = out10.count()
+      out10.unpersist()
+      n
+    }
     // persisted dedup index at 10×: build over the 50 k-doc corpus once
     // (2.6 M stored shingle rows), then check the fresh 5 k batch from
     // the stored artifacts with the batch sides broadcast. Known answer:
