@@ -92,6 +92,43 @@ object DedupIndex {
     writeParts(batch, idCol, textCol, path, n, portable, "append")
   }
 
+  /** Rewrite the three artifact tables compactly — the maintenance pass
+    * a long-lived index needs after many appends (each append adds a
+    * task's worth of files per artifact; compaction folds them back to
+    * ~one file per shuffle partition). The fps table additionally
+    * collapses to DISTINCT fingerprints (appends may re-add stored fps;
+    * duplicates are harmless to `checkBatch` — it dedups hit ids — but
+    * cost bytes forever). Results are unaffected: same rows, same
+    * verdicts (asserted byte-identical in DedupIndexSpec).
+    *
+    * Crash-safety mirrors `IvfPqIndex.compact`: each table stages into a
+    * sibling directory and swaps by rename, so an interrupted compact
+    * leaves the original artifacts intact. Not safe against a CONCURRENT
+    * reader across the swap instant — run in the index's write lane,
+    * like the appends themselves. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    def swapIn(part: String, df: DataFrame): Unit = {
+      val staged = s"$path/${part}_compacting"
+      df.write.mode("overwrite").parquet(staged)
+      val live = new java.io.File(path, part)
+      val old = new java.io.File(path, s"${part}_old")
+      rm(old)
+      require(live.renameTo(old) &&
+        new java.io.File(staged).renameTo(live),
+        s"compact swap failed for $part under $path — original left at " +
+          s"${old.getAbsolutePath}")
+      rm(old)
+    }
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    swapIn("shingles", spark.read.parquet(s"$path/shingles").repartition(n))
+    swapIn("counts", spark.read.parquet(s"$path/counts").repartition(n))
+    swapIn("fps", spark.read.parquet(s"$path/fps").distinct())
+  }
+
   /** Check a batch against the indexed corpus. Output per batch doc
     * (same frame as `Dedup.dedupAgainstCorpus`): `id`,
     * `dropped_exact` (normalized-text fingerprint already in corpus),

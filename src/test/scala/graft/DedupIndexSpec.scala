@@ -72,6 +72,29 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(rows(served) == rows(inMem)) // n came from meta, not a default
   }
 
+  test("compact shrinks the layout, collapses fps, verdicts unchanged") {
+    val dir = tmp("compact")
+    val parts = (0 until 4).map(i => corpus.where(col("doc_id") % 8 === i * 2))
+    DedupIndex.build(parts.head, "doc_id", "text", dir, n = 3)
+    parts.tail.foreach(p => DedupIndex.append(p, "doc_id", "text", dir))
+    // duplicate fps on purpose: re-append an already-indexed slice
+    DedupIndex.append(parts.head, "doc_id", "text", dir)
+    def files(part: String): Int = new java.io.File(dir, part).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
+    val shinglesBefore = files("shingles")
+    val fpsRowsBefore = spark.read.parquet(s"$dir/fps").count()
+    DedupIndex.compact(spark, dir)
+    assert(rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
+      == before, "verdicts must be byte-identical across the swap")
+    assert(files("shingles") <= 4 && files("shingles") < shinglesBefore,
+      s"layout must shrink: ${files("shingles")} vs $shinglesBefore")
+    assert(spark.read.parquet(s"$dir/fps").count() < fpsRowsBefore,
+      "duplicate fps must collapse")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("compacting")), "no staging leftovers")
+  }
+
   test("streaming ingest with appendKept: later epochs dedupe against earlier") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
