@@ -313,6 +313,14 @@ object Dedup {
             i => Sampling.hash60(array_join(
               slice(col("ws"), i + 1, lit(gramLen)), " "))))
           .otherwise(typedLit(Seq.empty[Long]))).as(Seq("pos", "gh")))
+      // ONE shared exchange on gh: the tokenize + per-position hashing
+      // subtree above feeds both the first-occurrence aggregate and the
+      // join back, and without this Catalyst would run it twice —
+      // a second full pass over the corpus at 100 TB. Partitioned on gh
+      // it satisfies both consumers' distributions, so ReuseExchange
+      // computes it once (plan-asserted: exactly one regexp tokenizer in
+      // PipelineOpsSpec) — the same trick q_d2's jaccardPairs uses.
+      .repartition(col("gh"))
     val firstOcc = grams.groupBy("gh")
       .agg(min(struct(col("id"), col("pos"))).as("first"),
         count(lit(1)).as("cnt"))

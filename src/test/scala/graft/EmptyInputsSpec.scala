@@ -30,6 +30,16 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.componentLabels(noPairs).isEmpty)
     assert(Dedup.nearDupClusters(noPairs).isEmpty)
+    assert(Dedup.exactSubstringDedup(noDocs, "doc_id", "text", 10).isEmpty)
+    assert(TextStats.gopherQualityFlags(noDocs, "doc_id", "text").isEmpty)
+    // empty-corpus dedup index: nothing stored, every batch doc keeps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_empty_didx").toString
+    graft.operators.DedupIndex.build(noDocs, "doc_id", "text", dir, n = 3)
+    val verdicts = graft.operators.DedupIndex.checkBatch(
+      Seq((1L, "some brand new words arriving here")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0.5).collect()
+    assert(verdicts.length == 1 && verdicts(0).getAs[Boolean]("keep"))
   }
 
   test("sampling/session operators: empty in, empty out") {

@@ -520,6 +520,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       "doc_id", "text", gramLen = 10).collect()(0)
     assert(shortDoc.getAs[Long]("n_removed") == 0L &&
       shortDoc.getAs[Long]("n_tokens") == 4L)
+    // the gram subtree (tokenize + hash) is computed ONCE: the shared
+    // gh exchange feeds both the first-occurrence aggregate and the
+    // join back, and the executed plan must show the second consumer
+    // reading a ReusedExchange, not a second tokenize subtree
+    val spansDf = Dedup.exactSubstringSpans(docs, "doc_id", "text", 10)
+    spansDf.collect()
+    val spanPlan = spansDf.queryExecution.executedPlan.toString
+    assert(spanPlan.contains("ReusedExchange"),
+      s"gram exchange must be reused, not recomputed:\n$spanPlan")
   }
 
   test("gopher rules: each rule flips keep independently") {
