@@ -56,6 +56,53 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("cost_total"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** `curate` upgraded to the strict modern recipe (the
+    * RefinedWeb/FineWeb-style chain): exact dedup → Gopher rules →
+    * PII scrub → corpus-wide EXACT SUBSTRING dedup → split → shard
+    * packing. Stage order is load-bearing: the Gopher gate reads RAW
+    * text (its symbol/bullet/ellipsis metrics vanish under
+    * normalization) and the cheap per-doc filters run before the
+    * corpus-wide gram pass pays for survivors only.
+    *
+    * Substring dedup rebuilds the text column as the kept normalized
+    * token stream and REPLACES `costCol` with the kept-token count (the
+    * honest token budget after span removal — a char-count cost computed
+    * upstream of the removal would overpack shards); docs hollowed to
+    * zero tokens drop out entirely. Every stage is an oracled operator
+    * (q_t17, q_d11, q_e2e_curate's own stages); the composition is
+    * spec-gated in PipelineOpsSpec. */
+  def curateStrict(docs: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, costCol: String,
+                   gramLen: Int = 50,
+                   gopher: TextStats.GopherParams = TextStats.GopherParams(),
+                   testFraction: Double = 0.2,
+                   shardBudget: Long = 4000L): DataFrame = {
+    val clash = Seq("_fp", "_pk", "split", "shard").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with curate internals/outputs — alias them")
+    val fp = TextStats.fingerprint(col(textCol))
+    val keepers = docs.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
+    val deduped = docs.withColumn("_fp", fp)
+      .join(keepers, Seq("_fp", idCol))
+      .drop("_fp")
+    val gated = deduped
+      .join(TextStats.gopherQualityFlags(deduped, idCol, textCol, gopher)
+          .where(col("keep")).select(col("id").as(idCol)),
+        Seq(idCol))
+      .withColumn(textCol, TextStats.scrubPii(col(textCol)))
+    val scrubbed = Dedup.exactSubstringDedup(gated, idCol, textCol, gramLen)
+      .where(col("text_clean") =!= "") // fully hollowed docs drop out
+    val rebuilt = gated.drop(textCol, costCol)
+      .join(scrubbed.select(col("id").as(idCol),
+          col("text_clean").as(textCol),
+          (col("n_tokens") - col("n_removed")).as(costCol)),
+        Seq(idCol))
+    val split_ = Sampling.withSplit(rebuilt, idCol, testFraction)
+    Sampling.packIntoShards(
+      split_.withColumn("_pk", concat_ws("|", col("split"), col(groupCol))),
+      "_pk", idCol, costCol, shardBudget).drop("_pk")
+  }
+
   /** The last mile to a trainer: `curate`'s TRAIN split packed into
     * exact-`seqLen` training sequences with cross-boundary document
     * spans (`Sampling.packSequences`) — one span row per (doc,

@@ -443,6 +443,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.contains("split") && out.columns.contains("shard"))
   }
 
+  test("Pipeline.curateStrict: gopher gate, substring dedup, token cost") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"the first document keeps $passage and other fine prose with the usual words", "en", 70L),
+      (2L, s"THE FIRST DOCUMENT KEEPS $passage and other fine prose with the usual words", "en", 70L), // exact dup of 1
+      (3L, "- the alpha item one\n- the beta item two\n- the gamma item three", "en", 60L), // all bullet lines
+      (4L, s"seven eight nine $passage write to admin@example.com about the deal", "en", 60L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = graft.api.Pipeline.curateStrict(docs, "doc_id", "text", "lang",
+      "n_chars", gramLen = 10,
+      gopher = graft.operators.TextStats.GopherParams(
+        minWords = 8, minStopwordHits = 1))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 2 exact-deduped (keeper = 1), 3 gopher-dropped (bullet lines)
+    assert(rows.keySet == Set(1L, 4L), s"got ${rows.keySet}")
+    val t1 = rows(1L).getAs[String]("text")
+    val t4 = rows(4L).getAs[String]("text")
+    // doc 1 holds the first occurrence of the passage; doc 4 loses it
+    assert(t1.contains("tok1 tok2") && !t4.contains("tok1"))
+    // PII scrubbed BEFORE normalization: no email artifacts survive
+    assert(!t4.contains("example") && !t4.contains("@"))
+    // cost column rewritten to the kept-token count
+    for ((id, r) <- rows) {
+      val toks = r.getAs[String]("text").split(" ").count(_.nonEmpty)
+      assert(r.getAs[Long]("n_chars") == toks.toLong,
+        s"doc $id cost must equal kept tokens: ${r.getAs[Long]("n_chars")} vs $toks")
+    }
+    assert(out.columns.contains("split") && out.columns.contains("shard"))
+  }
+
   test("Pipeline.prepareSequences: curated train split packs losslessly, test never enters") {
     val docs = (1 to 40).map(i =>
       (i.toLong, s"document number $i with enough ordinary words to pass the gate easily",
