@@ -427,6 +427,120 @@ object PipelineQueries {
     graft.api.Pipeline.curationManifest(docs(s, d), "doc_id", "text",
         "lang", "n_chars")
       .orderBy("split", "lang", "shard")
+  /** `Pipeline.curateStrict` end to end under the hash gate: exact
+    * dedup → Gopher rules (raw text, minStopwordHits=1 as q_t17) → PII
+    * scrub → corpus-wide substring dedup (gramLen=10 as q_d11) → split →
+    * shard packing, composed from the SAME oracle fragments those
+    * queries prove individually (oE2E's dedup/split/pack, oT17's
+    * metrics, oX2's scrub patterns, oD11's span chain). The output
+    * carries the CLEANED TEXT and the rewritten kept-token cost, so a
+    * single mis-ordered stage, wrong span boundary, or stale cost
+    * anywhere in the composition is a hash mismatch. */
+  private def qE2Estrict(s: SparkSession, d: String): DataFrame =
+    graft.api.Pipeline.curateStrict(docs(s, d), "doc_id", "text", "lang",
+        "n_chars", gramLen = 10,
+        gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1))
+      .select(col("doc_id"), col("lang"), col("split"), col("shard"),
+        col("n_chars"), col("text"))
+      .orderBy("doc_id")
+  private val oE2Estrict = {
+    val stop = graft.operators.TextStats.GopherStopwords.map { w =>
+      s"""CASE WHEN (length(' '||lower(text)||' ') -
+         |  length(regexp_replace(' '||lower(text)||' ', ' $w ', ' ', 'g')))
+         |  / ${w.length + 1} > 0 THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    val email = graft.operators.TextStats.EmailRe
+    val phone = graft.operators.TextStats.PhoneRe
+    s"""WITH fp AS (SELECT doc_id, lang, text,
+      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |FROM documents),
+      |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
+      |dd AS (SELECT fp.doc_id, fp.lang, fp.text FROM fp
+      |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
+      |gm AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE),
+      |    1.0) AS nw,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE) AS alnum,
+      |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+      |  CAST(len(regexp_extract_all(text, '#')) +
+      |    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
+      |  greatest(CAST(len(string_split(text, chr(10))) AS DOUBLE), 1.0) AS nl,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS bullets,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) AS ellipses,
+      |  CAST($stop AS BIGINT) AS stop_hits
+      |FROM dd),
+      |gk AS (SELECT doc_id FROM (SELECT doc_id, n_words,
+      |    round(alnum / nw, 6) AS mean_word_len,
+      |    round(alpha_words / nw, 6) AS alpha_word_frac,
+      |    round(symbols / nw, 6) AS symbol_ratio,
+      |    round(bullets / nl, 6) AS bullet_line_frac,
+      |    round(ellipses / nl, 6) AS ellipsis_line_frac, stop_hits FROM gm)
+      |  WHERE n_words BETWEEN 50 AND 100000
+      |    AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND alpha_word_frac >= 0.8 AND symbol_ratio < 0.1
+      |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+      |    AND stop_hits >= 1),
+      |sc AS (SELECT dd.doc_id, dd.lang,
+      |    regexp_replace(regexp_replace(dd.text, '$email', '<EMAIL>', 'g'),
+      |      '$phone', '<PHONE>', 'g') AS text
+      |  FROM dd JOIN gk USING (doc_id)),
+      |w AS (SELECT doc_id, lang, list_filter(string_split(trim(lower(
+      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    x -> x <> '') AS ws FROM sc),
+      |g0 AS (SELECT doc_id, unnest(list_transform(
+      |    range(1, greatest(len(ws) - 10 + 1, 0) + 1),
+      |    i -> {'pos': i - 1, 's': array_to_string(ws[i:i+9], ' ')})) AS u
+      |  FROM w),
+      |g AS (SELECT doc_id, u.pos AS pos,
+      |    CAST(concat('0x', substr(md5(u.s), 1, 15)) AS BIGINT) AS gh
+      |  FROM g0),
+      |r AS (SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY gh) AS cnt
+      |  FROM g),
+      |rep AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM r
+      |  WHERE cnt > 1 AND rn > 1),
+      |m AS (SELECT doc_id, s, e,
+      |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM rep),
+      |b AS (SELECT doc_id, s, e,
+      |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m),
+      |sg AS (SELECT doc_id, s, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM b),
+      |sp0 AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM sg
+      |  GROUP BY doc_id, grp),
+      |spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp0
+      |  GROUP BY doc_id),
+      |k AS (SELECT w.doc_id, w.lang,
+      |    list_filter(w.ws, (x, i) -> len(list_filter(
+      |      coalesce(spl.spans, []),
+      |      sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0) AS kept
+      |  FROM w LEFT JOIN spl ON w.doc_id = spl.doc_id),
+      |res AS (SELECT doc_id, lang, CAST(len(kept) AS BIGINT) AS n_chars,
+      |    coalesce(array_to_string(kept, ' '), '') AS text
+      |  FROM k WHERE len(kept) > 0),
+      |h AS (SELECT doc_id, lang, n_chars, text,
+      |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |    '|graft')), 1, 6)) AS BIGINT) AS hh FROM res),
+      |sp AS (SELECT doc_id, lang, n_chars, text, hh,
+      |  CASE WHEN hh < 3355443 THEN 'test' ELSE 'train' END AS split FROM h),
+      |c AS (SELECT doc_id, lang, split, n_chars, text,
+      |  sum(n_chars) OVER (PARTITION BY split, lang ORDER BY hh, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM sp),
+      |s AS (SELECT doc_id, lang, split,
+      |  CAST(floor(CAST(cum - n_chars AS DOUBLE) /
+      |    CAST(4000 AS DOUBLE)) AS BIGINT) AS shard, n_chars, text FROM c)
+      |SELECT doc_id, lang, split, shard, n_chars, text
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private val oE2E =
     """WITH fp AS (SELECT doc_id, lang, n_chars, text,
       |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
@@ -599,6 +713,7 @@ object PipelineQueries {
     "q_t10_chunks" -> qT10chunks _,
     "q_e2e_curate" -> qE2Ecurate _,
     "q_e2e_pack" -> qE2Epack _,
+    "q_e2e_strict" -> qE2Estrict _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -619,5 +734,6 @@ object PipelineQueries {
     "q_t10_chunks" -> oT10,
     "q_e2e_curate" -> oE2E,
     "q_e2e_pack" -> oE2Epack,
+    "q_e2e_strict" -> oE2Estrict,
   )
 }
