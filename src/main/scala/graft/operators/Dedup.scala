@@ -361,7 +361,14 @@ object Dedup {
     * `text_clean` is the kept tokens re-joined; a production pipeline
     * carrying raw text would map spans back through char offsets, which
     * the (id, start, end) frame from [[exactSubstringSpans]] supports.
-    * Output: id, n_tokens, n_removed, text_clean. */
+    * Output: id, n_tokens, n_removed, text_clean.
+    *
+    * Inherently TWO passes over `docs` (find spans, then rebuild) — the
+    * span pass itself is single-scan via its shared gh exchange, but a
+    * caller whose `docs` is an expensive upstream chain (e.g.
+    * `Pipeline.curateStrict`'s dedup→gate→scrub front) should persist
+    * it first; lazy by default for the same lifetime reasons as
+    * `semanticDedup(materialize = false)`. */
   def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
                           gramLen: Int = 50): DataFrame = {
     val spanArr = exactSubstringSpans(docs, idCol, textCol, gramLen)
