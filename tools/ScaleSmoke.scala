@@ -310,6 +310,28 @@ object ScaleSmoke {
       out10.unpersist()
       n
     }
+    // strict curation chain at 10×: the verbatim copies are EXACT dups,
+    // so stage 1 (fingerprint dedup, keeper = min id) collapses every
+    // 10-copy group to its base doc before any later stage runs — the
+    // whole chain is copy-invariant and the 10× output must equal the
+    // 1× output ROW FOR ROW (ids, cleaned text, costs, splits, shards)
+    timed("curateStrict 10x == 1x") {
+      val docsFull10 = times10(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars"), "doc_id")
+      val gp = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
+      def strict(d: DataFrame) = graft.api.Pipeline.curateStrict(
+        d, "doc_id", "text", "lang", "n_chars", gramLen = 10, gopher = gp)
+      val s10 = strict(docsFull10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s1 = strict(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang", "n_chars"))
+      val drift = s10.exceptAll(s1).count() + s1.exceptAll(s10).count()
+      require(drift == 0L,
+        s"strict chain must be copy-invariant: $drift diverging rows")
+      val n = s10.count()
+      s10.unpersist()
+      n
+    }
     // persisted dedup index at 10×: build over the 50 k-doc corpus once
     // (2.6 M stored shingle rows), then check the fresh 5 k batch from
     // the stored artifacts with the batch sides broadcast. Known answer:
