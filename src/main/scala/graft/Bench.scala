@@ -1,19 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Emits ONE SLIM JSON line (twice, identically — the
-  * record-keeper's last-occurrence parse wins, and a duplicate guards
-  * against log interleaving clipping one copy):
-  * {"metric":"total","value":S,"unit":"sec","runs":N,"sf":dir,
-  *  "unstable":[q,…],"queries":{q:minSec,…}}
+/** Benchmark main. Emits TWO kinds of record:
   *
-  * Key ORDER is load-bearing: the record-keeper captures a TAIL window of
-  * stdout, so whatever ends the line is what survives. Round 7 had the
-  * medians map first and a ~2.5 KB "spread" map after it — the tail kept
-  * spread+unstable and truncated the medians off the FRONT, making the
-  * official record unparseable for the third round running. Hence:
-  * "queries" is the LAST key, and "spread" is not on stdout at all (it
-  * is derivable from the sidecar samples).
+  * 1. stdout, LAST line (printed twice — last-occurrence parse wins, and
+  *    a duplicate guards against log interleaving clipping one copy): a
+  *    SLIM summary that fits any tail window,
+  *    {"metric":"total","value":S,"unit":"sec","runs":N,"n":99,"sf":dir}
+  *    (~110 bytes). Rounds 5–8 proved no single line carrying a 99-query
+  *    map can survive the record-keeper's tail capture: the window is
+  *    2,000 bytes and a full-name 99-query map has a ~2.5 KB floor, so
+  *    the front of the line — including the opening `{"metric"` — was
+  *    truncated off and the official record parsed null four rounds
+  *    running, regardless of key order. The summary line carries only
+  *    scalars; the per-query map moves to the committed artifact.
+  *
+  * 2. BENCH_LOCAL.json (repo root, committed, overwritten per run): the
+  *    FULL record — same scalars plus "unstable" and the complete
+  *    per-query map — pretty-printed one query per line so git diffs are
+  *    readable. This is where per-query timings live now.
+  *
+  * The full record is ALSO printed to stdout once, BEFORE the summary
+  * lines: the parent fork's parser (and any human) reads the per-query
+  * map from there; if the tail window clips it, the summary line and the
+  * committed artifact still carry everything.
   *
   * The stdout "queries" map (and "value" = its sum) is the per-query MIN
   * across the isolated forked runs — the standard noise-floor estimator.
@@ -114,10 +124,50 @@ object Bench {
     val unstable = spreads.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = queries.map(_._2).sum
-    // "queries" LAST — the record-keeper's tail window keeps the END of
-    // the line, so the per-query map must be what ends it (scaladoc).
+    // "queries" LAST — on the one-line form the per-query map ends the
+    // line; the pretty form (BENCH_LOCAL.json) reuses the same fields.
     s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,""" +
       s""""sf":"$sfDir","unstable":$unstable,"queries":$qs}"""
+  }
+
+  /** The slim summary that is the LAST stdout line: scalars only, ~110
+    * bytes — guaranteed to fit the record-keeper's 2,000-byte tail window
+    * whole (see the object scaladoc). */
+  private def summaryLine(queries: Seq[(String, Double)], runs: Int,
+                          sfDir: String): String = {
+    val total = queries.map(_._2).sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,""" +
+      s""""n":${queries.size},"sf":"$sfDir"}"""
+  }
+
+  /** Full record, pretty-printed one query per line, for the committed
+    * BENCH_LOCAL.json artifact. Same fields as the one-line form. */
+  private def prettyRecord(queries: Seq[(String, Double)],
+                           samples: Map[String, Seq[Double]], runs: Int,
+                           sfDir: String): String = {
+    val spreads = queries.map { case (k, _) =>
+      val xs = samples(k)
+      k -> (if (xs.min > 0) xs.max / xs.min
+            else if (xs.max == 0) 1.0 else 999.0)
+    }
+    val unstable = spreads.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = queries.map(_._2).sum
+    val qs = queries.map { case (k, v) => s"""    "$k": ${num(v)}""" }
+      .mkString(",\n")
+    s"""{
+  "metric": "total",
+  "value": ${num(total)},
+  "unit": "sec",
+  "runs": $runs,
+  "n": ${queries.size},
+  "sf": "$sfDir",
+  "unstable": $unstable,
+  "queries": {
+$qs
+  }
+}
+"""
   }
 
   /** Fork a fresh child JVM running one inline pass; returns its
@@ -134,12 +184,17 @@ object Bench {
     val pb = new ProcessBuilder(cmd.asJava)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
     pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "1")
+    // children must not clobber the parent's committed artifact
+    pb.environment().put("SPARK_GRAFT_BENCH_LOCAL", "")
     System.err.println(s"[bench] forking isolated run $run/$runs")
     val p = pb.start()
     val outLines = scala.io.Source.fromInputStream(p.getInputStream)
       .getLines().toSeq
     val code = p.waitFor()
-    val json = outLines.reverseIterator.find(_.startsWith("{\"metric\""))
+    // the child's LAST {"metric" line is the slim summary (no per-query
+    // map) — parse the full-record line, the one carrying "queries"
+    val json = outLines.reverseIterator.find(l =>
+      l.startsWith("{\"metric\"") && l.contains("\"queries\""))
     if (code != 0 || json.isEmpty) {
       System.err.println(
         s"[bench] run $run FAILED (exit=$code, json=${json.isDefined}) — skipped")
@@ -162,6 +217,14 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
       "/tmp/graft_bench_samples.json")
+    // committed full-record artifact; "" disables (fork children). The
+    // default resolves to the repo root when it exists so the artifact is
+    // git-visible regardless of the caller's cwd.
+    val localArtifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", {
+      val root = java.nio.file.Paths.get("/root/repo")
+      if (java.nio.file.Files.isDirectory(root)) "/root/repo/BENCH_LOCAL.json"
+      else "BENCH_LOCAL.json"
+    })
     // trimmed median (sidecar only): with ≥4 surviving runs drop the min
     // and max sample first — kept for spread analysis, no longer the
     // headline (2/5 contended forks defeat any median — scaladoc)
@@ -178,11 +241,21 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), ss)
       catch { case e: java.io.IOException =>
         System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-      val line = jsonLine(mins, bySample, n, sfDir)
-      // twice: last occurrence wins downstream, and a duplicate survives
-      // one copy being clipped by interleaved logging
-      println(line)
-      println(line)
+      if (localArtifact.nonEmpty) {
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(localArtifact),
+          prettyRecord(mins, bySample, n, sfDir))
+        catch { case e: java.io.IOException =>
+          System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}") }
+      }
+      // full record once (parent-fork parser + humans), then the slim
+      // summary TWICE and LAST — the only thing the tail window must keep
+      // (last occurrence wins downstream; the duplicate survives one copy
+      // being clipped by interleaved logging)
+      println(jsonLine(mins, bySample, n, sfDir))
+      val slim = summaryLine(mins, n, sfDir)
+      println(slim)
+      println(slim)
     }
     if (runs <= 1) {
       val r = runOnce(sfDir, cpus)

@@ -375,15 +375,28 @@ object Dedup {
       .groupBy("id")
       .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
     val ws = filter(words(col(textCol)), w => w =!= lit(""))
+    // Linear rebuild from the SPAN COMPLEMENT. The obvious formulation —
+    // filter(ws, (x, i) => !exists(spans, …)) — is O(tokens × spans) per
+    // doc AND interpreted (HOF lambdas are CodegenFallback, the ~100×
+    // pattern the MinHash scaladoc below measures), so an adversarial
+    // boilerplate-heavy doc degrades quadratically. The merged spans are
+    // disjoint, so the kept text is exactly the gap ranges between them:
+    // sort the spans, pair (0 ++ ends) with (starts ++ n) into gaps, and
+    // `slice` each gap out of ws — O(#spans) lambda invocations plus
+    // O(tokens) native array copying, the same result in linear time.
+    val sorted = array_sort(col("spans"))
+    val gapStarts = concat(array(lit(0)),
+      transform(sorted, s => s.getField("end")))
+    val gapEnds = concat(transform(sorted, s => s.getField("start")),
+      array(size(col("ws"))))
     docs.select(col(idCol).as("id"), ws.as("ws"))
       .join(spanArr, Seq("id"), "left")
       .select(col("id"), col("ws"),
         coalesce(col("spans"),
           typedLit(Seq.empty[(Int, Int)])
             .cast("array<struct<start:int,end:int>>")).as("spans"))
-      .withColumn("kept", filter(col("ws"), (x, i) =>
-        !exists(col("spans"),
-          s => i >= s.getField("start") && i < s.getField("end"))))
+      .withColumn("kept", flatten(zip_with(gapStarts, gapEnds,
+        (a, b) => slice(col("ws"), a + 1, greatest(b - a, lit(0))))))
       .select(col("id"),
         size(col("ws")).cast("long").as("n_tokens"),
         (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"),

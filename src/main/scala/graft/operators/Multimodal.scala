@@ -4,6 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** One sampled frame row from [[Multimodal.frameSampleDecoded]]:
+  * `frame_no` is the ORIGINAL frame index (GIF) or the stub slice index;
+  * width/height only when really decoded; `decoded` marks which path
+  * fired.
+  *
+  * TOP-LEVEL and `private[operators]` (public in bytecode) on purpose:
+  * as a `private` class nested in the object, the generated encoder
+  * could not see its accessors and Janino failed compilation
+  * (`ERROR CodeGenerator … No applicable constructor/method found …
+  * Multimodal$SampledFrame.decoded()`), silently dropping every frame
+  * batch to the interpreted deserializer — MultimodalSpec pins the
+  * clean-codegen property. */
+private[operators] final case class SampledFrame(
+    frame_no: Int, width: Option[Int], height: Option[Int],
+    features: Array[Float], decoded: Boolean)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
@@ -288,14 +304,6 @@ object Multimodal {
         .withField("height", coalesce(col("_d._3"), col("meta.height"))))
       .drop("_d")
   }
-
-  /** One sampled frame row from [[frameSampleDecoded]]: `frame_no` is
-    * the ORIGINAL frame index (GIF) or the stub slice index; width/
-    * height only when really decoded; `decoded` marks which path fired. */
-  private final case class SampledFrame(frame_no: Int, width: Option[Int],
-                                        height: Option[Int],
-                                        features: Array[Float],
-                                        decoded: Boolean)
 
   /** Frame sampling with a REAL decode path: animated-GIF payloads
     * decode every `everyN`-th frame via ImageIO ([[decodeGifFrames]])

@@ -200,6 +200,56 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     assert(stub.nonEmpty && stub.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
   }
 
+  test("frame-sampling encoder codegens cleanly: no ERROR CodeGenerator events") {
+    // Round-8 regression pinned: SampledFrame as a `private` class nested
+    // in the object compiled to private bytecode, so Janino could not see
+    // its accessors — every frame batch logged `ERROR CodeGenerator:
+    // Failed to compile … SampledFrame.decoded()` and fell back to the
+    // interpreted deserializer. Capture that logger at ERROR while the
+    // pipeline runs and require silence.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.LogEvent
+    val codegenLogger =
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator"
+    val errors = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val probe = new AbstractAppender("graft-codegen-probe", null, null,
+        false, Array.empty) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLoggerName == codegenLogger &&
+            e.getLevel.isMoreSpecificThan(Level.ERROR))
+          errors.add(e.getMessage.getFormattedMessage)
+    }
+    probe.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(probe, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      def fixture(name: String): Array[Byte] = {
+        val in = getClass.getResourceAsStream(s"/media/$name")
+        try in.readAllBytes() finally in.close()
+      }
+      val df = Seq((1L, fixture("anim_4x4x4.gif")),
+          (2L, "stub payload".getBytes("UTF-8")))
+        .toDF("media_id", "media")
+        .withColumn("meta", struct(lit("fake/raw").as("format"),
+          lit(0).as("width"), lit(0).as("height"),
+          length(col("media")).cast("long").as("n_bytes")))
+      val rows = Multimodal.frameSampleDecoded(df, everyN = 1, dim = 8)
+        .collect()
+      assert(rows.length >= 5) // 4 real GIF frames + >=1 stub slice
+    } finally {
+      root.removeAppender("graft-codegen-probe")
+      ctx.updateLoggers()
+      probe.stop()
+    }
+    assert(errors.isEmpty,
+      s"CodeGenerator logged errors during frame sampling:\n" +
+        String.join("\n---\n", errors))
+  }
+
   test("container sniffing: mp4/mp3/webm headers parse without any codec") {
     // hand-assembled minimal containers, every field pinned — the headers
     // are REAL (a demuxer would accept the same structure), only payloads
