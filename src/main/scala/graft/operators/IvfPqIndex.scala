@@ -17,6 +17,9 @@ import graft.functions.PqCodec
   *                    of the index files, nothing else
   *   path/centroids/  the coarse quantizer (nCentroids slim rows)
   *   path/codebook/   one row: flattened PQ codebook + dims
+  *   path/tombstones/ (neighbor_id) — optional; rows [[delete]]d but not
+  *                    yet physically dropped (search excludes them,
+  *                    compact drops them)
   *
   * Raw vectors are deliberately NOT duplicated into the index (the
   * m-byte codes are the point); exact re-rank refetches originals from
@@ -162,39 +165,50 @@ object IvfPqIndex {
     }
   }
 
+  /** Mark index entries deleted (takedowns, re-curation — the daily
+    * 100 TB pipeline's legal reality). Logical and cheap: the ids land
+    * in a tombstones sidecar, every subsequent [[search]] excludes them
+    * before scoring, and [[compact]] physically drops their code rows
+    * (and clears the tombstones). `ids` is any frame carrying `idCol`
+    * with the indexed id type. */
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    IndexFiles.readIfExists(spark, s"$path/tombstones")
+      .map(t => broadcast(t.select("neighbor_id").distinct()))
+
   /** Rewrite the codes table through [[writeCodes]] — the maintenance
     * pass a long-lived index needs after many appends (each append adds
     * ≥ 1 file per touched list; compaction folds them back to ~one file
-    * per list). Results are unaffected — the codes rows are the same
-    * rows — only the file layout changes. The rewrite stages through a
-    * sibling directory and swaps by rename, so a crash mid-compact
-    * leaves the original codes intact (a stale `codes_compacting_root`
-    * leftover is overwritten by the next attempt). Not safe against a
-    * CONCURRENT reader of the same path across the swap instant — run
-    * it in the index's write lane, like the appends themselves. */
+    * per list), MINUS any tombstoned rows (physically dropped here; the
+    * tombstones sidecar is then cleared). For an index with no pending
+    * deletes the codes rows are the same rows — only the file layout
+    * changes. The rewrite stages through a sibling directory and swaps
+    * by rename through the Hadoop FileSystem of the index's path (works
+    * on any Hadoop-compatible store, not just local disk; a stale
+    * `codes_compacting_root` leftover is overwritten by the next
+    * attempt). Not safe against a CONCURRENT reader of the same path
+    * across the swap instant — run it in the index's write lane, like
+    * the appends themselves. */
   def compact(spark: SparkSession, path: String): Unit = {
     val cents = spark.read.parquet(s"$path/centroids")
     val centType = cents.schema("centroid_id").dataType
     val codesSchema = org.apache.spark.sql.types.StructType(
       spark.read.parquet(s"$path/codes").schema.map(f =>
         if (f.name == "centroid_id") f.copy(dataType = centType) else f))
+    val tombs = tombstones(spark, path)
+    val survivors = tombs.fold(
+        spark.read.schema(codesSchema).parquet(s"$path/codes"))(t =>
+      spark.read.schema(codesSchema).parquet(s"$path/codes")
+        .join(t, Seq("neighbor_id"), "left_anti"))
     // writeCodes appends "/codes" itself — stage under a sibling root
-    writeCodes(spark.read.schema(codesSchema).parquet(s"$path/codes"),
-      s"$path/codes_compacting_root", "overwrite")
-    val fs = new java.io.File(path)
-    val live = new java.io.File(fs, "codes")
-    val old = new java.io.File(fs, "codes_old")
-    val fresh = new java.io.File(new java.io.File(fs,
-      "codes_compacting_root"), "codes")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
-    rm(old)
-    require(live.renameTo(old) && fresh.renameTo(live),
-      s"compact swap failed under $path — original codes left at " +
-        s"${old.getAbsolutePath}")
-    rm(old); rm(new java.io.File(fs, "codes_compacting_root"))
+    writeCodes(survivors, s"$path/codes_compacting_root", "overwrite")
+    IndexFiles.swapIn(spark, s"$path/codes",
+      s"$path/codes_compacting_root/codes")
+    IndexFiles.remove(spark, s"$path/codes_compacting_root")
+    IndexFiles.remove(spark, s"$path/tombstones")
   }
 
   /** Search a built index. Per query: probe the `nProbe` nearest
@@ -259,8 +273,13 @@ object IvfPqIndex {
     val codesSchema = org.apache.spark.sql.types.StructType(
       spark.read.parquet(s"$path/codes").schema.map(f =>
         if (f.name == "centroid_id") f.copy(dataType = centType) else f))
-    val codes = spark.read.schema(codesSchema).parquet(s"$path/codes")
+    val pruned = spark.read.schema(codesSchema).parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedLists: _*))
+    // tombstoned entries drop BEFORE scoring/top-k, so a delete can
+    // never occupy a result slot; broadcast anti-join — the pruned codes
+    // scan is never shuffled for it
+    val codes = tombstones(spark, path).fold(pruned)(t =>
+      pruned.join(t, Seq("neighbor_id"), "left_anti"))
     val scored =
       if (residual) Pq.residualAdcScored(codes, probes, cbSize)
       else Pq.adcScored(codes, probes, cbSize)

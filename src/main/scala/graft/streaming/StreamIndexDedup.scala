@@ -24,13 +24,18 @@ import graft.operators.DedupIndex
   * upstream for intra-stream exact dups inside the watermark horizon).
   *
   * Delivery contract (standard foreachBatch): the sink callback may see
-  * a replayed epoch after a failure. With `appendKept = true` the caller
-  * must make the append path idempotent (e.g. skip epochs at or below
-  * the last checkpointed batchId) — a double-appended batch is NOT
-  * harmless here, because duplicated shingle rows overcount later
-  * intersections (j = 2·inter / (na + nb − 2·inter) > j_true). This is
-  * the same at-least-once caveat every non-transactional foreachBatch
-  * sink carries; stated loudly instead of hidden. */
+  * a replayed epoch after a failure — the SINK must tolerate replays,
+  * like every non-transactional foreachBatch sink. The APPEND path,
+  * however, is guarded here: each applied epoch id is recorded in the
+  * index's `applied_epochs` sidecar, and a replayed epoch at or below
+  * the high-water mark skips the append — a double-appended batch is NOT
+  * harmless (duplicated shingle rows overcount later intersections,
+  * j = 2·inter / (na + nb − 2·inter) > j_true). One crash window
+  * remains: failing BETWEEN the append and its epoch record replays as
+  * a double append (append-then-record, because the reverse order would
+  * silently LOSE the batch) — `DedupIndex.compact` restores exactly the
+  * single-append state, so the remediation is one maintenance pass, not
+  * a rebuild. */
 object StreamIndexDedup {
 
   /** Wire a streaming `docs` frame into a `foreachBatch` writer that
@@ -42,18 +47,39 @@ object StreamIndexDedup {
              minJaccard: Double, appendKept: Boolean = false)
             (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-      val verdicts = DedupIndex.checkBatch(batch, idCol, textCol, path,
-        minJaccard)
-      val kept = batch.join(
-          verdicts.where(col("keep")).select(col("id").as(idCol),
-            col("best_jaccard")),
-          Seq(idCol))
-        // the verdict side is one row per batch id; persist so the
-        // check plan runs once across sink + append consumers
-        .persist()
-      try {
-        sink(kept, epoch)
-        if (appendKept) DedupIndex.append(kept, idCol, textCol, path)
-      } finally { kept.unpersist(); () }
+      processEpoch(batch.toDF(), epoch, idCol, textCol, path, minJaccard,
+        appendKept)(sink)
     }
+
+  /** One epoch of the foreachBatch loop — factored out so the replay
+    * guard is testable against the exact code the stream runs (the spec
+    * re-delivers an epoch and asserts the index is byte-identical to a
+    * single apply). */
+  private[graft] def processEpoch(batch: DataFrame, epoch: Long,
+                                  idCol: String, textCol: String,
+                                  path: String, minJaccard: Double,
+                                  appendKept: Boolean)
+                                 (sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val verdicts = DedupIndex.checkBatch(batch, idCol, textCol, path,
+      minJaccard)
+    val kept = batch.join(
+        verdicts.where(col("keep")).select(col("id").as(idCol),
+          col("best_jaccard")),
+        Seq(idCol))
+      // the verdict side is one row per batch id; persist so the
+      // check plan runs once across sink + append consumers
+      .persist()
+    try {
+      sink(kept, epoch)
+      // idempotent per epoch: a foreachBatch replay re-delivers an
+      // epoch id already folded in — skip it (scaladoc: why the append
+      // comes before its record)
+      if (appendKept &&
+          !DedupIndex.lastAppliedEpoch(spark, path).exists(_ >= epoch)) {
+        DedupIndex.append(kept, idCol, textCol, path)
+        DedupIndex.recordAppliedEpoch(spark, path, epoch)
+      }
+    } finally { kept.unpersist(); () }
+  }
 }

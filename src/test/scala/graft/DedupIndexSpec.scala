@@ -72,27 +72,136 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     assert(rows(served) == rows(inMem)) // n came from meta, not a default
   }
 
-  test("compact shrinks the layout, collapses fps, verdicts unchanged") {
+  test("compact shrinks the layout; verdicts unchanged on a clean index") {
     val dir = tmp("compact")
     val parts = (0 until 4).map(i => corpus.where(col("doc_id") % 8 === i * 2))
     DedupIndex.build(parts.head, "doc_id", "text", dir, n = 3)
     parts.tail.foreach(p => DedupIndex.append(p, "doc_id", "text", dir))
-    // duplicate fps on purpose: re-append an already-indexed slice
-    DedupIndex.append(parts.head, "doc_id", "text", dir)
     def files(part: String): Int = new java.io.File(dir, part).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val before = rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
     val shinglesBefore = files("shingles")
-    val fpsRowsBefore = spark.read.parquet(s"$dir/fps").count()
     DedupIndex.compact(spark, dir)
     assert(rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
       == before, "verdicts must be byte-identical across the swap")
     assert(files("shingles") <= 4 && files("shingles") < shinglesBefore,
       s"layout must shrink: ${files("shingles")} vs $shinglesBefore")
-    assert(spark.read.parquet(s"$dir/fps").count() < fpsRowsBefore,
-      "duplicate fps must collapse")
     assert(!new java.io.File(dir).listFiles()
       .exists(_.getName.contains("compacting")), "no staging leftovers")
+  }
+
+  test("compact REPAIRS a double-appended index (shingle duplication is not harmless)") {
+    import spark.implicits._
+    // corpus doc 1 is an exact twin of batch doc 10; corpus doc 2 shares
+    // exactly 4 of 9 3-shingles with batch doc 11:
+    //   true j = 4/(9+9-4) = 0.286 < 0.5 → keep
+    //   doubled shingle+count rows → j' = 2·4/(9+9-2·4) = 0.8 ≥ 0.5 → drop
+    val textA = "a b c d e f g h i j k"
+    val textB = "p q r s t u v w x y z"
+    val nearB = "p q r s t u n1 n2 n3 n4 n5"
+    val dir = tmp("repair")
+    val corpus2 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    val batch2 = Seq((10L, textA), (11L, nearB)).toDF("doc_id", "text")
+    DedupIndex.build(corpus2, "doc_id", "text", dir, n = 3)
+    val clean = rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+    assert(clean.exists { case (id, _, bj, keep) =>
+      id == 11L && bj.exists(j => math.abs(j - 4.0 / 14) < 1e-6) && keep })
+    // the streaming crash window: doc 2 appended a second time
+    DedupIndex.append(Seq((2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val corrupted = rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+    assert(corrupted.exists { case (id, _, bj, keep) =>
+      id == 11L && bj.exists(_ > 0.5) && !keep },
+      s"doubled rows must inflate best_jaccard and over-drop: $corrupted")
+    DedupIndex.compact(spark, dir)
+    assert(rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+      == clean, "compact must restore the single-append state exactly")
+    // the worst case — a doubled doc met by its identical twin — zeroes
+    // the Jaccard denominator (na+nb−inter = 18−18) and fails LOUDLY
+    // under ANSI, never returning a silently-wrong verdict; compact is
+    // the documented remediation and restores the clean state
+    DedupIndex.append(Seq((1L, textA)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val boom = intercept[Exception] {
+      rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+    }
+    assert(boom.toString.contains("DIVIDE_BY_ZERO") ||
+      Option(boom.getCause).exists(_.toString.contains("DIVIDE_BY_ZERO")),
+      s"expected the loud ANSI division failure, got: $boom")
+    DedupIndex.compact(spark, dir)
+    assert(rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+      == clean)
+  }
+
+  test("delete: tombstoned docs vanish from checks; compact drops them physically") {
+    import spark.implicits._
+    val textA = "a b c d e f g h i j k"
+    val textB = "p q r s t u v w x y z"
+    val dir = tmp("delete")
+    DedupIndex.build(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 3)
+    val batch2 = Seq((10L, textA)).toDF("doc_id", "text")
+    val hit = rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+    assert(hit.exists { case (id, ex, _, keep) => id == 10L && ex && !keep })
+    DedupIndex.delete(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    val after = rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+    assert(after == Set((10L, false, None, true)),
+      s"the deleted twin must stop matching: $after")
+    val shinglesBefore = spark.read.parquet(s"$dir/shingles").count()
+    DedupIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/shingles").count() < shinglesBefore,
+      "compact must physically drop tombstoned shingle rows")
+    assert(spark.read.parquet(s"$dir/fps").where(col("id") === 1L).count() == 0)
+    assert(!new java.io.File(dir, "tombstones").exists,
+      "tombstones must clear after compact")
+    assert(rows(DedupIndex.checkBatch(batch2, "doc_id", "text", dir, 0.5))
+      == after, "verdicts must be stable across the physical drop")
+  }
+
+  test("bloom gate: wholly-novel batch skips the fps join; verdicts identical") {
+    import spark.implicits._
+    val dir = tmp("bloom")
+    DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
+    val novel = Seq((9_000_002L, "zz yy xx ww vv uu tt ss rr qq pp"))
+      .toDF("doc_id", "text")
+    val novelCheck = DedupIndex.checkBatch(novel, "doc_id", "text", dir, 0.5)
+    val plan = novelCheck.queryExecution.executedPlan.toString
+    assert(!plan.contains("/fps"),
+      s"novel batch must not scan the stored fps table:\n$plan")
+    assert(plan.contains("/shingles"), "sanity: the jaccard side still scans")
+    assert(rows(novelCheck) == Set((9_000_002L, false, None, true)))
+    // overlapping batch: bloom restricts but never changes the verdicts
+    val gated = rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
+    val ungated = rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5,
+      useBloom = false))
+    assert(gated == ungated, "bloom has no false negatives by contract")
+  }
+
+  test("streaming replay guard: re-delivered epoch leaves the index byte-identical") {
+    import spark.implicits._
+    val dir = tmp("replay")
+    DedupIndex.build(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, n = 3)
+    val epochDocs = Seq((10L, "fresh words about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    def snapshot(): (Set[String], Set[String], Set[String]) = (
+      spark.read.parquet(s"$dir/shingles").collect().map(_.toString).toSet,
+      spark.read.parquet(s"$dir/counts").collect().map(_.toString).toSet,
+      spark.read.parquet(s"$dir/fps").collect().map(_.toString).toSet)
+    graft.streaming.StreamIndexDedup.processEpoch(epochDocs, 0L, "doc_id",
+      "text", dir, 0.5, appendKept = true)((_, _) => ())
+    val once = snapshot()
+    // the at-least-once replay: same epoch id re-delivered
+    graft.streaming.StreamIndexDedup.processEpoch(epochDocs, 0L, "doc_id",
+      "text", dir, 0.5, appendKept = true)((_, _) => ())
+    assert(snapshot() == once,
+      "replayed epoch must not double-append")
+    // a genuinely new epoch still folds in
+    graft.streaming.StreamIndexDedup.processEpoch(
+      Seq((20L, "another new doc entirely about parquet pruning"))
+        .toDF("doc_id", "text"), 1L, "doc_id", "text", dir, 0.5,
+      appendKept = true)((_, _) => ())
+    assert(snapshot() != once)
   }
 
   test("streaming ingest with appendKept: later epochs dedupe against earlier") {

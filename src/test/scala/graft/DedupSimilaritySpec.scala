@@ -397,6 +397,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       !new java.io.File(dir, "codes_old").exists(), "staging dirs left behind")
   }
 
+  test("IvfPqIndex.delete: tombstoned ids never surface; compact drops their rows") {
+    import graft.operators.IvfPqIndex
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    IvfPqIndex.build(sfEmb, "vec_id", "embedding", dir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    val q = sfEmb.where(col("vec_id") < 10)
+    def rows() = IvfPqIndex.search(spark, dir, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerankDepth = 50, rerank = Some(sfEmb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val before = rows()
+    // take down two ids that are currently served results (the takedown
+    // that MUST stop being served)
+    val victims = before.map(_._2).take(2).toSeq
+    IvfPqIndex.delete(victims.toDF("vec_id"), "vec_id", dir)
+    val after = rows()
+    assert(victims.forall(v => !after.exists(_._2 == v)),
+      s"deleted ids still served: $victims in $after")
+    // the freed slots refill: still k rows per query (tombstones drop
+    // BEFORE top-k, not after)
+    assert(after.groupBy(_._1).forall(_._2.size == 5))
+    val codesBefore = spark.read.parquet(s"$dir/codes").count()
+    IvfPqIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/codes").count() == codesBefore - 2,
+      "compact must physically drop exactly the tombstoned code rows")
+    assert(!new java.io.File(dir, "tombstones").exists(),
+      "tombstones must clear after compact")
+    assert(rows() == after, "physical drop must not change served results")
+  }
+
   test("persisted RESIDUAL index: search == in-memory operator, append stitches") {
     import graft.operators.{IvfPqIndex, Pq}
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
