@@ -337,6 +337,32 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** The index DELETE lifecycle under the hash gate: build from the
+    * even-id corpus exactly as q_d10, tombstone every doc_id % 10 == 0
+    * (takedown set), then serve the odd-id batch check from the
+    * TOMBSTONE-MASKED index — the live serving path, where the stored
+    * Bloom filter still carries the deleted fingerprints (it cannot
+    * unset bits) and correctness rests on the left-anti exclusions in
+    * all three stored tables. Oracle: oD7's CTE chain over the corpus
+    * minus the deleted ids — a single verdict still influenced by a
+    * tombstoned doc (a stale fingerprint hit, a Jaccard pair against a
+    * deleted doc's shingles) is a hash mismatch. The compact-equivalence
+    * half (physical drop serves byte-identically) is spec-gated in
+    * DedupIndexSpec. */
+  private def qD12indexDelete(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val dir = TextSimQueries.indexDir("deldedup", d)
+    graft.operators.DedupIndex.build(all.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir, n = 3)
+    graft.operators.DedupIndex.delete(
+      all.where(col("doc_id") % 10 === 0), "doc_id", dir)
+    graft.operators.DedupIndex.checkBatch(all.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir, minJaccard = 0.5)
+      .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
+        col("best_jaccard"), col("keep").cast("long").as("keep"))
+      .orderBy("id")
+  }
+
   /** Exact substring dedup (Lee et al.) under the hash gate: every
     * 10-gram span removal — gram hashing, global first-occurrence
     * tie-break, interval merge, and the index-lambda rebuild — replayed
@@ -386,11 +412,17 @@ object PipelineQueries {
       |  coalesce(array_to_string(kept, ' '), '') AS text_clean
       |FROM k ORDER BY id""".stripMargin
 
-  private val oD7 =
-    """WITH fp AS (SELECT doc_id,
+  /** oD7's CTE chain with the CORPUS membership predicate injected at
+    * both of its appearances (the exact-fingerprint side and the
+    * shingle-pair side). `corpus("")` renders the bare-column form,
+    * `corpus("ce.")` the aliased form — so oD12 (the delete-lifecycle
+    * oracle) is oD7 with the tombstoned ids carved out of the corpus and
+    * NOTHING else changed. */
+  private def oD7sql(corpus: String => String): String =
+    s"""WITH fp AS (SELECT doc_id,
       |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
       |FROM documents),
-      |cfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      |cfp AS (SELECT DISTINCT fp FROM fp WHERE ${corpus("")}),
       |w AS (SELECT doc_id,
       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
       |FROM documents),
@@ -401,7 +433,7 @@ object PipelineQueries {
       |p AS (SELECT be.doc_id AS bid, ce.doc_id AS cid, be.n_sh AS na,
       |    ce.n_sh AS nb, count(*) AS inter
       |  FROM e be JOIN e ce ON be.sg = ce.sg
-      |  WHERE be.doc_id % 2 = 1 AND ce.doc_id % 2 = 0
+      |  WHERE be.doc_id % 2 = 1 AND ${corpus("ce.")}
       |  GROUP BY 1, 2, 3, 4),
       |bj AS (SELECT bid, round(max(CAST(inter AS DOUBLE) /
       |    CAST(na + nb - inter AS DOUBLE)), 6) AS best_jaccard
@@ -416,6 +448,13 @@ object PipelineQueries {
       |  CAST(dropped_exact = 0 AND (best_jaccard IS NULL OR
       |    best_jaccard < CAST(0.5 AS DOUBLE)) AS BIGINT) AS keep
       |FROM b ORDER BY id""".stripMargin
+
+  private val oD7 = oD7sql(p => s"${p}doc_id % 2 = 0")
+  /** q_d12's oracle: the corpus minus the tombstoned ids (doc_id % 10 =
+    * 0), via the same CTE chain as oD7 — the only difference a delete
+    * may make is which corpus docs exist. */
+  private val oD12 =
+    oD7sql(p => s"${p}doc_id % 2 = 0 AND ${p}doc_id % 10 <> 0")
 
   // ---- end-to-end curation -----------------------------------------------
 
@@ -709,6 +748,7 @@ object PipelineQueries {
     "q_d7_incremental_dedup" -> qD7incremental _,
     "q_d10_dedup_index" -> qD10dedupIndex _,
     "q_d11_substring_dedup" -> qD11substring _,
+    "q_d12_index_delete" -> qD12indexDelete _,
     "q_t9_corpus_profile" -> qT9profile _,
     "q_t10_chunks" -> qT10chunks _,
     "q_e2e_curate" -> qE2Ecurate _,
@@ -730,6 +770,7 @@ object PipelineQueries {
     "q_d7_incremental_dedup" -> oD7,
     "q_d10_dedup_index" -> oD7,
     "q_d11_substring_dedup" -> oD11,
+    "q_d12_index_delete" -> oD12,
     "q_t9_corpus_profile" -> oT9,
     "q_t10_chunks" -> oT10,
     "q_e2e_curate" -> oE2E,

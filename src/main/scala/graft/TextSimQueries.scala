@@ -1212,8 +1212,16 @@ object TextSimQueries {
         dim = 64, codebookSize = 16, rerankDepth = 50)
       .orderBy("query_id", "rank")
   }
-  private val oS5 = {
+  /** oS5's CTE chain with an optional DELETED-rows predicate injected
+    * into the ADC candidate scan (`a.vid` is the stored corpus id
+    * there) — so oS13 (the delete-lifecycle oracle) is oS5 with the
+    * tombstoned rows carved out of the code table and NOTHING else
+    * changed: seeds, centroids, codebooks, and probe routing all replay
+    * over the FULL corpus, exactly as the frozen on-disk quantizer
+    * behaves after a delete. */
+  private def oS5sql(deadPred: String): String = {
     val m = 16; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
+    val dead = if (deadPred.isEmpty) "" else s" AND NOT ($deadPred)"
     s"""WITH e AS (SELECT vec_id AS id, embedding,
        |    sqrt(list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
@@ -1278,7 +1286,7 @@ object TextSimQueries {
        |  FROM lut l JOIN probes pb ON pb.query_id = l.query_id
        |  JOIN assign a ON a.cid = pb.cid
        |  JOIN enc ON enc.id = a.vid
-       |  WHERE a.vid <> l.query_id),
+       |  WHERE a.vid <> l.query_id$dead),
        |cand AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
@@ -1296,6 +1304,10 @@ object TextSimQueries {
        |SELECT query_id, neighbor_id, cosine, rank
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+  private val oS5 = oS5sql("")
+  /** q_s13's oracle: oS5 minus the tombstoned rows (vec_id % 7 = 3,
+    * sparing the query ids) in the candidate scan only. */
+  private val oS13 = oS5sql("a.vid % 7 = 3 AND a.vid >= 5")
 
   /** Exact boilerplate shingles (document frequency ≥ 5). The Count-Min
     * sketch (graft.functions.CountMin) estimates the same statistic with
@@ -1394,6 +1406,34 @@ object TextSimQueries {
     val dir = indexDir("q", d)
     graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
       nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
+    graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, nProbe = nProbe, rerankDepth = 50,
+        rerank = Some(e))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The index DELETE lifecycle under the hash gate: build exactly as
+    * q_s7, tombstone every 7th stored vector (sparing the 5 query ids),
+    * then serve the q_s5 query set from the TOMBSTONE-MASKED index — the
+    * live serving path, where the quantizer sidecars still reflect the
+    * full corpus and the deleted rows must drop between the pruned codes
+    * scan and ADC scoring (so freed top-k slots REFILL with the
+    * next-best live rows, never go short). Oracle: oS5 with the deleted
+    * ids carved out of the candidate scan only — a tombstoned row
+    * surfacing anywhere (ADC candidates, re-rank, final top-k) is a
+    * hash mismatch. The compact-equivalence half (physical drop serves
+    * byte-identically) is spec-gated in DedupSimilaritySpec. */
+  private def qS13indexDelete(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+      .count()
+    val nCent = Similarity.suggestedCentroids(n)
+    val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
+    val dir = indexDir("del", d)
+    graft.operators.IvfPqIndex.build(e, "vec_id", "embedding", dir,
+      nCentroids = nCent, m = 16, dim = 64, codebookSize = 16)
+    graft.operators.IvfPqIndex.delete(
+      e.where(col("vec_id") % 7 === 3 && col("vec_id") >= 5), "vec_id", dir)
     graft.operators.IvfPqIndex.search(s, dir, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, nProbe = nProbe, rerankDepth = 50,
         rerank = Some(e))
@@ -1893,6 +1933,7 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_s6_hybrid_rerank" -> qS6hybrid _,
     "q_s7_index_search" -> qS7indexSearch _,
+    "q_s13_index_delete" -> qS13indexDelete _,
     "q_s9_index_append" -> qS9indexAppend _,
     "q_s10_ann_residual" -> qS10annResidual _,
     "q_s11_residual_index" -> qS11residualIndex _,
@@ -1939,6 +1980,7 @@ object TextSimQueries {
     "q_s5_ann_ivfpq" -> oS5,
     "q_s6_hybrid_rerank" -> oS6,
     "q_s7_index_search" -> oS5,
+    "q_s13_index_delete" -> oS13,
     "q_s9_index_append" -> oS5,
     "q_s10_ann_residual" -> oS10,
     "q_s11_residual_index" -> oS10,
