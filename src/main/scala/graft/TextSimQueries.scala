@@ -1695,6 +1695,77 @@ object TextSimQueries {
        |FROM g2 ORDER BY cosine DESC, doc_id""".stripMargin
   }
 
+  /** Reciprocal-rank fusion of the lexical and semantic candidate lists
+    * — q_s6's two retrieval stages recast as PEERS (the other standard
+    * hybrid): BM25 top-50 fused with brute-cosine top-50 for the same
+    * query via `Ranking.rrfFuse`. Both rank columns AND the fused score
+    * cross the gate, so the oracle pins per-list rank assignment, the
+    * outer-join union (docs in one list only keep a null rank), and the
+    * fixed-order 1/(60+r) sum. Ranks are assigned on k-bounded frames
+    * (the window runs over the 50-row BM25 cut, not the corpus). */
+  private def qS14rrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Ranking.bm25(docs(s, d), "doc_id", "text", Bm25Terms, topK = 50)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(desc("score"), col("doc_id"))).as("rank"))
+    val e = emb(s, d)
+    val sem = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Ranking.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank")
+  }
+  private val oS14 = {
+    val k1 = 1.2; val b = 0.75
+    val idx = Bm25Terms.indices
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(count(*) FILTER (t = '$t') AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = idx.map(i =>
+      s"CAST(count(*) FILTER (tf$i > 0) AS BIGINT) AS df$i").mkString(", ")
+    val avgdl = "(CAST(sumlen AS DOUBLE) / n)"
+    val contribs = idx.map { i =>
+      s"(ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))" +
+        s" * (tf$i * CAST(${k1 + 1.0} AS DOUBLE)))" +
+        s" / (tf$i + CAST($k1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)" +
+        s" + CAST($b AS DOUBLE) * len / $avgdl))"
+    }.mkString(" + ")
+    val anyTf = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |FROM documents),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len, $tfCols
+       |  FROM tok GROUP BY 1),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len) AS BIGINT) AS sumlen, $dfCols FROM d),
+       |cut AS (SELECT doc_id, round($contribs, 6) AS score
+       |  FROM d CROSS JOIN g WHERE ($anyTf) > 0
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex FROM cut),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |p AS (SELECT c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+       |  FROM e c, (SELECT embedding FROM e WHERE vec_id = 0) q
+       |  WHERE c.vec_id <> 0),
+       |u AS (SELECT cid, CAST(unnest(qe) AS DOUBLE) AS xq,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g2 AS (SELECT cid, sum(xq * xc) AS dt, sum(xq * xq) AS nq,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1),
+       |r2 AS (SELECT cid, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+       |  FROM g2),
+       |sem AS (SELECT cid AS doc_id, rank_sem FROM (SELECT cid,
+       |    CAST(row_number() OVER (ORDER BY cosine DESC, cid) AS BIGINT)
+       |      AS rank_sem FROM r2) WHERE rank_sem <= 50),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.rank_lex, sem.rank_sem
+       |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, rank_lex, rank_sem,
+       |  round(coalesce(1.0 / (CAST(60.0 AS DOUBLE) + rank_lex), 0)
+       |    + coalesce(1.0 / (CAST(60.0 AS DOUBLE) + rank_sem), 0), 6) AS rrf
+       |FROM f ORDER BY rrf DESC, doc_id""".stripMargin
+  }
+
   // ---- sampling / splitting / PII -----------------------------------------
 
   /** Deterministic train/test split: membership is md5(id)-derived, so the
@@ -1934,6 +2005,7 @@ object TextSimQueries {
     "q_s6_hybrid_rerank" -> qS6hybrid _,
     "q_s7_index_search" -> qS7indexSearch _,
     "q_s13_index_delete" -> qS13indexDelete _,
+    "q_s14_rrf_fusion" -> qS14rrf _,
     "q_s9_index_append" -> qS9indexAppend _,
     "q_s10_ann_residual" -> qS10annResidual _,
     "q_s11_residual_index" -> qS11residualIndex _,
@@ -1981,6 +2053,7 @@ object TextSimQueries {
     "q_s6_hybrid_rerank" -> oS6,
     "q_s7_index_search" -> oS5,
     "q_s13_index_delete" -> oS13,
+    "q_s14_rrf_fusion" -> oS14,
     "q_s9_index_append" -> oS5,
     "q_s10_ann_residual" -> oS10,
     "q_s11_residual_index" -> oS10,

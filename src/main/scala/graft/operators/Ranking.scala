@@ -61,4 +61,45 @@ object Ranking {
       .orderBy(desc("score"), col(idCol))
     if (topK > 0) ranked.limit(topK) else ranked
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard score-free way to merge heterogeneous retrieval lists
+    * (BM25 ∪ dense ANN, the hybrid-serving default in Lucene/Vespa-class
+    * stacks): fused(d) = Σ_lists 1/(k + rank_list(d)), summed over the
+    * lists that contain d.
+    *
+    * `lists` pairs a name with a candidate frame carrying `idCol` +
+    * `rankCol` (1-based; ties must already be broken — both this
+    * package's BM25 and ANN rankers emit deterministic ranks). Output:
+    * one row per id seen in ANY list, its per-list ranks as nullable
+    * `rank_<name>` columns, and `rrf` rounded to 6 dp, ordered
+    * (rrf desc, id).
+    *
+    * Determinism: ranks are exact integers and the fused score is a
+    * FIXED-ORDER sum of |lists| doubles (one coalesce'd term per list,
+    * assembled left to right) — never a row-order-dependent aggregate —
+    * so a DuckDB oracle replays the doubles bit-for-bit.
+    *
+    * Scale shape: inputs are top-N candidate artifacts (k-bounded by
+    * their rankers), so the outer-join cascade touches N·|lists| rows
+    * regardless of corpus size — at 100 TB the fusion cost is the
+    * serving tier's, not the scan tier's. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list required")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "list names must be unique")
+    require(k >= 0, s"rank constant k must be non-negative: $k")
+    val renamed = lists.map { case (name, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"rank_$name"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val terms = lists.map { case (name, _) =>
+      coalesce(lit(1.0) / (lit(k.toDouble) + col(s"rank_$name")), lit(0.0))
+    }
+    joined.select(
+      (col(idCol) +: lists.map { case (n, _) => col(s"rank_$n") }) :+
+        round(terms.reduce(_ + _), 6).as("rrf"): _*)
+      .orderBy(desc("rrf"), col(idCol))
+  }
 }

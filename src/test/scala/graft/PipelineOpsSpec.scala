@@ -592,4 +592,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       Seq(9L -> "").toDF("doc_id", "text"), "doc_id", "text").collect()(0)
     assert(!empty.getAs[Boolean]("keep") && empty.getAs[Long]("n_words") == 0L)
   }
+
+  test("rrfFuse: outer union, null ranks, fixed-order 1/(k+r) sum") {
+    import graft.operators.Ranking
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Ranking.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 20 is in both lists: 1/62 + 1/61
+    assert(out(20L) == ((Some(2L), Some(1L),
+      BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // single-list docs keep a null rank on the missing side
+    assert(out(10L)._2.isEmpty && out(40L)._1.isEmpty)
+    assert(out(10L)._3 == BigDecimal(1.0 / 61).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // ordering: fused score desc, id tie-break
+    val ids = Ranking.rrfFuse(Seq("a" -> a, "b" -> b), "id", "rank")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.head == 20L, s"both-list doc must lead: $ids")
+    // three lists fold left to right without name collisions
+    val c = Seq((10L, 1L)).toDF("id", "rank")
+    val three = Ranking.rrfFuse(Seq("a" -> a, "b" -> b, "c" -> c), "id", "rank")
+    assert(three.columns.toSeq ==
+      Seq("id", "rank_a", "rank_b", "rank_c", "rrf"))
+    assert(three.where(col("id") === 10L).head().getDouble(4) ==
+      BigDecimal(1.0 / 61 + 1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
