@@ -1823,6 +1823,49 @@ object TextSimQueries {
       |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn FROM h)
       |SELECT lang, doc_id FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
 
+  /** DSIR importance weights under the FULL hash gate: target = every
+    * 5th doc (the "domain exemplar" slice), raw = the rest. The oracle
+    * re-fits BOTH hashed bag-of-ngrams models (uni+bigram occurrences,
+    * md5-bucketed into 4096, add-0.5 smoothing) and replays every
+    * per-bucket log-ratio and per-doc DECIMAL sum — one drifted bucket
+    * assignment, count, or smoothing term anywhere is a hash
+    * mismatch. */
+  private def qX9dsir(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Sampling.dsirWeights(all.where(col("doc_id") % 5 =!= 0),
+        all.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+  private val oX9 = {
+    val nb = 4096; val kb = 0.5 * nb
+    s"""WITH base AS (SELECT doc_id, list_filter(string_split(trim(lower(
+       |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+       |    x -> x <> '') AS ws FROM documents),
+       |feat AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) AS f FROM base),
+       |b AS (SELECT doc_id, CAST(concat('0x', substr(md5(concat(f,
+       |    '|dsir')), 1, 6)) AS BIGINT) % $nb AS bk FROM feat),
+       |tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS c FROM b
+       |  WHERE doc_id % 5 = 0 GROUP BY 1),
+       |rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS c FROM b
+       |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+       |tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tc),
+       |rt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS r FROM rc),
+       |model AS (SELECT coalesce(tc.bk, rc.bk) AS bk,
+       |    CAST(round(ln((CAST(coalesce(tc.c, 0) AS DOUBLE) + 0.5)
+       |        / (tt.t + $kb))
+       |      - ln((CAST(coalesce(rc.c, 0) AS DOUBLE) + 0.5)
+       |        / (rt.r + $kb)), 6) AS DECIMAL(28,6)) AS lr
+       |  FROM tc FULL JOIN rc ON tc.bk = rc.bk CROSS JOIN tt CROSS JOIN rt),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, sum(lr) AS slw
+       |  FROM b JOIN model USING (bk) WHERE doc_id % 5 <> 0 GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_features,
+       |  CAST(agg.slw AS DOUBLE) AS logw
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- multimodal + geo + streaming-semantics ----------------------------
 
   /** Multimodal plumbing, FULLY oracled: the synthetic payloads are the
@@ -2025,6 +2068,7 @@ object TextSimQueries {
     "q_x1_split_stats" -> qX1split _,
     "q_x2_pii_scrub" -> qX2pii _,
     "q_x3_cap_per_group" -> qX3cap _,
+    "q_x9_dsir" -> qX9dsir _,
     "q_m1_multimodal_features" -> qM1multimodal _,
     "q_m2_container_sniff" -> qM2sniff _,
     "q_g1_geojson_tracks" -> qG1geojson _,
@@ -2073,6 +2117,7 @@ object TextSimQueries {
     "q_x1_split_stats" -> oX1,
     "q_x2_pii_scrub" -> oX2,
     "q_x3_cap_per_group" -> oX3,
+    "q_x9_dsir" -> oX9,
     "q_g1_geojson_tracks" -> oG1,
     "q_st1_daily_rollup" -> oSt1,
     "q_m1_multimodal_features" -> oM1,

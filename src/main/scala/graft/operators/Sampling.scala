@@ -197,4 +197,102 @@ object Sampling {
         greatest(col("_start"), col("seq_no") * seqLen) - col("seq_no") * seqLen)
       .drop("_cum", "_start")
   }
+
+  /** Hashed uni+bigram feature-bucket occurrences for DSIR: one row per
+    * feature OCCURRENCE, bucketed by the portable md5 hash so the DuckDB
+    * oracle replays the exact assignment. The words array sits behind a
+    * Generate boundary (the Dedup.withWords trick) so the regexp
+    * tokenizer runs once per doc, not once per lambda consumer. */
+  private def dsirFeatureRows(df: DataFrame, idCol: String, textCol: String,
+                              numBuckets: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      explode(array(filter(Dedup.words(col(textCol)),
+        w => w =!= lit("")))).as("_ws"))
+    val bigrams = when(size(col("_ws")) >= 2,
+      transform(sequence(lit(1), size(col("_ws")) - 1),
+        i => concat(element_at(col("_ws"), i), lit(" "),
+          element_at(col("_ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    base.select(col("id"),
+        explode(concat(col("_ws"), bigrams)).as("_f"))
+      .select(col("id"),
+        (conv(substring(md5(concat(col("_f"), lit("|dsir"))), 1, 6), 16, 10)
+          .cast("long") % numBuckets).as("bk"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how much more likely its
+    * hashed n-gram features are under a bag-of-ngrams model of the
+    * TARGET distribution than under the raw distribution,
+    * logw(d) = Σ_features [ln p_target(b) − ln p_raw(b)], with add-k
+    * smoothing over the `numBuckets` hashed vocabulary. High-weight docs
+    * look like the target domain; resampling raw data by these weights
+    * is the published recipe for pretraining-data selection.
+    *
+    * Output per RAW doc: `id`, `n_features` (uni+bigram occurrences,
+    * exact integer), `logw` (null for featureless docs).
+    *
+    * Scale shape: both "model fits" are ONE hash aggregate each onto at
+    * most `numBuckets` rows (map-side combinable; B defaults to 4096 —
+    * a bounded artifact at any corpus size), the bucket log-ratio table
+    * rides the BROADCAST side of the scoring join, and the only
+    * doc-keyed shuffle is the final per-doc sum. Nothing driver-side:
+    * the model never leaves the cluster.
+    *
+    * Cross-engine hash discipline (the q_t15 moneySum pattern):
+    * per-bucket log-ratios are rounded onto the 1e-6 grid and stored as
+    * DECIMAL(28,6), so the per-doc sum is exact in any partition order;
+    * the final cast to double is the only lossy step and is identical
+    * on both engines. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, numBuckets: Int = 4096,
+                  k: Double = 0.5): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(k > 0, s"smoothing k must be positive: $k")
+    val tRows = dsirFeatureRows(target, idCol, textCol, numBuckets)
+    val rRows = dsirFeatureRows(raw, idCol, textCol, numBuckets)
+    val tc = tRows.groupBy("bk").agg(count(lit(1)).as("_tc"))
+    val rc = rRows.groupBy("bk").agg(count(lit(1)).as("_rc"))
+    val tTot = tc.agg(coalesce(sum(col("_tc")), lit(0L)).cast("double").as("_tt"))
+    val rTot = rc.agg(coalesce(sum(col("_rc")), lit(0L)).cast("double").as("_rt"))
+    val kb = k * numBuckets
+    val model = tc.join(rc, Seq("bk"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bk"),
+        round(log((coalesce(col("_tc"), lit(0L)).cast("double") + lit(k)) /
+            (col("_tt") + lit(kb)))
+          - log((coalesce(col("_rc"), lit(0L)).cast("double") + lit(k)) /
+            (col("_rt") + lit(kb))), 6)
+          .cast("decimal(28,6)").as("_lr"))
+    val agg = rRows.join(broadcast(model), Seq("bk"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("_n"), sum(col("_lr")).as("_slw"))
+      .withColumnRenamed("id", "_dsir_id")
+    raw.select(col(idCol))
+      .join(agg, col(idCol) === col("_dsir_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_features"),
+        col("_slw").cast("double").as("logw"))
+  }
+
+  /** Deterministic top-n selection over [[dsirWeights]] output: keeps
+    * every row whose weight clears the n-th largest (weight-ties at the
+    * threshold all survive — deterministic either way, never
+    * partition-order dependent). The threshold probe is k-bounded
+    * (orderBy + limit(n) plans as TakeOrderedAndProject); at 100 TB
+    * scale swap the exact threshold for approxQuantile and keep the
+    * same filter shape. DSIR's published variant resamples by
+    * Gumbel-perturbed weights; with the md5-uniform `hash24(id)` as the
+    * noise source that too stays deterministic — this helper is the
+    * argmax-k special case. */
+  def dsirSelectTop(scored: DataFrame, idCol: String, weightCol: String,
+                    n: Int): DataFrame = {
+    require(n > 0, s"selection size must be positive: $n")
+    val kth = scored.where(col(weightCol).isNotNull)
+      .orderBy(desc(weightCol), col(idCol)).limit(n)
+      .agg(min(col(weightCol)).as("_kth"))
+    scored.crossJoin(broadcast(kth))
+      .where(col(weightCol) >= col("_kth"))
+      .drop("_kth")
+  }
 }

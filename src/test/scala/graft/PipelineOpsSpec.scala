@@ -593,6 +593,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!empty.getAs[Boolean]("keep") && empty.getAs[Long]("n_words") == 0L)
   }
 
+  test("dsirWeights: target-like raw docs outscore off-domain ones") {
+    val target = Seq((100L, "data selection importance resampling"),
+      (101L, "importance resampling for data selection"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "data selection importance resampling works"), // target-like
+      (2L, "unrelated prose about glider deployments"),   // off-domain
+      (3L, "")).toDF("doc_id", "text")                    // featureless
+    val out = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // n_features = words + bigrams = 2·len − 1
+    assert(out(1L)._1 == 9L && out(2L)._1 == 9L)
+    assert(out(3L) == ((0L, None)), s"featureless doc: ${out(3L)}")
+    assert(out(1L)._2.get > out(2L)._2.get,
+      s"target-like doc must outscore off-domain: $out")
+    // selection: top-1 keeps exactly the target-like doc; weight ties at
+    // the threshold all survive
+    val scored = Sampling.dsirWeights(raw, target, "doc_id", "text")
+    val top = Sampling.dsirSelectTop(scored, "doc_id", "logw", 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L), s"top-1 selection: $top")
+    val tied = Seq((10L, 5L, 2.5), (11L, 5L, 2.5), (12L, 5L, 1.0))
+      .toDF("doc_id", "n_features", "logw")
+    val keptTied = Sampling.dsirSelectTop(tied, "doc_id", "logw", 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTied == Seq(10L, 11L), s"threshold ties survive: $keptTied")
+  }
+
   test("rrfFuse: outer union, null ranks, fixed-order 1/(k+r) sum") {
     import graft.operators.Ranking
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
