@@ -1188,6 +1188,60 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SQ8 scalar-quantization ANN under the FULL hash gate: per-dim
+    * [min,max] bounds over the normalized corpus, floor(·255+0.5)
+    * levels, asymmetric dequantized-dot scan, exact re-rank. The oracle
+    * re-learns the bounds and replays every quantize/dequantize/score
+    * double in the proven ascending-index float order — one drifted
+    * level anywhere is a hash mismatch. */
+  private def qS15annSq8(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Pq.sq8TopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, dim = 64, rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private val oS15 = {
+    val k = 5; val rerank = 50
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |nvs AS (SELECT id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / nrm) AS nv FROM e),
+       |bounds AS (SELECT r.i AS i, min(nv[r.i]) AS mn, max(nv[r.i]) AS mx
+       |  FROM nvs CROSS JOIN range(1, 65) r(i) GROUP BY 1),
+       |cd AS (SELECT id, r.i AS i, CASE WHEN b.mx > b.mn THEN
+       |      CAST(floor((nv[r.i] - b.mn) / (b.mx - b.mn) * 255.0 + 0.5)
+       |        AS INT) ELSE 0 END AS code
+       |  FROM nvs CROSS JOIN range(1, 65) r(i) JOIN bounds b ON b.i = r.i),
+       |dqv AS (SELECT cd.id,
+       |    list(b.mn + code * ((b.mx - b.mn) / 255.0) ORDER BY cd.i) AS dq
+       |  FROM cd JOIN bounds b ON b.i = cd.i GROUP BY 1),
+       |q AS (SELECT id AS query_id, nv FROM nvs WHERE id < 5),
+       |adc AS (SELECT q.query_id, d.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> q.nv[i] * d.dq[i])), 6) AS s
+       |  FROM q CROSS JOIN dqv d WHERE d.id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |    FROM adc) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF-PQ — the composed 100 TB ANN: coarse-quantizer probes restrict
     * the ADC scan to nProbe inverted lists, exact re-rank bounds the
     * final stage. Fully oracled by composing the proven oS3 CTEs
@@ -2049,6 +2103,7 @@ object TextSimQueries {
     "q_s7_index_search" -> qS7indexSearch _,
     "q_s13_index_delete" -> qS13indexDelete _,
     "q_s14_rrf_fusion" -> qS14rrf _,
+    "q_s15_ann_sq8" -> qS15annSq8 _,
     "q_s9_index_append" -> qS9indexAppend _,
     "q_s10_ann_residual" -> qS10annResidual _,
     "q_s11_residual_index" -> qS11residualIndex _,
@@ -2098,6 +2153,7 @@ object TextSimQueries {
     "q_s7_index_search" -> oS5,
     "q_s13_index_delete" -> oS13,
     "q_s14_rrf_fusion" -> oS14,
+    "q_s15_ann_sq8" -> oS15,
     "q_s9_index_append" -> oS5,
     "q_s10_ann_residual" -> oS10,
     "q_s11_residual_index" -> oS10,

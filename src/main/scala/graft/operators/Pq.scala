@@ -438,4 +438,81 @@ object Pq {
         round(col("qdotc") +
           PqCodec.adcCol(col("lut"), col("codes"), codebookSize), 6)
           .as("cosine"))
+
+  // ---- scalar quantization (SQ8) ----------------------------------------
+
+  /** Per-dimension [min, max] of the L2-NORMALIZED corpus — the SQ8
+    * training artifact (2·dim doubles; one map-side-combinable aggregate
+    * pass, bounded at any corpus size). */
+  def sq8Bounds(corpus: DataFrame, idCol: String, vecCol: String,
+                dim: Int): (Array[Double], Array[Double]) = {
+    val c = corpus.select(asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .where(col("nrm") > 0)
+      .withColumn("nv", normalize(col("v"), col("nrm")))
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col("nv"), i + 1)).as(s"mn$i"),
+      max(element_at(col("nv"), i + 1)).as(s"mx$i")))
+    val r = c.agg(aggs.head, aggs.tail: _*).head()
+    ((0 until dim).map(i => r.getDouble(2 * i)).toArray,
+      (0 until dim).map(i => r.getDouble(2 * i + 1)).toArray)
+  }
+
+  /** Scalar-quantization ANN (the faiss SQ8 family): each normalized
+    * coordinate becomes an 8-bit level on its dimension's [min, max]
+    * grid — dim bytes per vector when persisted (4× under float32, 8×
+    * under double), the memory/IO dial that needs NO codebook training
+    * and, unlike PQ, keeps per-dimension resolution. Search is
+    * asymmetric: the raw normalized query dots DEQUANTIZED corpus codes
+    * (one codegen'd `VectorDot` per pair), `rerankDepth` candidates
+    * re-rank by exact cosine.
+    *
+    * Quantize: level_i = floor((x_i − mn_i)/(mx_i − mn_i)·255 + 0.5)
+    * (explicit floor, not an engine round — both engines replay it
+    * bit-for-bit); a degenerate dimension (mx = mn) pins to level 0 and
+    * dequantizes to mn exactly.
+    *
+    * Scale shape: bounds are ONE bounded aggregate; quantize/dequantize
+    * are single map-side passes over the corpus; scoring broadcasts the
+    * query batch and scans codes with no shuffle; top-k and re-rank are
+    * the k-bounded `topKPerQuery`/`exactRerank` stages every other ANN
+    * here uses. Like [[pqTopK]], this is the full-scan primitive —
+    * compose with IVF probes to bound the scan at 100 TB.
+    * Output: (query_id, neighbor_id, cosine, rank). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int = 64,
+              rerankDepth: Int = 50): DataFrame = {
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    val (mn, mx) = sq8Bounds(corpus, idCol, vecCol, dim)
+    val mnL = typedlit(mn.toSeq)
+    val mxL = typedlit(mx.toSeq)
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+      .withColumn("nv", normalize(col("cv"), col("cn")))
+    val codes = c0.select(col("neighbor_id"),
+      transform(col("nv"), (x, i) => {
+        val mnI = element_at(mnL, i + 1)
+        val mxI = element_at(mxL, i + 1)
+        when(mxI > mnI,
+          floor((x - mnI) / (mxI - mnI) * lit(255.0) + lit(0.5)).cast("int"))
+          .otherwise(lit(0))
+      }).as("codes"))
+    val dq = codes.select(col("neighbor_id"),
+      transform(col("codes"), (cd, i) => {
+        val mnI = element_at(mnL, i + 1)
+        val mxI = element_at(mxL, i + 1)
+        mnI + cd.cast("double") * ((mxI - mnI) / lit(255.0))
+      }).as("dq"))
+    val q = prepQueriesBase(queries, idCol, vecCol)
+    val scored = Similarity.widen(dq, par).crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("nq"), col("dq")), 6).as("cosine"))
+    val cands = Similarity.topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
+  }
 }
