@@ -343,27 +343,10 @@ object TextStats {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Gopher-style quality rules — the published heuristic filter set a
-    * pretraining corpus runs before any model-based scoring: word-count
-    * band, mean-word-length band, minimum fraction of words containing
-    * a letter, symbol-to-word ratio cap ('#' and '…'/'...'), bullet- and
-    * ellipsis-line fraction caps, and distinct-stopword presence.
-    *
-    * Everything is a map-side expression over the text column — no
-    * shuffle, no UDF; at 100 TB this is a pure scan stage that fuses
-    * into whatever reads the corpus next. The two per-word/per-line
-    * fractions use higher-order `filter` over the tokenized arrays
-    * (CodegenFallback, but per-row over ~100-element arrays — unlike the
-    * per-shingle aggregates where this package avoids HOFs, there is no
-    * 100× blowup surface here) and every metric lands on the 1e-6
-    * decimal grid so the DuckDB oracle replays it exactly.
-    *
-    * Output per doc: `id`, the six metrics, `stop_hits`, and the
-    * composite `keep`. Empty/wordless docs keep = false via the
-    * word-count band (divisions are guarded, never null). */
-  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
-                         p: GopherParams = GopherParams()): DataFrame = {
-    val c = col(textCol)
+  /** The seven Gopher metric expressions by output name — shared by the
+    * per-doc flags frame and the single-expression [[gopherKeep]]
+    * predicate so the two can never drift. */
+  private def gopherMetricCols(c: Column): Map[String, Column] = {
     val words = regexp_extract_all(c, lit(WordPattern), lit(0))
     val nWords = size(words).cast("long")
     val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
@@ -386,19 +369,60 @@ object TextStats {
     val stopHits = GopherStopwords
       .map(w => when(wordOccurrences(lower(c), w) > 0, 1L).otherwise(0L))
       .reduce(_ + _)
-    df.select(col(idCol).as("id"),
-        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
-        alphaWordFrac.as("alpha_word_frac"), symbolRatio.as("symbol_ratio"),
-        bulletFrac.as("bullet_line_frac"),
-        ellipsisFrac.as("ellipsis_line_frac"), stopHits.as("stop_hits"))
-      .withColumn("keep",
-        col("n_words").between(p.minWords, p.maxWords) &&
-          col("mean_word_len").between(p.minMeanWordLen, p.maxMeanWordLen) &&
-          col("alpha_word_frac") >= p.minAlphaWordFrac &&
-          col("symbol_ratio") < p.maxSymbolWordRatio &&
-          col("bullet_line_frac") < p.maxBulletLineFrac &&
-          col("ellipsis_line_frac") < p.maxEllipsisLineFrac &&
-          col("stop_hits") >= p.minStopwordHits)
+    Map("n_words" -> nWords, "mean_word_len" -> meanWordLen,
+      "alpha_word_frac" -> alphaWordFrac, "symbol_ratio" -> symbolRatio,
+      "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac, "stop_hits" -> stopHits)
+  }
+
+  /** Metric order in the flags frame (and the q_t17 oracle). */
+  private val GopherMetricNames = Seq("n_words", "mean_word_len",
+    "alpha_word_frac", "symbol_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "stop_hits")
+
+  /** The composite keep rule over metric columns resolved by `m`. */
+  private def gopherKeepOf(m: String => Column, p: GopherParams): Column =
+    m("n_words").between(p.minWords, p.maxWords) &&
+      m("mean_word_len").between(p.minMeanWordLen, p.maxMeanWordLen) &&
+      m("alpha_word_frac") >= p.minAlphaWordFrac &&
+      m("symbol_ratio") < p.maxSymbolWordRatio &&
+      m("bullet_line_frac") < p.maxBulletLineFrac &&
+      m("ellipsis_line_frac") < p.maxEllipsisLineFrac &&
+      m("stop_hits") >= p.minStopwordHits
+
+  /** The Gopher verdict as ONE boolean expression over the raw text
+    * column — the row-preserving form a streaming ingest (or any
+    * single-pass gate) filters on directly, with no metrics frame and
+    * no join. Identical rule set to [[gopherQualityFlags]] by shared
+    * construction (both read [[gopherMetricCols]]). */
+  def gopherKeep(textCol: Column,
+                 p: GopherParams = GopherParams()): Column =
+    gopherKeepOf(gopherMetricCols(textCol), p)
+
+  /** Gopher-style quality rules — the published heuristic filter set a
+    * pretraining corpus runs before any model-based scoring: word-count
+    * band, mean-word-length band, minimum fraction of words containing
+    * a letter, symbol-to-word ratio cap ('#' and '…'/'...'), bullet- and
+    * ellipsis-line fraction caps, and distinct-stopword presence.
+    *
+    * Everything is a map-side expression over the text column — no
+    * shuffle, no UDF; at 100 TB this is a pure scan stage that fuses
+    * into whatever reads the corpus next. The two per-word/per-line
+    * fractions use higher-order `filter` over the tokenized arrays
+    * (CodegenFallback, but per-row over ~100-element arrays — unlike the
+    * per-shingle aggregates where this package avoids HOFs, there is no
+    * 100× blowup surface here) and every metric lands on the 1e-6
+    * decimal grid so the DuckDB oracle replays it exactly.
+    *
+    * Output per doc: `id`, the six metrics, `stop_hits`, and the
+    * composite `keep`. Empty/wordless docs keep = false via the
+    * word-count band (divisions are guarded, never null). */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         p: GopherParams = GopherParams()): DataFrame = {
+    val m = gopherMetricCols(col(textCol))
+    df.select(col(idCol).as("id") +:
+        GopherMetricNames.map(n => m(n).as(n)): _*)
+      .withColumn("keep", gopherKeepOf(col, p))
   }
 
   /** Per-document TF-IDF keyword extraction: the `topK` highest-scoring

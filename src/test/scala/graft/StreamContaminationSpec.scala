@@ -86,4 +86,38 @@ class StreamContaminationSpec extends AnyFunSuite with SparkSpec {
       assert(stream == batch, s"stream $stream != batch $batch")
     } finally q.stop()
   }
+
+  test("StreamCurate.curateStateless: stream == batch, gate + scrub + cost") {
+    import graft.streaming.StreamCurate
+    implicit val sqlCtx = spark.sqlContext
+    val prose = (("the curation pipeline reads documents and scores " +
+      "that content with care because quality matters here ") * 4) +
+      "contact user5@example.com for details"
+    val docs = Seq(
+      (1L, prose),                       // passes the gate; email scrubbed
+      (2L, "too short to pass"),         // word-count band rejects
+      (3L, ""))                          // empty rejects
+    val gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamCurate.curateStateless(
+        mem.toDS().toDF("doc_id", "text"), "text", gopher)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_stream").start()
+    try {
+      mem.addData(docs.take(2))
+      mem.addData(docs.drop(2))
+      q.processAllAvailable()
+      val stream = spark.table("curate_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamCurate.curateStateless(
+          docs.toDF("doc_id", "text"), "text", gopher).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream == batch, s"stream $stream != batch $batch")
+      assert(stream.map(_._1) == Set(1L), s"only prose survives: $stream")
+      val kept = stream.head
+      assert(kept._2.contains("<EMAIL>") && !kept._2.contains("@example.com"),
+        s"PII must be scrubbed post-gate: ${kept._2.takeRight(60)}")
+      assert(kept._3 > 50L, s"token cost of the scrubbed text: ${kept._3}")
+    } finally q.stop()
+  }
 }
