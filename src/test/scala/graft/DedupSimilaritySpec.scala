@@ -457,6 +457,54 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows() == after, "physical drop must not change served results")
   }
 
+  test("StreamAnnServe: epoch == batch search; mid-stream delete serves next epoch") {
+    import graft.operators.IvfPqIndex
+    import graft.streaming.StreamAnnServe
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_serve").toString
+    IvfPqIndex.build(sfEmb, "vec_id", "embedding", dir, nCentroids = 16,
+      m = 16, dim = 64, codebookSize = 16)
+    def batchSearch(ids: Seq[Long]) =
+      IvfPqIndex.search(spark, dir,
+          sfEmb.where(col("vec_id").isin(ids: _*)), "vec_id", "embedding",
+          k = 3, nProbe = 8, rerankDepth = 20, rerank = Some(sfEmb))
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qrows = sfEmb.where(col("vec_id") < 4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val byEpoch = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamAnnServe.writer(mem.toDS().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir, k = 3, nProbe = 8, rerankDepth = 20,
+        rerank = Some(sfEmb)) { (df, epoch) =>
+        byEpoch.synchronized {
+          byEpoch(epoch) = df.select("query_id", "neighbor_id", "rank")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+        }
+      }.start()
+    try {
+      mem.addData(qrows.take(2).toSeq)
+      q.processAllAvailable()
+      val pre = batchSearch(Seq(0L, 1L))
+      assert(byEpoch(0L) == pre, s"epoch 0 != batch: ${byEpoch(0L)} vs $pre")
+      // takedown lands between epochs: tombstone query 0's top neighbor —
+      // the NEXT epoch must serve without it, no restart
+      val victim = pre.find(t => t._1 == 0L && t._3 == 1L).get._2
+      IvfPqIndex.delete(Seq(victim).toDF("vec_id"), "vec_id", dir)
+      mem.addData(qrows.toSeq) // re-send all four queries
+      q.processAllAvailable()
+      val post = batchSearch(Seq(0L, 1L, 2L, 3L))
+      assert(byEpoch(1L) == post, "epoch 1 != post-delete batch")
+      assert(!byEpoch(1L).exists(_._2 == victim),
+        s"tombstoned id $victim must vanish from the next epoch")
+      assert(byEpoch(1L).count(_._1 == 0L) == 3,
+        "freed slot must refill to k rows")
+    } finally q.stop()
+  }
+
   test("persisted RESIDUAL index: search == in-memory operator, append stitches") {
     import graft.operators.{IvfPqIndex, Pq}
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_res").toString
