@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Dedup, Sampling, Sessions, TextStats}
+import graft.operators.{Anomaly, AsOf, Dedup, Sampling, Sessions, TextStats}
 import graft.sources.Tables
 
 /** Round-3 query pack: temporal joins (as-of, range), benchmark
@@ -702,6 +702,41 @@ object PipelineQueries {
       |  round(${graft.operators.Parity.moneySumSql("value")}, 2) AS total_value
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Rolling z-score anomaly detection per user — fully oracled: the
+    * trailing window's mean/variance come from exact DECIMAL sums (value
+    * sits on the 2-dp grid, Parity), so both engines land on the same
+    * doubles before the one shared float formula; the frame, the
+    * minPoints/zero-variance guards, and the |z| flag all replay.
+    * `anomaly` crosses as 0/1 BIGINT. */
+  private def qW6anomaly(s: SparkSession, d: String): DataFrame =
+    Anomaly.rollingZScore(events(s, d), "user_id", "ts", "event_id",
+        "value", lookback = 20, minPoints = 5, zThreshold = 3.0)
+      .select(col("event_id"), col("user_id"), col("value"), col("n_prev"),
+        col("mean_prev"), col("z"), col("anomaly").cast("bigint").as("anomaly"))
+      .orderBy("event_id")
+  private val oW6 =
+    """WITH w AS (SELECT event_id, user_id, value,
+      |    CAST(count(*) OVER fr AS BIGINT) AS n_prev,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER fr AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+      |      OVER fr AS DOUBLE) AS sq
+      |  FROM events
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      |m AS (SELECT event_id, user_id, value, n_prev,
+      |    CASE WHEN n_prev > 0 THEN sv / n_prev END AS mean,
+      |    CASE WHEN n_prev > 0 THEN greatest(
+      |      sq / n_prev - (sv / n_prev) * (sv / n_prev), 0.0) END AS varr
+      |  FROM w),
+      |z AS (SELECT event_id, user_id, value, n_prev, mean,
+      |    CASE WHEN n_prev >= 5 AND varr > 0
+      |      THEN (value - mean) / sqrt(varr) END AS zv
+      |  FROM m)
+      |SELECT event_id, user_id, value, n_prev,
+      |  round(mean, 6) AS mean_prev, round(zv, 6) AS z,
+      |  CAST(coalesce(abs(zv) > 3.0, false) AS BIGINT) AS anomaly
+      |FROM z ORDER BY event_id""".stripMargin
+
   // ---- data-recipe mixture -----------------------------------------------
 
   /** Training-data mixture with epoch factors: src0 oversampled at 2.5
@@ -732,11 +767,46 @@ object PipelineQueries {
       |  < CAST(floor((wt - epoch) * 16777216) AS BIGINT)
       |ORDER BY 1, 3""".stripMargin
 
+  /** Token-budget mixture solver — fully oracled: exact integer token
+    * sums per source, the weight table as literals, and the
+    * cap/deficit float formula replayed in the same op order. */
+  private def qX10solve(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSolve(
+        docs(s, d).select(col("source"),
+          TextStats.tokenCount(col("text")).as("toks")),
+        "source", col("toks"),
+        Map("src0" -> 0.35, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.2),
+        budgetTokens = 2000000L, maxEpochs = 2.5)
+      .orderBy("source")
+  private val oX10 =
+    """WITH toks AS (SELECT source, CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      |  FROM documents),
+      |avail AS (SELECT source, sum(toks) AS tokens_available
+      |  FROM toks GROUP BY 1),
+      |j AS (SELECT source, tokens_available,
+      |    CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+      |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.2 ELSE 0.0 END AS weight
+      |  FROM avail),
+      |e AS (SELECT source, tokens_available, weight,
+      |    weight * 2000000 AS target,
+      |    CASE WHEN tokens_available > 0
+      |      THEN least(weight * 2000000 / tokens_available, 2.5)
+      |      ELSE 0.0 END AS epochs
+      |  FROM j)
+      |SELECT source, tokens_available, weight,
+      |  round(target, 6) AS target_tokens, round(epochs, 6) AS epochs,
+      |  round(epochs * tokens_available, 6) AS achieved_tokens,
+      |  round(greatest(target - epochs * tokens_available, 0.0), 6) AS deficit
+      |FROM e ORDER BY source""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_w5_sessionize" -> qW5sessionize _,
+    "q_w6_anomaly_zscore" -> qW6anomaly _,
     "q_x6_mixture" -> qX6mixture _,
+    "q_x10_mixture_solve" -> qX10solve _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -758,7 +828,9 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_w5_sessionize" -> oW5,
+    "q_w6_anomaly_zscore" -> oW6,
     "q_x6_mixture" -> oX6,
+    "q_x10_mixture_solve" -> oX10,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

@@ -301,6 +301,42 @@ object TextSimQueries {
       |FROM r ORDER BY id""".stripMargin
   }
 
+  /** Per-domain quality percentile gate — fully oracled: the quality
+    * score replays term-by-term (oT2's formula), and the rank-defined
+    * threshold (largest score with ≥ ceil(f·n) rows at or above it)
+    * replays as the same histogram + cumulative-count CTEs. `kept`
+    * crosses as 0/1 BIGINT. */
+  private def qT18gate(s: SparkSession, d: String): DataFrame =
+    TextStats.percentileGate(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", TextStats.qualityScore(col("text")), keepFraction = 0.4)
+      .select(col("doc_id"), col("source"), col("score"), col("threshold"),
+        col("kept").cast("bigint").as("kept"))
+      .orderBy("doc_id")
+  private val oT18 =
+    """WITH t AS (SELECT doc_id, source, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM documents),
+      |q AS (SELECT doc_id, source, round(
+      |  (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |  + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |          BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |  + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |  6) AS score FROM t),
+      |hist AS (SELECT source, score, count(*) AS c FROM q GROUP BY 1, 2),
+      |n AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1),
+      |cum AS (SELECT source, score,
+      |    sum(c) OVER (PARTITION BY source ORDER BY score DESC) AS cum
+      |  FROM hist),
+      |thr AS (SELECT cum.source, max(score) AS threshold
+      |  FROM cum JOIN n USING (source) WHERE cum >= ceil(0.4 * n) GROUP BY 1)
+      |SELECT q.doc_id, q.source, q.score, thr.threshold,
+      |  CAST(q.score >= thr.threshold AS BIGINT) AS kept
+      |FROM q JOIN thr USING (source) ORDER BY doc_id""".stripMargin
+
   private def qT16tfidf(s: SparkSession, d: String): DataFrame =
     TextStats.tfidfTopTerms(docs(s, d), "doc_id", "text", topK = 5)
       .orderBy("doc_id", "rank")
@@ -819,6 +855,51 @@ object TextSimQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** D4-style prototypicality pruning — fully oracled: the hash-seeded
+    * centroids, min-struct assignment, per-cluster prototypicality rank
+    * (rounded cosine desc, id asc) and the ceil(f·n) drop rule all replay
+    * in DuckDB (assignment CTEs are oD8's, with the winning similarity
+    * carried through). `dropped` crosses as 0/1 BIGINT like q_d8. */
+  private def qD13proto(s: SparkSession, d: String): DataFrame =
+    Dedup.prototypicalityPrune(emb(s, d), "vec_id", "embedding",
+        nClusters = 16, pruneFraction = 0.25)
+      .select(col("id"), col("cluster_id"), col("cent_cosine"),
+        col("proto_rank"), col("dropped").cast("bigint").as("dropped"))
+      .orderBy("id")
+  private val oD13 = {
+    val nCent = 16
+    s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |h AS (SELECT id, embedding,
+       |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+       |      1, 6)) AS BIGINT) AS hh FROM e),
+       |cents AS (SELECT id AS cid, embedding AS ce FROM h
+       |  ORDER BY hh, id LIMIT $nCent),
+       |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+       |  FROM h CROSS JOIN cents c),
+       |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+       |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+       |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+       |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+       |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+       |assign AS (SELECT vid, cid, s FROM (SELECT vid, cid, s, row_number()
+       |    OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim)
+       |  WHERE rn = 1),
+       |okc AS (SELECT cid FROM assign GROUP BY cid HAVING count(*) <= 100000),
+       |a2 AS (SELECT assign.* FROM assign JOIN okc USING (cid)),
+       |rk AS (SELECT vid, row_number() OVER (PARTITION BY cid
+       |      ORDER BY round(s, 6) DESC, vid) AS r,
+       |    count(*) OVER (PARTITION BY cid) AS n FROM a2)
+       |SELECT assign.vid AS id, assign.cid AS cluster_id,
+       |  round(assign.s, 6) AS cent_cosine,
+       |  CAST(rk.r AS BIGINT) AS proto_rank,
+       |  CAST(CASE WHEN rk.r <= ceil(0.25 * rk.n) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS dropped
+       |FROM assign LEFT JOIN rk ON rk.vid = assign.vid
+       |ORDER BY id""".stripMargin
+  }
+
   // ---- similarity search -------------------------------------------------
 
   private def qS1topk(s: SparkSession, d: String): DataFrame = {
@@ -842,6 +923,75 @@ object TextSimQueries {
       |r AS (SELECT qid, cid, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM g),
       |k AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
       |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank FROM r)
+      |SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
+      |FROM k WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** k-NN label prediction — fully oracled: oS1's exact top-k (k=10,
+    * 50 queries), label votes, and the (votes desc, label asc) argmax
+    * all replay in DuckDB. `correct` crosses as 0/1 BIGINT. */
+  private def qS18knn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.knnPredict(e, e.where(col("vec_id") < 50), "vec_id",
+        "embedding", "label", k = 10)
+      .withColumn("correct", col("correct").cast("bigint"))
+      .orderBy("query_id")
+  }
+  private val oS18 =
+    """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |q AS (SELECT vec_id, embedding, label FROM e WHERE vec_id < 50),
+      |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe,
+      |    c.embedding AS ce
+      |  FROM q, e c WHERE q.vec_id <> c.vec_id AND c.label IS NOT NULL),
+      |u AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS xq,
+      |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+      |g AS (SELECT qid, cid, sum(xq * xc) AS dt, sum(xq * xq) AS nq,
+      |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+      |r AS (SELECT qid, cid, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+      |  FROM g),
+      |k AS (SELECT qid, cid, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank FROM r),
+      |v AS (SELECT k.qid, c.label AS nlab, count(*) AS votes
+      |  FROM k JOIN e c ON c.vec_id = k.cid
+      |  WHERE k.rank <= 10 GROUP BY 1, 2),
+      |b AS (SELECT qid, nlab, votes, row_number() OVER (
+      |    PARTITION BY qid ORDER BY votes DESC, nlab) AS rn FROM v)
+      |SELECT b.qid AS query_id, q.label AS true_label,
+      |  b.nlab AS predicted_label, CAST(b.votes AS BIGINT) AS votes,
+      |  CAST(q.label = b.nlab AS BIGINT) AS correct
+      |FROM b JOIN q ON q.vec_id = b.qid WHERE b.rn = 1
+      |ORDER BY query_id""".stripMargin
+
+  /** Hard-negative mining — fully oracled: oS1's exact-cosine scoring
+    * restricted to label-mismatched pairs inside the semi-hard band,
+    * rank over the ROUNDED cosine; all of it replays in DuckDB. */
+  private def qS17hardNeg(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.hardNegatives(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", "label", k = 10, minCosine = 0.1, maxCosine = 0.95)
+      .orderBy("query_id", "rank")
+  }
+  private val oS17 =
+    """WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |q AS (SELECT vec_id, embedding, label FROM e WHERE vec_id < 5),
+      |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe,
+      |    c.embedding AS ce
+      |  FROM q, e c WHERE q.vec_id <> c.vec_id
+      |    AND q.label IS NOT NULL AND c.label IS NOT NULL
+      |    AND q.label <> c.label),
+      |u AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS xq,
+      |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+      |g AS (SELECT qid, cid, sum(xq * xc) AS dt, sum(xq * xq) AS nq,
+      |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+      |r AS (SELECT qid, cid, round(dt / (sqrt(nq) * sqrt(nc)), 6) AS cosine
+      |  FROM g),
+      |b AS (SELECT qid, cid, cosine FROM r
+      |  WHERE cosine >= 0.1 AND cosine <= 0.95),
+      |k AS (SELECT qid, cid, cosine, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank FROM b)
       |SELECT qid AS query_id, cid AS neighbor_id, cosine, rank
       |FROM k WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
@@ -2093,7 +2243,10 @@ object TextSimQueries {
     "q_d5b_allpairs_rerank" -> qD5ballPairs _,
     "q_d6_neardup_clusters" -> qD6clusters _,
     "q_d8_semantic_dedup" -> qD8semantic _,
+    "q_d13_proto_prune" -> qD13proto _,
     "q_s1_cosine_topk" -> qS1topk _,
+    "q_s17_hard_negatives" -> qS17hardNeg _,
+    "q_s18_knn_predict" -> qS18knn _,
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
     "q_s3b_ann_ivf_kmeans" -> qS3bannIvfKmeans _,
@@ -2117,6 +2270,7 @@ object TextSimQueries {
     "q_t15_lm_score" -> qT15lm _,
     "q_t16_tfidf_terms" -> qT16tfidf _,
     "q_t17_gopher_quality" -> qT17gopher _,
+    "q_t18_percentile_gate" -> qT18gate _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -2143,7 +2297,10 @@ object TextSimQueries {
     "q_d5b_allpairs_rerank" -> oD5b,
     "q_d6_neardup_clusters" -> oD6,
     "q_d8_semantic_dedup" -> oD8,
+    "q_d13_proto_prune" -> oD13,
     "q_s1_cosine_topk" -> oS1,
+    "q_s17_hard_negatives" -> oS17,
+    "q_s18_knn_predict" -> oS18,
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,
     "q_s3b_ann_ivf_kmeans" -> oS3b,
@@ -2167,6 +2324,7 @@ object TextSimQueries {
     "q_t15_lm_score" -> oT15,
     "q_t16_tfidf_terms" -> oT16,
     "q_t17_gopher_quality" -> oT17,
+    "q_t18_percentile_gate" -> oT18,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

@@ -808,6 +808,80 @@ object Dedup {
     }
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification" — the SSL-prototypes half): cluster the embedding
+    * space, rank each vector by its cosine to its OWN centroid (the
+    * prototypicality signal — closest-to-centroid means most redundant
+    * with the cluster's mass), and drop the most prototypical
+    * `pruneFraction` of every cluster. The diversity COMPLEMENT of
+    * [[semanticDedup]]: SemDeDup removes near-copies of each other,
+    * prototype pruning removes near-copies of the cluster CENTER, biasing
+    * the kept corpus toward cluster edges (diverse/rare examples).
+    *
+    * Returns one row per (norm > 0) vector: `id`, `cluster_id`,
+    * `cent_cosine` (cosine to own centroid, rounded 6 dp), `proto_rank`
+    * (1 = most prototypical in its cluster; null when the cluster was
+    * guard-skipped), `dropped`. Per cluster of n ranked members exactly
+    * `ceil(pruneFraction·n)` rows have dropped=true.
+    *
+    * Determinism: centroids are the hash-seeded sample ([[Similarity
+    * .sampleCentroids]] — replayable in SQL), assignment is the min-struct
+    * argmax, and the rank orders by ROUNDED cosine desc then id asc (with
+    * -0.0 canonicalized), so ranks reproduce across engines and runs.
+    *
+    * Scale shape: assignment is the aggregate (one row per vector crosses
+    * the exchange); ranking is a window KEYED BY cluster_id — work per
+    * task ∝ cluster size, which the √n rule holds at ≈ √n and
+    * `maxClusterSize` hard-bounds (oversized clusters keep their rows
+    * with null rank / dropped=false, the same window-free
+    * groupBy+broadcast-anti guard as [[semanticDedup]] — a collapsed
+    * embedding space must not funnel the corpus into one window task). */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+                           nClusters: Int, pruneFraction: Double,
+                           kmeansIters: Int = 0,
+                           maxClusterSize: Int = 100000): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive: $nClusters")
+    require(pruneFraction >= 0 && pruneFraction <= 1,
+      s"pruneFraction must be in [0, 1]: $pruneFraction")
+    val c = emb.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+      .where(col("cn") > 0)
+    val seed = Similarity.sampleCentroids(emb, idCol, vecCol, nClusters)
+    val cents =
+      if (kmeansIters == 0) seed
+      else Similarity.kmeansCentroids(emb, idCol, vecCol, seed, kmeansIters)
+    val assigned = Similarity.assignToWithSim(c, cents)
+      .select(col("centroid_id").as("cluster_id"),
+        col("neighbor_id").as("id"), col("cent_cosine"))
+    val ranked =
+      (if (maxClusterSize == Int.MaxValue) assigned
+       else {
+         val oversized = assigned.groupBy("cluster_id")
+           .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
+           .select("cluster_id")
+         assigned.join(broadcast(oversized), Seq("cluster_id"), "left_anti")
+       })
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          // + 0.0 after round: a rounded cosine of -0.0 must order with
+          // +0.0 (Double.compare puts -0.0 first; SQL engines tie them)
+          .orderBy((round(col("cent_cosine"), 6) + lit(0.0)).desc,
+            col("id").asc)))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .select(col("id"), col("_rk"), col("_n"))
+    assigned
+      .join(ranked, Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        round(col("cent_cosine"), 6).as("cent_cosine"),
+        col("_rk").cast("bigint").as("proto_rank"),
+        coalesce(
+          col("_rk") <= ceil(lit(pruneFraction) * col("_n")),
+          lit(false)).as("dropped"))
+  }
+
   // ---- pair graph → clusters ----------------------------------------------
 
   /** Connected components over a near-dup pair graph by MIN-LABEL

@@ -122,6 +122,54 @@ object Sampling {
       .drop("_w")
   }
 
+  /** Token-budget mixture SOLVER — the planning half of [[mixture]]: given
+    * per-group available tokens (aggregated from `costCol`), target
+    * mixture `weights` (fractions of the budget; groups absent from the
+    * map get 0), and a total token `budgetTokens`, compute per group the
+    * target tokens, the sampling `epochs` to feed [[mixture]], the
+    * achievable tokens under the `maxEpochs` repetition cap, and the
+    * deficit the cap leaves unfilled. The cap's default follows the
+    * data-constrained scaling result (Muennighoff et al. 2023: repeating
+    * data up to ~4 epochs is nearly as good as fresh data; beyond that
+    * returns decay fast) — a mixture plan that silently assigned 40
+    * epochs to a tiny domain would be a bug, so the cap surfaces it as
+    * `deficit` instead.
+    *
+    * Output per group: `tokens_available`, `weight`, `target_tokens`,
+    * `epochs`, `achieved_tokens`, `deficit` (floats rounded 6 dp, exact
+    * integer token sums underneath — fully oracled).
+    *
+    * Scale shape: ONE map-side-combinable sum per group; everything after
+    * runs on the per-group table (thousands of rows at most). The plan →
+    * [[mixture]] handoff keeps the corpus pass itself map-side. */
+  def mixtureSolve(df: DataFrame, groupCol: String, costCol: Column,
+                   weights: Map[String, Double], budgetTokens: Long,
+                   maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    weights.values.foreach(w =>
+      require(w >= 0, s"mixture weights must be >= 0; got $w"))
+    val avail = df.groupBy(col(groupCol))
+      .agg(sum(costCol).as("tokens_available"))
+    val w = weights.toSeq.sortBy(_._1).foldRight(lit(0.0d)) {
+      case ((g, f), acc) => when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    avail
+      .withColumn("weight", w)
+      .withColumn("_target", col("weight") * budgetTokens)
+      .withColumn("_epochs", when(col("tokens_available") > 0,
+          least(col("_target") / col("tokens_available"), lit(maxEpochs)))
+        .otherwise(lit(0.0d)))
+      .select(col(groupCol), col("tokens_available"), col("weight"),
+        round(col("_target"), 6).as("target_tokens"),
+        round(col("_epochs"), 6).as("epochs"),
+        round(col("_epochs") * col("tokens_available"), 6)
+          .as("achieved_tokens"),
+        round(greatest(
+            col("_target") - col("_epochs") * col("tokens_available"),
+            lit(0.0d)), 6).as("deficit"))
+  }
+
   /** Token-budget shard packing: within each group, rows are laid out in
     * deterministic (hash, id) order and cut into shards of ~`budget` cost
     * (token/char counts) — the "pack documents into training shards"

@@ -132,6 +132,87 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose LABEL differs
+    * from the query's, restricted to the semi-hard cosine band
+    * [minCosine, maxCosine] — similar enough to be informative
+    * negatives, below the ceiling that usually marks label noise (the
+    * standard in-batch-negatives replacement when curating contrastive /
+    * embedding-training data). Output: (query_id, neighbor_id, cosine,
+    * rank), cosine rounded 6 dp before ranking (engine-reproducible).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — corpus streams
+    * map-side against the broadcast query batch, the band + label
+    * filters drop candidates BEFORE the k-bounded top-k aggregate, so
+    * per-query state stays ∝ k. For corpora too big to brute-force,
+    * generate candidates with [[lshTopK]]/[[ivfTopK]] at depth k·r and
+    * apply the same label/band filter to their exact re-ranked output —
+    * the filter composes; this operator is the oracled exact form. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    minCosine: Double = 0.0,
+                    maxCosine: Double = 1.0): DataFrame = {
+    require(minCosine <= maxCosine,
+      s"minCosine ($minCosine) must be <= maxCosine ($maxCosine)")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"), col(labelCol).as("clab"))
+      .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0), par)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), col(labelCol).as("qlab"))
+      .withColumn("qn", norm(col("qv")))
+      .where(col("qn") > 0)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        // null-labeled rows can be negatives for no one (unknown class)
+        col("clab").isNotNull && col("qlab").isNotNull &&
+        col("clab") =!= col("qlab"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine && col("cosine") <= maxCosine)
+    topKPerQuery(scored, k)
+  }
+
+  /** k-NN label prediction over the embedding space — the standard
+    * embedding-quality probe (a good representation's neighbors share
+    * labels) and the weak-supervision primitive (propagate labels from a
+    * labeled corpus onto unlabeled queries). For each query: the
+    * majority label among its k nearest (cosine) labeled neighbors, ties
+    * broken by (votes desc, label asc) — fully deterministic. Output:
+    * (query_id, true_label, predicted_label, votes, correct).
+    *
+    * Scale shape: neighbor generation is [[bruteForceTopK]] (swap in
+    * [[ivfTopK]]/[[lshTopK]] candidates upstream for huge corpora — the
+    * voting composes unchanged); voting state is ∝ k per query (the
+    * groupBy runs on the k-bounded neighbor table, never the corpus) and
+    * the argmax is the same min-struct aggregate the assignment paths
+    * use — no window over votes. */
+  def knnPredict(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, labelCol: String, k: Int): DataFrame = {
+    // unlabeled rows leave the CORPUS before top-k (they can't vote, and
+    // letting them occupy neighbor slots would shrink the electorate
+    // below k); queries keep their own possibly-null true label
+    val labeled = corpus.where(col(labelCol).isNotNull)
+    val nn = bruteForceTopK(labeled, queries, idCol, vecCol, k)
+    val labels = labeled.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_nlab"))
+    val votes = nn.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "_nlab").agg(count(lit(1)).as("_votes"))
+    val best = votes
+      .select(col("query_id"), struct((-col("_votes")).as("negv"),
+        col("_nlab").as("label"), col("_votes").as("v")).as("_c"))
+      .groupBy("query_id").agg(min(col("_c")).as("_b"))
+      .select(col("query_id"), col("_b.label").as("predicted_label"),
+        col("_b.v").as("votes"))
+    best.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("predicted_label"),
+        col("votes"),
+        (col("predicted_label") === col("true_label")).as("correct"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded; no RNG state). */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -162,11 +243,10 @@ object Similarity {
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
         col("cn").as("centroid_n"))
 
-  /** Nearest-centroid assignment: argmax-cosine centroid per corpus
-    * vector via a map-side-combinable `min(struct)` aggregate (one row per
-    * vector crosses the exchange — never a window over corpus×centroids).
-    * Output: (centroid_id, neighbor_id, cv, cn). */
-  private[graft] def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
+  /** Shared argmax-cosine core for [[assignTo]]/[[assignToWithSim]]: one
+    * map-side-combinable `min(struct)` aggregate per vector (one row per
+    * vector crosses the exchange — never a window over corpus×centroids). */
+  private def assignCore(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("neighbor_id"),
         struct(
@@ -177,8 +257,23 @@ object Similarity {
           col("centroid_id"), col("cv"), col("cn")).as("_cand"))
       .groupBy("neighbor_id")
       .agg(min(col("_cand")).as("_best"))
+
+  /** Nearest-centroid assignment.
+    * Output: (centroid_id, neighbor_id, cv, cn). */
+  private[graft] def assignTo(c: DataFrame, cents: DataFrame): DataFrame =
+    assignCore(c, cents)
       .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
         col("_best.cv").as("cv"), col("_best.cn").as("cn"))
+
+  /** [[assignTo]] plus the winning cosine itself (`cent_cosine`) — the
+    * prototypicality signal D4-style pruning ranks on. Recovered from the
+    * aggregate's own negsim (no second dot pass); re-canonicalizes -0.0
+    * so a zero cosine orders identically on both engines. */
+  private[graft] def assignToWithSim(c: DataFrame, cents: DataFrame): DataFrame =
+    assignCore(c, cents)
+      .select(col("_best.centroid_id").as("centroid_id"), col("neighbor_id"),
+        col("_best.cv").as("cv"), col("_best.cn").as("cn"),
+        (-col("_best.negsim") + lit(0.0)).as("cent_cosine"))
 
   /** Two-level (hierarchical) nearest-centroid assignment — the
     * extreme-scale escape from exact assignment's O(n·nlist·d) FLOPs.

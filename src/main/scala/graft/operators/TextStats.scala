@@ -61,6 +61,47 @@ object TextStats {
       least(stopRatio * lit(2.0d), lit(1.0d)) * lit(0.2d), 6)
   }
 
+  /** Per-group score-percentile gate — "keep the top `keepFraction` of
+    * every domain by quality" (the CCNet/DCLM-style curation step that
+    * balances quality filtering ACROSS sources instead of letting one
+    * verbose domain crowd out the rest). Appends `score` (the evaluated
+    * score column), `threshold` (the group's cut), and `kept`.
+    *
+    * Threshold is RANK-defined, not interpolated: the largest score s
+    * such that at least `ceil(keepFraction·n)` of the group's rows score
+    * ≥ s. Ties AT the threshold are all kept (so ≥ ceil(f·n) rows
+    * survive). No floating-point percentile interpolation — engines
+    * disagree in the last ulp on interpolated quantiles, while this
+    * definition is pure integer counting over the score grid, so the
+    * DuckDB oracle replays it exactly. Pass a GRID-ALIGNED score (e.g.
+    * [[qualityScore]], rounded 6 dp) — an unrounded double score would
+    * make tie groups engine-dependent.
+    *
+    * Scale shape: one map-side-combinable (group, score) histogram
+    * aggregate (state = distinct scores per group, bounded by the score
+    * grid, NOT by row count); the cumulative window runs over that
+    * compressed histogram — thousands of rows where the corpus has
+    * billions; thresholds (one row per group) broadcast back and the
+    * gate itself is a map-side filter. The corpus is never windowed,
+    * never sorted, never shuffled beyond the histogram aggregate. */
+  def percentileGate(df: DataFrame, groupCol: String, scoreCol: Column,
+                     keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1]: $keepFraction")
+    val scored = df.withColumn("score", scoreCol)
+    val hist = scored.groupBy(col(groupCol), col("score"))
+      .agg(count(lit(1)).as("_c"))
+    val n = hist.groupBy(groupCol).agg(sum(col("_c")).as("_n"))
+    val cum = hist.withColumn("_cum",
+      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col("score").desc)))
+    val thr = cum.join(n, Seq(groupCol))
+      .where(col("_cum") >= ceil(lit(keepFraction) * col("_n")))
+      .groupBy(groupCol).agg(max(col("score")).as("threshold"))
+    scored.join(broadcast(thr), Seq(groupCol), "left")
+      .withColumn("kept", col("score") >= col("threshold"))
+  }
+
   /** Language-ID heuristic: distinctive-stopword hit counts per language,
     * CJK characters short-circuit to zh; ties broken by a fixed priority
     * order. N-gram-frequency profiles would be the production path; the

@@ -181,6 +181,102 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(guarded.length == 5 && guarded.forall(!_.getBoolean(3)))
   }
 
+  test("hardNegatives: label-mismatched, semi-hard band, k-bounded") {
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f), 0),        // query, label 0
+      (2L, Array(0.99f, 0.14f, 0f), 0),  // same label — excluded
+      (3L, Array(0.95f, 0.31f, 0f), 1),  // hard negative (cos ≈ 0.95)
+      (4L, Array(0.7f, 0.71f, 0f), 1),   // in-band negative
+      (5L, Array(0f, 1f, 0f), 1),        // cos 0 — below band floor
+      (6L, Array(1f, 0.001f, 0f), 1)     // cos ≈ 1 — above band ceiling
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vs, vs.where($"vec_id" === 1), "vec_id",
+        "embedding", "label", k = 10, minCosine = 0.1, maxCosine = 0.96)
+      .collect()
+    val ids = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids == Set(3L, 4L), s"expected the two in-band negatives: ${out.mkString(", ")}")
+    assert(out.forall(r => r.getAs[Double]("cosine") >= 0.1 &&
+      r.getAs[Double]("cosine") <= 0.96))
+    // ranks descend by cosine: 3 before 4
+    assert(out.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      == Seq(3L, 4L))
+    // k truncates
+    val one = Similarity.hardNegatives(vs, vs.where($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 1, minCosine = 0.1, maxCosine = 0.96).collect()
+    assert(one.length == 1 && one(0).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("knnPredict: majority vote, deterministic tie-break, null labels out") {
+    // query 1 (label 0) sits in a cloud of three label-1 vectors and two
+    // label-0 vectors → k=5 majority predicts 1 (incorrect — by design)
+    val vs = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.1f, 0f), 1), (3L, Array(0.98f, 0.15f, 0f), 1),
+      (4L, Array(0.97f, 0.2f, 0f), 1),
+      (5L, Array(0.96f, 0.25f, 0f), 0), (6L, Array(0.95f, 0.3f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnPredict(vs, vs.where($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 5).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Int]("predicted_label") == 1 &&
+      r.getAs[Long]("votes") == 3L && !r.getAs[Boolean]("correct"), r.toString)
+    // 2-2 tie at k=4 → smaller label wins (deterministic)
+    val tied = Similarity.knnPredict(vs, vs.where($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 4).collect()(0)
+    // k=4 neighbors: 2,3,4 (label 1) + 5 (label 0) → 3-1, still 1; use k=2
+    val t2 = Similarity.knnPredict(vs, vs.where($"vec_id" === 1), "vec_id",
+      "embedding", "label", k = 2).collect()(0)
+    assert(t2.getAs[Int]("predicted_label") == 1 && t2.getAs[Long]("votes") == 2L)
+    assert(tied.getAs[Int]("predicted_label") == 1)
+    // null-labeled neighbors never vote
+    val withNull = Seq(
+      (1L, Array(1f, 0f, 0f), Some(0)),
+      (2L, Array(0.99f, 0.1f, 0f), None), (3L, Array(0.5f, 0.86f, 0f), Some(2))
+    ).toDF("vec_id", "embedding", "label")
+    val nv = Similarity.knnPredict(withNull,
+      withNull.where($"vec_id" === 1), "vec_id", "embedding", "label", k = 1)
+      .collect()(0)
+    assert(nv.getAs[Int]("predicted_label") == 2, s"null label must not vote: $nv")
+  }
+
+  test("prototypicalityPrune: ceil(f·n) most-central drop per cluster; guard keeps") {
+    // one tight cluster of 4 around (1,0,0) — vec 5 sits EXACTLY on the
+    // direction others only approximate — plus an orthogonal pair
+    val vs = Seq(
+      (5L, Array(1f, 0f, 0f)), (6L, Array(0.95f, 0.3f, 0f)),
+      (7L, Array(0.95f, -0.3f, 0f)), (8L, Array(0.9f, 0.42f, 0f)),
+      (11L, Array(0f, 1f, 0f)), (12L, Array(0f, 0.98f, 0.15f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.prototypicalityPrune(vs, "vec_id", "embedding",
+      nClusters = 2, pruneFraction = 0.5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size == 6)
+    // per cluster: exactly ceil(0.5·n) dropped, and the dropped ranks are
+    // a prefix (most prototypical first)
+    out.values.groupBy(_._1).foreach { case (cid, rows) =>
+      val n = rows.size
+      val dropped = rows.filter(_._4)
+      assert(dropped.size == math.ceil(0.5 * n).toInt,
+        s"cluster $cid: ${dropped.size} of $n dropped")
+      assert(dropped.map(_._3).toSet == (1 to dropped.size).toSet,
+        s"cluster $cid: dropped ranks must be the top prefix: $rows")
+      // ranks order by cent_cosine desc (rank 1 has the max)
+      val byRank = rows.toSeq.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // pruneFraction = 0 keeps everything but still ranks
+    val keepAll = Dedup.prototypicalityPrune(vs, "vec_id", "embedding",
+      nClusters = 2, pruneFraction = 0.0).collect()
+    assert(keepAll.forall(!_.getBoolean(4)))
+    // guard: cap below cluster size → rows kept with null rank
+    val guarded = Dedup.prototypicalityPrune(vs, "vec_id", "embedding",
+      nClusters = 1, pruneFraction = 0.5, maxClusterSize = 2).collect()
+    assert(guarded.length == 6 &&
+      guarded.forall(r => r.isNullAt(3) && !r.getBoolean(4)))
+  }
+
   test("ANN recall@5 >= 0.8 vs brute force (sf0.01)") {
     val q = sfEmb.where(col("vec_id") < 5)
     def hits(df: org.apache.spark.sql.DataFrame) =

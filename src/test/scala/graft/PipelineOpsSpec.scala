@@ -593,6 +593,62 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!empty.getAs[Boolean]("keep") && empty.getAs[Long]("n_words") == 0L)
   }
 
+  test("mixtureSolve: targets, epoch cap, deficit; absent groups get 0") {
+    val rows = Seq(
+      ("a", 60L), ("a", 40L),       // 100 tokens
+      ("b", 50L), ("c", 10L), ("d", 30L)
+    ).toDF("src", "toks")
+    val out = Sampling.mixtureSolve(rows, "src", col("toks"),
+        Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2),
+        budgetTokens = 1000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 4)
+    def f(g: String, c: String) = out(g).getAs[Double](c)
+    assert(out("a").getAs[Long]("tokens_available") == 100L)
+    assert(f("a", "target_tokens") == 500.0 && f("a", "epochs") == 4.0)
+    assert(f("a", "achieved_tokens") == 400.0 && f("a", "deficit") == 100.0)
+    assert(f("b", "epochs") == 4.0 && f("b", "deficit") == 100.0)
+    assert(f("c", "epochs") == 4.0 && f("c", "achieved_tokens") == 40.0)
+    // group absent from the weight map: explicit zero plan, no deficit
+    assert(f("d", "weight") == 0.0 && f("d", "epochs") == 0.0 &&
+      f("d", "deficit") == 0.0)
+    // uncapped case: epochs = target/available exactly
+    val loose = Sampling.mixtureSolve(rows, "src", col("toks"),
+        Map("a" -> 0.2), budgetTokens = 1000L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(loose("a").getAs[Double]("epochs") == 2.0 &&
+      loose("a").getAs[Double]("deficit") == 0.0)
+  }
+
+  test("percentileGate: rank threshold per group, ties kept, map-side gate") {
+    // group g1: scores 0.9, 0.7, 0.7, 0.5, 0.1 — keep 0.4 → ceil(0.4·5)=2
+    // → threshold 0.7, ties AT threshold kept → 3 survive
+    // group g2: 0.8, 0.2 — ceil(0.4·2)=1 → threshold 0.8 → 1 survives
+    val rows = Seq(
+      (1L, "g1", 0.9), (2L, "g1", 0.7), (3L, "g1", 0.7), (4L, "g1", 0.5),
+      (5L, "g1", 0.1), (6L, "g2", 0.8), (7L, "g2", 0.2)
+    ).toDF("id", "grp", "s")
+    val out = TextStats.percentileGate(rows, "grp", col("s"), 0.4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("threshold"), r.getAs[Boolean]("kept"))).toMap
+    assert(out.size == 7)
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2), s"g1 top + ties kept: $out")
+    assert(!out(4L)._2 && !out(5L)._2)
+    assert(out(6L)._2 && !out(7L)._2)
+    assert(out(1L)._1 == 0.7 && out(6L)._1 == 0.8)
+    // keepFraction = 1 keeps everything
+    val all = TextStats.percentileGate(rows, "grp", col("s"), 1.0).collect()
+    assert(all.forall(_.getAs[Boolean]("kept")))
+    // the gate never windows the data: the only Window is over the
+    // (group, score) histogram aggregate
+    val plan = TextStats.percentileGate(rows, "grp", col("s"), 0.4)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 &&
+      plan.substring(winIdx).contains("Aggregate"),
+      s"window must sit above the histogram aggregate:\n$plan")
+  }
+
   test("dsirWeights: target-like raw docs outscore off-domain ones") {
     val target = Seq((100L, "data selection importance resampling"),
       (101L, "importance resampling for data selection"))

@@ -177,4 +177,41 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
           s"onlyStream=${(stream -- batch).take(3)}")
     } finally q.stop()
   }
+
+  test("rollingZScore: spike flags against its trailing window only") {
+    import graft.operators.Anomaly
+    // user 1: stable 10.0±0.5 baseline, then a 100.0 spike, then back —
+    // the spike flags; the row AFTER it scores against a window that now
+    // CONTAINS the spike (inflated variance) and must not flag
+    val base = (1 to 10).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 00:${i}%02d:00"),
+        if (i % 2 == 0) 10.5 else 9.5))
+    val rows = base ++ Seq(
+      (11L, 1L, ts("2024-01-01 00:11:00"), 100.0),
+      (12L, 1L, ts("2024-01-01 00:12:00"), 10.0)) ++
+      // user 2: only 3 events — below minPoints, never scored
+      (1 to 3).map(i => (20L + i, 2L, ts(s"2024-01-01 01:0$i:00"), 50.0 * i))
+    val out = Anomaly.rollingZScore(rows.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value",
+        lookback = 20, minPoints = 5, zThreshold = 3.0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out(11L).getAs[Boolean]("anomaly"), s"spike must flag: ${out(11L)}")
+    assert(out(11L).getAs[Double]("z") > 100)
+    assert(!out(12L).getAs[Boolean]("anomaly"),
+      s"post-spike return must not flag (spike inflates the window): ${out(12L)}")
+    // warm-up rows (n_prev < minPoints) carry null z and never flag
+    (1 to 5).foreach { i =>
+      assert(out(i.toLong).isNullAt(out(i.toLong).fieldIndex("z")))
+      assert(!out(i.toLong).getAs[Boolean]("anomaly"))
+    }
+    assert((21 to 23).forall(i => !out(i.toLong).getAs[Boolean]("anomaly")))
+    // constant baseline → zero variance → null z, not Infinity
+    val const = (1 to 8).map(i =>
+      (i.toLong, 1L, ts(s"2024-01-01 02:0$i:00"), 5.0)) :+
+      (9L, 1L, ts("2024-01-01 02:09:00"), 5.0)
+    val c = Anomaly.rollingZScore(const.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value").collect()
+    assert(c.forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      !r.getAs[Boolean]("anomaly")))
+  }
 }
