@@ -337,6 +337,27 @@ object TextSimQueries {
       |  CAST(q.score >= thr.threshold AS BIGINT) AS kept
       |FROM q JOIN thr USING (source) ORDER BY doc_id""".stripMargin
 
+  /** Codepoint-entropy quality signal — fully oracled: the per-doc char
+    * histogram, the ascending-codepoint summation order (TreeMap vs
+    * `list(k ORDER BY c)` under binary collation), and the
+    * log2-factorized formula replay in DuckDB, term for term. */
+  private def qT19entropy(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        round(TextStats.charEntropy(col("text")), 6).as("entropy"))
+      .orderBy("doc_id")
+  private val oT19 =
+    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.', 0, 's')) AS c
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+      |l AS (SELECT doc_id, list(CAST(k AS DOUBLE) ORDER BY c) AS ks
+      |  FROM cnt GROUP BY 1),
+      |e AS (SELECT doc_id, list_sum(ks) AS n,
+      |    list_sum(list_transform(ks, k -> k * (ln(k) / ln(2)))) AS s
+      |  FROM l)
+      |SELECT d.doc_id, round(ln(e.n) / ln(2) - e.s / e.n, 6) AS entropy
+      |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private def qT16tfidf(s: SparkSession, d: String): DataFrame =
     TextStats.tfidfTopTerms(docs(s, d), "doc_id", "text", topK = 5)
       .orderBy("doc_id", "rank")
@@ -2271,6 +2292,7 @@ object TextSimQueries {
     "q_t16_tfidf_terms" -> qT16tfidf _,
     "q_t17_gopher_quality" -> qT17gopher _,
     "q_t18_percentile_gate" -> qT18gate _,
+    "q_t19_char_entropy" -> qT19entropy _,
     "q_e1_gram_cov" -> qE1gram _,
     "q_d9_bloom_prefilter" -> qD9bloom _,
     "q_x7_leakfree_split" -> qX7leakFreeSplit _,
@@ -2325,6 +2347,7 @@ object TextSimQueries {
     "q_t16_tfidf_terms" -> oT16,
     "q_t17_gopher_quality" -> oT17,
     "q_t18_percentile_gate" -> oT18,
+    "q_t19_char_entropy" -> oT19,
     "q_e1_gram_cov" -> oE1,
     "q_d9_bloom_prefilter" -> oD9,
     "q_x7_leakfree_split" -> oX7,

@@ -61,6 +61,11 @@ object TextStats {
       least(stopRatio * lit(2.0d), lit(1.0d)) * lit(0.2d), 6)
   }
 
+  /** Shannon entropy (bits/char) of the codepoint distribution — see
+    * [[graft.functions.CharEntropy]] (codegen'd map-side kernel; null on
+    * empty). Band-pass it: low = repetitive filler, high = binary junk. */
+  def charEntropy(c: Column): Column = graft.functions.CharEntropy(c)
+
   /** Per-group score-percentile gate — "keep the top `keepFraction` of
     * every domain by quality" (the CCNet/DCLM-style curation step that
     * balances quality filtering ACROSS sources instead of letting one

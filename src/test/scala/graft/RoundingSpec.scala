@@ -42,6 +42,41 @@ class RoundingSpec extends AnyFunSuite with SparkSpec {
     assert(r == 1.235)
   }
 
+  test("charEntropy: known values, unicode codepoints, empty null, codegen") {
+    import graft.functions.CharEntropy
+    val df = Seq(
+      ("aaaa", 1L),        // one symbol → H = 0
+      ("abab", 2L),        // two equiprobable → H = 1
+      ("abcd", 3L),        // four equiprobable → H = 2
+      ("aab", 4L),         // H = log2(3) − (2·1)/3
+      ("", 5L),            // empty → null
+      ("日本日本", 6L)      // non-ASCII codepoints, two equiprobable → 1
+    ).toDF("s", "id")
+    val got = df.select(col("id"), CharEntropy(col("s")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(1.0))
+    assert(got(3L).contains(2.0))
+    val expect = math.log(3.0) / math.log(2.0) -
+      (2.0 * (math.log(2.0) / math.log(2.0))) / 3.0
+    assert(math.abs(got(4L).get - expect) < 1e-12)
+    assert(got(5L).isEmpty, "empty string must be null")
+    assert(got(6L).contains(1.0))
+    // evaluates inside whole-stage codegen (no interpreted fallback row);
+    // repartition blocks ConvertToLocalRelation from folding the project,
+    // and the plan is read AFTER execution so AQE has finalized it
+    val q2 = df.repartition(1).select(CharEntropy(col("s")).as("h"))
+    q2.collect()
+    val plan = q2.queryExecution.executedPlan.toString
+    // the `*(n)` star prefix is the WholeStageCodegen marker in toString
+    assert(plan.contains("*(1) Project [char_entropy"), plan)
+    // SQL registration
+    CharEntropy.register(spark)
+    assert(spark.sql("SELECT char_entropy('abab') AS h")
+      .collect()(0).getDouble(0) == 1.0)
+  }
+
   test("property: idempotent and within half-grid of input (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     (1 to 2000).foreach { _ =>

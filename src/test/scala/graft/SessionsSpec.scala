@@ -178,6 +178,57 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamAnomaly == batch rollingZScore under out-of-order arrival") {
+    import graft.operators.Anomaly
+    import graft.streaming.StreamAnomaly
+    import graft.streaming.StreamAnomaly.In
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[In]
+    val out = StreamAnomaly.detect(mem.toDS(), lookback = 4, minPoints = 3,
+      zThreshold = 2.0, watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    val base = Seq(
+      In(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      In(1L, ts("2024-01-01 10:01:00"), 2L, 10.5),
+      In(1L, ts("2024-01-01 10:02:00"), 3L, 9.5),
+      In(1L, ts("2024-01-01 10:03:00"), 4L, 10.0),
+      In(1L, ts("2024-01-01 10:04:00"), 5L, 50.0),  // spike
+      In(1L, ts("2024-01-01 10:05:00"), 6L, 10.0),
+      In(2L, ts("2024-01-01 10:01:30"), 7L, 1.0),
+      In(2L, ts("2024-01-01 10:02:30"), 8L, 2.0))
+    try {
+      // out-of-order feed across two epochs, then a watermark-advancer
+      mem.addData(base(2), base(0), base(6))
+      q.processAllAvailable()
+      mem.addData(base(1), base(4), base(3), base(7), base(5))
+      q.processAllAvailable()
+      mem.addData(In(1L, ts("2024-01-01 11:00:00"), 99L, 10.0),
+        In(2L, ts("2024-01-01 11:00:00"), 98L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anom_out")
+        .where($"event_id" < 90)
+        .select("event_id", "n_prev", "mean_prev", "z", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3),
+          r.getBoolean(4))).toSet
+      val batch = Anomaly.rollingZScore(
+          (base ++ Seq(In(1L, ts("2024-01-01 11:00:00"), 99L, 10.0),
+            In(2L, ts("2024-01-01 11:00:00"), 98L, 1.0))).toDS()
+            .select($"key".as("user_id"), $"ts", $"event_id", $"value"),
+          "user_id", "ts", "event_id", "value",
+          lookback = 4, minPoints = 3, zThreshold = 2.0)
+        .where($"event_id" < 90)
+        .select("event_id", "n_prev", "mean_prev", "z", "anomaly")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3),
+          r.getBoolean(4))).toSet
+      assert(got == batch,
+        s"stream/batch diverge: onlyStream=${(got -- batch).take(3)} " +
+          s"onlyBatch=${(batch -- got).take(3)}")
+      // the spike row itself flagged
+      assert(got.exists(t => t._1 == 5L && t._5))
+    } finally q.stop()
+  }
+
   test("rollingZScore: spike flags against its trailing window only") {
     import graft.operators.Anomaly
     // user 1: stable 10.0±0.5 baseline, then a 100.0 spike, then back —
