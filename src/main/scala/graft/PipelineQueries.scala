@@ -800,6 +800,34 @@ object PipelineQueries {
       |  round(greatest(target - epochs * tokens_available, 0.0), 6) AS deficit
       |FROM e ORDER BY source""".stripMargin
 
+  /** Temperature-scaled (α = 0.5, √-smoothed) mixture weights per
+    * source — the multilingual up/down-sampling planner. Fully oracled:
+    * shares divide exact integer token sums, √ is IEEE-exact on both
+    * engines, and the Σ√share normalizer folds in ascending-source
+    * order on both sides (Spark sorted-struct fold, DuckDB ordered
+    * list_sum), so every weight and boost crosses the hash gate. */
+  private def qX11temperature(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureWeights(docs(s, d), "source",
+        TextStats.wordCount(col("text")), alpha = 0.5)
+      .orderBy("source")
+  private val oX11 =
+    """WITH c AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w
+      |  FROM documents),
+      |g AS (SELECT source, sum(w) AS tokens FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM g),
+      |l AS (SELECT list(round(CAST(tokens AS DOUBLE) / (SELECT total FROM t), 6)
+      |    ORDER BY source) AS shares FROM g),
+      |n AS (SELECT list_sum(list_transform(shares, x -> sqrt(x))) AS nrm FROM l),
+      |s1 AS (SELECT source, tokens,
+      |    round(CAST(tokens AS DOUBLE) / (SELECT total FROM t), 6) AS share
+      |  FROM g),
+      |s2 AS (SELECT source, tokens, share,
+      |    round(sqrt(share) / (SELECT nrm FROM n), 6) AS weight FROM s1)
+      |SELECT source, tokens, share, weight,
+      |  round(weight / share, 6) AS boost
+      |FROM s2 ORDER BY source""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -807,6 +835,7 @@ object PipelineQueries {
     "q_w6_anomaly_zscore" -> qW6anomaly _,
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
+    "q_x11_temperature_mix" -> qX11temperature _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -831,6 +860,7 @@ object PipelineQueries {
     "q_w6_anomaly_zscore" -> oW6,
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
+    "q_x11_temperature_mix" -> oX11,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

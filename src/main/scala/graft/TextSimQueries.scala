@@ -212,8 +212,10 @@ object TextSimQueries {
     * the per-doc total exact in any partition order on both engines. */
   private def qT15lm(s: SparkSession, d: String): DataFrame =
     TextStats.bigramLm(docs(s, d), "doc_id", "text").orderBy("doc_id")
-  private val oT15 =
-    """WITH base AS (SELECT doc_id,
+  /** oT15's model CTEs, shared verbatim with oT20 (the bucket oracle
+    * replays the SAME lm score before cutting it into thirds). */
+  private val lmCtes =
+    """base AS (SELECT doc_id,
       |    list_filter(string_split(trim(lower(
       |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
       |      x -> x <> '') AS ws
@@ -232,11 +234,52 @@ object TextSimQueries {
       |  FROM c12 JOIN c1 USING (w1)),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
       |    sum(nll) AS snll
-      |  FROM big JOIN model USING (w1, w2) GROUP BY 1)
+      |  FROM big JOIN model USING (w1, w2) GROUP BY 1)""".stripMargin
+  private val oT15 =
+    s"""WITH $lmCtes
       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
       |  round(CAST(agg.snll AS DOUBLE) / agg.n, 6) AS avg_nll
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
+
+  /** CCNet-style perplexity thirds: the per-language head/middle/tail
+    * split over the bigram-LM score (lowest avg-nll = head = bucket 0).
+    * Fully oracled: the lm score replays via oT15's CTEs verbatim, and
+    * the two rank-defined cuts replay as oT18's histogram + cumulative
+    * CTEs with the SAME float fraction literals Spark multiplies by
+    * (interpolated from the identical Scala doubles). Docs too short to
+    * score (null avg_nll) keep their row with a null bucket. */
+  private def qT20pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val lm = TextStats.bigramLm(docs(s, d), "doc_id", "text")
+    val scored = lm.join(docs(s, d).select(col("doc_id"), col("lang")),
+      Seq("doc_id"))
+    TextStats.rankBuckets(scored, "lang", col("avg_nll"),
+        fractions = Seq(1.0 / 3, 2.0 / 3), ascending = true)
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+      .orderBy("doc_id")
+  }
+  private val oT20 =
+    s"""WITH $lmCtes,
+      |sc AS (SELECT d.doc_id, d.lang,
+      |    round(CAST(agg.snll AS DOUBLE) / agg.n, 6) AS score
+      |  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+      |hist AS (SELECT lang, score, count(*) AS c FROM sc
+      |  WHERE score IS NOT NULL GROUP BY 1, 2),
+      |n AS (SELECT lang, sum(c) AS n FROM hist GROUP BY 1),
+      |cum AS (SELECT lang, score,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY score ASC) AS cum
+      |  FROM hist),
+      |t0 AS (SELECT cum.lang, min(score) AS thr FROM cum JOIN n USING (lang)
+      |  WHERE cum >= ceil(${1.0 / 3} * n) GROUP BY 1),
+      |t1 AS (SELECT cum.lang, min(score) AS thr FROM cum JOIN n USING (lang)
+      |  WHERE cum >= ceil(${2.0 / 3} * n) GROUP BY 1)
+      |SELECT sc.doc_id, sc.lang, sc.score,
+      |  CASE WHEN sc.score IS NULL THEN NULL ELSE
+      |    CAST((CASE WHEN sc.score > t0.thr THEN 1 ELSE 0 END)
+      |       + (CASE WHEN sc.score > t1.thr THEN 1 ELSE 0 END) AS BIGINT)
+      |  END AS bucket
+      |FROM sc JOIN t0 ON t0.lang = sc.lang JOIN t1 ON t1.lang = sc.lang
+      |ORDER BY sc.doc_id""".stripMargin
 
   /** Per-doc TF-IDF keyword extraction, oracled: DuckDB recomputes
     * tf/df/N with identical tokenization and replays tf·ln(N/df) with
@@ -357,6 +400,49 @@ object TextSimQueries {
       |SELECT d.doc_id, round(ln(e.n) / ln(2) - e.s / e.n, 6) AS entropy
       |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** HyperLogLog distinct-shingle estimate under the FULL hash gate —
+    * the bounded-state cardinality sketch next to Bloom (membership)
+    * and Count-Min (frequency): every register (md5-hash60 bucket, the
+    * integer-exact `length(bin(rem))` rank-of-first-one), the
+    * ascending-bucket harmonic fold, and the small-range branch replay
+    * in DuckDB; n_exact rides along so the sketch's error is graded,
+    * not claimed. Consumes the SAME cached shingle-hash rows q_d2/q_d3
+    * tokenize. */
+  private def qT21hll(s: SparkSession, d: String): DataFrame =
+    graft.functions.Hll.distinctEstimate(sharedShingles(s, d), col("h"),
+      p = 12)
+  private val oT21 = {
+    val p = 12; val m = 1 << p; val w = 60 - p
+    val twoW = 1L << w
+    s"""WITH wd AS (SELECT doc_id,
+       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |FROM documents),
+       |sh AS (SELECT DISTINCT sg FROM (
+       |  SELECT unnest(list_transform(
+       |    range(1, greatest(len(ws) - 2, 0) + 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg FROM wd)),
+       |h AS (SELECT CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h
+       |  FROM sh),
+       |r AS (SELECT h // $twoW AS bucket, h % $twoW AS rem FROM h),
+       |rho AS (SELECT bucket, CASE WHEN rem = 0 THEN ${w + 1}
+       |    ELSE $w - (length(bin(rem)) - 1) END AS rho FROM r),
+       |regs AS (SELECT bucket, max(rho) AS maxrho FROM rho GROUP BY 1),
+       |l AS (SELECT list(CAST(maxrho AS DOUBLE) ORDER BY bucket) AS rs,
+       |    count(*) AS mp FROM regs),
+       |z AS (SELECT list_sum(list_transform(rs, x -> power(2.0, -x)))
+       |    + ($m - mp) AS z, CAST($m - mp AS BIGINT) AS v FROM l),
+       |x AS (SELECT z, v,
+       |    CAST(${graft.functions.Hll.alpha(m) * m.toDouble * m.toDouble}
+       |      AS DOUBLE) / z AS eraw FROM z)
+       |SELECT CAST($m AS BIGINT) AS m,
+       |  (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM h) AS n_exact,
+       |  v AS v_zero, round(eraw, 6) AS est_raw,
+       |  round(CASE WHEN eraw <= CAST(${2.5 * m} AS DOUBLE) AND v > 0
+       |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v) ELSE eraw END,
+       |    6) AS estimate
+       |FROM x""".stripMargin
+  }
 
   private def qT16tfidf(s: SparkSession, d: String): DataFrame =
     TextStats.tfidfTopTerms(docs(s, d), "doc_id", "text", topK = 5)
@@ -506,6 +592,88 @@ object TextSimQueries {
       |SELECT dup_key, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size,
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members_csv
       |FROM k GROUP BY 1 ORDER BY dup_key""".stripMargin
+
+  /** The q_d1/q_d14/q_d15 dup key (md5 of the first two words) and the
+    * oT2 quality score, as shared oracle CTEs: `kq` = (doc_id, source,
+    * dup_key, score). */
+  private val keyScoreCtes =
+    """t AS (SELECT doc_id, source, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM documents),
+      |kq AS (SELECT doc_id, source,
+      |  md5(array_to_string(list_slice(
+      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    1, 2), ' ')) AS dup_key,
+      |  round(
+      |    (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |    + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |            BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |    + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |    6) AS score
+      |FROM t)""".stripMargin
+
+  /** Keep-BEST exact dedup: q_d1's groups re-deduped by quality — the
+    * keeper is the argmax-(score, min-id) copy, not the min id. Fully
+    * oracled: the key, the oT2 score replay, the group count, and the
+    * tie rule (score DESC, doc_id ASC) all cross the hash gate. */
+  private def qD14keepBest(s: SparkSession, d: String): DataFrame = {
+    val key = md5(array_join(slice(Dedup.words(col("text")), 1, 2), " "))
+    Dedup.exactDedupKeepBest(docs(s, d), "doc_id", key,
+        TextStats.qualityScore(col("text")))
+      .orderBy("dup_key")
+  }
+  private val oD14 =
+    s"""WITH $keyScoreCtes,
+      |r AS (SELECT dup_key, doc_id, score,
+      |    CAST(count(*) OVER (PARTITION BY dup_key) AS BIGINT) AS n,
+      |    row_number() OVER (PARTITION BY dup_key
+      |      ORDER BY score DESC, doc_id) AS rn
+      |  FROM kq)
+      |SELECT dup_key, doc_id AS keeper_id, score AS keeper_score,
+      |  n AS n_copies
+      |FROM r WHERE rn = 1 ORDER BY dup_key""".stripMargin
+
+  /** Scope-aware dedup accounting (the FineWeb finding: dedup WITHIN
+    * each snapshot/source keeps more diverse data than one global
+    * pass): per source, total docs, keepers under per-source dedup, and
+    * keepers this source retains under GLOBAL dedup (cross-source dups
+    * collapse to one source's keeper). Both sides replay the same key +
+    * score + tie rule; scoped-vs-global keeper gaps are the query's
+    * point and are fully hash-gated. */
+  private def qD15scoped(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val key = md5(array_join(slice(Dedup.words(col("text")), 1, 2), " "))
+    val score = TextStats.qualityScore(col("text"))
+    val scoped = Dedup.exactDedupKeepBest(dd, "doc_id", key, score,
+        scopeCols = Seq("source"))
+      .groupBy("source")
+      .agg(sum(col("n_copies")).as("n_docs"),
+        count(lit(1)).as("keepers_scoped"))
+    val globalKeepers = Dedup.exactDedupKeepBest(dd, "doc_id", key, score)
+      .join(dd.select(col("doc_id").as("keeper_id"), col("source")),
+        Seq("keeper_id"))
+      .groupBy("source").agg(count(lit(1)).as("keepers_global"))
+    scoped.join(globalKeepers, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("keepers_scoped"),
+        coalesce(col("keepers_global"), lit(0L)).as("keepers_global"))
+      .orderBy("source")
+  }
+  private val oD15 =
+    s"""WITH $keyScoreCtes,
+      |sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT dup_key) AS BIGINT) AS keepers_scoped
+      |  FROM kq GROUP BY 1),
+      |gk AS (SELECT source, CAST(count(*) AS BIGINT) AS keepers_global
+      |  FROM (SELECT dup_key, source, row_number() OVER (
+      |      PARTITION BY dup_key ORDER BY score DESC, doc_id) AS rn
+      |    FROM kq) WHERE rn = 1 GROUP BY 1)
+      |SELECT sc.source, sc.n_docs, sc.keepers_scoped,
+      |  CAST(coalesce(gk.keepers_global, 0) AS BIGINT) AS keepers_global
+      |FROM sc LEFT JOIN gk ON gk.source = sc.source
+      |ORDER BY sc.source""".stripMargin
 
   /** Tokenize-once cache: q_d2 (Jaccard) and q_d3 (MinHash) consume the
     * SAME distinct 3-shingle HASH rows — a real pipeline tokenizes once
@@ -1413,6 +1581,53 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Binary sign-sketch ANN under the FULL hash gate: 64 sign bits per
+    * vector, Hamming candidate scan (smallest distance, id tiebreak),
+    * exact cosine re-rank. The oracle recomputes every per-dimension
+    * sign disagreement count — the integer Hamming distances, the
+    * candidate cut, and the re-rank all replay exactly (sign of the
+    * raw float is scale-invariant, so no normalization crosses the
+    * gate). */
+  private def qS16hamming(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    graft.operators.Pq.binarySignTopK(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dim = 64, rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private val oS16 = {
+    val k = 5; val rerank = 50
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |q AS (SELECT id AS query_id, embedding AS qe, nrm AS qn FROM e
+       |  WHERE id < 5),
+       |ham AS (SELECT q.query_id, c.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CASE WHEN (CAST(q.qe[i] AS DOUBLE) >= 0)
+       |                  <> (CAST(c.embedding[i] AS DOUBLE) >= 0)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS h
+       |  FROM q CROSS JOIN e c WHERE c.id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY h, neighbor_id) AS rn
+       |    FROM ham) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF-PQ — the composed 100 TB ANN: coarse-quantizer probes restrict
     * the ADC scan to nProbe inverted lists, exact re-rank bounds the
     * final stage. Fully oracled by composing the proven oS3 CTEs
@@ -2265,6 +2480,11 @@ object TextSimQueries {
     "q_d6_neardup_clusters" -> qD6clusters _,
     "q_d8_semantic_dedup" -> qD8semantic _,
     "q_d13_proto_prune" -> qD13proto _,
+    "q_d14_keep_best" -> qD14keepBest _,
+    "q_d15_scoped_dedup" -> qD15scoped _,
+    "q_s16_ann_hamming" -> qS16hamming _,
+    "q_t20_ppl_buckets" -> qT20pplBuckets _,
+    "q_t21_hll_shingles" -> qT21hll _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -2320,6 +2540,11 @@ object TextSimQueries {
     "q_d6_neardup_clusters" -> oD6,
     "q_d8_semantic_dedup" -> oD8,
     "q_d13_proto_prune" -> oD13,
+    "q_d14_keep_best" -> oD14,
+    "q_d15_scoped_dedup" -> oD15,
+    "q_s16_ann_hamming" -> oS16,
+    "q_t20_ppl_buckets" -> oT20,
+    "q_t21_hll_shingles" -> oT21,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

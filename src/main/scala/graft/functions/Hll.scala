@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udaf
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007) over
+  * pre-hashed keys — the third bounded-state sketch next to [[Bloom]]
+  * (membership) and [[CountMin]] (frequency): cardinality in 2^p bytes
+  * of state regardless of key count, mergeable by element-wise max, so
+  * partial aggregation combines map-side and the shuffle carries one
+  * m-byte register array per partition — the only way "distinct users
+  * per day for a year" fits one pass at 100 TB (an exact
+  * countDistinct keeps per-key state; approx_count_distinct exists in
+  * Spark but its HLL++ registers are neither portable nor
+  * oracle-replayable).
+  *
+  * Hash discipline: input is the 60-bit md5-derived
+  * `Sampling.hash60` value (the engine-portable stand-in for xxhash64
+  * used everywhere a hash VALUE must replay in DuckDB). The top `p`
+  * bits pick a register, the remaining w = 60−p bits feed the
+  * rank-of-first-one: rho = w − floor(log2(rem)) for rem > 0 (i.e.
+  * leading zeros within the w-bit window + 1), rho = w + 1 for rem = 0.
+  * floor(log2) is integer-exact in ANY engine as `length(bin(rem)) − 1`
+  * — no floating point until the final harmonic mean.
+  *
+  * Estimate: alpha_m·m²/Z with Z = Σ 2^−M_j, plus the standard
+  * small-range correction E ≤ 2.5m ∧ V>0 → m·ln(m/V) (V = zero
+  * registers). Each 2^−M_j is an exact dyadic double; [[estimate]] sums
+  * the NONZERO registers in ascending register order and adds the V
+  * zero-register ones (2^0 = 1 each) as one final `+ V` — the same
+  * fold order the declarative twin and its DuckDB oracle use, so all
+  * three paths produce the identical double.
+  */
+object Hll {
+
+  def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  private[graft] def registerOf(h: Long, p: Int): (Int, Int) = {
+    val w = 60 - p
+    val idx = (h >>> w).toInt
+    val rem = h & ((1L << w) - 1)
+    val rho = if (rem == 0L) w + 1
+      else w - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+    (idx, rho)
+  }
+
+  /** Typed Aggregator: input = hash60(key), buffer/output = 2^p register
+    * bytes (max rho per register; rho ≤ 61 fits a byte at any p). */
+  class SketchAgg(p: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
+    private val m = 1 << p
+    override def zero: Array[Byte] = new Array[Byte](m)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      val (idx, rho) = registerOf(h, p)
+      if (rho > b(idx)) b(idx) = rho.toByte
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]()
+    override def outputEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]()
+  }
+
+  /** Aggregate column: `sketch(p)(hash60-column)` → 2^p register bytes.
+    * Mergeable state — works in batch rollups and streaming aggregates
+    * alike (the registers themselves union by max). */
+  def sketch(p: Int)(hashed: Column): Column =
+    udaf(new SketchAgg(p)).apply(hashed)
+
+  /** Cardinality estimate from collected registers — nonzero registers
+    * summed ascending-index, zeros folded in as one `+ V` (the fold
+    * order contract shared with [[distinctEstimate]] and its oracle). */
+  def estimate(regs: Array[Byte]): Double = {
+    val m = regs.length
+    var z = 0.0
+    var v = 0
+    var i = 0
+    while (i < m) {
+      if (regs(i) == 0) v += 1
+      else z += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      i += 1
+    }
+    z += v.toDouble
+    val e = alpha(m) * m.toDouble * m.toDouble / z
+    if (e <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v) else e
+  }
+
+  /** Declarative twin of sketch+estimate — the oracle-replayable path:
+    * registers as a (bucket, max rho) groupBy, the harmonic sum as an
+    * ascending-bucket list fold (exact-dyadic terms, deterministic
+    * order on every engine), zeros as `m − present`. ONE output row:
+    * (m, n_exact, v_zero, est_raw, estimate). n_exact rides along so
+    * the sketch's error is part of the gated result, not a claim.
+    *
+    * Scale shape: two hash aggregates (the (bucket, rho) reduction is
+    * map-side combinable and ≤ m rows survive) + one m-row fold —
+    * the exact-count column is the only per-key-state pass and exists
+    * for the oracle comparison, not the sketch. */
+  def distinctEstimate(df: DataFrame, hashed: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
+    val m = 1 << p
+    val w = 60 - p
+    val keys = df.select(hashed.as("_h"))
+    val regs = keys
+      .select(shiftright(col("_h"), w).as("_bucket"),
+        (col("_h").bitwiseAND(lit((1L << w) - 1))).as("_rem"))
+      .select(col("_bucket"),
+        when(col("_rem") === 0L, lit(w + 1))
+          .otherwise(lit(w) - (length(bin(col("_rem"))) - 1)).as("_rho"))
+      .groupBy("_bucket").agg(max(col("_rho")).as("_maxrho"))
+    val folded = regs
+      .agg(sort_array(collect_list(struct(col("_bucket"), col("_maxrho"))))
+        .as("_rs"))
+      .select(
+        aggregate(col("_rs"), lit(0.0),
+          (acc, r) => acc + pow(lit(2.0), -r.getField("_maxrho").cast("double")))
+          .as("_zsum"),
+        size(col("_rs")).as("_mp"))
+      .select(
+        (col("_zsum") + (lit(m) - col("_mp")).cast("double")).as("_z"),
+        (lit(m) - col("_mp")).cast("long").as("v_zero"))
+    val exact = keys.agg(countDistinct(col("_h")).as("n_exact"))
+    // one precomputed alpha·m² constant: the oracle interpolates the SAME
+    // Scala double, so both engines evaluate exactly A/z
+    val a2 = alpha(m) * m.toDouble * m.toDouble
+    val eraw = lit(a2) / col("_z")
+    folded.crossJoin(exact)
+      .select(lit(m).cast("long").as("m"), col("n_exact"), col("v_zero"),
+        round(eraw, 6).as("est_raw"),
+        round(when(eraw <= lit(2.5 * m) && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(eraw), 6)
+          .as("estimate"))
+  }
+}

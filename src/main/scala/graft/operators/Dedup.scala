@@ -119,6 +119,35 @@ object Dedup {
         count(lit(1)).as("group_size"),
         array_sort(collect_list(col(idCol))).as("members"))
 
+  /** Exact dedup that keeps the BEST copy, not the first: per
+    * (scope, key) group the keeper is the row maximizing (score, then
+    * smallest id) — the production refinement of [[exactGroups]] when
+    * copies differ in quality (a clean mirror vs an ad-wrapped scrape of
+    * the same article: drop-by-min-id keeps whichever crawled first;
+    * this keeps the highest-scoring one). `scopeCols` restricts dedup to
+    * WITHIN each scope (e.g. per crawl snapshot, the FineWeb finding
+    * that per-dump dedup preserves more diverse data than one global
+    * pass) — empty means global.
+    *
+    * Output: scopeCols ++ (dup_key, keeper_id, keeper_score, n_copies).
+    * Scale shape: identical to [[exactGroups]] — ONE hash groupBy on the
+    * short key whose state is a single max struct per group (map-side
+    * combinable, no member list, no window); ids ≤ ~2^62 (the −id
+    * tiebreak needs the negation exact). */
+  def exactDedupKeepBest(df: DataFrame, idCol: String, key: Column,
+                         scoreCol: Column,
+                         scopeCols: Seq[String] = Nil): DataFrame = {
+    val gcols = scopeCols.map(col) :+ key.as("dup_key")
+    df.withColumn("_score", scoreCol)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(col("_score").as("s"),
+          (-col(idCol).cast("long")).as("negid"))).as("_best"))
+      .select(scopeCols.map(col) ++ Seq(col("dup_key"),
+        (-col("_best.negid")).as("keeper_id"),
+        col("_best.s").as("keeper_score"), col("n_copies")): _*)
+  }
+
   // ---- n-gram Jaccard ----------------------------------------------------
 
   /** Exact Jaccard similarity over n-word shingles for every pair of docs

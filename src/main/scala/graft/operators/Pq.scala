@@ -515,4 +515,59 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(cands, corpus, idCol, vecCol, q, k)
   }
+
+  /** 1-bit sign quantization + Hamming candidate scan (the binary-hash
+    * ANN family: LSH sign sketches / "binary embeddings") — the extreme
+    * end of the compression dial: a 64-dim vector becomes ONE 64-bit
+    * word (32× under float32, 8 B/vector), and candidate scoring is a
+    * single `bit_count(xor)` — both codegen'd integer builtins, no
+    * array traffic at all in the scan. Sign bits are preserved by
+    * L2 normalization, so packing reads the RAW vector (bit i set iff
+    * coordinate i ≥ 0; −0.0 ≥ 0 on both engines). Candidates are the
+    * `rerankDepth` smallest-Hamming ids (tie: neighbor_id asc) per
+    * query, re-ranked by exact cosine.
+    *
+    * The sign-bit word IS the 1-hyperplane-per-axis special case of
+    * [[Similarity.signature]]'s random-hyperplane sketch — the version
+    * with no plane matrix to broadcast and a purely integer scan; the
+    * Hamming distance estimates angle via the hyperplane-LSH collision
+    * bound P[bit differs] = θ/π.
+    *
+    * Scale shape: packing is one map-side pass (the interpreted HOF
+    * runs once per corpus row at PACK time — the scan itself touches
+    * only the packed longs); the scan broadcasts the packed query
+    * batch, shuffles nothing, and keeps per-query state ∝ rerankDepth
+    * via the k-bounded `topKPerQuery`; exact re-rank joins raw vectors
+    * for rerankDepth·|queries| rows only. Like [[pqTopK]]/[[sq8TopK]]
+    * this is the full-scan primitive — compose with IVF probes to
+    * bound the scan. Output: (query_id, neighbor_id, cosine, rank). */
+  def binarySignTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, dim: Int = 64,
+                     rerankDepth: Int = 50): DataFrame = {
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    require(dim >= 1 && dim <= 64, s"dim must be in [1, 64]: $dim")
+    // SQL-lambda shiftleft (the Scala DSL pins the shift to a literal);
+    // evaluated once per row at pack time only
+    val packSql = s"aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) -> " +
+      "acc | CASE WHEN element_at(_pv, i + 1) >= 0D " +
+      "THEN shiftleft(1L, i) ELSE 0L END)"
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = Similarity.widen(
+      corpus.select(col(idCol).as("neighbor_id"),
+          asDouble(col(vecCol)).as("_pv"))
+        .where(Similarity.norm(col("_pv")) > 0)
+        .select(col("neighbor_id"), expr(packSql).as("_cw")), par)
+    val q = prepQueriesBase(queries, idCol, vecCol)
+    val qw = q.select(col("query_id"), col("qv").as("_pv"))
+      .select(col("query_id"), expr(packSql).as("_qw"))
+    val scored = c.crossJoin(broadcast(qw))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // negated Hamming as the "cosine" ranking key: topKPerQuery
+        // keeps the largest, i.e. the SMALLEST distances, tie id asc
+        (-expr("bit_count(_qw ^ _cw)").cast("double")).as("cosine"))
+    val cands = Similarity.topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(cands, corpus, idCol, vecCol, q, k)
+  }
 }

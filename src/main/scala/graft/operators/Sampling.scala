@@ -170,6 +170,56 @@ object Sampling {
             lit(0.0d)), 6).as("deficit"))
   }
 
+  /** Temperature-scaled mixture planner — the multilingual/multi-domain
+    * sampling rule (Devlin et al.'s exponent-smoothed sampling, the
+    * standard fix for "English is 1000× Nepali, uniform drowns the tail
+    * and proportional starves it"): group g with cost share s_g gets
+    * sampling weight w_g = s_g^alpha / Σ_h s_h^alpha. alpha = 1 is
+    * proportional, alpha → 0 approaches uniform; alpha = 0.5 (√-scaling)
+    * uses IEEE-exact `sqrt` so the oracle replays bit-for-bit (other
+    * alphas go through `pow`, whose last ulp is libm-specific — fine for
+    * production, not for a hash gate). Feed the weights to
+    * [[mixture]]/[[mixtureSolve]].
+    *
+    * Output: (group, tokens, share, weight, boost) — boost = weight /
+    * share is the up/down-sampling factor (tail languages > 1).
+    * Determinism: the Σ s^alpha normalizer folds the per-group terms in
+    * ascending-group order (sorted-list fold, the charEntropy
+    * discipline); shares divide exact integer sums.
+    *
+    * Scale shape: ONE cost aggregate (map-side combinable) reduced to
+    * |groups| rows; the normalizer fold and re-join all happen on that
+    * tiny table (collected into one list row, then re-exploded —
+    * |groups| is mixture-planner-sized by definition). */
+  def temperatureWeights(df: DataFrame, groupCol: String, costCol: Column,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    def powA(c: Column): Column =
+      if (alpha == 0.5) sqrt(c)
+      else if (alpha == 1.0) c
+      else pow(c, lit(alpha))
+    val tot = df.groupBy(col(groupCol).as("_g"))
+      .agg(sum(costCol).as("_tokens"))
+    val shared = tot
+      .agg(sum(col("_tokens")).as("_total"),
+        sort_array(collect_list(struct(col("_g"), col("_tokens")))).as("_rows"))
+      .select(col("_rows"),
+        aggregate(col("_rows"), lit(0.0), (acc, r) =>
+          acc + powA(round(r.getField("_tokens").cast("double")
+            / col("_total").cast("double"), 6))).as("_norm"),
+        col("_total"))
+    shared
+      .select(explode(col("_rows")).as("_r"), col("_norm"), col("_total"))
+      .select(col("_r._g").as(groupCol),
+        col("_r._tokens").as("tokens"),
+        round(col("_r._tokens").cast("double") / col("_total").cast("double"),
+          6).as("share"),
+        col("_norm"))
+      .withColumn("weight", round(powA(col("share")) / col("_norm"), 6))
+      .withColumn("boost", round(col("weight") / col("share"), 6))
+      .drop("_norm")
+  }
+
   /** Token-budget shard packing: within each group, rows are laid out in
     * deterministic (hash, id) order and cut into shards of ~`budget` cost
     * (token/char counts) — the "pack documents into training shards"

@@ -107,6 +107,59 @@ object TextStats {
       .withColumn("kept", col("score") >= col("threshold"))
   }
 
+  /** Per-group rank-defined score BUCKETS — the CCNet head/middle/tail
+    * split generalized: `fractions` are cumulative cut fractions (e.g.
+    * Seq(1/3, 2/3) → 3 buckets), and bucket b holds the rows between
+    * cuts b−1 and b in score order (bucket 0 = the best `fractions(0)`
+    * of each group). `ascending = true` ranks best-first by SMALLEST
+    * score (CCNet: lowest perplexity = head). Appends `score` and
+    * `bucket` (0-based; null score → null bucket).
+    *
+    * Thresholds are RANK-defined exactly like [[percentileGate]]
+    * (largest/smallest score with ≥ ceil(f·n) rows at or better than
+    * it; ties at a cut land in the better bucket) — pure integer
+    * counting over the score grid, no interpolated quantiles, so a SQL
+    * oracle replays it bit-for-bit. Pass a grid-aligned (rounded)
+    * score.
+    *
+    * Scale shape: identical to [[percentileGate]] — ONE compressed
+    * (group, score) histogram aggregate feeds one window over distinct
+    * scores; the per-fraction thresholds join into a single
+    * groups×fractions table (broadcast back), and bucket assignment is
+    * a map-side comparison sum. The corpus is never sorted or windowed. */
+  def rankBuckets(df: DataFrame, groupCol: String, scoreCol: Column,
+                  fractions: Seq[Double],
+                  ascending: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be in (0, 1): $fractions")
+    require(fractions == fractions.sorted && fractions.distinct == fractions,
+      s"fractions must be strictly increasing: $fractions")
+    val scored = df.withColumn("score", scoreCol)
+    val hist = scored.where(col("score").isNotNull)
+      .groupBy(col(groupCol), col("score")).agg(count(lit(1)).as("_c"))
+    val n = hist.groupBy(groupCol).agg(sum(col("_c")).as("_n"))
+    val ord = if (ascending) col("score").asc else col("score").desc
+    val cum = hist.withColumn("_cum",
+      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(ord)))
+    val thrs = fractions.zipWithIndex.map { case (f, j) =>
+      val atCut = cum.join(n, Seq(groupCol))
+        .where(col("_cum") >= ceil(lit(f) * col("_n")))
+      val agg = if (ascending) min(col("score")) else max(col("score"))
+      atCut.groupBy(groupCol).agg(agg.as(s"_thr$j"))
+    }.reduce((a, b) => a.join(b, Seq(groupCol)))
+    val pastCut = fractions.indices.map { j =>
+      val past = if (ascending) col("score") > col(s"_thr$j")
+                 else col("score") < col(s"_thr$j")
+      when(past, 1).otherwise(0)
+    }.reduce(_ + _)
+    scored.join(broadcast(thrs), Seq(groupCol), "left")
+      .withColumn("bucket",
+        when(col("score").isNull, lit(null)).otherwise(pastCut).cast("long"))
+      .drop(fractions.indices.map(j => s"_thr$j"): _*)
+  }
+
   /** Language-ID heuristic: distinctive-stopword hit counts per language,
     * CJK characters short-circuit to zh; ties broken by a fixed priority
     * order. N-gram-frequency profiles would be the production path; the

@@ -980,4 +980,54 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       "embedding", k = 2, planes = 4, dim = 3).collect()
     assert(ann.exists(r => r.getAs[Long]("neighbor_id") == 1L))
   }
+
+  test("binary-sign ANN: planted duplicate at Hamming 0; recall floor " +
+    "on the unclustered corpus (sf0.01)") {
+    import graft.operators.Pq
+    // a sign-identical twin (positive scaling preserves every sign bit)
+    // MUST surface: its Hamming distance is 0, so no candidate cut can
+    // drop it, and exact re-rank puts it at rank 1 (cosine 1.0)
+    val twin = sfEmb.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+    val corpus = sfEmb.union(twin)
+    val out = Pq.binarySignTopK(corpus, corpus.where(col("vec_id") === 3L),
+      "vec_id", "embedding", k = 5, dim = 64, rerankDepth = 50)
+    val top = out.where(col("rank") === 1L).collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == 10003L &&
+      top.getAs[Double]("cosine") == 1.0, s"twin must rank 1: $top")
+    // recall floor vs brute force: 64 sign bits + rerank 50 on a corpus
+    // whose true neighbors sit at ~0.45 cosine (barely above random) —
+    // the gate catches packing/scan regressions, not a showcase number
+    val q = sfEmb.where(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5))
+    val ham = hits(Pq.binarySignTopK(sfEmb, q, "vec_id", "embedding",
+      k = 5, dim = 64, rerankDepth = 50))
+    val r = ham.intersect(exact).size.toDouble / exact.size
+    assert(r >= 0.5, s"binarySignTopK recall@5 = $r")
+  }
+
+  test("exactDedupKeepBest: argmax-score keeper, min-id tiebreak, scopes") {
+    val d = Seq(
+      (1L, "a", "k1", 0.3), (2L, "a", "k1", 0.9), (3L, "b", "k1", 0.9),
+      (4L, "b", "k2", 0.5)
+    ).toDF("id", "src", "key", "score")
+    // global: k1's best score 0.9 is tied between ids 2 and 3 → min id 2
+    val g = Dedup.exactDedupKeepBest(d, "id", col("key"), col("score"))
+      .collect().map(r => r.getAs[String]("dup_key") ->
+        (r.getAs[Long]("keeper_id"), r.getAs[Double]("keeper_score"),
+          r.getAs[Long]("n_copies"))).toMap
+    assert(g == Map("k1" -> ((2L, 0.9, 3L)), "k2" -> ((4L, 0.5, 1L))), s"$g")
+    // scoped by src: k1 keeps one copy PER source (2 in a, 3 in b)
+    val s = Dedup.exactDedupKeepBest(d, "id", col("key"), col("score"),
+        scopeCols = Seq("src"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dup_key"))
+        -> r.getAs[Long]("keeper_id")).toMap
+    assert(s == Map(("a", "k1") -> 2L, ("b", "k1") -> 3L, ("b", "k2") -> 4L),
+      s"$s")
+  }
 }

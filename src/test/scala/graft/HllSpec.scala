@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hll
+import graft.operators.Sampling
+
+class HllSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("registerOf: bucket from top bits, rho from leading zeros of the rest") {
+    // h = 1 → bucket 0, rem = 1 (47 leading zeros in the 48-bit window) → rho 48
+    assert(Hll.registerOf(1L, 12) == (0, 48))
+    // rem = 0 → rho = w + 1
+    assert(Hll.registerOf(0L, 12) == (0, 49))
+    // top 12 bits select the bucket
+    val h = (5L << 48) | (1L << 47)
+    assert(Hll.registerOf(h, 12) == (5, 1))
+    // highest remainder bit set → one "leading-zero-free" draw → rho 1
+    assert(Hll.registerOf((1L << 47) | 123L, 12) == (0, 1))
+  }
+
+  test("sketch aggregate == declarative distinctEstimate, exactly") {
+    val keys = (0L until 5000L).map(i => s"key-$i").toDF("k")
+      .select(Sampling.hash60(col("k")).as("h"))
+    val regs = keys.agg(Hll.sketch(12)(col("h"))).collect()(0)
+      .getAs[Array[Byte]](0)
+    val aggEst = Hll.estimate(regs)
+    val row = Hll.distinctEstimate(keys, col("h"), 12).collect()(0)
+    val declEst = row.getAs[Double]("estimate")
+    // identical fold-order contract → the doubles match before rounding
+    assert(math.round(aggEst * 1e6).toDouble / 1e6 == declEst,
+      s"agg $aggEst vs declarative $declEst")
+    assert(row.getAs[Long]("n_exact") == 5000L)
+    // 1.04/sqrt(4096) ~ 1.6% std error; 5% is a >3-sigma gate
+    assert(math.abs(declEst - 5000.0) / 5000.0 < 0.05, s"est $declEst")
+  }
+
+  test("registers merge by max: partial sketches union to the full sketch") {
+    val a = (0L until 800L).map(i => s"k$i").toDF("k")
+      .select(Sampling.hash60(col("k")).as("h"))
+    val b = (400L until 1200L).map(i => s"k$i").toDF("k")
+      .select(Sampling.hash60(col("k")).as("h"))
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Hll.sketch(10)(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val merged = new Hll.SketchAgg(10).merge(regsOf(a), regsOf(b))
+    assert(merged.toSeq == regsOf(a.union(b)).toSeq)
+  }
+
+  test("HLL sketch aggregates over a stream (complete mode) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sdf = mem.toDF()
+      .select(Sampling.hash60(col("value").cast("string")).as("h"))
+    val q = sdf.agg(Hll.sketch(10)(col("h")).as("regs"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try {
+      mem.addData(0L until 600L: _*)
+      q.processAllAvailable()
+      mem.addData(300L until 900L: _*) // overlap: distinct stays 900
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out").collect()(0)
+        .getAs[Array[Byte]](0)
+      val batch = (0L until 900L).toDF("value")
+        .select(Sampling.hash60(col("value").cast("string")).as("h"))
+        .agg(Hll.sketch(10)(col("h"))).collect()(0).getAs[Array[Byte]](0)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(math.abs(Hll.estimate(streamed) - 900.0) / 900.0 < 0.1)
+    } finally q.stop()
+  }
+}

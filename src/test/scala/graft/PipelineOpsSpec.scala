@@ -706,4 +706,49 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       BigDecimal(1.0 / 61 + 1.0 / 61).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("rankBuckets: thirds per group, ties stay in the better bucket, " +
+    "null scores bucket null") {
+    // g1 ascending scores 1..9 → cuts at ceil(9/3)=3 (thr 3) and
+    // ceil(18/3)=6 (thr 6): buckets {1,2,3}, {4,5,6}, {7,8,9}
+    val g1 = (1 to 9).map(i => (i.toLong, "g1", Some(i.toDouble)))
+    val rows = (g1 :+ ((10L, "g1", Option.empty[Double])))
+      .toDF("id", "grp", "s")
+    val out = TextStats.rankBuckets(rows, "grp", col("s"),
+        Seq(1.0 / 3, 2.0 / 3), ascending = true)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("bucket")).map(_.toLong)).toMap
+    assert((1L to 3L).forall(out(_).contains(0L)), s"head: $out")
+    assert((4L to 6L).forall(out(_).contains(1L)), s"middle: $out")
+    assert((7L to 9L).forall(out(_).contains(2L)), s"tail: $out")
+    assert(out(10L).isEmpty, "null score must bucket null")
+    // descending (quality-style): highest score is bucket 0; a tie AT
+    // the cut lands in the better bucket
+    val tied = Seq((1L, "g", 0.9), (2L, "g", 0.5), (3L, "g", 0.5),
+      (4L, "g", 0.1)).toDF("id", "grp", "s")
+    val desc = TextStats.rankBuckets(tied, "grp", col("s"), Seq(0.5))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket"))
+      .toMap
+    // ceil(0.5·4)=2 → thr = 0.5; ties at 0.5 stay in bucket 0
+    assert(desc == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"$desc")
+  }
+
+  test("temperatureWeights: sqrt smoothing boosts the tail, alpha=1 is " +
+    "proportional") {
+    val rows = Seq.fill(90)(("en", 100L)) ++ Seq.fill(10)(("ne", 100L))
+    val df = rows.toDF("lang", "tok")
+    val w = Sampling.temperatureWeights(df, "lang", col("tok"), alpha = 0.5)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("weight"),
+          r.getAs[Double]("boost"))).toMap
+    assert(w("en")._1 == 0.9 && w("ne")._1 == 0.1)
+    // sqrt smoothing: weights ∝ (√.9, √.1)/(√.9+√.1) → ne up, en down
+    assert(w("ne")._3 > 1.0 && w("en")._3 < 1.0, s"$w")
+    assert(math.abs(w("en")._2 + w("ne")._2 - 1.0) < 1e-5, s"$w")
+    // alpha = 1 → weight == share (proportional sampling)
+    val p = Sampling.temperatureWeights(df, "lang", col("tok"), alpha = 1.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("weight"))).toMap
+    assert(p.forall { case (_, (s, wt)) => s == wt }, s"$p")
+  }
 }
