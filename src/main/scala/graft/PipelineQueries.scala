@@ -800,6 +800,62 @@ object PipelineQueries {
       |  round(greatest(target - epochs * tokens_available, 0.0), 6) AS deficit
       |FROM e ORDER BY source""".stripMargin
 
+  /** Ordered view→click→purchase funnel — per-step reach with strict
+    * event-time ordering (a click only counts after the user's first
+    * view; a purchase only after that click). Fully oracled: the
+    * per-step min-after-previous times, counts, and both conversion
+    * ratios replay as sequential join CTEs. */
+  private def qW7funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step")
+  private val oW7 =
+    """WITH s0 AS (SELECT user_id u, min(ts) t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT 0 AS step, 'view' AS event_type,
+      |    (SELECT count(*) FROM s0) AS users
+      |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+      |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+      |SELECT CAST(step AS BIGINT) AS step, event_type,
+      |  CAST(users AS BIGINT) AS users,
+      |  coalesce(round(CAST(users AS DOUBLE)
+      |    / CAST(lag(users) OVER (ORDER BY step) AS DOUBLE), 6), 1.0)
+      |    AS conv_prev,
+      |  round(CAST(users AS DOUBLE)
+      |    / CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE), 6)
+      |    AS conv_first
+      |FROM n ORDER BY step""".stripMargin
+
+  /** Cohort retention: first-active-day cohorts × day offset, exact
+    * distinct actives per cell, retention vs cohort size. Fully
+    * oracled (cohort assignment, offsets, cell counts, ratios). */
+  private def qW8cohort(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(events(s, d), "user_id", "ts")
+      .orderBy("cohort", "day_offset")
+  private val oW8 =
+    """WITH f AS (SELECT user_id u,
+      |    min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id u,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      |c AS (SELECT cohort, datediff('day', cohort, d) AS day_offset,
+      |    CAST(count(*) AS BIGINT) AS active_users
+      |  FROM a JOIN f USING (u) WHERE datediff('day', cohort, d) <= 30
+      |  GROUP BY 1, 2),
+      |s AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM f GROUP BY 1)
+      |SELECT c.cohort, CAST(c.day_offset AS BIGINT) AS day_offset, s.cohort_size,
+      |  c.active_users,
+      |  round(CAST(c.active_users AS DOUBLE)
+      |    / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+      |FROM c JOIN s USING (cohort) ORDER BY cohort, day_offset""".stripMargin
+
   /** Temperature-scaled (α = 0.5, √-smoothed) mixture weights per
     * source — the multilingual up/down-sampling planner. Fully oracled:
     * shares divide exact integer token sums, √ is IEEE-exact on both
@@ -833,6 +889,8 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_w5_sessionize" -> qW5sessionize _,
     "q_w6_anomaly_zscore" -> qW6anomaly _,
+    "q_w7_funnel" -> qW7funnel _,
+    "q_w8_cohort" -> qW8cohort _,
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
@@ -858,6 +916,8 @@ object PipelineQueries {
   def oracleSql: Map[String, String] = Map(
     "q_w5_sessionize" -> oW5,
     "q_w6_anomaly_zscore" -> oW6,
+    "q_w7_funnel" -> oW7,
+    "q_w8_cohort" -> oW8,
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,

@@ -513,6 +513,48 @@ object SparkEntry {
 
   /** A17: rollup subtotals (year × status with grand/partial totals;
     * NULLS FIRST on both sides — DuckDB defaults to NULLS LAST). */
+  /** A19: hash-sampled quantiles vs exact — the "percentile on a 10%
+    * deterministic sample" pattern that replaces a full-column sort at
+    * 100 TB; the sampling error is part of the gated result (err
+    * columns), not a claim. Sample membership is the md5-hash24
+    * Bernoulli filter (engine-replayable); quantiles are the proven
+    * percentile↔quantile_cont pair from q_a16. */
+  private def qA19sampledQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val l = li(s, d).withColumn("_sk",
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    val samp = Sampling.sampleByHash(l, "_sk", 0.1, salt = "q19")
+    val full = l.groupBy("l_returnflag").agg(
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("full_p50"),
+      round(expr("percentile(l_quantity, 0.9)"), 6).as("full_p90"))
+    val sq = samp.groupBy("l_returnflag").agg(
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("samp_p50"),
+      round(expr("percentile(l_quantity, 0.9)"), 6).as("samp_p90"))
+    full.join(sq, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("full_p50"), col("samp_p50"),
+        col("full_p90"), col("samp_p90"),
+        round(abs(col("samp_p50") - col("full_p50")), 6).as("err_p50"),
+        round(abs(col("samp_p90") - col("full_p90")), 6).as("err_p90"))
+      .orderBy("l_returnflag")
+  }
+  private val oA19 =
+    """WITH l AS (SELECT *, concat(CAST(l_orderkey AS VARCHAR), '|',
+      |    CAST(l_linenumber AS VARCHAR)) AS sk FROM lineitem),
+      |sm AS (SELECT * FROM l WHERE CAST(concat('0x',
+      |    substr(md5(concat(sk, '|q19')), 1, 6)) AS BIGINT) < 1677721),
+      |f AS (SELECT l_returnflag,
+      |    round(quantile_cont(l_quantity, 0.5), 6) AS full_p50,
+      |    round(quantile_cont(l_quantity, 0.9), 6) AS full_p90
+      |  FROM l GROUP BY 1),
+      |s AS (SELECT l_returnflag,
+      |    round(quantile_cont(l_quantity, 0.5), 6) AS samp_p50,
+      |    round(quantile_cont(l_quantity, 0.9), 6) AS samp_p90
+      |  FROM sm GROUP BY 1)
+      |SELECT f.l_returnflag, full_p50, samp_p50, full_p90, samp_p90,
+      |  round(abs(samp_p50 - full_p50), 6) AS err_p50,
+      |  round(abs(samp_p90 - full_p90), 6) AS err_p90
+      |FROM f JOIN s USING (l_returnflag) ORDER BY 1""".stripMargin
+
   private def qA17rollup(s: SparkSession, d: String): DataFrame =
     ord(s, d).withColumn("yr", year(col("o_orderdate")).cast("long"))
       .rollup("yr", "o_orderstatus")
@@ -593,6 +635,7 @@ object SparkEntry {
     "q_a6_unique_having" -> qA6unique,
     "q_a16_percentiles" -> qA16percentiles _,
     "q_a17_rollup" -> qA17rollup _,
+    "q_a19_sampled_quantiles" -> qA19sampledQuantiles _,
     "q_w4_window_pack" -> qW4windows _,
   ) ++ TextSimQueries.queries ++ PipelineQueries.queries
 
@@ -634,6 +677,7 @@ object SparkEntry {
     "q_a6_unique_having" -> oA6,
     "q_a16_percentiles" -> oA16,
     "q_a17_rollup" -> oA17,
+    "q_a19_sampled_quantiles" -> oA19,
     "q_w4_window_pack" -> oW4,
   ) ++ TextSimQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -401,6 +401,32 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-source KL divergence vs the corpus word blend — the
+    * domain-distinctiveness diagnostic feeding mixture planning. Fully
+    * oracled: counts, probabilities, every per-word p·ln(p/q) term
+    * (round-6 DECIMAL sums, partition-order exact), identical `ln`. */
+  private def qT22kl(s: SparkSession, d: String): DataFrame =
+    TextStats.sourceDivergence(docs(s, d), "source", "text")
+      .orderBy("source")
+  private val oT22 =
+    """WITH w AS (SELECT source AS g, unnest(list_filter(
+      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    x -> x <> '')) AS w
+      |  FROM documents),
+      |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+      |gn AS (SELECT g, sum(c) AS n FROM gw GROUP BY 1),
+      |cw AS (SELECT w, sum(c) AS cc FROM gw GROUP BY 1),
+      |tc AS (SELECT CAST(sum(cc) AS DOUBLE) AS tc FROM cw),
+      |t AS (SELECT g, n, CAST(round(
+      |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(cc AS DOUBLE) / (SELECT tc FROM tc))), 6)
+      |    AS DECIMAL(28,6)) AS term
+      |  FROM gw JOIN gn USING (g) JOIN cw USING (w))
+      |SELECT g AS source, CAST(max(n) AS BIGINT) AS n_words,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS kl
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** HyperLogLog distinct-shingle estimate under the FULL hash gate —
     * the bounded-state cardinality sketch next to Bloom (membership)
     * and Count-Min (frequency): every register (md5-hash60 bucket, the
@@ -1628,6 +1654,55 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Matryoshka-truncation ANN under the FULL hash gate: 16-of-64
+    * prefix candidate scan, renormalized prefix cosines, exact
+    * full-width re-rank. The oracle re-slices every prefix, re-derives
+    * both norms, and replays the candidate cut and re-rank — one
+    * drifted prefix coordinate anywhere is a hash mismatch. */
+  private def qS19matryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.matryoshkaTopK(e, e.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 5, prefixDim = 16, rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private val oS19 = {
+    val k = 5; val rerank = 50; val pd = 16
+    s"""WITH e AS (SELECT vec_id AS id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |pc AS (SELECT id, list_transform(list_slice(embedding, 1, $pd),
+       |      x -> CAST(x AS DOUBLE)) AS cp,
+       |    sqrt(list_sum(list_transform(list_slice(embedding, 1, $pd),
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cpn
+       |  FROM e),
+       |pcz AS (SELECT * FROM pc WHERE cpn > 0),
+       |q AS (SELECT id AS query_id, cp AS qp, cpn AS qpn FROM pcz
+       |  WHERE id < 5),
+       |sc AS (SELECT q.query_id, c.id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, ${pd + 1}),
+       |      i -> q.qp[i] * c.cp[i])) / (q.qpn * c.cpn), 6) AS s
+       |  FROM q CROSS JOIN pcz c WHERE c.id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+       |    FROM sc) WHERE rn <= $rerank),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(eq.embedding[i] AS DOUBLE)
+       |        * CAST(ec.embedding[i] AS DOUBLE))) / (eq.nrm * ec.nrm), 6)
+       |      AS cosine
+       |  FROM cand c JOIN e eq ON eq.id = c.query_id
+       |  JOIN e ec ON ec.id = c.neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+       |    AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** IVF-PQ — the composed 100 TB ANN: coarse-quantizer probes restrict
     * the ADC scan to nProbe inverted lists, exact re-rank bounds the
     * final stage. Fully oracled by composing the proven oS3 CTEs
@@ -2464,6 +2539,56 @@ object TextSimQueries {
       |  round(${graft.operators.Parity.moneySumSql("value")}, 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-(event_type, day) distinct-user HLL rollup — the batch twin of
+    * `DailyRollup.distinctRollup` (spec-gated register-equal), fully
+    * oracled at p=6: m=64 keeps both estimator branches live on this
+    * corpus (~150 users/group straddles the 2.5·m=160 small-range
+    * crossover), and every register, fold, and branch replays in
+    * DuckDB. n_exact grades the sketch per group. */
+  private def qSt2distinct(s: SparkSession, d: String): DataFrame =
+    graft.functions.Hll.groupedDistinctEstimate(
+        Tables.events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("date"), col("user_id")),
+        Seq("event_type", "date"),
+        Sampling.hash60(col("user_id").cast("string")), p = 6)
+      .orderBy("event_type", "date")
+  private val oSt2 = {
+    val p = 6; val m = 1 << p; val w = 60 - p
+    val twoW = 1L << w
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(date_trunc('day', ts) AS DATE) AS date,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, date, h // $twoW AS bucket,
+       |    h % $twoW AS rem FROM h),
+       |rho AS (SELECT event_type, date, bucket,
+       |    CASE WHEN rem = 0 THEN ${w + 1}
+       |    ELSE $w - (length(bin(rem)) - 1) END AS rho FROM r),
+       |regs AS (SELECT event_type, date, bucket, max(rho) AS maxrho
+       |  FROM rho GROUP BY 1, 2, 3),
+       |l AS (SELECT event_type, date,
+       |    list(CAST(maxrho AS DOUBLE) ORDER BY bucket) AS rs,
+       |    count(*) AS mp FROM regs GROUP BY 1, 2),
+       |z AS (SELECT event_type, date,
+       |    list_sum(list_transform(rs, x -> power(2.0, -x)))
+       |      + ($m - mp) AS z, CAST($m - mp AS BIGINT) AS v FROM l),
+       |ex AS (SELECT event_type, date,
+       |    CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+       |  FROM h GROUP BY 1, 2),
+       |x AS (SELECT z.event_type, z.date, ex.n_exact, z.v,
+       |    CAST(${graft.functions.Hll.alpha(m) * m.toDouble * m.toDouble}
+       |      AS DOUBLE) / z.z AS eraw
+       |  FROM z JOIN ex ON ex.event_type = z.event_type
+       |    AND ex.date = z.date)
+       |SELECT event_type, date, n_exact, v AS v_zero,
+       |  round(eraw, 6) AS est_raw,
+       |  round(CASE WHEN eraw <= CAST(${2.5 * m} AS DOUBLE) AND v > 0
+       |    THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v)
+       |    ELSE eraw END, 6) AS estimate
+       |FROM x ORDER BY event_type, date""".stripMargin
+  }
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2483,8 +2608,11 @@ object TextSimQueries {
     "q_d14_keep_best" -> qD14keepBest _,
     "q_d15_scoped_dedup" -> qD15scoped _,
     "q_s16_ann_hamming" -> qS16hamming _,
+    "q_s19_ann_matryoshka" -> qS19matryoshka _,
+    "q_st2_distinct_rollup" -> qSt2distinct _,
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
     "q_t21_hll_shingles" -> qT21hll _,
+    "q_t22_source_kl" -> qT22kl _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -2543,8 +2671,11 @@ object TextSimQueries {
     "q_d14_keep_best" -> oD14,
     "q_d15_scoped_dedup" -> oD15,
     "q_s16_ann_hamming" -> oS16,
+    "q_s19_ann_matryoshka" -> oS19,
+    "q_st2_distinct_rollup" -> oSt2,
     "q_t20_ppl_buckets" -> oT20,
     "q_t21_hll_shingles" -> oT21,
+    "q_t22_source_kl" -> oT22,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

@@ -112,37 +112,84 @@ object Hll {
   def distinctEstimate(df: DataFrame, hashed: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
     val m = 1 << p
-    val w = 60 - p
     val keys = df.select(hashed.as("_h"))
-    val regs = keys
-      .select(shiftright(col("_h"), w).as("_bucket"),
-        (col("_h").bitwiseAND(lit((1L << w) - 1))).as("_rem"))
-      .select(col("_bucket"),
+    val folded = zvFold(regRows(keys, Nil, p), Nil, m)
+    val exact = keys.agg(countDistinct(col("_h")).as("n_exact"))
+    folded.crossJoin(exact)
+      .select(Seq(lit(m).cast("long").as("m"), col("n_exact")) ++
+        estimateCols(m): _*)
+  }
+
+  /** Per-group declarative HLL — the rollup form ("distinct users per
+    * (key, day)" over unbounded keys): same register/fold/branch
+    * contract as [[distinctEstimate]], grouped. Output: groupCols ++
+    * (n_exact, v_zero, est_raw, estimate). The registers aggregate is
+    * map-side combinable with ≤ m rows per group surviving; only the
+    * n_exact gauge keeps per-key state (drop it at true scale — it
+    * exists so the sketch's error is graded, not claimed). */
+  def groupedDistinctEstimate(df: DataFrame, groupCols: Seq[String],
+                              hashed: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (else use " +
+      "distinctEstimate)")
+    val m = 1 << p
+    val keys = df.select(groupCols.map(col) :+ hashed.as("_h"): _*)
+    val folded = zvFold(regRows(keys, groupCols, p), groupCols, m)
+    val exact = keys.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("_h")).as("n_exact"))
+    folded.join(exact, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n_exact")) ++
+        estimateCols(m): _*)
+  }
+
+  /** (groupCols, _bucket, _maxrho) register rows from hashed keys. */
+  private def regRows(keys: DataFrame, groupCols: Seq[String],
+                      p: Int): DataFrame = {
+    val w = 60 - p
+    keys
+      .select(groupCols.map(col) ++ Seq(
+        shiftright(col("_h"), w).as("_bucket"),
+        (col("_h").bitwiseAND(lit((1L << w) - 1))).as("_rem")): _*)
+      .select(groupCols.map(col) ++ Seq(col("_bucket"),
         when(col("_rem") === 0L, lit(w + 1))
-          .otherwise(lit(w) - (length(bin(col("_rem"))) - 1)).as("_rho"))
-      .groupBy("_bucket").agg(max(col("_rho")).as("_maxrho"))
-    val folded = regs
-      .agg(sort_array(collect_list(struct(col("_bucket"), col("_maxrho"))))
-        .as("_rs"))
-      .select(
+          .otherwise(lit(w) - (length(bin(col("_rem"))) - 1)).as("_rho")): _*)
+      .groupBy((groupCols :+ "_bucket").map(col): _*)
+      .agg(max(col("_rho")).as("_maxrho"))
+  }
+
+  /** Ascending-bucket harmonic fold → (_z, v_zero) per group (or one
+    * row when groupCols is empty). */
+  private def zvFold(regs: DataFrame, groupCols: Seq[String],
+                     m: Int): DataFrame = {
+    val listed =
+      if (groupCols.isEmpty)
+        regs.agg(sort_array(collect_list(struct(col("_bucket"),
+          col("_maxrho")))).as("_rs"))
+      else
+        regs.groupBy(groupCols.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("_bucket"),
+            col("_maxrho")))).as("_rs"))
+    listed
+      .select(groupCols.map(col) ++ Seq(
         aggregate(col("_rs"), lit(0.0),
           (acc, r) => acc + pow(lit(2.0), -r.getField("_maxrho").cast("double")))
           .as("_zsum"),
-        size(col("_rs")).as("_mp"))
-      .select(
+        size(col("_rs")).as("_mp")): _*)
+      .select(groupCols.map(col) ++ Seq(
         (col("_zsum") + (lit(m) - col("_mp")).cast("double")).as("_z"),
-        (lit(m) - col("_mp")).cast("long").as("v_zero"))
-    val exact = keys.agg(countDistinct(col("_h")).as("n_exact"))
-    // one precomputed alpha·m² constant: the oracle interpolates the SAME
-    // Scala double, so both engines evaluate exactly A/z
+        (lit(m) - col("_mp")).cast("long").as("v_zero")): _*)
+  }
+
+  /** (v_zero kept, est_raw, estimate) from _z/v_zero — one precomputed
+    * alpha·m² constant so the oracle interpolates the SAME Scala double
+    * and both engines evaluate exactly A/z. */
+  private def estimateCols(m: Int): Seq[Column] = {
     val a2 = alpha(m) * m.toDouble * m.toDouble
     val eraw = lit(a2) / col("_z")
-    folded.crossJoin(exact)
-      .select(lit(m).cast("long").as("m"), col("n_exact"), col("v_zero"),
-        round(eraw, 6).as("est_raw"),
-        round(when(eraw <= lit(2.5 * m) && col("v_zero") > 0,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
-          .otherwise(eraw), 6)
-          .as("estimate"))
+    Seq(col("v_zero"), round(eraw, 6).as("est_raw"),
+      round(when(eraw <= lit(2.5 * m) && col("v_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+        .otherwise(eraw), 6)
+        .as("estimate"))
   }
 }

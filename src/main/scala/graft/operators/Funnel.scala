@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the long-form events table: ordered
+  * conversion funnels and cohort retention — the product-analytics pair
+  * every eventing warehouse query pack needs (the reference's "status"
+  * reports are the degenerate 1-step case of these).
+  *
+  * Both operators are built from hash aggregates and keyed equi-joins
+  * only — no windows over the event stream, no per-user sort, no driver
+  * actions — so they run as a handful of shuffles regardless of event
+  * volume.
+  */
+object Funnel {
+
+  /** Ordered conversion funnel: for `steps = Seq(s0, s1, s2, …)`, a user
+    * "reaches" step i when they have an s_i event STRICTLY after their
+    * step-(i−1) completion time (earliest such event counts; step 0 is
+    * the user's earliest s0 event). Output, one row per step:
+    * (step, event_type, users, conv_prev, conv_first) — conversion vs
+    * the previous step (1.0 at step 0) and vs the funnel entry.
+    *
+    * Scale shape: each step is ONE filtered event scan (the type
+    * predicate pushes into the source) equi-joined on the user key to
+    * the previous step's (user, t) frame, reduced by a
+    * map-side-combinable min — k−1 keyed shuffles for a k-step funnel,
+    * no window, no per-user event list. The step summaries are k
+    * single-row aggregates unioned driver-side (plan-side, not action
+    * side); conversion rates join on the k-row summary itself. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t"))
+    val frames = steps.tail.scanLeft(first) { (prev, st) =>
+      events.where(col(typeCol) === st)
+        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+        .join(prev, Seq("_u"))
+        .where(col("_ts") > col("_t"))
+        .groupBy("_u").agg(min(col("_ts")).as("_t"))
+    }
+    val summaries = steps.zip(frames).zipWithIndex.map {
+      case ((st, f), i) =>
+        f.agg(count(lit(1)).as("users"))
+          .select(lit(i).cast("long").as("step"), lit(st).as("event_type"),
+            col("users"))
+    }.reduce(_ union _)
+    val entry = summaries.where(col("step") === 0)
+      .select(col("users").as("_u0"))
+    val prevUsers = summaries
+      .select((col("step") + 1).as("step"), col("users").as("_uprev"))
+    summaries.join(prevUsers, Seq("step"), "left")
+      .crossJoin(broadcast(entry))
+      .select(col("step"), col("event_type"), col("users"),
+        coalesce(
+          round(col("users").cast("double") / col("_uprev").cast("double"), 6),
+          lit(1.0)).as("conv_prev"),
+        round(col("users").cast("double") / col("_u0").cast("double"), 6)
+          .as("conv_first"))
+  }
+
+  /** Cohort retention: users are cohorted by their FIRST active day;
+    * each (cohort day, day_offset) cell counts the cohort's users active
+    * on cohort+offset. Output: (cohort, day_offset, cohort_size,
+    * active_users, retention) — day_offset 0 is the cohort day itself
+    * (retention 1.0 by construction).
+    *
+    * Scale shape: first-seen is one hash aggregate; (user, day) actives
+    * are one distinct (both map-side combinable); the cell count joins
+    * actives to cohorts on the user key and re-aggregates — three
+    * shuffles total, state bounded by users + cells, never by events.
+    * For billion-user tables swap the exact distinct for
+    * [[graft.functions.Hll]] registers per cell (the X70 rollup) — the
+    * join shape is unchanged. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays: $maxOffsetDays")
+    val firstSeen = events.groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val active = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+    val cells = active.join(firstSeen, Seq("_u"))
+      .select(col("cohort"), datediff(col("_d"), col("cohort")).as("day_offset"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("active_users")) // (_u, _d) distinct upstream
+    val sizes = firstSeen.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("day_offset").cast("long").as("day_offset"),
+        col("cohort_size"), col("active_users"),
+        round(col("active_users").cast("double")
+          / col("cohort_size").cast("double"), 6).as("retention"))
+  }
+}

@@ -132,6 +132,54 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Matryoshka (prefix-truncation) ANN — the MRL serving pattern
+    * (Kusupati et al. 2022: embeddings trained so nested prefixes are
+    * themselves valid embeddings): candidate scoring runs on the FIRST
+    * `prefixDim` coordinates, renormalized (a 4× dot-product/IO cut at
+    * prefixDim = dim/4 with no training or codebooks — the vectors are
+    * simply read shorter), then `rerankDepth` survivors re-rank by the
+    * full-dimension exact cosine. On non-MRL embeddings the prefix is
+    * just a lossy projection — recall then leans on rerankDepth, which
+    * is what the spec gates here.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the corpus streams
+    * map-side against the broadcast truncated query batch (the scan
+    * touches prefixDim-element arrays only), both top-k stages are
+    * k-bounded, and the full-width vectors are read for
+    * rerankDepth·|queries| rows only. Compose with IVF probes to bound
+    * the scan itself. Rows whose PREFIX has zero norm cannot be scored
+    * and leave the candidate pool (full-norm-zero rows are excluded as
+    * everywhere). Output: (query_id, neighbor_id, cosine, rank). */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, prefixDim: Int,
+                     rerankDepth: Int = 50): DataFrame = {
+    require(rerankDepth >= k, "rerankDepth must be >= k")
+    require(prefixDim >= 1, s"prefixDim must be positive: $prefixDim")
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .where(norm(col("cv")) > 0)
+      .select(col("neighbor_id"), slice(col("cv"), 1, prefixDim).as("cp"))
+      .withColumn("cpn", norm(col("cp")))
+      .where(col("cpn") > 0), par)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .where(col("qn") > 0)
+    val qp = q.select(col("query_id"), slice(col("qv"), 1, prefixDim).as("qp"))
+      .withColumn("qpn", norm(col("qp")))
+      .where(col("qpn") > 0)
+    val scored = c.crossJoin(broadcast(qp))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6)
+          .as("cosine"))
+    val cands = topKPerQuery(scored, rerankDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    Pq.exactRerank(cands, corpus, idCol, vecCol,
+      q.select(col("query_id"), col("qv"), col("qn")), k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors whose LABEL differs
     * from the query's, restricted to the semi-hard cosine band

@@ -107,6 +107,44 @@ object TextStats {
       .withColumn("kept", col("score") >= col("threshold"))
   }
 
+  /** Per-group KL divergence KL(P_g ‖ P_corpus) over the word unigram
+    * distribution — the domain-distinctiveness diagnostic behind
+    * mixture planning ("how far is this source's language from the
+    * blend?"; pairs with [[graft.operators.Sampling.temperatureWeights]]
+    * and DSIR). No smoothing is needed: the sum runs over words the
+    * GROUP observed (absent words contribute exactly 0 to KL), and
+    * every observed word has corpus probability > 0 by inclusion.
+    *
+    * Output: (group, n_words, kl) — kl in nats, monotone 0-at-identical.
+    * Cross-engine discipline: each word's term p_g·ln(p_g/p_c) is
+    * rounded onto the 1e-6 grid and summed as DECIMAL (exact in any
+    * partition order), the bigramLm pattern.
+    *
+    * Scale shape: two hash aggregates (group×word and word counts, both
+    * map-side combinable) + an equi-join on the word key (hot stopwords
+    * are the AQE skew case) + one broadcast 1-row corpus total — the
+    * corpus is never collected and nothing is O(vocab²). */
+  def sourceDivergence(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val words = df.select(col(groupCol).as("_g"),
+      explode(filter(graft.operators.Dedup.words(col(textCol)),
+        w => w =!= lit(""))).as("_w"))
+    val gw = words.groupBy("_g", "_w").agg(count(lit(1)).as("_c"))
+    val gn = gw.groupBy("_g").agg(sum(col("_c")).as("_n"))
+    val cw = gw.groupBy("_w").agg(sum(col("_c")).as("_cc"))
+    val tot = cw.agg(sum(col("_cc")).as("_tc"))
+    val terms = gw.join(gn, Seq("_g")).join(cw, Seq("_w"))
+      .crossJoin(broadcast(tot))
+      .select(col("_g"), col("_n"),
+        round((col("_c").cast("double") / col("_n").cast("double"))
+          * log((col("_c").cast("double") / col("_n").cast("double"))
+            / (col("_cc").cast("double") / col("_tc").cast("double"))), 6)
+          .cast("decimal(28,6)").as("_term"))
+    terms.groupBy(col("_g").as(groupCol))
+      .agg(max(col("_n")).as("n_words"),
+        round(sum(col("_term")).cast("double"), 6).as("kl"))
+  }
+
   /** Per-group rank-defined score BUCKETS — the CCNet head/middle/tail
     * split generalized: `fractions` are cumulative cut fractions (e.g.
     * Seq(1/3, 2/3) → 3 buckets), and bucket b holds the rows between

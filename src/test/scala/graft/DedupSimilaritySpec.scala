@@ -1011,6 +1011,53 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(r >= 0.5, s"binarySignTopK recall@5 = $r")
   }
 
+  test("matryoshka ANN: prefix twin survives the cut; recall floor " +
+    "(sf0.01); zero-prefix rows leave the pool") {
+    // a scaled twin scores prefix-cosine 1.0 (survives any cut) AND
+    // full-cosine 1.0 (wins the re-rank); a PREFIX-NEGATED decoy is
+    // invisible to the prefix scan no matter its tail — the truncation
+    // semantics, pinned from both sides
+    val twin = sfEmb.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+        col("label"))
+    val decoy = sfEmb.where(col("vec_id") === 3L)
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i < 16, -x).otherwise(x)).as("embedding"),
+        col("label"))
+    val corpus = sfEmb.union(twin).union(decoy)
+    val out = Similarity.matryoshkaTopK(corpus,
+      corpus.where(col("vec_id") === 3L), "vec_id", "embedding",
+      k = 5, prefixDim = 16, rerankDepth = 50)
+    val top = out.where(col("rank") === 1L).collect()(0)
+    assert(top.getAs[Long]("neighbor_id") == 10003L &&
+      top.getAs[Double]("cosine") == 1.0, s"twin must rank 1: $top")
+    assert(out.where(col("neighbor_id") === 20003L).count() == 0,
+      "prefix-negated decoy must never pass the prefix scan")
+    // recall floor vs brute force (non-MRL embeddings: the prefix is a
+    // lossy projection, rerankDepth carries the recall)
+    val q = sfEmb.where(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(sfEmb, q, "vec_id", "embedding", 5))
+    val mat = hits(Similarity.matryoshkaTopK(sfEmb, q, "vec_id", "embedding",
+      k = 5, prefixDim = 16, rerankDepth = 50))
+    val r = mat.intersect(exact).size.toDouble / exact.size
+    assert(r >= 0.5, s"matryoshkaTopK recall@5 = $r")
+    // a zero prefix with nonzero tail cannot be prefix-scored: the row
+    // leaves the candidate pool instead of emitting NaN
+    val zp = Seq(
+      (0L, Array(1f, 0f, 1f, 1f)), (1L, Array(1f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 1f))  // zero 2-prefix
+    ).toDF("vec_id", "embedding")
+    val zout = Similarity.matryoshkaTopK(zp, zp.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 2, prefixDim = 2, rerankDepth = 2).collect()
+    assert(zout.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L) &&
+      zout.forall(r2 => !r2.getAs[Double]("cosine").isNaN), s"${zout.toSeq}")
+  }
+
   test("exactDedupKeepBest: argmax-score keeper, min-id tiebreak, scopes") {
     val d = Seq(
       (1L, "a", "k1", 0.3), (2L, "a", "k1", 0.9), (3L, "b", "k1", 0.9),

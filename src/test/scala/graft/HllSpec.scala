@@ -71,4 +71,46 @@ class HllSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(Hll.estimate(streamed) - 900.0) / 900.0 < 0.1)
     } finally q.stop()
   }
+
+  test("distinctRollup (streaming) estimates == groupedDistinctEstimate " +
+    "(batch), late in-watermark rows fold in") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val sdf = mem.toDF().toDF("ts", "key", "uid")
+    val q = graft.streaming.DailyRollup
+      .distinctRollup(sdf, "ts", "key", "uid", p = 6)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_roll").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    try {
+      mem.addData((0L until 120L).map(i =>
+        (t("2024-01-01 10:00:00"), "a", i % 40)) ++
+        Seq((t("2024-01-02 09:00:00"), "a", 1L)): _*)
+      q.processAllAvailable()
+      // late row, within the 2-day watermark: lands in the Jan-1 bucket
+      mem.addData((t("2024-01-01 23:00:00"), "a", 999L))
+      q.processAllAvailable()
+      val rolled = spark.table("hll_roll").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[java.sql.Date]("date").toString)
+          -> Hll.estimate(r.getAs[Array[Byte]]("regs"))).toMap
+      val batchRows = ((0L until 120L).map(i =>
+          (t("2024-01-01 10:00:00"), "a", i % 40)) ++
+        Seq((t("2024-01-02 09:00:00"), "a", 1L),
+          (t("2024-01-01 23:00:00"), "a", 999L)))
+        .toDF("ts", "key", "uid")
+        .select(col("key"), to_date(col("ts")).as("date"), col("uid"))
+      val batch = Hll.groupedDistinctEstimate(batchRows, Seq("key", "date"),
+          graft.operators.Sampling.hash60(col("uid").cast("string")), p = 6)
+        .collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[java.sql.Date]("date").toString)
+          -> r.getAs[Double]("estimate")).toMap
+      assert(rolled.keySet == batch.keySet, s"$rolled vs $batch")
+      // same fold-order contract: rounded estimates agree exactly
+      rolled.foreach { case (k, est) =>
+        assert(math.round(est * 1e6).toDouble / 1e6 == batch(k),
+          s"$k: stream $est vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
 }

@@ -707,6 +707,67 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("funnel: strict event-time order, out-of-order steps don't count") {
+    // u1 completes view→click→purchase in order; u2 clicks BEFORE their
+    // first view (doesn't count) and never re-clicks; u3 views only
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "purchase") // before any view/click
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.map(r => (r.getAs[Long]("step"), r.getAs[String]("event_type"),
+      r.getAs[Long]("users"))).toSeq ==
+      Seq((0L, "view", 3L), (1L, "click", 1L), (2L, "purchase", 1L)))
+    assert(out(0).getAs[Double]("conv_prev") == 1.0)
+    assert(out(1).getAs[Double]("conv_prev") == 0.333333)
+    assert(out(2).getAs[Double]("conv_first") == 0.333333)
+  }
+
+  test("cohortRetention: first-day cohorts, offset-0 retention is 1.0, " +
+    "later-day actives fill their cell") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),                 // u1 returns day 1
+      (3L, ts("2024-01-02 12:00:00")),                 // u3 cohorts on day 2
+      (1L, ts("2024-01-03 09:00:00")), (3L, ts("2024-01-03 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort", "day_offset").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Long]("day_offset")) ->
+        (r.getAs[Long]("cohort_size"), r.getAs[Long]("active_users"),
+          r.getAs[Double]("retention"))).toMap
+    assert(out(("2024-01-01", 0L)) == ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1L)) == ((2L, 1L, 0.5)))  // only u1 returned
+    assert(out(("2024-01-01", 2L)) == ((2L, 1L, 0.5)))
+    assert(out(("2024-01-02", 0L)) == ((1L, 1L, 1.0)))  // u3's own cohort
+    assert(out(("2024-01-02", 1L)) == ((1L, 1L, 1.0)))
+  }
+
+  test("sourceDivergence: blend-identical group scores 0, skewed group " +
+    "positive, words absent from a group contribute nothing") {
+    val docsDf = Seq(
+      ("a", "x x y y"), ("b", "x x y y"),  // a and b identical to blend? no:
+      ("c", "z z z z")                      // c skews the blend with z
+    ).toDF("src", "text")
+    val kl = graft.operators.TextStats.sourceDivergence(docsDf, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("kl")).toMap
+    // a and b have the same distribution; c is maximally distinct
+    assert(kl("a") == kl("b"))
+    assert(kl("c") > kl("a") && kl("c") > 0, s"$kl")
+    // one group == whole corpus → KL exactly 0
+    val solo = graft.operators.TextStats.sourceDivergence(
+      Seq(("only", "p q p q")).toDF("src", "text"), "src", "text").collect()
+    assert(solo(0).getAs[Double]("kl") == 0.0)
+  }
+
   test("rankBuckets: thirds per group, ties stay in the better bucket, " +
     "null scores bucket null") {
     // g1 ascending scores 1..9 → cuts at ceil(9/3)=3 (thr 3) and
