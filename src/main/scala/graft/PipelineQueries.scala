@@ -856,6 +856,31 @@ object PipelineQueries {
       |    / CAST(s.cohort_size AS DOUBLE), 6) AS retention
       |FROM c JOIN s USING (cohort) ORDER BY cohort, day_offset""".stripMargin
 
+  /** Robust (median/MAD) modified z-score per event_type — the
+    * fat-tail-immune outlier gate. Fully oracled via the proven
+    * percentile↔quantile_cont pair (median and MAD each rounded onto
+    * the 1e-6 grid before reuse) and one fixed-order float formula;
+    * the 0.6745 constant crosses as a string-CAST double. */
+  private def qW9robust(s: SparkSession, d: String): DataFrame =
+    Anomaly.robustZScore(events(s, d), "event_id", "event_type", "value")
+      .orderBy("event_id")
+  private val oW9 =
+    """WITH m AS (SELECT event_type,
+      |    round(quantile_cont(value, 0.5), 6) AS med FROM events GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS dev
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM d GROUP BY 1),
+      |j AS (SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+      |  FROM d JOIN md USING (event_type))
+      |SELECT event_id, event_type, value, med, mad,
+      |  CASE WHEN mad > 0 THEN round(CAST('0.6745' AS DOUBLE)
+      |    * (value - med) / mad, 6) END AS z,
+      |  CASE WHEN mad > 0 THEN CAST(abs(CAST('0.6745' AS DOUBLE)
+      |    * (value - med) / mad) > 3.5 AS BIGINT) END AS is_outlier
+      |FROM j ORDER BY event_id""".stripMargin
+
   /** Temperature-scaled (α = 0.5, √-smoothed) mixture weights per
     * source — the multilingual up/down-sampling planner. Fully oracled:
     * shares divide exact integer token sums, √ is IEEE-exact on both
@@ -891,6 +916,7 @@ object PipelineQueries {
     "q_w6_anomaly_zscore" -> qW6anomaly _,
     "q_w7_funnel" -> qW7funnel _,
     "q_w8_cohort" -> qW8cohort _,
+    "q_w9_robust_z" -> qW9robust _,
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
@@ -918,6 +944,7 @@ object PipelineQueries {
     "q_w6_anomaly_zscore" -> oW6,
     "q_w7_funnel" -> oW7,
     "q_w8_cohort" -> oW8,
+    "q_w9_robust_z" -> oW9,
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,

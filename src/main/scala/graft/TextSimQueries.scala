@@ -401,6 +401,49 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Frozen-model LM scoring — the CCNet serving shape: the bigram
+    * count model trains on the EVEN docs only, then scores the whole
+    * corpus with faithful add-k mass for model-unseen bigrams
+    * (nll = ln(c1 + kV) − ln(c12 + k), missing counts at 0; n_unk
+    * counts the misses — the domain-shift gauge). Fully oracled: the
+    * training-slice counts, the per-occurrence two-ln formula with
+    * coalesce-0, and the DECIMAL-grid sums all replay. */
+  private def qT23lmFrozen(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val model = TextStats.bigramLmTrain(
+      all.where(col("doc_id") % 2 === 0), "doc_id", "text")
+    TextStats.bigramLmScore(all, "doc_id", "text", model).orderBy("doc_id")
+  }
+  private val oT23 =
+    """WITH ab AS (SELECT doc_id, list_filter(string_split(trim(lower(
+      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    x -> x <> '') AS ws
+      |  FROM documents),
+      |abig AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS b FROM ab)),
+      |tbig AS (SELECT * FROM abig WHERE doc_id % 2 = 0),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tbig GROUP BY 1),
+      |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM tbig GROUP BY 1, 2),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ws) AS w FROM ab WHERE doc_id % 2 = 0)),
+      |sc AS (SELECT abig.doc_id,
+      |    CAST(round(ln(CAST(coalesce(c1.c1, 0) AS DOUBLE)
+      |        + 0.5 * CAST((SELECT v FROM v) AS DOUBLE))
+      |      - ln(CAST(coalesce(c12.c12, 0) AS DOUBLE) + 0.5), 6)
+      |      AS DECIMAL(28,6)) AS nll,
+      |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS miss
+      |  FROM abig LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+      |    sum(nll) AS snll, CAST(sum(miss) AS BIGINT) AS nu
+      |  FROM sc GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(agg.nu, 0) AS BIGINT) AS n_unk,
+      |  round(CAST(agg.snll AS DOUBLE) / agg.n, 6) AS avg_nll
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY 1""".stripMargin
+
   /** Per-source KL divergence vs the corpus word blend — the
     * domain-distinctiveness diagnostic feeding mixture planning. Fully
     * oracled: counts, probabilities, every per-word p·ln(p/q) term
@@ -782,6 +825,55 @@ object TextSimQueries {
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05
       |ORDER BY 1, 2""".stripMargin
+
+  /** PageRank over the q_d2 near-dup pair graph — centrality picks the
+    * CANONICAL doc of each duplicate neighborhood (the hub), the
+    * refinement past q_d6's "which cluster" answer. Fully oracled: the
+    * pair CTEs are oD2's verbatim, and all 10 power iterations replay
+    * as chained CTEs — per-edge contributions round onto the 1e-9
+    * DECIMAL grid (partition-order exact), each iteration's rank rounds
+    * once, so the whole fixed-point trajectory is bit-identical on both
+    * engines. Damping constants cross as string-CAST doubles (decimal
+    * literal parsing must not intercept them). */
+  private def qD16pagerank(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        sharedJaccardPairs(s, d).select(col("id_a"), col("id_b")),
+        iters = 10)
+      .orderBy("id")
+  private val oD16 = {
+    val dmp = 0.85; val iters = 10
+    val stages = (1 to iters).map { i =>
+      s"""p$i AS (SELECT dst AS id, round(CAST('${1 - dmp}' AS DOUBLE)
+         |    + CAST('$dmp' AS DOUBLE) * CAST(sum(c) AS DOUBLE), 9) AS pr
+         |  FROM (SELECT e2g.dst,
+         |      CAST(round(p${i - 1}.pr / e2g.deg, 9) AS DECIMAL(28,9)) AS c
+         |    FROM e2g JOIN p${i - 1} ON p${i - 1}.id = e2g.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id,
+       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(1, greatest(len(ws) - 2, 0) + 1),
+       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+       |$prunedShingleCtes,
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.n_sh AS na, b.n_sh AS nb,
+       |        count(*) AS inter
+       |      FROM e2 a JOIN e2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2, 3, 4),
+       |prs AS (SELECT ia AS id_a, ib AS id_b FROM p
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.05),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION SELECT id_b, id_a FROM prs),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       |e2g AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       |p0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS pr FROM dg),
+       |$stages
+       |SELECT p$iters.id, dg.deg, p$iters.pr
+       |FROM p$iters JOIN dg ON dg.src = p$iters.id
+       |ORDER BY 1""".stripMargin
+  }
 
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
     * keeper/members. Oracle replays the closure with a recursive CTE. */
@@ -2607,12 +2699,14 @@ object TextSimQueries {
     "q_d13_proto_prune" -> qD13proto _,
     "q_d14_keep_best" -> qD14keepBest _,
     "q_d15_scoped_dedup" -> qD15scoped _,
+    "q_d16_pagerank" -> qD16pagerank _,
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
     "q_t21_hll_shingles" -> qT21hll _,
     "q_t22_source_kl" -> qT22kl _,
+    "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -2670,12 +2764,14 @@ object TextSimQueries {
     "q_d13_proto_prune" -> oD13,
     "q_d14_keep_best" -> oD14,
     "q_d15_scoped_dedup" -> oD15,
+    "q_d16_pagerank" -> oD16,
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
     "q_st2_distinct_rollup" -> oSt2,
     "q_t20_ppl_buckets" -> oT20,
     "q_t21_hll_shingles" -> oT21,
     "q_t22_source_kl" -> oT22,
+    "q_t23_lm_frozen" -> oT23,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

@@ -63,4 +63,40 @@ object Anomaly {
       round(col("_z"), 6).as("z"),
       coalesce(abs(col("_z")) > zThreshold, lit(false)).as("anomaly"))
   }
+
+  /** Robust (median/MAD) outlier score per key — the Iglewicz–Hoaglin
+    * modified z-score M = 0.6745·(x − median)/MAD, the mean/std
+    * replacement that one fat-tailed burst cannot drag (a single 100×
+    * spike shifts a mean-based baseline but moves the median not at
+    * all). Global per-key baselines (the batch profile pass; see
+    * [[rollingZScore]] for the trailing-window form). Flags |M| >
+    * `threshold` (3.5 is the published default); a zero MAD
+    * (constant-majority key) yields null score and null flag, never
+    * ±Inf.
+    *
+    * Oracle discipline: median and MAD are the proven
+    * percentile↔quantile_cont pair, each rounded onto the 1e-6 grid
+    * before reuse; the score is one fixed-order float expression. Two
+    * percentile aggregates + two broadcastable per-key joins — the
+    * corpus is never windowed or sorted.
+    *
+    * Output: (id, key, value, med, mad, z, is_outlier 0/1, null when
+    * MAD = 0). */
+  def robustZScore(events: DataFrame, idCol: String, keyCol: String,
+                   valueCol: String, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val med = events.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val dev = events.join(broadcast(med), Seq(keyCol))
+      .withColumn("_dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(round(expr("percentile(_dev, 0.5)"), 6).as("mad"))
+    val zRaw = lit(0.6745) * (col(valueCol) - col("med")) / col("mad")
+    dev.join(broadcast(mad), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valueCol),
+        col("med"), col("mad"),
+        when(col("mad") > 0, round(zRaw, 6)).as("z"),
+        when(col("mad") > 0, (abs(zRaw) > threshold).cast("long"))
+          .as("is_outlier"))
+  }
 }

@@ -622,20 +622,7 @@ object TextStats {
   def bigramLm(docs: DataFrame, idCol: String, textCol: String,
                k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive: $k")
-    // materialize the filtered words array behind a Generate boundary
-    // (the Dedup.withWords trick): a plain projection would let
-    // CollapseProject re-inline the regexp tokenizer into every
-    // element_at/size lambda across the four consumers below — the
-    // measured ~25× trap Dedup.shinglesFromWords documents
-    val base = docs.select(col(idCol).as("_lm_id"),
-        explode(array(filter(Dedup.words(col(textCol)),
-          w => w =!= lit("")))).as("_ws"))
-    val big = base.select(col("_lm_id"),
-      explode(when(size(col("_ws")) >= 2,
-        transform(sequence(lit(1), size(col("_ws")) - 1),
-          i => struct(element_at(col("_ws"), i).as("w1"),
-            element_at(col("_ws"), i + 1).as("w2"))))).as("_b"))
-      .select(col("_lm_id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val (base, big) = lmBigramRows(docs, idCol, textCol)
     val c1 = big.groupBy("_w1").agg(count(lit(1)).as("_c1"))
     val c12 = big.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
     val vocab = base.select(explode(col("_ws")).as("_w"))
@@ -655,6 +642,86 @@ object TextStats {
       .join(agg, col(idCol) === col("_lm_id"), "left")
       .select(col(idCol),
         coalesce(col("_n"), lit(0L)).as("n_bigrams"),
+        round(col("_snll").cast("double") / col("_n"), 6).as("avg_nll"))
+  }
+
+  /** (words-array rows, bigram-occurrence rows) behind a Generate
+    * boundary (the Dedup.withWords trick): a plain projection would let
+    * CollapseProject re-inline the regexp tokenizer into every
+    * element_at/size lambda across the consumers — the measured ~25×
+    * trap Dedup.shinglesFromWords documents. */
+  private def lmBigramRows(docs: DataFrame, idCol: String,
+                           textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("_lm_id"),
+      explode(array(filter(Dedup.words(col(textCol)),
+        w => w =!= lit("")))).as("_ws"))
+    val big = base.select(col("_lm_id"),
+      explode(when(size(col("_ws")) >= 2,
+        transform(sequence(lit(1), size(col("_ws")) - 1),
+          i => struct(element_at(col("_ws"), i).as("w1"),
+            element_at(col("_ws"), i + 1).as("w2"))))).as("_b"))
+      .select(col("_lm_id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    (base, big)
+  }
+
+  /** A frozen bigram-LM model: count tables, not scores, so any
+    * smoothing k can be applied at SCORE time and unseen bigrams get
+    * their faithful add-k mass. Persist the three frames as parquet to
+    * make the model a servable artifact (the DedupIndex pattern). */
+  case class BigramLmModel(bigrams: DataFrame, starts: DataFrame,
+                           vocab: DataFrame)
+
+  /** Train the count model only — (w1,w2) bigram counts, w1 start
+    * counts, vocabulary size. Two map-side-combinable hash aggregates +
+    * one bounded distinct, exactly bigramLm's training half. */
+  def bigramLmTrain(docs: DataFrame, idCol: String,
+                    textCol: String): BigramLmModel = {
+    val (base, big) = lmBigramRows(docs, idCol, textCol)
+    BigramLmModel(
+      big.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12")),
+      big.groupBy("_w1").agg(count(lit(1)).as("_c1")),
+      base.select(explode(col("_ws")).as("_w"))
+        .agg(countDistinct(col("_w")).as("_v")))
+  }
+
+  /** Score ANY corpus against a FROZEN model — the CCNet serving shape
+    * (train on the reference domain, score the crawl): every bigram
+    * occurrence gets nll = ln(c1 + kV) − ln(c12 + k) with MISSING
+    * counts at their true add-k zero (novel bigrams and novel start
+    * words both get faithful smoothed mass — no inner-join drop, no
+    * flat UNK class). Output: (id, n_bigrams, n_unk, avg_nll) — n_unk
+    * counts model-unseen bigrams, the domain-shift gauge.
+    *
+    * Scoring the training corpus against its own model reproduces
+    * [[bigramLm]] exactly (spec-gated): there every c12 ≥ 1, so the
+    * coalesce-0 path never fires and the formulas coincide.
+    *
+    * Scale shape: two equi-joins on word keys (left joins — scoring
+    * never shrinks the corpus) + one broadcast 1-row vocab; the two
+    * `ln`s are codegen'd per occurrence. Round-6 DECIMAL sums as
+    * everywhere. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    model: BigramLmModel, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive: $k")
+    val (_, big) = lmBigramRows(docs, idCol, textCol)
+    val scored = big
+      .join(model.bigrams, Seq("_w1", "_w2"), "left")
+      .join(model.starts, Seq("_w1"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .select(col("_lm_id"),
+        round(log(coalesce(col("_c1"), lit(0L)).cast("double")
+            + lit(k) * col("_v").cast("double"))
+          - log(coalesce(col("_c12"), lit(0L)).cast("double") + lit(k)), 6)
+          .cast("decimal(28,6)").as("_nll"),
+        col("_c12").isNull.cast("long").as("_miss"))
+    val agg = scored.groupBy("_lm_id")
+      .agg(count(lit(1)).as("_n"), sum(col("_nll")).as("_snll"),
+        sum(col("_miss")).as("_nu"))
+    docs.select(col(idCol))
+      .join(agg, col(idCol) === col("_lm_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("_nu"), lit(0L)).as("n_unk"),
         round(col("_snll").cast("double") / col("_n"), 6).as("avg_nll"))
   }
 }

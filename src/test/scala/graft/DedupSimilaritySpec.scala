@@ -1058,6 +1058,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       zout.forall(r2 => !r2.getAs[Double]("cosine").isNaN), s"${zout.toSeq}")
   }
 
+  test("pageRank: hub outranks satellites, regular graphs stay uniform, " +
+    "teleport floor holds") {
+    import graft.operators.Graph
+    // star: 0 — {1,2,3}; the hub collects three contributions per round
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(star, iters = 10).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("deg"), r.getAs[Double]("pr"))).toMap
+    assert(pr(0L)._1 == 3L && pr(1L)._1 == 1L)
+    assert(pr(0L)._2 > pr(1L)._2, s"hub must outrank satellites: $pr")
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L), s"leaves symmetric: $pr")
+    assert(pr.values.forall(_._2 >= 0.15), s"teleport floor: $pr")
+    // triangle (2-regular): uniform rank, fixed at ~1 (grid-rounded)
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
+    val tpr = Graph.pageRank(tri, iters = 10).collect()
+      .map(_.getAs[Double]("pr")).toSeq
+    assert(tpr.distinct.size == 1, s"regular graph uniform: $tpr")
+    assert(math.abs(tpr.head - 1.0) < 1e-7, s"$tpr")
+  }
+
   test("exactDedupKeepBest: argmax-score keeper, min-id tiebreak, scopes") {
     val d = Seq(
       (1L, "a", "k1", 0.3), (2L, "a", "k1", 0.9), (3L, "b", "k1", 0.9),

@@ -707,6 +707,52 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("bigramLmScore vs frozen model: self-scoring == bigramLm exactly; " +
+    "novel bigrams count as unk with faithful add-k mass") {
+    val docsDf = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (1L, "the cat sat on the rug zebra jumps")  // odd: scored, not trained
+    ).toDF("doc_id", "text")
+    val train = docsDf.where($"doc_id" % 2 === 0)
+    val model = TextStats.bigramLmTrain(train, "doc_id", "text")
+    // self-scoring reproduces bigramLm bit for bit (coalesce-0 never fires)
+    val self = TextStats.bigramLmScore(train, "doc_id", "text", model)
+      .select("doc_id", "n_bigrams", "avg_nll").orderBy("doc_id").collect()
+    val ref = TextStats.bigramLm(train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(self.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      ref.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(TextStats.bigramLmScore(train, "doc_id", "text", model)
+      .agg(sum($"n_unk")).collect()(0).getLong(0) == 0L)
+    // the held-out doc has novel bigrams ("rug zebra", "zebra jumps") —
+    // they score, not drop, and are counted as unk
+    val held = TextStats.bigramLmScore(docsDf, "doc_id", "text", model)
+      .where($"doc_id" === 1L).collect()(0)
+    assert(held.getAs[Long]("n_bigrams") == 7L)
+    assert(held.getAs[Long]("n_unk") >= 2L, s"$held")
+    assert(held.getAs[Double]("avg_nll") > 0)
+  }
+
+  test("robustZScore: spike flags against the median baseline, " +
+    "zero-MAD key yields nulls, never Inf") {
+    import graft.operators.Anomaly
+    // key a: tight cluster around 10 with one 100x spike — the spike
+    // cannot drag the median/MAD the way it drags mean/std
+    val a = Seq.tabulate(20)(i => (i.toLong, "a", 10.0 + (i % 5) * 0.5)) :+
+      ((99L, "a", 1000.0))
+    val b = Seq.tabulate(5)(i => ((200 + i).toLong, "b", 7.0)) // constant
+    val out = Anomaly.robustZScore((a ++ b).toDF("event_id", "key", "value"),
+        "event_id", "key", "value")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Double]("z")),
+          Option(r.getAs[java.lang.Long]("is_outlier")))).toMap
+    assert(out(99L)._2.contains(1L), s"spike must flag: ${out(99L)}")
+    assert(a.init.forall(t => out(t._1)._2.contains(0L)),
+      "cluster rows must not flag")
+    assert(out(200L) == ((None, None)), "constant key → null z, null flag")
+  }
+
   test("funnel: strict event-time order, out-of-order steps don't count") {
     // u1 completes view→click→purchase in order; u2 clicks BEFORE their
     // first view (doesn't count) and never re-clicks; u3 views only
