@@ -830,11 +830,13 @@ object TextSimQueries {
     * CANONICAL doc of each duplicate neighborhood (the hub), the
     * refinement past q_d6's "which cluster" answer. Fully oracled: the
     * pair CTEs are oD2's verbatim, and all 10 power iterations replay
-    * as chained CTEs — per-edge contributions round onto the 1e-9
-    * DECIMAL grid (partition-order exact), each iteration's rank rounds
-    * once, so the whole fixed-point trajectory is bit-identical on both
-    * engines. Damping constants cross as string-CAST doubles (decimal
-    * literal parsing must not intercept them). */
+    * as chained CTEs in INTEGER nano-rank arithmetic — explicit
+    * floor(x + 0.5) regridding, never an engine `round` (rank/deg
+    * quotients land exactly on .5 ties at power-of-two degrees, where
+    * HALF_UP and half-even engines split — a measured 1-ulp sf0.1
+    * divergence under the round() formulation). Damping constants cross
+    * as string-CAST doubles (decimal literal parsing must not intercept
+    * them). */
   private def qD16pagerank(s: SparkSession, d: String): DataFrame =
     graft.operators.Graph.pageRank(
         sharedJaccardPairs(s, d).select(col("id_a"), col("id_b")),
@@ -843,10 +845,12 @@ object TextSimQueries {
   private val oD16 = {
     val dmp = 0.85; val iters = 10
     val stages = (1 to iters).map { i =>
-      s"""p$i AS (SELECT dst AS id, round(CAST('${1 - dmp}' AS DOUBLE)
-         |    + CAST('$dmp' AS DOUBLE) * CAST(sum(c) AS DOUBLE), 9) AS pr
+      s"""p$i AS (SELECT dst AS id, CAST(floor(CAST('${(1 - dmp) * 1e9}' AS DOUBLE)
+         |    + CAST('$dmp' AS DOUBLE) * CAST(sum(c) AS DOUBLE) + 0.5)
+         |    AS BIGINT) AS prn
          |  FROM (SELECT e2g.dst,
-         |      CAST(round(p${i - 1}.pr / e2g.deg, 9) AS DECIMAL(28,9)) AS c
+         |      CAST(floor(CAST(p${i - 1}.prn AS DOUBLE) / e2g.deg + 0.5)
+         |        AS BIGINT) AS c
          |    FROM e2g JOIN p${i - 1} ON p${i - 1}.id = e2g.src)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
@@ -868,9 +872,10 @@ object TextSimQueries {
        |  UNION SELECT id_b, id_a FROM prs),
        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
        |e2g AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
-       |p0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS pr FROM dg),
+       |p0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS prn FROM dg),
        |$stages
-       |SELECT p$iters.id, dg.deg, p$iters.pr
+       |SELECT p$iters.id, dg.deg,
+       |  CAST(p$iters.prn AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr
        |FROM p$iters JOIN dg ON dg.src = p$iters.id
        |ORDER BY 1""".stripMargin
   }

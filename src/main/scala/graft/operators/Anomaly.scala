@@ -83,16 +83,37 @@ object Anomaly {
     * Output: (id, key, value, med, mad, z, is_outlier 0/1, null when
     * MAD = 0). */
   def robustZScore(events: DataFrame, idCol: String, keyCol: String,
-                   valueCol: String, threshold: Double = 3.5): DataFrame = {
-    require(threshold > 0, s"threshold must be positive: $threshold")
+                   valueCol: String, threshold: Double = 3.5): DataFrame =
+    robustZScoreAgainst(events, idCol, keyCol, valueCol,
+      robustBaselines(events, keyCol, valueCol), threshold)
+
+  /** Per-key (median, MAD) baseline table — the FROZEN artifact for
+    * [[robustZScoreAgainst]]: profile the reference window in batch,
+    * persist (key, med, mad), serve indefinitely. Two percentile
+    * aggregates, output ∝ keys. */
+  def robustBaselines(events: DataFrame, keyCol: String,
+                      valueCol: String): DataFrame = {
     val med = events.groupBy(col(keyCol))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
-    val dev = events.join(broadcast(med), Seq(keyCol))
+    events.join(broadcast(med), Seq(keyCol))
       .withColumn("_dev", abs(col(valueCol) - col("med")))
-    val mad = dev.groupBy(col(keyCol))
+      .groupBy(col(keyCol), col("med"))
       .agg(round(expr("percentile(_dev, 0.5)"), 6).as("mad"))
+      .select(col(keyCol), col("med"), col("mad"))
+  }
+
+  /** Score events against a FROZEN (key, med, mad) baseline — one
+    * broadcast join + a map-side formula, so it runs unchanged on a
+    * STREAM (stateless: no aggregation, verdicts idempotent under
+    * replay — the StreamCurate discipline; spec-gated stream == batch).
+    * Events with no baseline row pass through with null score/flag
+    * (an unseen key is not an anomaly, it's an unprofiled one). */
+  def robustZScoreAgainst(events: DataFrame, idCol: String, keyCol: String,
+                          valueCol: String, baselines: DataFrame,
+                          threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
     val zRaw = lit(0.6745) * (col(valueCol) - col("med")) / col("mad")
-    dev.join(broadcast(mad), Seq(keyCol))
+    events.join(broadcast(baselines), Seq(keyCol), "left")
       .select(col(idCol), col(keyCol), col(valueCol),
         col("med"), col("mad"),
         when(col("mad") > 0, round(zRaw, 6)).as("z"),

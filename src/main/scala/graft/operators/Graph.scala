@@ -15,12 +15,16 @@ object Graph {
   /** Unnormalized PageRank (damping d, teleport 1−d, pr₀ = 1 — the
     * N-factored-out formulation, so no corpus count is needed) over the
     * UNDIRECTED graph induced by `pairs` (both directions added, pairs
-    * deduped). A fixed `iters` power iterations; every per-edge
-    * contribution pr(u)/deg(u) is rounded onto the 1e-9 grid and summed
-    * as DECIMAL — exact in any partition order — and each iteration's
-    * rank is rounded once, so the whole fixed-point trajectory is
-    * bit-reproducible on any engine (the SQL oracle replays all
-    * iterations as chained CTEs).
+    * deduped). A fixed `iters` power iterations carried as INTEGER
+    * nano-ranks (prn = pr·1e9): per-edge contributions are
+    * floor(prn/deg + 0.5) longs — summed exactly in any partition
+    * order — and each iteration re-grids via the same explicit
+    * floor(x + 0.5), the sq8 discipline. No engine `round` anywhere:
+    * rank/deg quotients land EXACTLY on .5 ties whenever deg is a
+    * power of two, where HALF_UP (Spark) and half-even (DuckDB) split —
+    * measured as a real 1-ulp divergence at sf0.1 before this
+    * formulation. The SQL oracle replays all iterations as chained
+    * CTEs, bit-identically.
     *
     * Output: (id, deg, pr) for every node that appears in a pair.
     * Isolated docs never enter (their rank is the teleport constant by
@@ -41,19 +45,21 @@ object Graph {
       .distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    var pr = deg.select(col("src").as("id"), lit(1.0).as("pr"))
+    var pr = deg.select(col("src").as("id"), lit(1000000000L).as("prn"))
+    val teleportN = (1 - damping) * 1e9
     for (i <- 1 to iters) {
       val msgs = withDeg
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"),
-          round(col("pr") / col("deg").cast("double"), 9)
-            .cast("decimal(28,9)").as("_c"))
+          floor(col("prn").cast("double") / col("deg").cast("double")
+            + lit(0.5)).as("_c"))
       val next = msgs.groupBy(col("dst").as("id"))
-        .agg(round(lit(1 - damping)
-          + lit(damping) * sum(col("_c")).cast("double"), 9).as("pr"))
+        .agg(floor(lit(teleportN)
+          + lit(damping) * sum(col("_c")).cast("double") + lit(0.5)).as("prn"))
       pr = if (i % 4 == 0 && i < iters) next.localCheckpoint() else next
     }
     pr.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
-      .select(col("id"), col("deg"), col("pr"))
+      .select(col("id"), col("deg"),
+        (col("prn").cast("double") / lit(1e9)).as("pr"))
   }
 }

@@ -253,6 +253,65 @@ object Multimodal {
     df.withColumn("features", featurize(col("media")))
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: 8×8 box-average
+    * luminance grid (pure integer sums — no AWT rescaler, so the hash is
+    * bit-reproducible across JVMs), bit k set iff cell k's average
+    * luminance exceeds the 64-cell mean. Robust to re-encoding and mild
+    * resizing — the standard cheap perceptual-dedup key. */
+  private[operators] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val c = cy * 8 + (x.toLong * 8 / w).toInt
+        sums(c) += lum
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = Array.tabulate(64)(i =>
+      if (counts(i) > 0) sums(i) / counts(i) else 0L)
+    val mean = avgs.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (avgs(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Perceptual image hashes: (media_id, ahash, decoded) — ahash null
+    * for payloads ImageIO cannot decode. Map-side per-row kernel like
+    * every media decode here. */
+  def imageHashes(df: DataFrame): DataFrame = {
+    val hashUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None else decodeImage(bytes).map(aHash64)
+    }
+    df.select(col("media_id"), hashUdf(col("media")).as("ahash"))
+      .withColumn("decoded", col("ahash").isNotNull)
+  }
+
+  /** Near-duplicate IMAGES by perceptual-hash Hamming distance — the
+    * multimodal face of the dedup family ("same photo, different
+    * re-encode/resize"): aHash pairs generated through the SAME banded
+    * 16-bit-chunk equi-join as text SimHash ([[Dedup.simhashPairs]] —
+    * a ≤ maxHamming pair at maxHamming ≤ 3 must collide on one of the
+    * 4 chunks by pigeonhole; wider budgets trade recall, same as text).
+    * Output: (id_a, id_b, hamming). Undecodable payloads can't match
+    * anything and are excluded up front. */
+  def imageNearDups(df: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(
+      imageHashes(df).where(col("decoded"))
+        .select(col("media_id").as("id"), col("ahash").as("simhash")),
+      maxHamming)
+
   /** Typed audio metadata from a REAL PCM decode: sample rate, channels,
     * bit depth, frame count, duration, RMS level, and zero-crossing rate
     * (the cheap voicing/noisiness cue). Null struct for payloads that do

@@ -734,6 +734,61 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(held.getAs[Double]("avg_nll") > 0)
   }
 
+  test("bigramLm model is a servable artifact: parquet round trip " +
+    "scores identically") {
+    val docsDf = Seq(
+      (0L, "the cat sat on the mat"), (1L, "the dog sat on the rug")
+    ).toDF("doc_id", "text")
+    val model = TextStats.bigramLmTrain(docsDf, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_model").toString
+    model.bigrams.write.parquet(s"$dir/bigrams")
+    model.starts.write.parquet(s"$dir/starts")
+    model.vocab.write.parquet(s"$dir/vocab")
+    val loaded = TextStats.BigramLmModel(
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/starts"),
+      spark.read.parquet(s"$dir/vocab"))
+    def rows(m: TextStats.BigramLmModel) =
+      TextStats.bigramLmScore(docsDf, "doc_id", "text", m)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    assert(rows(loaded) == rows(model))
+  }
+
+  test("robustZScoreAgainst: frozen baselines serve a STREAM == batch; " +
+    "unprofiled keys pass through null") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Anomaly
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Seq.tabulate(21)(i => (i.toLong, "a", 10.0 + (i % 7) * 0.5))
+      .toDF("event_id", "key", "value")
+    val base = Anomaly.robustBaselines(hist, "key", "value")
+    val live = Seq((100L, "a", 10.5), (101L, "a", 500.0), (102L, "nw", 1.0))
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = Anomaly.robustZScoreAgainst(
+        mem.toDF().toDF("event_id", "key", "value"),
+        "event_id", "key", "value", base)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rz_out").start()
+    try {
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Double]("z")),
+            Option(r.getAs[java.lang.Long]("is_outlier")))).toMap
+      val streamed = rows(spark.table("rz_out"))
+      val batch = rows(Anomaly.robustZScoreAgainst(
+        live.toDF("event_id", "key", "value"), "event_id", "key", "value",
+        base))
+      assert(streamed == batch, s"$streamed vs $batch")
+      assert(streamed(101L)._2.contains(1L), "spike must flag in-stream")
+      assert(streamed(100L)._2.contains(0L))
+      assert(streamed(102L) == ((None, None)), "unprofiled key → nulls")
+    } finally q.stop()
+  }
+
   test("robustZScore: spike flags against the median baseline, " +
     "zero-MAD key yields nulls, never Inf") {
     import graft.operators.Anomaly

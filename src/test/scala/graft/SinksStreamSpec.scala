@@ -26,6 +26,52 @@ class SinksStreamSpec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  test("image aHash: re-encode-stable perceptual dedup; banded pairs " +
+    "find the twins, distinct images stay apart") {
+    // a gradient image and its re-encode (PNG vs BMP of the SAME pixels
+    // → identical aHash, Hamming 0); a slightly corrupted copy (one
+    // corner block flipped → few bits); an unrelated inverse gradient
+    def gradient(invert: Boolean, corrupt: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = (x + y) * 2
+        val v = if (invert) 255 - math.min(v0, 255) else math.min(v0, 255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (corrupt)
+        for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xFFFFFF)
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val base = gradient(invert = false, corrupt = false)
+    val df = Seq(
+      (1L, enc(base, "png")),
+      (2L, enc(base, "bmp")),                                  // re-encode
+      (3L, enc(gradient(invert = false, corrupt = true), "png")), // near-dup
+      (4L, enc(gradient(invert = true, corrupt = false), "png")), // unrelated
+      (5L, "not an image".getBytes("UTF-8"))                   // undecodable
+    ).toDF("media_id", "media")
+    val hashes = Multimodal.imageHashes(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[java.lang.Long]("ahash"))).toMap
+    assert(hashes(1L).isDefined && hashes(1L) == hashes(2L),
+      "re-encode must hash identically (pixel-defined, format-free)")
+    assert(hashes(5L).isEmpty, "undecodable payload → null hash")
+    val pairs = Multimodal.imageNearDups(df, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"twins at Hamming 0: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 1L,
+      s"corrupted copy within budget: $pairs")
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L),
+      s"inverse gradient must not pair: $pairs")
+  }
+
   test("multimodal decode: real PNG decoded to pixel features; fallback intact") {
     val white = pngBytes(4, 3, 0xFFFFFF)
     val black = pngBytes(2, 2, 0x000000)

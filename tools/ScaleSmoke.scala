@@ -143,6 +143,39 @@ object ScaleSmoke {
           Dedup.minhashFromHashes(rows, k = 64), bands = 16, rowsPerBand = 4)
         .where(col("est_jaccard") >= 0.2).count()
     }
+    // round 9: HLL two regimes — the shared shingle VOCABULARY (27 k,
+    // copies add no new shingles) and the (doc, shingle) PAIR key at
+    // 2.6 M distinct — two orders of magnitude past the graded q_t21's
+    // 16 k; the 1.04/√4096 ≈ 1.6% std error must hold at both or the
+    // register math is wrong in a way small cardinalities hide
+    timed("q_t21 hll 10x") {
+      def check(tag: String, keyed: DataFrame): Long = {
+        val est = graft.functions.Hll
+          .distinctEstimate(keyed, col("_k"), p = 12).collect()(0)
+        val n = est.getAs[Long]("n_exact")
+        val e = est.getAs[Double]("estimate")
+        println(f"  $tag n_exact=$n estimate=$e err=${math.abs(e - n) / n}%.4f")
+        require(math.abs(e - n) / n < 0.05,
+          s"HLL error must stay < 5%% at $n keys: $e")
+        n
+      }
+      check("vocab", rows.select(col("h").as("_k")))
+      check("pairs", rows.select(graft.operators.Sampling.hash60(
+        concat_ws("|", col("id"), col("h"))).as("_k")))
+    }
+    // round 9: PageRank over the 10× LSH pair graph (50 k nodes in dense
+    // 10-cliques — the densest edge set the guards admit); ranks must
+    // stay on the teleport-floored grid through all 10 iterations
+    timed("q_d16 pageRank 10x") {
+      val pairs = Dedup.lshCandidatePairs(
+          Dedup.minhashFromHashes(rows, k = 64), bands = 16, rowsPerBand = 4)
+        .where(col("est_jaccard") >= 0.2)
+        .select("id_a", "id_b")
+      val pr = graft.operators.Graph.pageRank(pairs, iters = 10)
+      val bad = pr.where(col("pr") < 0.1499999 || col("pr").isNull).count()
+      require(bad == 0L, s"$bad nodes below the teleport floor")
+      pr.count()
+    }
     // q_d5's graded mid-threshold config (0.4, 64 planes / 16 bands) was
     // measured ONCE here at 346.9 s: r=4 bands stop discriminating as n
     // grows (random-pair candidate P = 1−(1−2^-4)^16 ≈ 0.64 → the join
