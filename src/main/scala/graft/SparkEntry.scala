@@ -513,6 +513,23 @@ object SparkEntry {
 
   /** A17: rollup subtotals (year × status with grand/partial totals;
     * NULLS FIRST on both sides — DuckDB defaults to NULLS LAST). */
+  /** A20: CUBE subtotals — every (year × status) margin in one pass
+    * (rollup's lattice completion; same NULLS FIRST + moneySum
+    * discipline as q_a17). */
+  private def qA20cube(s: SparkSession, d: String): DataFrame =
+    ord(s, d).withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube("yr", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(moneySum(col("o_totalprice")), 2).as("total"))
+      .orderBy(asc_nulls_first("yr"), asc_nulls_first("o_orderstatus"))
+  private val oA20 =
+    s"""SELECT yr, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  round(${moneySumSql("o_totalprice")}, 2) AS total
+      |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+      |  o_totalprice FROM orders)
+      |GROUP BY CUBE (yr, o_orderstatus)
+      |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   /** A19: hash-sampled quantiles vs exact — the "percentile on a 10%
     * deterministic sample" pattern that replaces a full-column sort at
     * 100 TB; the sampling error is part of the gated result (err
@@ -636,6 +653,7 @@ object SparkEntry {
     "q_a16_percentiles" -> qA16percentiles _,
     "q_a17_rollup" -> qA17rollup _,
     "q_a19_sampled_quantiles" -> qA19sampledQuantiles _,
+    "q_a20_cube" -> qA20cube _,
     "q_w4_window_pack" -> qW4windows _,
   ) ++ TextSimQueries.queries ++ PipelineQueries.queries
 
@@ -678,6 +696,7 @@ object SparkEntry {
     "q_a16_percentiles" -> oA16,
     "q_a17_rollup" -> oA17,
     "q_a19_sampled_quantiles" -> oA19,
+    "q_a20_cube" -> oA20,
     "q_w4_window_pack" -> oW4,
   ) ++ TextSimQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -102,6 +102,66 @@ object TextSimQueries {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the eval face of q_t3: labeled lang
+    * × heuristic guess with per-label recall shares. Fully oracled (the
+    * guess replays via oT3's score CTEs, the matrix is counting). */
+  private def qT24langConfusion(s: SparkSession, d: String): DataFrame = {
+    val guessed = docs(s, d).select(col("lang"),
+      TextStats.langGuess(col("text")).as("guess"))
+    val cells = guessed.groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("_t"))
+    cells.join(totals, Seq("lang"))
+      .select(col("lang"), col("guess"), col("n"),
+        round(col("n").cast("double") / col("_t").cast("double"), 6)
+          .as("share"))
+      .orderBy("lang", "guess")
+  }
+  private val oT24 = {
+    def occ(w: String): String = {
+      val n = w.length + 1
+      s"CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' $w ', ' ', 'g'))) / $n AS BIGINT)"
+    }
+    val scores = TextStats.LangMarkers
+      .map { case (l, ws) => l -> ws.map(occ).mkString(" + ") }.toMap
+    s"""WITH t AS (SELECT doc_id, lang, text,
+       |  ${scores("en")} AS s_en, ${scores("de")} AS s_de,
+       |  ${scores("es")} AS s_es, ${scores("fr")} AS s_fr
+       |FROM documents),
+       |b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM t),
+       |g AS (SELECT lang,
+       |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |       WHEN s_en = best AND best > 0 THEN 'en'
+       |       WHEN s_de = best AND best > 0 THEN 'de'
+       |       WHEN s_es = best AND best > 0 THEN 'es'
+       |       WHEN s_fr = best AND best > 0 THEN 'fr'
+       |       ELSE 'und' END AS guess
+       |FROM b),
+       |c AS (SELECT lang, guess, CAST(count(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1, 2),
+       |tt AS (SELECT lang, sum(n) AS t FROM c GROUP BY 1)
+       |SELECT c.lang, c.guess, c.n,
+       |  round(CAST(c.n AS DOUBLE) / CAST(tt.t AS DOUBLE), 6) AS share
+       |FROM c JOIN tt ON tt.lang = c.lang
+       |ORDER BY c.lang, c.guess""".stripMargin
+  }
+
+  /** Quality-ranked per-group cap — "top 10 docs per source by quality"
+    * via the k-bounded BoundedTopK aggregate (no window). Fully
+    * oracled: score replay + the (score desc, id) tie rule as
+    * row_number. */
+  private def qX12qualityCap(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroupByScore(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", TextStats.qualityScore(col("text")), n = 10)
+      .orderBy("source", "doc_id")
+  private val oX12 =
+    s"""WITH $keyScoreCtes,
+      |r AS (SELECT source, doc_id, score, row_number() OVER (
+      |    PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+      |  FROM kq)
+      |SELECT source, doc_id, score FROM r WHERE rn <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
   private def qT4fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))
@@ -665,7 +725,7 @@ object TextSimQueries {
   /** The q_d1/q_d14/q_d15 dup key (md5 of the first two words) and the
     * oT2 quality score, as shared oracle CTEs: `kq` = (doc_id, source,
     * dup_key, score). */
-  private val keyScoreCtes =
+  private def keyScoreCtes: String =
     """t AS (SELECT doc_id, source, text,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
@@ -2711,6 +2771,8 @@ object TextSimQueries {
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
     "q_t21_hll_shingles" -> qT21hll _,
     "q_t22_source_kl" -> qT22kl _,
+    "q_t24_lang_confusion" -> qT24langConfusion _,
+    "q_x12_quality_cap" -> qX12qualityCap _,
     "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -2776,6 +2838,8 @@ object TextSimQueries {
     "q_t20_ppl_buckets" -> oT20,
     "q_t21_hll_shingles" -> oT21,
     "q_t22_source_kl" -> oT22,
+    "q_t24_lang_confusion" -> oT24,
+    "q_x12_quality_cap" -> oX12,
     "q_t23_lm_frozen" -> oT23,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

@@ -67,6 +67,25 @@ object Sampling {
       .select(col(groupCol), explode(col("_top.id")).as(idCol))
   }
 
+  /** Quality-ranked per-group cap: the n BEST rows per group by
+    * (score desc, id asc) — "take the top N docs per domain", the
+    * quality-aware sibling of [[capPerGroup]]'s uniform reservoir. Same
+    * k-bounded `BoundedTopK` shape: state ∝ n per group, map-side
+    * partial combine, one exchange, no window. Returns (group, id,
+    * score) keeper rows; semi-join to materialize. Pass a GRID-ALIGNED
+    * (rounded) score so tie order is engine-reproducible. */
+  def capPerGroupByScore(df: DataFrame, groupCol: String, idCol: String,
+                         scoreCol: Column, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    // -score + 0.0 canonicalizes -0.0 (the topKPerQuery discipline)
+    val item = struct((-scoreCol + lit(0.0)).as("negs"),
+      col(idCol).as("id"), scoreCol.as("s"))
+    GroupTopN.smallestPerKey(df, groupCol, item, n)
+      .select(col(groupCol), explode(col("_top")).as("_it"))
+      .select(col(groupCol), col("_it.id").as(idCol),
+        col("_it.s").as("score"))
+  }
+
   /** Stratified deterministic sample: per-group keep fractions (corpus
     * rebalancing — downsample the over-represented languages/sources,
     * keep the rare ones whole). Same hash-threshold construction as

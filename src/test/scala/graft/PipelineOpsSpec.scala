@@ -808,6 +808,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(200L) == ((None, None)), "constant key → null z, null flag")
   }
 
+  test("capPerGroupByScore: best n by (score desc, id), ties at the cut " +
+    "resolve by id, short groups survive whole") {
+    val rows = Seq(
+      (1L, "g", 0.9), (2L, "g", 0.5), (3L, "g", 0.5), (4L, "g", 0.1),
+      (9L, "h", 0.2)
+    ).toDF("id", "grp", "s")
+    val out = Sampling.capPerGroupByScore(rows, "grp", "id", col("s"), n = 2)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"))).toSet
+    // g keeps 0.9 and the LOWER-id 0.5 (ties at the cut resolve by id)
+    assert(out == Set(("g", 1L, 0.9), ("g", 2L, 0.5), ("h", 9L, 0.2)), s"$out")
+  }
+
   test("funnel: strict event-time order, out-of-order steps don't count") {
     // u1 completes view→click→purchase in order; u2 clicks BEFORE their
     // first view (doesn't count) and never re-clicks; u3 views only
