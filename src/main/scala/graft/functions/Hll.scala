@@ -98,6 +98,28 @@ object Hll {
     if (e <= 2.5 * m && v > 0) m.toDouble * math.log(m.toDouble / v) else e
   }
 
+  /** Union estimate of two register arrays — element-wise max is the
+    * sketch's NATIVE merge, so the union estimate carries the same
+    * ~1.04/√m error as a single sketch (this is why HLL registers, not
+    * counts, are the artifact worth persisting per segment: any ad-hoc
+    * segment union is a max + estimate, no re-scan). */
+  def unionEstimate(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length,
+      s"register arrays differ: ${a.length} vs ${b.length}")
+    val u = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { u(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    estimate(u)
+  }
+
+  /** Intersection estimate by inclusion–exclusion |A|+|B|−|A∪B| — the
+    * standard HLL derivation, with the standard caveat: the error is
+    * relative to the UNION size, so small intersections of large sets
+    * are noisy (can even go negative — clamped at 0 here; use a
+    * theta/minhash sketch when intersections are the primary query). */
+  def intersectionEstimate(a: Array[Byte], b: Array[Byte]): Double =
+    math.max(estimate(a) + estimate(b) - unionEstimate(a, b), 0.0)
+
   /** Declarative twin of sketch+estimate — the oracle-replayable path:
     * registers as a (bucket, max rho) groupBy, the harmonic sum as an
     * ascending-bucket list fold (exact-dyadic terms, deterministic

@@ -29,8 +29,13 @@ object Funnel {
     * no window, no per-user event list. The step summaries are k
     * single-row aggregates unioned driver-side (plan-side, not action
     * side); conversion rates join on the k-row summary itself. */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+  /** Per-user step-completion rows: (user, step, event_type, t) — one
+    * row per step the user REACHED under the strict ordering (t = the
+    * earliest qualifying event time). The detail form [[funnel]]
+    * summarizes, and the row set `streaming.StreamFunnel` reproduces
+    * live (spec-gated stream == batch). Same k−1 keyed-join shape. */
+  def userSteps(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     val first = events.where(col(typeCol) === steps.head)
@@ -42,12 +47,25 @@ object Funnel {
         .where(col("_ts") > col("_t"))
         .groupBy("_u").agg(min(col("_ts")).as("_t"))
     }
-    val summaries = steps.zip(frames).zipWithIndex.map {
-      case ((st, f), i) =>
-        f.agg(count(lit(1)).as("users"))
-          .select(lit(i).cast("long").as("step"), lit(st).as("event_type"),
-            col("users"))
+    steps.zip(frames).zipWithIndex.map { case ((st, f), i) =>
+      f.select(col("_u").as(userCol), lit(i).cast("long").as("step"),
+        lit(st).as("event_type"), col("_t").as("t"))
     }.reduce(_ union _)
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    val stepRows = userSteps(events, userCol, tsCol, typeCol, steps)
+    val counts = stepRows.groupBy("step", "event_type")
+      .agg(count(lit(1)).as("users"))
+    // absent steps (nobody reached) must still row out with users = 0
+    val all = steps.zipWithIndex.map { case (st, i) =>
+      counts.sparkSession.range(1)
+        .select(lit(i.toLong).as("step"), lit(st).as("event_type"))
+    }.reduce(_ union _)
+    val summaries = all.join(counts, Seq("step", "event_type"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("users"), lit(0L)).as("users"))
     val entry = summaries.where(col("step") === 0)
       .select(col("users").as("_u0"))
     val prevUsers = summaries

@@ -72,6 +72,23 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("union/intersection estimates: overlap recovered within sketch " +
+    "error, disjoint sets intersect near zero") {
+    def regsOf(lo: Long, hi: Long) =
+      (lo until hi).map(i => s"k$i").toDF("k")
+        .select(Sampling.hash60(col("k")).as("h"))
+        .agg(Hll.sketch(12)(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val a = regsOf(0L, 6000L)        // 6000 keys
+    val b = regsOf(4000L, 10000L)    // 6000 keys, 2000 shared
+    val u = Hll.unionEstimate(a, b)
+    val i = Hll.intersectionEstimate(a, b)
+    assert(math.abs(u - 10000.0) / 10000.0 < 0.05, s"union $u")
+    // intersection error is relative to the union: grant 5% of 10000
+    assert(math.abs(i - 2000.0) < 500.0, s"intersection $i")
+    val d = regsOf(20000L, 26000L)   // disjoint from a
+    assert(Hll.intersectionEstimate(a, d) < 500.0, "disjoint ~ 0 (clamped)")
+  }
+
   test("distinctRollup (streaming) estimates == groupedDistinctEstimate " +
     "(batch), late in-watermark rows fold in") {
     import java.sql.Timestamp

@@ -229,6 +229,58 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamFunnel == batch userSteps under out-of-order arrival; " +
+    "pre-view clicks never advance the frontier") {
+    import graft.operators.Funnel
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.In
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[In]
+    val out = StreamFunnel.track(mem.toDS(),
+      Seq("view", "click", "purchase"), watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fun_out").start()
+    val base = Seq(
+      In(1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      In(1L, ts("2024-01-01 10:02:00"), 2L, "click"),
+      In(1L, ts("2024-01-01 10:04:00"), 3L, "purchase"),
+      In(2L, ts("2024-01-01 10:00:30"), 4L, "click"),    // pre-view click
+      In(2L, ts("2024-01-01 10:01:30"), 5L, "view"),
+      In(2L, ts("2024-01-01 10:03:30"), 6L, "purchase"), // click never came
+      In(3L, ts("2024-01-01 10:01:00"), 7L, "view"))
+    val flush = Seq(
+      In(1L, ts("2024-01-01 11:00:00"), 99L, "view"),
+      In(2L, ts("2024-01-01 11:00:00"), 98L, "view"),
+      In(3L, ts("2024-01-01 11:00:00"), 97L, "view"))
+    try {
+      // out-of-order across epochs (purchase before its click arrives)
+      mem.addData(base(2), base(0), base(4))
+      q.processAllAvailable()
+      mem.addData(base(1), base(3), base(6), base(5))
+      q.processAllAvailable()
+      mem.addData(flush: _*)
+      q.processAllAvailable()
+      def key(u: Long, s: Long, e: String, t: java.sql.Timestamp) =
+        (u, s, e, t.getTime)
+      val got = spark.table("fun_out")
+        .where($"t" < ts("2024-01-01 10:30:00"))
+        .collect().map(r => key(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3))).toSet
+      val batch = Funnel.userSteps(
+          (base ++ flush).toDS().toDF("user", "ts", "event_id", "event_type"),
+          "user", "ts", "event_type", Seq("view", "click", "purchase"))
+        .where($"t" < ts("2024-01-01 10:30:00"))
+        .collect().map(r => key(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3))).toSet
+      assert(got == batch,
+        s"stream/batch diverge: onlyStream=${got -- batch} " +
+          s"onlyBatch=${batch -- got}")
+      // user 1 completed all three; user 2 stalled at view (the early
+      // click and the click-less purchase never advance the frontier)
+      assert(got.count(_._1 == 1L) == 3 && got.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("rollingZScore: spike flags against its trailing window only") {
     import graft.operators.Anomaly
     // user 1: stable 10.0±0.5 baseline, then a 100.0 spike, then back —
