@@ -504,6 +504,97 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
 
+  /** Per-source curation dashboard — the operator-composition showcase:
+    * ONE row per source with volume (docs, words), quality (exact
+    * DECIMAL mean of the 6-dp quality grid), the Gopher keep rate, the
+    * PII (email) incidence, and the q_d1-key duplicate rate. Every
+    * column replays in DuckDB from already-proven fragments; the Spark
+    * side is one scan feeding five map-side expressions into one hash
+    * aggregate (no joins, no windows — a report this wide is still ONE
+    * shuffle). */
+  private def qE3corpusReport(s: SparkSession, d: String): DataFrame = {
+    val gp = TextStats.GopherParams(minStopwordHits = 1)
+    docs(s, d).select(col("source"),
+        TextStats.wordCount(col("text")).as("_w"),
+        TextStats.qualityScore(col("text")).cast("decimal(18,6)").as("_q"),
+        TextStats.gopherKeep(col("text"), gp).cast("long").as("_keep"),
+        (TextStats.emailCount(col("text")) > 0).cast("long").as("_pii"),
+        md5(array_join(slice(Dedup.words(col("text")), 1, 2), " ")).as("_k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        round(sum(col("_q")).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        round(sum(col("_keep")).cast("double") / count(lit(1)), 6)
+          .as("keep_rate"),
+        round(sum(col("_pii")).cast("double") / count(lit(1)), 6)
+          .as("pii_rate"),
+        round((count(lit(1)) - countDistinct(col("_k"))).cast("double")
+          / count(lit(1)), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+  private val oE3 = {
+    // the oT17 gopher metric fragments at minStopwordHits = 1
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, text,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+       |  CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE) AS nw,
+       |  CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE) AS nl,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alnum,
+       |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+       |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+       |  CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+       |    + CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |    l -> regexp_matches(l, '^\\s*([-*•])'))) AS DOUBLE) AS bullets,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) AS ellipses,
+       |  CAST($stop AS BIGINT) AS stop_hits
+       |FROM documents),
+       |r AS (SELECT doc_id, CAST(n_words BETWEEN 50 AND 100000
+       |    AND round(alnum / nw, 6) BETWEEN 3.0 AND 10.0
+       |    AND round(alpha_words / nw, 6) >= 0.8
+       |    AND round(symbols / nw, 6) < 0.1
+       |    AND round(bullets / nl, 6) < 0.9
+       |    AND round(ellipses / nl, 6) < 0.3
+       |    AND stop_hits >= 1 AS BIGINT) AS keep
+       |FROM m),
+       |t AS (SELECT doc_id, text,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+       |FROM documents),
+       |q AS (SELECT doc_id, CAST(round(
+       |    (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+       |    + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+       |            BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+       |    + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+       |    6) AS DECIMAL(18,6)) AS qv
+       |FROM t),
+       |base AS (SELECT d.source,
+       |    CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS w,
+       |    r.keep AS keep, q.qv AS qv,
+       |    CAST(regexp_matches(d.text,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS BIGINT) AS pii,
+       |    md5(array_to_string(list_slice(
+       |      string_split(trim(lower(regexp_replace(d.text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+       |      1, 2), ' ')) AS k
+       |  FROM documents d
+       |  JOIN r ON r.doc_id = d.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  sum(w) AS n_words,
+       |  round(CAST(sum(qv) AS DOUBLE) / count(*), 6) AS mean_quality,
+       |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate,
+       |  round(CAST(sum(pii) AS DOUBLE) / count(*), 6) AS pii_rate,
+       |  round(CAST(count(*) - count(DISTINCT k) AS DOUBLE) / count(*), 6)
+       |    AS dup_rate
+       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Per-source KL divergence vs the corpus word blend — the
     * domain-distinctiveness diagnostic feeding mixture planning. Fully
     * oracled: counts, probabilities, every per-word p·ln(p/q) term
@@ -2774,6 +2865,7 @@ object TextSimQueries {
     "q_t24_lang_confusion" -> qT24langConfusion _,
     "q_x12_quality_cap" -> qX12qualityCap _,
     "q_t23_lm_frozen" -> qT23lmFrozen _,
+    "q_e3_corpus_report" -> qE3corpusReport _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -2841,6 +2933,7 @@ object TextSimQueries {
     "q_t24_lang_confusion" -> oT24,
     "q_x12_quality_cap" -> oX12,
     "q_t23_lm_frozen" -> oT23,
+    "q_e3_corpus_report" -> oE3,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,
