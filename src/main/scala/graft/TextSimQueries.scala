@@ -504,6 +504,74 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
 
+  /** TRAINED hashed-feature classifier under the FULL hash gate: 3
+    * full-batch logistic-regression steps (micro-integer weights, the
+    * PageRank grid discipline) learn English-vs-rest from the hashed
+    * bag of words, then every doc is scored with the learned model.
+    * The oracle replays the ENTIRE training trajectory — features,
+    * per-doc logits, sigmoid residuals, per-bucket gradients, and all
+    * thirty weight updates — as chained CTEs, then the final sweep. */
+  private def qT25trainedClassifier(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+      .withColumn("y", (col("lang") === "en").cast("long"))
+    val w = graft.operators.Classifier.train(dd, "doc_id", "text", "y",
+      dim = 256, iters = 30, lr = 4.0)
+    graft.operators.Classifier.score(dd, "doc_id", "text", w, dim = 256)
+      .withColumnRenamed("id", "doc_id")
+      .join(dd.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .withColumn("predicted", (col("p") >= 0.5).cast("long"))
+      .orderBy("doc_id")
+  }
+  private val oT25 = {
+    val iters = 30
+    val stages = (1 to iters).map { i =>
+      s"""z$i AS (SELECT fx.id, sum(fx.x * w${i - 1}.w) AS z
+         |  FROM fx JOIN w${i - 1} ON w${i - 1}.b = fx.b GROUP BY 1),
+         |r$i AS (SELECT d2.id, CAST(floor((1.0 / (1.0 + exp(
+         |      -(CAST(z$i.z AS DOUBLE) / (CAST(d2.n AS DOUBLE) * 1000000.0))))
+         |    - CAST(d2.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS r
+         |  FROM d2 JOIN z$i ON z$i.id = d2.id),
+         |g$i AS (SELECT fx.b, sum(r$i.r * fx.x) AS g
+         |  FROM fx JOIN r$i ON r$i.id = fx.id GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w${i - 1}.b, w${i - 1}.w - CAST(floor(
+         |    4.0 * CAST(coalesce(g$i.g, 0) AS DOUBLE)
+         |      / (SELECT nd FROM nn) + 0.5) AS BIGINT) AS w
+         |  FROM w${i - 1} LEFT JOIN g$i ON g$i.b = w${i - 1}.b)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fx AS MATERIALIZED (SELECT doc_id AS id,
+       |    CAST(concat('0x', substr(md5(concat(tk, '|graft')), 1, 6))
+       |      AS BIGINT) % 256 AS b,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |      '[A-Za-z0-9]+')) AS tk FROM documents)
+       |  GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, 256, 1 FROM documents),
+       |d2 AS MATERIALIZED (SELECT doc_id AS id,
+       |    greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+       |      AS BIGINT), 1) AS n,
+       |    CAST(lang = 'en' AS BIGINT) AS y
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+       |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM fx),
+       |$stages,
+       |zf AS (SELECT fx.id, sum(fx.x * w$iters.w) AS z
+       |  FROM fx JOIN w$iters ON w$iters.b = fx.b GROUP BY 1)
+       |SELECT d2.id AS doc_id,
+       |  CAST(floor(CAST(coalesce(zf.z, 0) AS DOUBLE)
+       |    / (CAST(d2.n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)
+       |    AS DOUBLE) / 1000000.0 AS z,
+       |  CAST(floor(1.0 / (1.0 + exp(-(CAST(coalesce(zf.z, 0) AS DOUBLE)
+       |    / (CAST(d2.n AS DOUBLE) * 1000000.0)))) * 1000000.0 + 0.5)
+       |    AS DOUBLE) / 1000000.0 AS p,
+       |  d2.y AS y,
+       |  CAST(CAST(floor(1.0 / (1.0 + exp(-(CAST(coalesce(zf.z, 0) AS DOUBLE)
+       |    / (CAST(d2.n AS DOUBLE) * 1000000.0)))) * 1000000.0 + 0.5)
+       |    AS DOUBLE) / 1000000.0 >= 0.5 AS BIGINT) AS predicted
+       |FROM d2 LEFT JOIN zf ON zf.id = d2.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source curation dashboard — the operator-composition showcase:
     * ONE row per source with volume (docs, words), quality (exact
     * DECIMAL mean of the 6-dp quality grid), the Gopher keep rate, the
@@ -2866,6 +2934,7 @@ object TextSimQueries {
     "q_x12_quality_cap" -> qX12qualityCap _,
     "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_e3_corpus_report" -> qE3corpusReport _,
+    "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -2934,6 +3003,7 @@ object TextSimQueries {
     "q_x12_quality_cap" -> oX12,
     "q_t23_lm_frozen" -> oT23,
     "q_e3_corpus_report" -> oE3,
+    "q_t25_trained_classifier" -> oT25,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

@@ -707,6 +707,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("Classifier: separable vocabularies train to high accuracy, " +
+    "imbalanced base rate lands in the bias weight") {
+    import graft.operators.Classifier
+    // disjoint vocabularies: positives speak {apple banana cherry},
+    // negatives {delta echo foxtrot}; 3:1 imbalance exercises the bias
+    val pos = (0L until 30L).map(i => (i, s"apple banana cherry apple", 1L))
+    val neg = (100L until 110L).map(i => (i, s"delta echo foxtrot delta", 0L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val w = Classifier.train(df, "doc_id", "text", "y",
+      dim = 64, iters = 30, lr = 4.0)
+    assert(w.length == 65, "dim weights + bias")
+    val scored = Classifier.score(df, "doc_id", "text", w, dim = 64)
+      .join(df.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      .collect().map(r => (r.getAs[Long]("y"), r.getAs[Double]("p")))
+    val acc = scored.count { case (y, p) => (p >= 0.5) == (y == 1L) }
+      .toDouble / scored.length
+    assert(acc >= 0.95, s"separable corpus must train: acc=$acc w=${w.toSeq}")
+    // positives score strictly above negatives
+    val pMin = scored.filter(_._1 == 1L).map(_._2).min
+    val nMax = scored.filter(_._1 == 0L).map(_._2).max
+    assert(pMin > nMax, s"separation: posMin=$pMin negMax=$nMax")
+  }
+
   test("bigramLmScore vs frozen model: self-scoring == bigramLm exactly; " +
     "novel bigrams count as unk with faithful add-k mass") {
     val docsDf = Seq(
