@@ -103,7 +103,9 @@ object Classifier {
     * rational whose shortest decimal repr routinely terminates in a
     * 7th-digit 5, exactly the HALF_UP-vs-half-even engine split the
     * nano-rank PageRank hit — measured again here at sf0.1 before this
-    * formulation). Pure map-side; broadcastable to a stream unchanged. */
+    * formulation). The grouped form (feature frame + one aggregate) —
+    * for streams use [[scoreRowwise]], which is integer-identical with
+    * no aggregate at all. */
   def score(df: DataFrame, idCol: String, textCol: String, w: Array[Long],
             dim: Int, salt: String = "graft"): DataFrame = {
     require(w.length == dim + 1,
@@ -121,5 +123,32 @@ object Classifier {
       .join(fx, Seq("id"), "left")
       .select(col("id"), grid6(zraw).as("z"),
         grid6(lit(1.0) / (lit(1.0) + exp(-zraw))).as("p"))
+  }
+
+  /** Row-wise scorer — identical integer logit to [[score]]
+    * (Σ_tokens w[bucket(token)] ≡ Σ_buckets x_b·w_b) computed as ONE
+    * map-side fold per row, no explode, no aggregate: this is the form
+    * that serves a STREAM unchanged (stateless, verdicts idempotent
+    * under replay — spec-gated stream == batch). The HOF lambda is
+    * interpreted; acceptable for a serving gate, use [[score]]'s
+    * grouped form for bulk batch sweeps. */
+  def scoreRowwise(df: DataFrame, idCol: String, textCol: String,
+                   w: Array[Long], dim: Int,
+                   salt: String = "graft"): DataFrame = {
+    require(w.length == dim + 1,
+      s"weight length ${w.length} != dim+1 ${dim + 1}")
+    val wLit = typedlit(w.toSeq)
+    val toks = regexp_extract_all(lower(col(textCol)),
+      lit(TextStats.WordPattern), lit(0))
+    val zsum = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(wLit,
+        ((Sampling.hash24(t, salt) % dim) + 1).cast("int"))) +
+      element_at(wLit, lit(dim + 1)) // the bias row every doc carries
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val zraw = zsum.cast("double") / (n * lit(1e6))
+    def grid6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    df.select(col(idCol).as("id"), grid6(zraw).as("z"),
+      grid6(lit(1.0) / (lit(1.0) + exp(-zraw))).as("p"))
   }
 }

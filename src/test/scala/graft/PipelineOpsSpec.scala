@@ -730,6 +730,41 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pMin > nMax, s"separation: posMin=$pMin negMax=$nMax")
   }
 
+  test("Classifier.score serves a STREAM with frozen weights == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Classifier
+    implicit val sqlCtx = spark.sqlContext
+    val train = (Seq.tabulate(20)(i => (i.toLong, "apple banana good", 1L)) ++
+      Seq.tabulate(20)(i => ((100 + i).toLong, "delta echo bad", 0L)))
+      .toDF("doc_id", "text", "y")
+    val w = Classifier.train(train, "doc_id", "text", "y",
+      dim = 64, iters = 20, lr = 4.0)
+    val live = Seq((500L, "apple banana fresh"), (501L, "echo delta noise"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("z"), r.getAs[Double]("p"))).toMap
+    // the row-wise fold is integer-identical to the grouped aggregate
+    val grouped = rows(Classifier.score(live.toDF("doc_id", "text"),
+      "doc_id", "text", w, dim = 64))
+    val rowwise = rows(Classifier.scoreRowwise(live.toDF("doc_id", "text"),
+      "doc_id", "text", w, dim = 64))
+    assert(rowwise == grouped, s"$rowwise vs $grouped")
+    // and being aggregate-free, it serves a stream unchanged
+    val mem = MemoryStream[(Long, String)]
+    val q = Classifier.scoreRowwise(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w, dim = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clf_out").start()
+    try {
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      val streamed = rows(spark.table("clf_out"))
+      assert(streamed == grouped, s"$streamed vs $grouped")
+      assert(streamed(500L)._2 > 0.5 && streamed(501L)._2 < 0.5,
+        s"frozen model must separate in-stream: $streamed")
+    } finally q.stop()
+  }
+
   test("bigramLmScore vs frozen model: self-scoring == bigramLm exactly; " +
     "novel bigrams count as unk with faithful add-k mass") {
     val docsDf = Seq(

@@ -168,4 +168,33 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     assert(narrowPlan.contains("Repartition"),
       s"narrow corpus not widened:\n$narrowPlan")
   }
+
+  test("round-9 additions stay window-free where promised") {
+    import graft.operators.{Dedup, Funnel, Sampling, TextStats}
+    val docs = Tables.documents(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val plans = Seq(
+      // BoundedTopK cap, not a row_number window
+      "capPerGroupByScore" -> Sampling.capPerGroupByScore(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", TextStats.qualityScore(col("text")), 10),
+      // keyed equi-joins + min aggregates only
+      "funnel" -> Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+      "cohortRetention" -> Funnel.cohortRetention(ev, "user_id", "ts"),
+      // two hash aggregates + word-keyed join
+      "sourceDivergence" -> TextStats.sourceDivergence(docs, "source", "text"),
+      // one max-struct hash aggregate
+      "exactDedupKeepBest" -> Dedup.exactDedupKeepBest(docs, "doc_id",
+        TextStats.fingerprint(col("text")), TextStats.qualityScore(col("text"))),
+      // two percentile aggregates + broadcast joins
+      "robustZScore" -> graft.operators.Anomaly.robustZScore(
+        ev, "event_id", "event_type", "value"))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan contains a window operator:\n$plan")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
 }
