@@ -70,13 +70,18 @@ object Funnel {
       .select(col("users").as("_u0"))
     val prevUsers = summaries
       .select((col("step") + 1).as("step"), col("users").as("_uprev"))
+    // dead steps make zero divisors (ANSI mode throws on /0): step 0's
+    // missing predecessor reads 1.0, a zero predecessor reads null —
+    // "conversion from nobody" is undefined, not infinite
     summaries.join(prevUsers, Seq("step"), "left")
       .crossJoin(broadcast(entry))
       .select(col("step"), col("event_type"), col("users"),
-        coalesce(
-          round(col("users").cast("double") / col("_uprev").cast("double"), 6),
-          lit(1.0)).as("conv_prev"),
-        round(col("users").cast("double") / col("_u0").cast("double"), 6)
+        when(col("_uprev").isNull, lit(1.0))
+          .when(col("_uprev") > 0,
+            round(col("users").cast("double") / col("_uprev").cast("double"), 6))
+          .as("conv_prev"),
+        when(col("_u0") > 0,
+          round(col("users").cast("double") / col("_u0").cast("double"), 6))
           .as("conv_first"))
   }
 

@@ -902,6 +902,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getAs[Double]("conv_first") == 0.333333)
   }
 
+  test("funnel: unreached steps still row out with users = 0") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.funnel(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.map(r => (r.getAs[Long]("step"), r.getAs[Long]("users")))
+      .toSeq == Seq((0L, 2L), (1L, 0L), (2L, 0L)))
+    assert(out(1).getAs[Double]("conv_first") == 0.0)
+    assert(out(1).getAs[Double]("conv_prev") == 0.0) // 0 of 2 viewers
+    // conversion FROM a dead step is undefined (null), never a /0 crash
+    assert(out(2).get(out(2).fieldIndex("conv_prev")) == null)
+    assert(out(2).getAs[Double]("conv_first") == 0.0)
+  }
+
   test("cohortRetention: first-day cohorts, offset-0 retention is 1.0, " +
     "later-day actives fill their cell") {
     val ev = Seq(
