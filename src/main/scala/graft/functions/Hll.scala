@@ -150,18 +150,24 @@ object Hll {
     * n_exact gauge keeps per-key state (drop it at true scale — it
     * exists so the sketch's error is graded, not claimed). */
   def groupedDistinctEstimate(df: DataFrame, groupCols: Seq[String],
-                              hashed: Column, p: Int): DataFrame = {
+                              hashed: Column, p: Int,
+                              exactGauge: Boolean = true): DataFrame = {
     require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
     require(groupCols.nonEmpty, "groupCols must be non-empty (else use " +
       "distinctEstimate)")
     val m = 1 << p
     val keys = df.select(groupCols.map(col) :+ hashed.as("_h"): _*)
     val folded = zvFold(regRows(keys, groupCols, p), groupCols, m)
-    val exact = keys.groupBy(groupCols.map(col): _*)
-      .agg(countDistinct(col("_h")).as("n_exact"))
-    folded.join(exact, groupCols)
-      .select(groupCols.map(col) ++ Seq(col("n_exact")) ++
-        estimateCols(m): _*)
+    if (exactGauge) {
+      // the error-grading gauge — the ONLY per-key-state pass; callers
+      // at true scale pass exactGauge = false and keep sketch-only cost
+      val exact = keys.groupBy(groupCols.map(col): _*)
+        .agg(countDistinct(col("_h")).as("n_exact"))
+      folded.join(exact, groupCols)
+        .select(groupCols.map(col) ++ Seq(col("n_exact")) ++
+          estimateCols(m): _*)
+    } else
+      folded.select(groupCols.map(col) ++ estimateCols(m): _*)
   }
 
   /** (groupCols, _bucket, _maxrho) register rows from hashed keys. */

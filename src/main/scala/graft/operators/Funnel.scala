@@ -15,20 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Ordered conversion funnel: for `steps = Seq(s0, s1, s2, …)`, a user
-    * "reaches" step i when they have an s_i event STRICTLY after their
-    * step-(i−1) completion time (earliest such event counts; step 0 is
-    * the user's earliest s0 event). Output, one row per step:
-    * (step, event_type, users, conv_prev, conv_first) — conversion vs
-    * the previous step (1.0 at step 0) and vs the funnel entry.
-    *
-    * Scale shape: each step is ONE filtered event scan (the type
-    * predicate pushes into the source) equi-joined on the user key to
-    * the previous step's (user, t) frame, reduced by a
-    * map-side-combinable min — k−1 keyed shuffles for a k-step funnel,
-    * no window, no per-user event list. The step summaries are k
-    * single-row aggregates unioned driver-side (plan-side, not action
-    * side); conversion rates join on the k-row summary itself. */
   /** Per-user step-completion rows: (user, step, event_type, t) — one
     * row per step the user REACHED under the strict ordering (t = the
     * earliest qualifying event time). The detail form [[funnel]]
@@ -53,6 +39,20 @@ object Funnel {
     }.reduce(_ union _)
   }
 
+  /** Ordered conversion funnel: for `steps = Seq(s0, s1, s2, …)`, a user
+    * "reaches" step i when they have an s_i event STRICTLY after their
+    * step-(i−1) completion time (earliest such event counts; step 0 is
+    * the user's earliest s0 event). Output, one row per step:
+    * (step, event_type, users, conv_prev, conv_first) — conversion vs
+    * the previous step (1.0 at step 0) and vs the funnel entry.
+    *
+    * Scale shape: each step is ONE filtered event scan (the type
+    * predicate pushes into the source) equi-joined on the user key to
+    * the previous step's (user, t) frame, reduced by a
+    * map-side-combinable min — k−1 keyed shuffles for a k-step funnel,
+    * no window, no per-user event list. The step summaries are k
+    * single-row aggregates unioned driver-side (plan-side, not action
+    * side); conversion rates join on the k-row summary itself. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     val stepRows = userSteps(events, userCol, tsCol, typeCol, steps)
@@ -95,9 +95,8 @@ object Funnel {
     * are one distinct (both map-side combinable); the cell count joins
     * actives to cohorts on the user key and re-aggregates — three
     * shuffles total, state bounded by users + cells, never by events.
-    * For billion-user tables swap the exact distinct for
-    * [[graft.functions.Hll]] registers per cell (the X70 rollup) — the
-    * join shape is unchanged. */
+    * For billion-user tables use [[cohortRetentionApprox]] — HLL
+    * registers per cell, identical join shape. */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       maxOffsetDays: Int = 30): DataFrame = {
     require(maxOffsetDays >= 0, s"maxOffsetDays: $maxOffsetDays")
@@ -118,5 +117,38 @@ object Funnel {
         col("cohort_size"), col("active_users"),
         round(col("active_users").cast("double")
           / col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** The billion-user form of [[cohortRetention]]: per-cell actives via
+    * HLL registers (`Hll.groupedDistinctEstimate`) instead of an exact
+    * distinct — the join shape is unchanged, per-cell state drops from
+    * |users| to 2^p bytes, and the estimate error (~1.04/√2^p) is the
+    * price. Cohort sizes stay exact (one row per user exists already).
+    * Output matches [[cohortRetention]] with active_users/retention
+    * carrying the estimate (spec-gated against the exact form). */
+  def cohortRetentionApprox(events: DataFrame, userCol: String,
+                            tsCol: String, p: Int = 12,
+                            maxOffsetDays: Int = 30): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays: $maxOffsetDays")
+    val firstSeen = events.groupBy(col(userCol).as("_u"))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val active = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+    val cellRows = active.join(firstSeen, Seq("_u"))
+      .select(col("cohort"), datediff(col("_d"), col("cohort")).as("day_offset"),
+        col("_u"))
+      .where(col("day_offset") <= maxOffsetDays)
+    val cells = graft.functions.Hll.groupedDistinctEstimate(cellRows,
+        Seq("cohort", "day_offset"),
+        Sampling.hash60(col("_u").cast("string")), p, exactGauge = false)
+      .select(col("cohort"), col("day_offset"), col("estimate"))
+    val sizes = firstSeen.groupBy("cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("day_offset").cast("long").as("day_offset"),
+        col("cohort_size"), col("estimate").as("active_users"),
+        round(col("estimate") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
   }
 }

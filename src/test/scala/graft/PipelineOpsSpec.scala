@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{AsOf, Dedup, Sampling, TextStats}
+import graft.sources.Tables
 
 /** Round-3 operators: as-of join, range join, contamination, repetition
   * metrics, shard packing, incremental corpus dedup. */
@@ -938,6 +939,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(("2024-01-01", 2L)) == ((2L, 1L, 0.5)))
     assert(out(("2024-01-02", 0L)) == ((1L, 1L, 1.0)))  // u3's own cohort
     assert(out(("2024-01-02", 1L)) == ((1L, 1L, 1.0)))
+  }
+
+  test("cohortRetentionApprox: HLL cells track the exact form within " +
+    "sketch error on real event data") {
+    import graft.operators.Funnel
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Funnel.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("active_users")).toMap
+    val approx = Funnel.cohortRetentionApprox(ev, "user_id", "ts", p = 12)
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Long]("day_offset")) -> r.getAs[Double]("active_users")).toMap
+    assert(approx.keySet == exact.keySet, "cell sets must agree")
+    // p=12 → ~1.6% σ; 10% is a >6-sigma gate even at small cells
+    approx.foreach { case (k, est) =>
+      val tru = exact(k).toDouble
+      assert(math.abs(est - tru) / math.max(tru, 1.0) < 0.10,
+        s"cell $k: est $est vs exact $tru")
+    }
   }
 
   test("sourceDivergence: blend-identical group scores 0, skewed group " +
