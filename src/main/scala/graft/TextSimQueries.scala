@@ -338,7 +338,8 @@ object TextSimQueries {
       |    CAST((CASE WHEN sc.score > t0.thr THEN 1 ELSE 0 END)
       |       + (CASE WHEN sc.score > t1.thr THEN 1 ELSE 0 END) AS BIGINT)
       |  END AS bucket
-      |FROM sc JOIN t0 ON t0.lang = sc.lang JOIN t1 ON t1.lang = sc.lang
+      |FROM sc LEFT JOIN t0 ON t0.lang = sc.lang
+      |  LEFT JOIN t1 ON t1.lang = sc.lang
       |ORDER BY sc.doc_id""".stripMargin
 
   /** Per-doc TF-IDF keyword extraction, oracled: DuckDB recomputes
@@ -654,7 +655,7 @@ object TextSimQueries {
        |  JOIN r ON r.doc_id = d.doc_id
        |  JOIN q ON q.doc_id = d.doc_id)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       |  sum(w) AS n_words,
+       |  CAST(sum(w) AS BIGINT) AS n_words,
        |  round(CAST(sum(qv) AS DOUBLE) / count(*), 6) AS mean_quality,
        |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS keep_rate,
        |  round(CAST(sum(pii) AS DOUBLE) / count(*), 6) AS pii_rate,

@@ -102,5 +102,20 @@ check(con.execute(
 con.execute(f"COPY z TO '{pqz}' (FORMAT PARQUET)")
 check(run_gate(ds) == "0/1 queries match", "signed-zero mutation NOT caught")
 
-print("gate sensitivity: pristine passes; value/row/schema/signed-zero "
-      "mutants all caught (4/4)")
+# mutant 5: CAST stripped from an oracle aggregate — the round-9 failure
+# class (DuckDB sum(BIGINT) widens to DECIMAL(38,0); values identical, so
+# a pandas value-compare passes, but the driver's canonical-repr hash —
+# and selfcheck's Arrow type-class check — must distinguish it). Simulated
+# by wrapping the oracle so one int64 column comes back DECIMAL(38,0).
+d = clone("typedrift", TARGET)
+with open(d / "oracle_sql.json") as f:
+    o = json.load(f)
+o[TARGET] = ("SELECT * EXCLUDE (n_words), CAST(n_words AS DECIMAL(38,0)) "
+             f"AS n_words FROM ({o[TARGET]})")
+with open(d / "oracle_sql.json", "w") as f:
+    json.dump(o, f)
+check(run_gate(d) == "0/1 queries match",
+      "stripped-CAST (decimal-vs-int64) type drift NOT caught")
+
+print("gate sensitivity: pristine passes; value/row/schema/signed-zero/"
+      "type-drift mutants all caught (5/5)")

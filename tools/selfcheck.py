@@ -2,9 +2,49 @@
 """Local stand-in for the driver's correctness gate: reads the parquet dumps
 produced by graft.Verify, runs each oracle SQL from oracle_sql.json in DuckDB
 over the same sf tables, and compares strictly (schema names, row count,
-ordered values). Usage: selfcheck.py <sfDir> <verifyOutDir>"""
+Arrow type classes, ordered values). Usage: selfcheck.py <sfDir> <verifyOutDir>
+
+The Arrow-type-class check exists because the driver hashes CANONICAL VALUE
+REPRS: DuckDB sum(BIGINT) silently widens to DECIMAL(38,0)/HUGEINT whose
+repr differs from Spark's int64 even when the values are numerically equal
+(the round-9 q_x10/q_x11/q_e3 regression — pandas `Decimal(1435) == 1435`
+hid it). Types are compared by repr-equivalence class, not exact width:
+int32 vs int64 both render "1435" so they pass; decimal vs int, decimal vs
+double, tz vs naive timestamps render differently so they fail."""
 import json, math, sys
 import duckdb
+
+
+def type_class(t):
+    """Collapse an Arrow type to its canonical-repr equivalence class."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_timestamp(t):
+        return f"timestamp(tz={t.tz is not None})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_class(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def schema_classes(tbl, cols):
+    sch = tbl.schema
+    return {c: type_class(sch.field(c).type) for c in cols}
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -16,9 +56,10 @@ oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracles.items()):
     try:
-        got = con.execute(
-            f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-        want = con.execute(sql).df()
+        got_at = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetch_arrow_table()
+        want_at = con.execute(sql).fetch_arrow_table()
+        got, want = got_at.to_pandas(), want_at.to_pandas()
     except Exception as e:
         fails.append((name, f"EXEC: {e}"))
         print(f"FAIL {name}: exec error: {e}")
@@ -27,6 +68,12 @@ for name, sql in sorted(oracles.items()):
     if gc != wc:
         fails.append((name, f"cols {gc} != {wc}"))
         print(f"FAIL {name}: columns {gc} vs {wc}")
+        continue
+    gt, wt = schema_classes(got_at, gc), schema_classes(want_at, gc)
+    drift = {c: (gt[c], wt[c]) for c in gc if gt[c] != wt[c]}
+    if drift:
+        fails.append((name, f"type drift {drift}"))
+        print(f"FAIL {name}: arrow type drift (spark vs oracle): {drift}")
         continue
     got, want = got[gc], want[gc]
     if len(got) != len(want):
