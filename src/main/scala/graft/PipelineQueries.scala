@@ -782,14 +782,15 @@ object PipelineQueries {
     """WITH toks AS (SELECT source, CAST(len(regexp_extract_all(text,
       |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
       |  FROM documents),
-      |avail AS (SELECT source, sum(toks) AS tokens_available
+      |avail AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tokens_available
       |  FROM toks GROUP BY 1),
       |j AS (SELECT source, tokens_available,
-      |    CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
-      |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.2 ELSE 0.0 END AS weight
+      |    CAST(CASE source WHEN 'src0' THEN 0.35 WHEN 'src1' THEN 0.25
+      |      WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.2 ELSE 0.0 END
+      |      AS DOUBLE) AS weight
       |  FROM avail),
       |e AS (SELECT source, tokens_available, weight,
-      |    weight * 2000000 AS target,
+      |    CAST(weight * 2000000 AS DOUBLE) AS target,
       |    CASE WHEN tokens_available > 0
       |      THEN least(weight * 2000000 / tokens_available, 2.5)
       |      ELSE 0.0 END AS epochs
@@ -824,12 +825,54 @@ object PipelineQueries {
       |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
       |SELECT CAST(step AS BIGINT) AS step, event_type,
       |  CAST(users AS BIGINT) AS users,
-      |  coalesce(round(CAST(users AS DOUBLE)
-      |    / CAST(lag(users) OVER (ORDER BY step) AS DOUBLE), 6), 1.0)
-      |    AS conv_prev,
-      |  round(CAST(users AS DOUBLE)
-      |    / CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE), 6)
-      |    AS conv_first
+      |  CASE WHEN lag(users) OVER (ORDER BY step) IS NULL
+      |    THEN CAST(1.0 AS DOUBLE)
+      |    WHEN lag(users) OVER (ORDER BY step) > 0
+      |    THEN round(CAST(users AS DOUBLE)
+      |      / CAST(lag(users) OVER (ORDER BY step) AS DOUBLE), 6)
+      |    END AS conv_prev,
+      |  CASE WHEN first_value(users) OVER (ORDER BY step) > 0
+      |    THEN round(CAST(users AS DOUBLE)
+      |      / CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE), 6)
+      |    END AS conv_first
+      |FROM n ORDER BY step""".stripMargin
+
+  /** Windowed funnel — X72 plus per-transition time constraints ("click
+    * within 24 h of the view; purchase within 48 h of the click"). Same
+    * k−1 keyed-join shape, one extra pushed predicate per transition;
+    * fully oracled (the CTE chain gains one BETWEEN bound per step). */
+  private def qW10funnelWindowed(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGaps = Seq(Some("24 hours"), Some("48 hours")))
+      .orderBy("step")
+  private val oW10 =
+    """WITH s0 AS (SELECT user_id u, min(ts) t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+      |    AND e.ts <= s0.t + INTERVAL 24 HOUR
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 48 HOUR
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |n AS (SELECT 0 AS step, 'view' AS event_type,
+      |    (SELECT count(*) FROM s0) AS users
+      |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+      |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+      |SELECT CAST(step AS BIGINT) AS step, event_type,
+      |  CAST(users AS BIGINT) AS users,
+      |  CASE WHEN lag(users) OVER (ORDER BY step) IS NULL
+      |    THEN CAST(1.0 AS DOUBLE)
+      |    WHEN lag(users) OVER (ORDER BY step) > 0
+      |    THEN round(CAST(users AS DOUBLE)
+      |      / CAST(lag(users) OVER (ORDER BY step) AS DOUBLE), 6)
+      |    END AS conv_prev,
+      |  CASE WHEN first_value(users) OVER (ORDER BY step) > 0
+      |    THEN round(CAST(users AS DOUBLE)
+      |      / CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE), 6)
+      |    END AS conv_first
       |FROM n ORDER BY step""".stripMargin
 
   /** Cohort retention: first-active-day cohorts × day offset, exact
@@ -895,7 +938,7 @@ object PipelineQueries {
     """WITH c AS (SELECT source,
       |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w
       |  FROM documents),
-      |g AS (SELECT source, sum(w) AS tokens FROM c GROUP BY 1),
+      |g AS (SELECT source, CAST(sum(w) AS BIGINT) AS tokens FROM c GROUP BY 1),
       |t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM g),
       |l AS (SELECT list(round(CAST(tokens AS DOUBLE) / (SELECT total FROM t), 6)
       |    ORDER BY source) AS shares FROM g),
@@ -917,6 +960,7 @@ object PipelineQueries {
     "q_w7_funnel" -> qW7funnel _,
     "q_w8_cohort" -> qW8cohort _,
     "q_w9_robust_z" -> qW9robust _,
+    "q_w10_funnel_windowed" -> qW10funnelWindowed _,
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
@@ -945,6 +989,7 @@ object PipelineQueries {
     "q_w7_funnel" -> oW7,
     "q_w8_cohort" -> oW8,
     "q_w9_robust_z" -> oW9,
+    "q_w10_funnel_windowed" -> oW10,
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,

@@ -21,17 +21,28 @@ object Funnel {
     * summarizes, and the row set `streaming.StreamFunnel` reproduces
     * live (spec-gated stream == batch). Same k−1 keyed-join shape. */
   def userSteps(events: DataFrame, userCol: String, tsCol: String,
-                typeCol: String, steps: Seq[String]): DataFrame = {
+                typeCol: String, steps: Seq[String],
+                maxGaps: Seq[Option[String]] = Nil): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(maxGaps.isEmpty || maxGaps.size == steps.size - 1,
+      s"maxGaps needs one entry per transition (${steps.size - 1}): $maxGaps")
+    val gaps: Seq[Option[String]] =
+      if (maxGaps.isEmpty) Seq.fill(steps.size - 1)(None) else maxGaps
     val first = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t"))
-    val frames = steps.tail.scanLeft(first) { (prev, st) =>
-      events.where(col(typeCol) === st)
-        .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
-        .join(prev, Seq("_u"))
-        .where(col("_ts") > col("_t"))
-        .groupBy("_u").agg(min(col("_ts")).as("_t"))
+    val frames = steps.tail.zip(gaps).scanLeft(first) {
+      case (prev, (st, gap)) =>
+        val joined = events.where(col(typeCol) === st)
+          .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+          .join(prev, Seq("_u"))
+          .where(col("_ts") > col("_t"))
+        // per-transition window ("click within 7 days of the view"): the
+        // qualifying range becomes (t, t + gap] — one extra pushed
+        // predicate on the SAME keyed join, no new shuffle
+        gap.fold(joined)(g =>
+            joined.where(col("_ts") <= col("_t") + expr(s"INTERVAL $g")))
+          .groupBy("_u").agg(min(col("_ts")).as("_t"))
     }
     steps.zip(frames).zipWithIndex.map { case ((st, f), i) =>
       f.select(col("_u").as(userCol), lit(i).cast("long").as("step"),
@@ -54,8 +65,9 @@ object Funnel {
     * single-row aggregates unioned driver-side (plan-side, not action
     * side); conversion rates join on the k-row summary itself. */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
-    val stepRows = userSteps(events, userCol, tsCol, typeCol, steps)
+             typeCol: String, steps: Seq[String],
+             maxGaps: Seq[Option[String]] = Nil): DataFrame = {
+    val stepRows = userSteps(events, userCol, tsCol, typeCol, steps, maxGaps)
     val counts = stepRows.groupBy("step", "event_type")
       .agg(count(lit(1)).as("users"))
     // absent steps (nobody reached) must still row out with users = 0

@@ -35,9 +35,15 @@ object StreamFunnel {
   case class St(done: Seq[Long], pending: Seq[(Long, Long, String)])
 
   def track(in: Dataset[In], steps: Seq[String],
-            watermark: String = "10 minutes"): Dataset[StepDone] = {
+            watermark: String = "10 minutes",
+            maxGapsMs: Seq[Option[Long]] = Nil): Dataset[StepDone] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(maxGapsMs.isEmpty || maxGapsMs.size == steps.size - 1,
+      s"maxGapsMs needs one entry per transition: $maxGapsMs")
+    val gaps: IndexedSeq[Option[Long]] =
+      (if (maxGapsMs.isEmpty) Seq.fill(steps.size - 1)(None)
+       else maxGapsMs).toIndexedSeq
     implicit val oe: org.apache.spark.sql.Encoder[StepDone] =
       Encoders.product[StepDone]
     implicit val ke: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
@@ -49,8 +55,12 @@ object StreamFunnel {
       val out = scala.collection.mutable.ArrayBuffer.empty[StepDone]
       ripe.sortBy(r => (r._1, r._2)).foreach { case (t, _, tpe) =>
         val k = done.size
+        // the per-transition window mirrors the batch (t, t+gap] range:
+        // an out-of-window event is discarded like a wrong-type one —
+        // the frontier waits for an IN-window event or stays forever
         if (k < steps.size && tpe == steps(k) &&
-            (k == 0 || t > done(k - 1))) {
+            (k == 0 || (t > done(k - 1) &&
+              gaps(k - 1).forall(g => t <= done(k - 1) + g)))) {
           done = done :+ t
           out += StepDone(user, k.toLong, tpe, new Timestamp(t))
         }

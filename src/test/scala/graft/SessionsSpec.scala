@@ -281,6 +281,78 @@ class SessionsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed funnel (maxGaps): out-of-window steps don't count, " +
+    "stream twin == batch, unconstrained call unchanged") {
+    import graft.operators.Funnel
+    import graft.streaming.StreamFunnel
+    import graft.streaming.StreamFunnel.In
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: click 2 min after view (in the 5-min window), purchase
+    //   1 min after click (in) — full funnel
+    // user 2: click 10 min after view (OUT of window) — frontier stalls
+    //   at view forever, later in-window events of later steps ignored
+    // user 3: first click out of window at +7 min, SECOND click back in?
+    //   no — window is (t, t+5min]; a later click is further out. give
+    //   user 3 an in-window click at +4 min AFTER an out-of-window
+    //   purchase: purchase at +6 min from click is out of the 5-min
+    //   purchase window → stalls at click
+    val rows = Seq(
+      In(1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      In(1L, ts("2024-01-01 10:02:00"), 2L, "click"),
+      In(1L, ts("2024-01-01 10:03:00"), 3L, "purchase"),
+      In(2L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      In(2L, ts("2024-01-01 10:10:00"), 5L, "click"),
+      In(2L, ts("2024-01-01 10:11:00"), 6L, "purchase"),
+      In(3L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      In(3L, ts("2024-01-01 10:04:00"), 8L, "click"),
+      In(3L, ts("2024-01-01 10:10:00"), 9L, "purchase"))
+    val flush = Seq(
+      In(1L, ts("2024-01-01 11:00:00"), 99L, "view"),
+      In(2L, ts("2024-01-01 11:00:00"), 98L, "view"),
+      In(3L, ts("2024-01-01 11:00:00"), 97L, "view"))
+    val df = (rows ++ flush).toDS().toDF("user", "ts", "event_id", "event_type")
+    val gaps = Seq(Some("5 minutes"), Some("5 minutes"))
+    val cut = ts("2024-01-01 10:30:00")
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.where($"t" < cut).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3).getTime)).toSet
+    val batch = keys(Funnel.userSteps(df, "user", "ts", "event_type",
+      Seq("view", "click", "purchase"), gaps))
+    // windowed reach: u1 all 3 steps, u2 view only, u3 view+click
+    assert(batch.count(_._1 == 1L) == 3, s"u1 full funnel: $batch")
+    assert(batch.count(_._1 == 2L) == 1, s"u2 stalls at view: $batch")
+    assert(batch.count(_._1 == 3L) == 2, s"u3 stalls at click: $batch")
+    // the summary form gates the same rows
+    val sums = Funnel.funnel(df, "user", "ts", "event_type",
+        Seq("view", "click", "purchase"), gaps)
+      .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+    assert(sums == Map(0L -> 3L, 1L -> 2L, 2L -> 1L), s"$sums")
+    // stream twin with the same gaps (ms) matches batch exactly
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[In]
+    val out = StreamFunnel.track(mem.toDS(),
+      Seq("view", "click", "purchase"), watermark = "5 minutes",
+      maxGapsMs = Seq(Some(300000L), Some(300000L)))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fun_win_out").start()
+    try {
+      // out-of-order within the watermark lag: u1's purchase lands
+      // before its click (batch-1 max ts stays at 10:03 so nothing in
+      // batch 2 is late-beyond-watermark)
+      mem.addData(rows(2), rows(0), rows(6))
+      q.processAllAvailable()
+      mem.addData(rows(1), rows(4), rows(3), rows(7), rows(5), rows(8))
+      q.processAllAvailable()
+      mem.addData(flush: _*)
+      q.processAllAvailable()
+      val got = keys(spark.table("fun_win_out").toDF(
+        "user", "step", "event_type", "t"))
+      assert(got == batch,
+        s"stream/batch diverge: onlyStream=${got -- batch} " +
+          s"onlyBatch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("rollingZScore: spike flags against its trailing window only") {
     import graft.operators.Anomaly
     // user 1: stable 10.0±0.5 baseline, then a 100.0 spike, then back —
