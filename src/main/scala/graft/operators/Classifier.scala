@@ -59,12 +59,34 @@ object Classifier {
   /** Train micro-unit weights: `iters` full-batch GD steps from w = 0.
     * Returns the (dim+1)-sized micro-weight array (index dim = the bias
     * weight; the persistable model — pair with [[score]]). One count
-    * job (N) + 2 jobs per iteration. */
+    * job (N) + 2 jobs per iteration.
+    *
+    * `sampleFraction < 1.0` trains on a HASH-DETERMINISTIC Bernoulli
+    * subsample of the labeled docs ([[Sampling.sampleByHash]] — a pure
+    * function of the id, so the sampled run is itself replayable by an
+    * oracle, and re-running on the same corpus picks the same docs).
+    * At 100 TB full-batch GD costs 2 corpus-sized shuffle jobs × iters;
+    * a 1–10% stable subsample of the (already human-bounded) label set
+    * cuts that 10–100× with the same convergence behavior for a linear
+    * model. The sample filter is map-side (pushes to the scan); the
+    * default 1.0 is bit-identical to the unsampled path. */
   def train(df: DataFrame, idCol: String, textCol: String, labelCol: String,
             dim: Int = 64, iters: Int = 3, lr: Double = 0.5,
-            salt: String = "graft"): Array[Long] = {
+            salt: String = "graft", sampleFraction: Double = 1.0): Array[Long] = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(lr > 0, s"lr must be positive: $lr")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction out of (0,1]: $sampleFraction")
+    val base =
+      if (sampleFraction < 1.0)
+        Sampling.sampleByHash(df, idCol, sampleFraction, salt + "|train")
+      else df
+    trainFull(base, idCol, textCol, labelCol, dim, iters, lr, salt)
+  }
+
+  private def trainFull(df: DataFrame, idCol: String, textCol: String,
+                        labelCol: String, dim: Int, iters: Int, lr: Double,
+                        salt: String): Array[Long] = {
     val fx = featuresWithBias(df, idCol, textCol, dim, salt)
       .join(df.select(col(idCol).as("id"),
         greatest(TextStats.wordCount(col(textCol)), lit(1L)).as("n"),

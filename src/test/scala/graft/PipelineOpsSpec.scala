@@ -731,6 +731,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(pMin > nMax, s"separation: posMin=$pMin negMax=$nMax")
   }
 
+  test("Classifier: hash-sampled training (sampleFraction) is " +
+    "deterministic, still >=95% on the disjoint-vocab corpus, and " +
+    "fraction=1.0 is bit-identical to the unsampled path") {
+    import graft.operators.Classifier
+    // larger corpus so a 50% subsample keeps both classes populated
+    val pos = (0L until 120L).map(i => (i, "apple banana cherry apple", 1L))
+    val neg = (1000L until 1040L).map(i => (i, "delta echo foxtrot delta", 0L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val wFull = Classifier.train(df, "doc_id", "text", "y",
+      dim = 64, iters = 30, lr = 4.0)
+    val wOne = Classifier.train(df, "doc_id", "text", "y",
+      dim = 64, iters = 30, lr = 4.0, sampleFraction = 1.0)
+    assert(wFull.toSeq == wOne.toSeq,
+      "sampleFraction=1.0 must be bit-identical to the default path")
+    val wHalf = Classifier.train(df, "doc_id", "text", "y",
+      dim = 64, iters = 30, lr = 4.0, sampleFraction = 0.5)
+    val wHalf2 = Classifier.train(df, "doc_id", "text", "y",
+      dim = 64, iters = 30, lr = 4.0, sampleFraction = 0.5)
+    assert(wHalf.toSeq == wHalf2.toSeq,
+      "hash sampling is a pure function of the ids — reruns must agree")
+    assert(wHalf.toSeq != wFull.toSeq,
+      "a strict subsample should move at least one micro-weight")
+    // the sampled model still separates the FULL corpus
+    val scored = Classifier.score(df, "doc_id", "text", wHalf, dim = 64)
+      .join(df.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      .collect().map(r => (r.getAs[Long]("y"), r.getAs[Double]("p")))
+    val acc = scored.count { case (y, p) => (p >= 0.5) == (y == 1L) }
+      .toDouble / scored.length
+    assert(acc >= 0.95, s"sampled training must still separate: acc=$acc")
+  }
+
   test("Classifier.score serves a STREAM with frozen weights == batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Classifier
