@@ -170,6 +170,56 @@ object Hll {
       folded.select(groupCols.map(col) ++ estimateCols(m): _*)
   }
 
+  /** Typed Aggregator that MERGES stored register arrays (element-wise
+    * max — the sketch's native union) — the input is a sketch, not a
+    * key, so persisted per-segment registers union engine-side. */
+  class MergeAgg(p: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18]: $p")
+    private val m = 1 << p
+    override def zero: Array[Byte] = new Array[Byte](m)
+    private def mx(b: Array[Byte], r: Array[Byte]): Array[Byte] = {
+      if (r != null) {
+        require(r.length == m, s"register length ${r.length} != $m")
+        var i = 0
+        while (i < m) { if (r(i) > b(i)) b(i) = r(i); i += 1 }
+      }
+      b
+    }
+    override def reduce(b: Array[Byte], r: Array[Byte]): Array[Byte] = mx(b, r)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mx(a, b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Merge-union aggregate over a stored-registers column. */
+  def mergeSketches(p: Int)(registers: Column): Column =
+    udaf(new MergeAgg(p)).apply(registers)
+
+  /** Frame-native HLL set algebra: union persisted per-segment register
+    * rows engine-side — `df` carries one m-byte register array per
+    * (segment, …) row; output is one row per `groupCols` value with the
+    * merged registers and the union estimate. This is X82's
+    * unionEstimate lifted off the driver: at millions of segments the
+    * registers never collect — the max-merge combines map-side, the
+    * shuffle carries one m-byte buffer per (group, partition), and the
+    * estimate runs once per OUTPUT row (a post-aggregate m-byte fold,
+    * deliberately off the per-input-row hot path, so the scalar
+    * [[estimate]] is reused verbatim — one code path for driver and
+    * engine, spec-pinned equal). */
+  def unionSketchFrame(df: DataFrame, groupCols: Seq[String],
+                       regCol: Column, p: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val est = udf((b: Array[Byte]) => estimate(b))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(mergeSketches(p)(regCol).as("registers"))
+      .select(groupCols.map(col) ++ Seq(col("registers"),
+        round(est(col("registers")), 6).as("estimate")): _*)
+  }
+
   /** (groupCols, _bucket, _maxrho) register rows from hashed keys. */
   private def regRows(keys: DataFrame, groupCols: Seq[String],
                       p: Int): DataFrame = {

@@ -49,6 +49,40 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     assert(merged.toSeq == regsOf(a.union(b)).toSeq)
   }
 
+  test("unionSketchFrame: engine-side segment-register union == the " +
+    "driver-side scalar union, registers byte-identical") {
+    // four persisted per-segment sketches, two groups — the "millions
+    // of segments" shape at toy size
+    def regsOf(lo: Long, hi: Long) =
+      (lo until hi).map(i => s"k$i").toDF("k")
+        .select(Sampling.hash60(col("k")).as("h"))
+        .agg(Hll.sketch(10)(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val segs = Seq(
+      ("web", "seg-a", regsOf(0L, 700L)),
+      ("web", "seg-b", regsOf(400L, 1100L)),
+      ("app", "seg-c", regsOf(0L, 300L)),
+      ("app", "seg-d", regsOf(5000L, 5300L)))
+    val df = segs.toDF("channel", "segment", "registers")
+    val out = Hll.unionSketchFrame(df, Seq("channel"),
+        col("registers"), p = 10)
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Array[Byte]]("registers").toSeq,
+          r.getAs[Double]("estimate"))).toMap
+    def scalarUnion(a: Array[Byte], b: Array[Byte]) =
+      new Hll.MergeAgg(10).merge(a.clone(), b.clone())
+    val webRegs = scalarUnion(segs(0)._3, segs(1)._3)
+    val appRegs = scalarUnion(segs(2)._3, segs(3)._3)
+    assert(out("web")._1 == webRegs.toSeq, "web registers must match")
+    assert(out("app")._1 == appRegs.toSeq, "app registers must match")
+    assert(out("web")._2 ==
+      math.round(Hll.estimate(webRegs) * 1e6).toDouble / 1e6)
+    assert(out("app")._2 ==
+      math.round(Hll.estimate(appRegs) * 1e6).toDouble / 1e6)
+    // sanity: the estimates track the true cardinalities (1100 / 600)
+    assert(math.abs(out("web")._2 - 1100.0) / 1100.0 < 0.1)
+    assert(math.abs(out("app")._2 - 600.0) / 600.0 < 0.1)
+  }
+
   test("HLL sketch aggregates over a stream (complete mode) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
