@@ -875,6 +875,53 @@ object PipelineQueries {
       |    END AS conv_first
       |FROM n ORDER BY step""".stripMargin
 
+  /** Funnel transition latency — per-step time-to-convert stats over
+    * the view→click→purchase funnel: users, lower-median and p90 of the
+    * SECOND-gridded gap (X57's histogram order-statistic discipline —
+    * pure integer arithmetic, replayed exactly), and the exact-µs mean.
+    * Fully oracled: the step chain, the histogram, the cumulative
+    * positions, and the one-division mean all replay as CTEs. */
+  private def qW11funnelLatency(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.transitionStats(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step")
+  private val oW11 =
+    """WITH s0 AS (SELECT user_id u, min(ts) t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s2 AS (SELECT e.user_id u, min(e.ts) t FROM events e
+      |  JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |steps AS (SELECT u, 0 AS step, 'view' AS event_type, t FROM s0
+      |  UNION ALL SELECT u, 1, 'click', t FROM s1
+      |  UNION ALL SELECT u, 2, 'purchase', t FROM s2),
+      |d AS (SELECT k.step, k.event_type, k.u,
+      |    epoch_us(k.t) - epoch_us(p.t) AS dt_us
+      |  FROM steps k JOIN steps p ON p.u = k.u AND p.step = k.step - 1),
+      |h AS (SELECT step, event_type, dt_us // 1000000 AS s,
+      |    count(*) AS c, sum(dt_us) AS sumus
+      |  FROM d GROUP BY 1, 2, 3),
+      |tot AS (SELECT step, event_type, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(sumus) AS sum_us FROM h GROUP BY 1, 2),
+      |cum AS (SELECT step, s,
+      |    sum(c) OVER (PARTITION BY step ORDER BY s) AS cum FROM h),
+      |med AS (SELECT cum.step, min(s) AS median_gap_s
+      |  FROM cum JOIN tot USING (step)
+      |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+      |p90 AS (SELECT cum.step, min(s) AS p90_gap_s
+      |  FROM cum JOIN tot USING (step)
+      |  WHERE cum >= (9 * n + 9) // 10 GROUP BY 1)
+      |SELECT CAST(t.step AS BIGINT) AS step, t.event_type,
+      |  t.n AS users, CAST(med.median_gap_s AS BIGINT) AS median_gap_s,
+      |  CAST(p90.p90_gap_s AS BIGINT) AS p90_gap_s,
+      |  round(CAST(t.sum_us AS DOUBLE) / CAST(t.n AS DOUBLE)
+      |    / 1000000.0, 6) AS mean_gap_s
+      |FROM tot t JOIN med ON med.step = t.step
+      |  JOIN p90 ON p90.step = t.step
+      |ORDER BY step""".stripMargin
+
   /** Cohort retention: first-active-day cohorts × day offset, exact
     * distinct actives per cell, retention vs cohort size. Fully
     * oracled (cohort assignment, offsets, cell counts, ratios). */
@@ -961,6 +1008,7 @@ object PipelineQueries {
     "q_w8_cohort" -> qW8cohort _,
     "q_w9_robust_z" -> qW9robust _,
     "q_w10_funnel_windowed" -> qW10funnelWindowed _,
+    "q_w11_funnel_latency" -> qW11funnelLatency _,
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
@@ -990,6 +1038,7 @@ object PipelineQueries {
     "q_w8_cohort" -> oW8,
     "q_w9_robust_z" -> oW9,
     "q_w10_funnel_windowed" -> oW10,
+    "q_w11_funnel_latency" -> oW11,
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,

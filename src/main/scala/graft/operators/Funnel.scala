@@ -131,6 +131,57 @@ object Funnel {
           / col("cohort_size").cast("double"), 6).as("retention"))
   }
 
+  /** Per-transition latency ("time to convert"): for each funnel step
+    * k ≥ 1, how long converting users took from their step-(k−1)
+    * completion to their step-k completion. Output, one row per
+    * transition that at least one user made: (step, event_type, users,
+    * median_gap_s, p90_gap_s, mean_gap_s).
+    *
+    * Determinism/scale contract (the X57 percentile-gate discipline):
+    * gaps are gridded to integer SECONDS (floor of the exact µs delta),
+    * and the median/p90 are order statistics over the per-transition
+    * (second, count) HISTOGRAM — the only window runs over histogram
+    * rows (≤ distinct gap-seconds, bounded by the funnel's time span),
+    * never over events or users. The lower-median convention (smallest
+    * second with cumulative count ≥ (n+1) div 2; p90 likewise at
+    * ceil(0.9·n)) is pure integer arithmetic, so a SQL oracle replays
+    * it exactly. The mean divides one exact DECIMAL µs sum once —
+    * no partition-order float accumulation. */
+  def transitionStats(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      maxGaps: Seq[Option[String]] = Nil): DataFrame = {
+    val sr = userSteps(events, userCol, tsCol, typeCol, steps, maxGaps)
+    val cur = sr.select(col(userCol).as("_u"), col("step"),
+      col("event_type"), Sessions.epochUs(col("t")).as("_tus"))
+    val prev = cur.select(col("_u"), (col("step") + 1).as("step"),
+      col("_tus").as("_pus"))
+    val dt = cur.join(prev, Seq("_u", "step"))
+      .select(col("step"), col("event_type"),
+        (col("_tus") - col("_pus")).as("_dtus"))
+    val hist = dt
+      .groupBy(col("step"), col("event_type"),
+        expr("_dtus div 1000000").as("_s"))
+      .agg(count(lit(1)).as("_c"),
+        sum(col("_dtus").cast("decimal(38,0)")).as("_sumus"))
+    val tot = hist.groupBy("step", "event_type")
+      .agg(sum(col("_c")).as("_n"), sum(col("_sumus")).as("_sum_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("step").orderBy("_s")
+    val cum = hist.select(col("step"), col("_s"), col("_c"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+    val med = cum.join(tot.select(col("step"), col("_n")), Seq("step"))
+      .where(col("_cum") >= expr("(_n + 1) div 2"))
+      .groupBy("step").agg(min(col("_s")).as("median_gap_s"))
+    val p90 = cum.join(tot.select(col("step"), col("_n")), Seq("step"))
+      .where(col("_cum") >= expr("(9 * _n + 9) div 10"))
+      .groupBy("step").agg(min(col("_s")).as("p90_gap_s"))
+    tot.join(med, Seq("step")).join(p90, Seq("step"))
+      .select(col("step"), col("event_type"), col("_n").as("users"),
+        col("median_gap_s"), col("p90_gap_s"),
+        round(col("_sum_us").cast("double") / col("_n").cast("double")
+          / lit(1000000.0), 6).as("mean_gap_s"))
+  }
+
   /** The billion-user form of [[cohortRetention]]: per-cell actives via
     * HLL registers (`Hll.groupedDistinctEstimate`) instead of an exact
     * distinct — the join shape is unchanged, per-cell state drops from

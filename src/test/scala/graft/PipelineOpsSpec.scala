@@ -951,6 +951,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2).getAs[Double]("conv_first") == 0.0)
   }
 
+  test("transitionStats: lower-median/p90 over the second-gridded gap " +
+    "histogram, exact-us mean, dead transitions drop out") {
+    // view->click gaps: u1 300 s, u2 60 s, u3 120 s, u4 600 s
+    //   sorted [60, 120, 300, 600]: n=4, lower median pos (4+1) div 2 = 2
+    //   -> 120; p90 pos (36+9) div 10 = 4 -> 600; mean 270.0
+    // click->purchase: only u1, 90 s -> all stats 90
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:06:30"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:01:00"), "click"),
+      (3L, ts("2024-01-01 12:00:00"), "view"),
+      (3L, ts("2024-01-01 12:02:00"), "click"),
+      (4L, ts("2024-01-01 13:00:00"), "view"),
+      (4L, ts("2024-01-01 13:10:00"), "click"),
+      (5L, ts("2024-01-01 14:00:00"), "view") // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.transitionStats(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("event_type"),
+        r.getAs[Long]("users"), r.getAs[Long]("median_gap_s"),
+        r.getAs[Long]("p90_gap_s"), r.getAs[Double]("mean_gap_s")))
+    // step 0 has no predecessor -> no row; both real transitions pinned
+    assert(out.toSeq == Seq(
+      (1L, "click", 4L, 120L, 600L, 270.0),
+      (2L, "purchase", 1L, 90L, 90L, 90.0)), s"${out.toSeq}")
+  }
+
   test("cohortRetention: first-day cohorts, offset-0 retention is 1.0, " +
     "later-day actives fill their cell") {
     val ev = Seq(

@@ -176,6 +176,74 @@ object ScaleSmoke {
       require(bad == 0L, s"$bad nodes below the teleport floor")
       pr.count()
     }
+    // round 10: ITERATION scaling for the two iterative round-9
+    // operators. The lineage-flatness claim is asserted on DETERMINISTIC
+    // plan shape (max stages of any Spark job via statusTracker — a run
+    // whose checkpoint cadence failed would submit a final job whose
+    // stage count grows with iterations), wall-clock marginals printed
+    // and coarsely gated (the documented ±50% VM noise forbids tight
+    // timing gates).
+    def runGrouped(tag: String)(body: => Unit): (Double, Int) = {
+      val tracker = spark.sparkContext.statusTracker
+      spark.sparkContext.setJobGroup(tag, tag)
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(300) // job infos register on submit; let the bus settle
+      val maxStages = tracker.getJobIdsForGroup(tag)
+        .flatMap(id => tracker.getJobInfo(id)).map(_.stageIds.length)
+        .foldLeft(0)(math.max)
+      (dt, maxStages)
+    }
+    timed("pr iteration scaling") {
+      val prPairs = Dedup.lshCandidatePairs(
+          Dedup.minhashFromHashes(rows, k = 64), bands = 16, rowsPerBand = 4)
+        .where(col("est_jaccard") >= 0.2).select("id_a", "id_b")
+        .localCheckpoint()
+      val (t5, s5) = runGrouped("pr5") {
+        graft.operators.Graph.pageRank(prPairs, iters = 5).count() }
+      val (t10, s10) = runGrouped("pr10") {
+        graft.operators.Graph.pageRank(prPairs, iters = 10).count() }
+      // ~linear in edges: the same 5 iterations over a ~50% edge sample
+      // must not cost MORE than the full set (fixed overhead means it
+      // won't halve on a 32-core local box; monotonicity is the stable
+      // direction of the claim)
+      val half = prPairs.where(graft.operators.Sampling.hash24(
+          col("id_a") + col("id_b"), "prhalf") < (1 << 23))
+        .localCheckpoint()
+      val (tH, _) = runGrouped("prHalf") {
+        graft.operators.Graph.pageRank(half, iters = 5).count() }
+      println(f"  t5=$t5%.1fs t10=$t10%.1fs marginal=${(t10 - t5) / 5}%.2fs/iter"
+        + f" halfEdges(t5)=$tH%.1fs maxStages/job: 5-iter=$s5 10-iter=$s10")
+      require(s10 <= s5 + 4,
+        s"checkpoint cadence must hold plan depth flat: $s5 -> $s10 stages")
+      require(t10 <= t5 * 3.0 + 5.0,
+        f"10 iters must cost ~2x 5 (linear), got $t5%.1fs -> $t10%.1fs")
+      require(tH <= t5 * 1.5 + 5.0,
+        f"half the edges must not cost more: full=$t5%.1fs half=$tH%.1fs")
+      half.count()
+    }
+    timed("classifier epoch scaling") {
+      // 50 k-doc corpus, hash labels (content irrelevant to the shape:
+      // each epoch is the same 2-aggregate plan over the ONE
+      // localCheckpoint'd feature frame + a dim-row collect)
+      val labeled = docs.withColumn("y", (col("doc_id") % 2 === 0).cast("long"))
+      val (t5, s5) = runGrouped("clf5") {
+        graft.operators.Classifier.train(labeled, "doc_id", "text", "y",
+          dim = 64, iters = 5, lr = 0.5) }
+      val (t15, s15) = runGrouped("clf15") {
+        graft.operators.Classifier.train(labeled, "doc_id", "text", "y",
+          dim = 64, iters = 15, lr = 0.5) }
+      println(f"  t5=$t5%.1fs t15=$t15%.1fs marginal=${(t15 - t5) / 10}%.2fs/iter"
+        + f" maxStages/job: 5-iter=$s5 15-iter=$s15")
+      require(s15 <= s5 + 1,
+        s"epoch plan depth must be constant (features checkpointed once): " +
+          s"$s5 -> $s15 stages")
+      require(t15 <= t5 * 4.0 + 10.0,
+        f"15 epochs must cost ~3x 5 (flat per-epoch), got $t5%.1fs -> $t15%.1fs")
+      50000L
+    }
     // q_d5's graded mid-threshold config (0.4, 64 planes / 16 bands) was
     // measured ONCE here at 346.9 s: r=4 bands stop discriminating as n
     // grows (random-pair candidate P = 1−(1−2^-4)^16 ≈ 0.64 → the join
