@@ -220,6 +220,36 @@ object Hll {
         round(est(col("registers")), 6).as("estimate")): _*)
   }
 
+  /** Pairwise segment-overlap matrix from persisted sketches: for every
+    * unordered segment pair, the union / inclusion–exclusion
+    * intersection / Jaccard estimates — "how much do my sources
+    * overlap" across a whole corpus in ONE self-join over m-byte
+    * registers, no raw keys touched. The segment frame should already
+    * be one row per segment (e.g. [[unionSketchFrame]] output); pairs
+    * are seg_a < seg_b. The per-pair merge+estimate is a two-register
+    * fold on rows bounded by segment-pair count, not data size. The
+    * standard HLL caveat rides along: intersection error is relative to
+    * the UNION, so tiny overlaps of huge segments are noisy (clamped at
+    * 0 like [[intersectionEstimate]]). */
+  def pairwiseOverlap(df: DataFrame, segCol: String, regCol: Column,
+                      p: Int): DataFrame = {
+    val est = udf((b: Array[Byte]) => estimate(b))
+    val unionEst = udf((a: Array[Byte], b: Array[Byte]) => unionEstimate(a, b))
+    val a = df.select(col(segCol).as("seg_a"), regCol.as("_ra"))
+    val b = df.select(col(segCol).as("seg_b"), regCol.as("_rb"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        round(est(col("_ra")), 6).as("est_a"),
+        round(est(col("_rb")), 6).as("est_b"),
+        round(unionEst(col("_ra"), col("_rb")), 6).as("est_union"))
+      .withColumn("est_intersection",
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6))
+      .withColumn("jaccard",
+        when(col("est_union") > 0,
+          round(col("est_intersection") / col("est_union"), 6)))
+  }
+
   /** (groupCols, _bucket, _maxrho) register rows from hashed keys. */
   private def regRows(keys: DataFrame, groupCols: Seq[String],
                       p: Int): DataFrame = {

@@ -83,6 +83,36 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out("app")._2 - 600.0) / 600.0 < 0.1)
   }
 
+  test("pairwiseOverlap: segment matrix recovers overlap within sketch " +
+    "error, agrees with the scalar estimates, pairs are seg_a < seg_b") {
+    def regsOf(lo: Long, hi: Long) =
+      (lo until hi).map(i => s"k$i").toDF("k")
+        .select(Sampling.hash60(col("k")).as("h"))
+        .agg(Hll.sketch(12)(col("h"))).collect()(0).getAs[Array[Byte]](0)
+    val rA = regsOf(0L, 6000L)
+    val rB = regsOf(4000L, 10000L)  // 2000 shared with A
+    val rC = regsOf(50000L, 53000L) // disjoint from both
+    val df = Seq(("a", rA), ("b", rB), ("c", rC)).toDF("seg", "registers")
+    val out = Hll.pairwiseOverlap(df, "seg", col("registers"), p = 12)
+      .collect().map(r => (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+        -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"unordered pairs only: ${out.keySet}")
+    val ab = out(("a", "b"))
+    // matches the scalar path up to the 6-decimal output rounding
+    assert(math.abs(ab.getAs[Double]("est_union")
+      - Hll.unionEstimate(rA, rB)) < 1e-4)
+    assert(math.abs(ab.getAs[Double]("est_intersection")
+      - Hll.intersectionEstimate(rA, rB)) < 1e-4)
+    // 2000-key overlap recovered within union-relative error
+    assert(math.abs(ab.getAs[Double]("est_intersection") - 2000.0) < 500.0)
+    val j = ab.getAs[Double]("jaccard")
+    assert(j > 0.1 && j < 0.3, s"true J=0.2: $j")
+    // disjoint pairs clamp near zero
+    assert(out(("a", "c")).getAs[Double]("est_intersection") < 500.0)
+    assert(out(("b", "c")).getAs[Double]("est_intersection") < 500.0)
+  }
+
   test("HLL sketch aggregates over a stream (complete mode) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]

@@ -197,4 +197,35 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  test("round-10 additions: windowed funnel stays window-free; " +
+    "transitionStats windows ONLY the gap histogram") {
+    import graft.operators.Funnel
+    val ev = Tables.events(spark, sf)
+    // the per-transition gap predicate must not change the plan class:
+    // still keyed equi-joins + min aggregates, no window, no cartesian
+    val winFunnel = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"),
+      maxGaps = Seq(Some("24 hours"), Some("48 hours")))
+    val wfPlan = winFunnel.queryExecution.optimizedPlan.toString
+    assert(!wfPlan.contains("Window"),
+      s"windowed funnel grew a window operator:\n$wfPlan")
+    assert(winFunnel.count() > 0)
+    // transitionStats: the ONE window partitions by step over the
+    // (second, count) histogram — its child aggregate keys on the
+    // gridded second, so window input is histogram rows, never events
+    val tsDf = Funnel.transitionStats(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val tsPlan = tsDf.queryExecution.optimizedPlan
+    val windows = tsPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "histogram cum-count window expected")
+    assert(windows.forall(_.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.size >= 3 => a
+      }.nonEmpty),
+      s"every window must sit above the (step, type, second) histogram " +
+        s"aggregate:\n$tsPlan")
+    assert(tsDf.count() > 0)
+  }
 }
