@@ -20,9 +20,16 @@ object Funnel {
     * earliest qualifying event time). The detail form [[funnel]]
     * summarizes, and the row set `streaming.StreamFunnel` reproduces
     * live (spec-gated stream == batch). Same k−1 keyed-join shape. */
-  def userSteps(events: DataFrame, userCol: String, tsCol: String,
-                typeCol: String, steps: Seq[String],
-                maxGaps: Seq[Option[String]] = Nil): DataFrame = {
+  /** The step-completion frames, one per step, each carrying the
+    * user's completion time `_t` AND the previous step's completion
+    * `_pt` (null at step 0) — `_pt` is free: the keyed join that
+    * qualifies step k's events already carries step k−1's single
+    * completion row per user, so aggregating `min(_t_prev)` alongside
+    * `min(_ts)` costs nothing and saves [[transitionStats]] a second
+    * full pass over the chain. */
+  private def stepFrames(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String],
+                         maxGaps: Seq[Option[String]]): Seq[DataFrame] = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     require(maxGaps.isEmpty || maxGaps.size == steps.size - 1,
@@ -31,19 +38,28 @@ object Funnel {
       if (maxGaps.isEmpty) Seq.fill(steps.size - 1)(None) else maxGaps
     val first = events.where(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t"))
-    val frames = steps.tail.zip(gaps).scanLeft(first) {
+      .withColumn("_pt", lit(null).cast(org.apache.spark.sql.types.TimestampType))
+    steps.tail.zip(gaps).scanLeft(first) {
       case (prev, (st, gap)) =>
         val joined = events.where(col(typeCol) === st)
           .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
-          .join(prev, Seq("_u"))
+          .join(prev.select(col("_u"), col("_t")), Seq("_u"))
           .where(col("_ts") > col("_t"))
         // per-transition window ("click within 7 days of the view"): the
         // qualifying range becomes (t, t + gap] — one extra pushed
         // predicate on the SAME keyed join, no new shuffle
         gap.fold(joined)(g =>
             joined.where(col("_ts") <= col("_t") + expr(s"INTERVAL $g")))
-          .groupBy("_u").agg(min(col("_ts")).as("_t"))
+          // prev's _t is one row per user, so min() is just "carry it"
+          .groupBy("_u").agg(min(col("_ts")).as("_t"),
+            min(col("_t")).as("_pt"))
     }
+  }
+
+  def userSteps(events: DataFrame, userCol: String, tsCol: String,
+                typeCol: String, steps: Seq[String],
+                maxGaps: Seq[Option[String]] = Nil): DataFrame = {
+    val frames = stepFrames(events, userCol, tsCol, typeCol, steps, maxGaps)
     steps.zip(frames).zipWithIndex.map { case ((st, f), i) =>
       f.select(col("_u").as(userCol), lit(i).cast("long").as("step"),
         lit(st).as("event_type"), col("_t").as("t"))
@@ -150,14 +166,15 @@ object Funnel {
   def transitionStats(events: DataFrame, userCol: String, tsCol: String,
                       typeCol: String, steps: Seq[String],
                       maxGaps: Seq[Option[String]] = Nil): DataFrame = {
-    val sr = userSteps(events, userCol, tsCol, typeCol, steps, maxGaps)
-    val cur = sr.select(col(userCol).as("_u"), col("step"),
-      col("event_type"), Sessions.epochUs(col("t")).as("_tus"))
-    val prev = cur.select(col("_u"), (col("step") + 1).as("step"),
-      col("_tus").as("_pus"))
-    val dt = cur.join(prev, Seq("_u", "step"))
-      .select(col("step"), col("event_type"),
-        (col("_tus") - col("_pus")).as("_dtus"))
+    // each step-k frame already carries the user's step-(k−1) completion
+    // (_pt), so the gaps come straight off the chain — no self-join, no
+    // second pass over the k keyed shuffles
+    val frames = stepFrames(events, userCol, tsCol, typeCol, steps, maxGaps)
+    val dt = steps.zip(frames).zipWithIndex.tail.map { case ((st, f), i) =>
+      f.select(lit(i.toLong).as("step"), lit(st).as("event_type"),
+        (Sessions.epochUs(col("_t")) - Sessions.epochUs(col("_pt")))
+          .as("_dtus"))
+    }.reduce(_ union _)
     val hist = dt
       .groupBy(col("step"), col("event_type"),
         expr("_dtus div 1000000").as("_s"))
