@@ -1100,6 +1100,74 @@ object TextSimQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Corpus snapshot diff: v1 drops doc_id % 13 == 0, v2 drops
+    * doc_id % 10 == 0 and revises the text of doc_id % 7 == 0 — so all
+    * four statuses (added / removed / changed / unchanged) appear and
+    * every classification crosses the hash gate. One full-outer
+    * equi-join over (id, fingerprint) projections; no text on the
+    * shuffle. */
+  private def qD17snapshot(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val oldV = base.where(col("doc_id") % 13 =!= 0)
+    val newV = base.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" revised"))).otherwise(col("text")))
+    Dedup.snapshotDiff(oldV, newV, "doc_id",
+        TextStats.fingerprint(col("text")))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  private val oD17 =
+    """WITH o AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |n AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(
+      |      CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END,
+      |      '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  o.fp AS old_fp, n.fp AS new_fp,
+      |  CASE WHEN o.fp IS NULL THEN 'added'
+      |    WHEN n.fp IS NULL THEN 'removed'
+      |    WHEN o.fp = n.fp THEN 'unchanged'
+      |    ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Blocked edit-distance join over 6-word title prefixes: blocks are
+    * the q_d1 two-token key (exact precision within a block, LSH-style
+    * blocking recall across), the q_d2 oversize guard at 100, distance
+    * gate 15 (the corpus' in-block pairs split 25 at dist 0 vs 157 at
+    * 10–26; the gate keeps 0–15, so BOTH the kernel's nonzero values
+    * and the exclusion cross the hash gate). The |Δlen| pre-filter is a
+    * true lower bound, so the oracle omits it — same row set either
+    * way. */
+  private def qD18fuzzy(s: SparkSession, d: String): DataFrame = {
+    val ws = Dedup.words(col("text"))
+    graft.operators.Fuzzy.blockedEditJoin(docs(s, d), "doc_id",
+        array_join(slice(ws, 1, 6), " "),
+        md5(array_join(slice(ws, 1, 2), " ")),
+        maxDist = 15, maxBlock = 100)
+      .orderBy("id_a", "id_b")
+  }
+  private val oD18 =
+    """WITH t AS (SELECT doc_id,
+      |    array_to_string(list_slice(
+      |      string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |      1, 6), ' ') AS s,
+      |    md5(array_to_string(list_slice(
+      |      string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |      1, 2), ' ')) AS b
+      |  FROM documents),
+      |ok AS (SELECT b FROM t GROUP BY 1 HAVING count(*) <= 100),
+      |tt AS (SELECT t.doc_id, t.s, t.b FROM t JOIN ok USING (b))
+      |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
+      |FROM tt a JOIN tt b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
+      |WHERE levenshtein(a.s, b2.s) <= 15
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
     * keeper/members. Oracle replays the closure with a recursive CTE. */
   /** One closure per (session, dir): q_d6 rolls the labels up into
@@ -2925,6 +2993,8 @@ object TextSimQueries {
     "q_d14_keep_best" -> qD14keepBest _,
     "q_d15_scoped_dedup" -> qD15scoped _,
     "q_d16_pagerank" -> qD16pagerank _,
+    "q_d17_snapshot_diff" -> qD17snapshot _,
+    "q_d18_fuzzy_join" -> qD18fuzzy _,
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
@@ -2994,6 +3064,8 @@ object TextSimQueries {
     "q_d14_keep_best" -> oD14,
     "q_d15_scoped_dedup" -> oD15,
     "q_d16_pagerank" -> oD16,
+    "q_d17_snapshot_diff" -> oD17,
+    "q_d18_fuzzy_join" -> oD18,
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
     "q_st2_distinct_rollup" -> oSt2,

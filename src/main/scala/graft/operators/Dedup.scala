@@ -148,6 +148,30 @@ object Dedup {
         col("_best.s").as("keeper_score"), col("n_copies")): _*)
   }
 
+  /** Corpus snapshot diff — what changed between two versions of a
+    * dataset, by content fingerprint: status per id ∈ added (new only),
+    * removed (old only), changed (both, fingerprints differ), unchanged.
+    * The audit step every incremental curation run wants before
+    * reprocessing ("which docs does v2 actually touch"), and the input
+    * to targeted re-dedup/re-index (feed `changed ∪ added` into
+    * [[DedupIndex]]'s incremental path).
+    *
+    * Scale shape: ONE full-outer equi-join on the id over (id, fp)
+    * projections — the fingerprint reduces each side to two short
+    * columns before the shuffle, so the join carries no text. Output:
+    * (id, old_fp, new_fp, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   fp: Column): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), fp.as("_ofp"))
+    val n = newDf.select(col(idCol).as("id"), fp.as("_nfp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"), col("_ofp").as("old_fp"), col("_nfp").as("new_fp"),
+        when(col("_ofp").isNull, lit("added"))
+          .when(col("_nfp").isNull, lit("removed"))
+          .when(col("_ofp") === col("_nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   // ---- n-gram Jaccard ----------------------------------------------------
 
   /** Exact Jaccard similarity over n-word shingles for every pair of docs

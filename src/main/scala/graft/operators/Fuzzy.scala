@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked edit-distance similarity join — record linkage / fuzzy title
+  * dedup ("are these two near-identical strings the same record"), the
+  * string-metric sibling of the LSH pair generators (reference analog:
+  * the id/title matching the catalog merge paths do exactly, just
+  * tolerant of typos).
+  *
+  * Semantics contract (the LSH discipline): EXACT precision — every
+  * emitted pair truly has levenshtein ≤ maxDist — with BLOCKING recall:
+  * only pairs sharing a block key are compared, so the caller picks the
+  * block to over-cover (the q_d1 two-token prefix for titles, a
+  * normalized length band, a phonetic key, …). Pairs split across
+  * blocks are the documented misses, exactly like LSH band misses.
+  *
+  * Scale shape: one equi-join on the block key; per-block cost is
+  * quadratic so oversized blocks are dropped by the q_d2 guard (a
+  * map-side-combinable groupBy count finds the FEW pathological keys,
+  * a broadcast anti-join drops their rows — the guard itself never
+  * funnels a hot key into one task). The |len_a − len_b| ≤ maxDist
+  * pre-filter (a true lower bound on edit distance) prunes candidates
+  * before the O(len²) levenshtein kernel runs; the kernel itself is
+  * Spark's codegen'd `levenshtein`, map-side on joined rows.
+  */
+object Fuzzy {
+
+  /** Pairs (id_a < id_b) within a block with edit distance ≤ maxDist.
+    * Output: (id_a, id_b, dist). `blockKey` is evaluated against `df`'s
+    * columns; duplicate (id, block) rows should be pre-deduped by the
+    * caller if ids can repeat. */
+  def blockedEditJoin(df: DataFrame, idCol: String, strCol: Column,
+                      blockKey: Column, maxDist: Int,
+                      maxBlock: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(maxBlock > 1, s"maxBlock must allow a pair: $maxBlock")
+    val rows = df.select(col(idCol).as("_id"), strCol.as("_s"),
+        blockKey.as("_b"))
+      .repartition(col("_b"))
+    val oversized = rows.groupBy("_b").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > maxBlock).select("_b")
+    val pruned = rows.join(broadcast(oversized), Seq("_b"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
+        col("a._b") === col("b._b") && col("a._id") < col("b._id")
+          // |Δlen| lower-bounds edit distance: free prune before the DP
+          && abs(length(col("a._s")) - length(col("b._s"))) <= maxDist)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        levenshtein(col("a._s"), col("b._s")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+}

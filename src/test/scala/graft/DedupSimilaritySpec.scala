@@ -1097,4 +1097,50 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(s == Map(("a", "k1") -> 2L, ("b", "k1") -> 3L, ("b", "k2") -> 4L),
       s"$s")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified by " +
+    "fingerprint, full-outer over ids") {
+    val oldV = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val newV = Seq(
+      (1L, "alpha beta gamma"),        // unchanged
+      (2L, "delta epsilon REVISED"),   // changed
+      (4L, "brand new doc")            // added; 3 removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldV, newV, "doc_id",
+        TextStats.fingerprint(col("text")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"$out")
+    // punctuation-only edits are NOT changes (fingerprint normalizes)
+    val punct = Seq((1L, "alpha, beta... gamma!")).toDF("doc_id", "text")
+    val out2 = Dedup.snapshotDiff(
+        oldV.where($"doc_id" === 1L), punct, "doc_id",
+        TextStats.fingerprint(col("text"))).collect()
+    assert(out2.head.getAs[String]("status") == "unchanged")
+  }
+
+  test("blockedEditJoin: exact distances within blocks, cross-block " +
+    "pairs missed by design, oversized blocks dropped") {
+    import graft.operators.Fuzzy
+    val rows = Seq(
+      (1L, "the quick brown fox", "B1"),
+      (2L, "the quick browne fox", "B1"),   // dist 1 from #1
+      (3L, "the quick crowns ox", "B1"),    // dist 3 from #1
+      (4L, "totally different text", "B1"), // far: excluded by maxDist
+      (5L, "the quick brown fox", "B2"),    // dup of #1, OTHER block
+      (10L, "aaa", "HOT"), (11L, "aaa", "HOT"), (12L, "aaa", "HOT"),
+      (13L, "aaa", "HOT"), (14L, "aaa", "HOT") // block of 5 > maxBlock 4
+    ).toDF("id", "s", "blk")
+    val out = Fuzzy.blockedEditJoin(rows, "id", col("s"), col("blk"),
+        maxDist = 4, maxBlock = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("dist")).toMap
+    // within-block pairs at their true distances; 4 is out of range,
+    // 5 is invisible (other block), the HOT block never pairs
+    assert(out == Map((1L, 2L) -> 1L, (1L, 3L) -> 3L, (2L, 3L) -> 3L),
+      s"$out")
+  }
 }
