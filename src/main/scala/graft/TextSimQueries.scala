@@ -505,6 +505,35 @@ object TextSimQueries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY 1""".stripMargin
 
+  /** PMI collocations: the 50 strongest adjacent-word associations with
+    * support ≥ 5 — counts exact BIGINT, the PMI double computed in ONE
+    * fixed op order ((c_ab·N)/(c_a·c_b), one ln, one round) so the
+    * oracle replays it bit-for-bit; ties at the cut break on the bigram
+    * itself, so the LIMIT boundary is deterministic on both engines. */
+  private def qT26collocations(s: SparkSession, d: String): DataFrame =
+    TextStats.collocations(docs(s, d), "doc_id", "text",
+      minCount = 5L, k = 50)
+  private val oT26 =
+    """WITH w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM documents),
+      |b AS (SELECT unnest(list_transform(
+      |    range(1, greatest(len(ws) - 1, 0) + 1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bgr FROM w),
+      |sp AS (SELECT string_split(bgr, ' ')[1] AS w1,
+      |    string_split(bgr, ' ')[2] AS w2 FROM b),
+      |cab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM sp GROUP BY 1, 2),
+      |n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab),
+      |ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+      |cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1)
+      |SELECT cab.w1, cab.w2, cab.c_ab, ca.c_a, cb.c_b,
+      |  round(ln((CAST(cab.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+      |    / (CAST(ca.c_a AS DOUBLE) * CAST(cb.c_b AS DOUBLE))), 6) AS pmi
+      |FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
   /** TRAINED hashed-feature classifier under the FULL hash gate: 3
     * full-batch logistic-regression steps (micro-integer weights, the
     * PageRank grid discipline) learn English-vs-rest from the hashed
@@ -3006,6 +3035,7 @@ object TextSimQueries {
     "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_e3_corpus_report" -> qE3corpusReport _,
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
+    "q_t26_collocations" -> qT26collocations _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -3077,6 +3107,7 @@ object TextSimQueries {
     "q_t23_lm_frozen" -> oT23,
     "q_e3_corpus_report" -> oE3,
     "q_t25_trained_classifier" -> oT25,
+    "q_t26_collocations" -> oT26,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

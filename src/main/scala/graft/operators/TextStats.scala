@@ -296,6 +296,50 @@ object TextStats {
           .as("top_bigram_frac"))
   }
 
+  /** PMI collocations — the corpus's strongest word associations:
+    * pointwise mutual information ln(c_ab·N / (c_a·c_b)) over adjacent
+    * word pairs, where c_a / c_b are the word's occurrences as a LEFT /
+    * RIGHT bigram member and N the total bigram count (the standard
+    * collocation-extraction statistic for vocabulary and tokenizer
+    * work — "new york" scores high, "of the" low, despite both being
+    * frequent). `minCount` drops the unstable low-support tail before
+    * ranking; output is the k strongest by (pmi desc, bigram asc).
+    *
+    * Scale shape: one tokenize pass → within-doc `lead` window (the
+    * repetitionStats bigram stitch — per-doc partitions, bounded by doc
+    * length) → ONE (w1, w2) hash aggregate; the marginals are two
+    * re-aggregations of that bigram-count frame (rows ∝ distinct
+    * bigrams, not occurrences) joined back on the word key. The PMI
+    * arithmetic runs in doubles with one fixed operation order
+    * ((c_ab·N)/(c_a·c_b), one ln, one round) so the DuckDB oracle
+    * replays it bit-for-bit; counts stay exact BIGINTs. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(Dedup.words(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val bg = tok
+      .select(col("id"), col("w").as("w1"),
+        lead(col("w"), 1).over(byDoc).as("w2"))
+      .where(col("w2").isNotNull)
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val n = cab.agg(sum(col("c_ab")).as("_n"))
+    val ca = cab.groupBy("w1").agg(sum(col("c_ab")).as("c_a"))
+    val cb = cab.groupBy("w2").agg(sum(col("c_ab")).as("c_b"))
+    cab.where(col("c_ab") >= minCount)
+      .join(ca, Seq("w1")).join(cb, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") * col("_n").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   // ---- chunking --------------------------------------------------------------
 
   /** Split documents into word-bounded training chunks of `chunkWords`

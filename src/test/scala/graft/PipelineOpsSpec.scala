@@ -911,6 +911,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set(("g", 1L, 0.9), ("g", 2L, 0.5), ("h", 9L, 0.2)), s"$out")
   }
 
+  test("collocations: PMI over adjacent pairs, hand-computed, " +
+    "minCount gates support, ties at the cut break on the bigram") {
+    import graft.operators.TextStats
+    // bigrams: d1 {new-york, york-is, is-big}, d2 {new-york, york-city},
+    // d3 {the-city, city-is, is-big} -> N = 8
+    // c_ab(new,york)=2, c_a(new)=2, c_b(york)=2 -> pmi = ln(2*8/4) = ln 4
+    // c_ab(is,big)=2,  c_a(is)=2,  c_b(big)=2  -> ln 4 too; tie breaks
+    // "is big" < "new york" lexicographically
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "new york city"),
+      (3L, "the city is big")).toDF("doc_id", "text")
+    val out = TextStats.collocations(docs, "doc_id", "text",
+        minCount = 2L, k = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+        r.getAs[Double]("pmi")))
+    val ln4 = BigDecimal(math.log(4.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("is", "big", 2L, 2L, 2L, ln4),
+      ("new", "york", 2L, 2L, 2L, ln4)), s"${out.toSeq}")
+  }
+
   test("funnel: strict event-time order, out-of-order steps don't count") {
     // u1 completes view→click→purchase in order; u2 clicks BEFORE their
     // first view (doesn't count) and never re-clicks; u3 views only
