@@ -458,6 +458,80 @@ object PipelineQueries {
 
   // ---- end-to-end curation -----------------------------------------------
 
+  /** Incremental curation — the "reprocess only what changed" flow a
+    * 100 TB corpus demands: snapshot-diff v1→v2 (X88), then run ONLY
+    * the `added ∪ changed` delta through the incremental dedup check
+    * (X13) against the unchanged corpus. The composition goes through
+    * the real operators (`snapshotDiff` feeding `dedupAgainstCorpus`),
+    * and the oracle replays diff + check as one CTE chain — proving the
+    * two oracled stages compose without parity drift. Output: one row
+    * per delta doc (status, exact-hit, best Jaccard, keep). */
+  private def qE4incremental(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val v1 = base.where(col("doc_id") % 13 =!= 0)
+    val v2 = base.where(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" revised"))).otherwise(col("text")))
+    val diff = graft.operators.Dedup.snapshotDiff(v1, v2, "doc_id",
+      graft.operators.TextStats.fingerprint(col("text")))
+    val delta = v2.join(diff.where(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"), col("status")), Seq("doc_id"))
+    val corpus = v2.join(diff.where(col("status") === "unchanged")
+      .select(col("id").as("doc_id")), Seq("doc_id"))
+    graft.operators.Dedup.dedupAgainstCorpus(delta.drop("status"), corpus,
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .join(delta.select(col("doc_id").as("id"), col("status")), Seq("id"))
+      .select(col("id"), col("status"),
+        col("dropped_exact").cast("long").as("dropped_exact"),
+        col("best_jaccard"), col("keep").cast("long").as("keep"))
+      .orderBy("id")
+  }
+  private val oE4 =
+    """WITH v2 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |v1f AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0),
+      |f2 AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  FROM v2),
+      |st AS (SELECT f2.doc_id,
+      |    CASE WHEN v1f.fp IS NULL THEN 'added'
+      |      WHEN v1f.fp = f2.fp THEN 'unchanged'
+      |      ELSE 'changed' END AS status
+      |  FROM f2 LEFT JOIN v1f ON v1f.doc_id = f2.doc_id),
+      |delta AS (SELECT doc_id, status FROM st
+      |  WHERE status IN ('added', 'changed')),
+      |corp AS (SELECT doc_id FROM st WHERE status = 'unchanged'),
+      |cfp AS (SELECT DISTINCT f2.fp FROM f2 JOIN corp USING (doc_id)),
+      |w AS (SELECT doc_id,
+      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |FROM v2),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |p AS (SELECT be.doc_id AS bid, ce.doc_id AS cid, be.n_sh AS na,
+      |    ce.n_sh AS nb, count(*) AS inter
+      |  FROM e be JOIN delta ON delta.doc_id = be.doc_id
+      |  JOIN e ce ON be.sg = ce.sg
+      |  JOIN corp ON corp.doc_id = ce.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |bj AS (SELECT bid, round(max(CAST(inter AS DOUBLE) /
+      |    CAST(na + nb - inter AS DOUBLE)), 6) AS best_jaccard
+      |  FROM p GROUP BY 1),
+      |b AS (SELECT f2.doc_id AS id, delta.status,
+      |    CAST(cfp.fp IS NOT NULL AS BIGINT) AS dropped_exact,
+      |    bj.best_jaccard
+      |  FROM f2 JOIN delta ON delta.doc_id = f2.doc_id
+      |  LEFT JOIN cfp ON f2.fp = cfp.fp
+      |  LEFT JOIN bj ON bj.bid = f2.doc_id)
+      |SELECT id, status, dropped_exact, best_jaccard,
+      |  CAST(dropped_exact = 0 AND (best_jaccard IS NULL OR
+      |    best_jaccard < CAST(0.5 AS DOUBLE)) AS BIGINT) AS keep
+      |FROM b ORDER BY id""".stripMargin
+
   /** The full curation chain (exact dedup → quality gate → scrub →
     * split → shard packing) through the `api.Pipeline` facade, verified
     * as ONE oracle — proving the oracled stages compose without parity
@@ -1029,6 +1103,7 @@ object PipelineQueries {
     "q_e2e_curate" -> qE2Ecurate _,
     "q_e2e_pack" -> qE2Epack _,
     "q_e2e_strict" -> qE2Estrict _,
+    "q_e4_incremental_curate" -> qE4incremental _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1059,5 +1134,6 @@ object PipelineQueries {
     "q_e2e_curate" -> oE2E,
     "q_e2e_pack" -> oE2Epack,
     "q_e2e_strict" -> oE2Estrict,
+    "q_e4_incremental_curate" -> oE4,
   )
 }
