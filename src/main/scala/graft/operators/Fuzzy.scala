@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance similarity join — record linkage / fuzzy title
   * dedup ("are these two near-identical strings the same record"), the
-  * string-metric sibling of the LSH pair generators (reference analog:
-  * the id/title matching the catalog merge paths do exactly, just
-  * tolerant of typos).
+  * string-metric sibling of the LSH pair generators. Reference analog:
+  * the dataset_id-exact merges of `gdutils/__init__.py:51,412` — this
+  * is the same record-matching step made typo-tolerant (superset
+  * scope, like the rest of the X-family).
   *
   * Semantics contract (the LSH discipline): EXACT precision — every
   * emitted pair truly has levenshtein ≤ maxDist — with BLOCKING recall:
