@@ -534,6 +534,101 @@ object TextSimQueries {
       |WHERE c_ab >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** In-engine BPE vocabulary training under the FULL hash gate: 10
+    * merge steps learned from the corpus word histogram (argmax
+    * adjacent pair, count-desc / pair-asc tie break, greedy leftmost
+    * non-overlapping re-tokenization via the separator-wrapped literal
+    * replace). The oracle replays the ENTIRE trajectory — histogram,
+    * per-step pair counts, argmax, and every re-tokenization — as 10
+    * chained CTE blocks (the q_t25/q_d16 discipline). */
+  private def qT27bpe(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.mergesFrame(s,
+        graft.operators.Bpe.train(docs(s, d), "text", k = 10))
+      .orderBy("step")
+  /** The BPE training replay CTE chain (h → t0 → (p_i, m_i, t_i)×k),
+    * shared by the training and encoding oracles. `w` rides through the
+    * t-chain so the final state maps each distinct word to its
+    * tokenization. */
+  private def bpeCtes(iters: Int): String = {
+    val S = graft.operators.Bpe.Sep
+    val stages = (1 to iters).map { i =>
+      s"""p$i AS (SELECT string_split(pr, '$S$S')[1] AS l,
+         |    string_split(pr, '$S$S')[2] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(
+         |      range(1, greatest(len(sp) - 1, 0) + 1),
+         |      j -> sp[j] || '$S$S' || sp[j+1])) AS pr
+         |    FROM (SELECT cnt, string_split(trim(seq, '$S'), '$S$S') AS sp
+         |      FROM t${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |t$i AS (SELECT w, cnt, replace(seq,
+         |    '$S' || m$i.l || '$S$S' || m$i.r || '$S',
+         |    '$S' || m$i.l || m$i.r || '$S') AS seq
+         |  FROM t${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""h AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(trim(lower(
+       |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |t0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '$S\\1$S', 'g') AS seq
+       |  FROM h),
+       |$stages""".stripMargin
+  }
+  private val oT27 = {
+    val rows = (1 to 10).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, l AS l_tok, r AS r_tok, " +
+        s"l || r AS merged, c AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(10)}
+       |SELECT * FROM ($rows)
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The learned vocabulary APPLIED at corpus scale: every doc's words
+    * encoded with the 10-merge BPE from q_t27, per-doc token/char
+    * totals and the chars-per-token compression. The Spark side encodes
+    * per word occurrence with the chained-replace expression; the
+    * oracle reads each word's final tokenization off the t10 training
+    * state — two different routes to the same numbers, both under the
+    * hash gate. */
+  private def qT28encode(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe.train(docs(s, d), "text", k = 10)
+    docs(s, d)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        size(graft.operators.Bpe.encodeWord(col("w"), merges))
+          .cast("long").as("nt"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("doc_id")
+      .agg(sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_words"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+  private val oT28 = {
+    val S = graft.operators.Bpe.Sep
+    s"""WITH ${bpeCtes(10)},
+       |enc AS (SELECT w,
+       |    CAST(len(string_split(trim(seq, '$S'), '$S$S')) AS BIGINT) AS nt,
+       |    CAST(length(w) AS BIGINT) AS nc
+       |  FROM t10),
+       |dw AS (SELECT doc_id, unnest(string_split(trim(lower(
+       |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents),
+       |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    CAST(sum(nc) AS BIGINT) AS n_chars,
+       |    CAST(count(*) AS BIGINT) AS n_words
+       |  FROM dw JOIN enc USING (w) WHERE w <> '' GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_chars, n_words,
+       |  round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** TRAINED hashed-feature classifier under the FULL hash gate: 3
     * full-batch logistic-regression steps (micro-integer weights, the
     * PageRank grid discipline) learn English-vs-rest from the hashed
@@ -3036,6 +3131,8 @@ object TextSimQueries {
     "q_e3_corpus_report" -> qE3corpusReport _,
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_t26_collocations" -> qT26collocations _,
+    "q_t27_bpe_train" -> qT27bpe _,
+    "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -3108,6 +3205,8 @@ object TextSimQueries {
     "q_e3_corpus_report" -> oE3,
     "q_t25_trained_classifier" -> oT25,
     "q_t26_collocations" -> oT26,
+    "q_t27_bpe_train" -> oT27,
+    "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,
