@@ -2846,6 +2846,49 @@ object TextSimQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** HTML boilerplate strip over deterministically injected markup (the
+    * corpus is plain text — the injection wraps every doc in a real
+    * html/head/style/script/entity/comment skeleton so every branch of
+    * the stripper exercises on both engines identically): script/style
+    * blocks die WITH their contents, tags drop, the five standard
+    * entities decode (&amp; last), whitespace collapses. */
+  private def qT29htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(
+      lit("<html><head><style type=\"text/css\">p{c:1}</style></head>" +
+        "<body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1>\n<p>"), col("text"),
+      lit(" Tom &amp; Jerry &lt;3 &quot;ok&quot; &#39;y&#39;</p>" +
+        "<script>var x = 1 && 2;</script><!-- note --></body></html>"))
+    docs(s, d).select(col("doc_id"),
+        TextStats.stripHtml(injected).as("clean"),
+        TextStats.htmlTagCount(injected).as("n_tags"))
+      .orderBy("doc_id")
+  }
+  private val oT29 = {
+    val inj = "'<html><head><style type=\"text/css\">p{c:1}</style></head>" +
+      "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || " +
+      "'<p>' || text || ' Tom &amp; Jerry &lt;3 &quot;ok&quot; " +
+      "&#39;y&#39;</p><script>var x = 1 && 2;</script>" +
+      "<!-- note --></body></html>'"
+    val script = TextStats.ScriptRe
+    val tag = TextStats.TagRe
+    s"""WITH inj AS (SELECT doc_id, $inj AS h FROM documents),
+       |st AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(h, '$script', ' ', 'g'),
+       |      '$tag', ' ', 'g') AS t0,
+       |    CAST(len(regexp_extract_all(h, '$tag')) AS BIGINT) AS n_tags
+       |  FROM inj),
+       |de AS (SELECT doc_id, n_tags,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      regexp_replace(t0, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |      '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+       |      '&amp;', '&', 'g') AS t1
+       |  FROM st)
+       |SELECT doc_id,
+       |  trim(regexp_replace(t1, '\\s+', ' ', 'g')) AS clean, n_tags
+       |FROM de ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-language cap (deterministic reservoir): smallest-(hash, id) 20
     * docs per lang survive; two-phase partial cap, no hot-group funnel. */
   private def qX3cap(s: SparkSession, d: String): DataFrame =
@@ -3144,6 +3187,7 @@ object TextSimQueries {
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_t26_collocations" -> qT26collocations _,
     "q_t27_bpe_train" -> qT27bpe _,
+    "q_t29_html_strip" -> qT29htmlStrip _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3218,6 +3262,7 @@ object TextSimQueries {
     "q_t25_trained_classifier" -> oT25,
     "q_t26_collocations" -> oT26,
     "q_t27_bpe_train" -> oT27,
+    "q_t29_html_strip" -> oT29,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

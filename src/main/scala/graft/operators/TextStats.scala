@@ -258,6 +258,34 @@ object TextStats {
   def phoneCount(c: Column): Column =
     regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe)).cast("long")
 
+  // ---- HTML boilerplate stripping -----------------------------------------
+
+  /** Patterns kept to the Java↔RE2 common subset (inline (?is) flags,
+    * non-greedy spans, no lookaround) so the DuckDB oracle evaluates
+    * them identically. */
+  val ScriptRe = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  val TagRe = "(?s)<[^>]*>"
+
+  /** Strip HTML to text — the web-corpus boilerplate pass: drop
+    * script/style blocks WITH their contents, drop every remaining tag,
+    * decode the five standard entities, collapse whitespace runs to one
+    * space, trim. A regex chain, not a parser — the deliberately
+    * engine-replayable 80% of extraction (a real DOM pipeline slots in
+    * behind the same column contract). Map-side codegen'd, no shuffle. */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c, ScriptRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Tag count BEFORE stripping (audit metric for the pass). */
+  def htmlTagCount(c: Column): Column =
+    regexp_count(c, lit(TagRe)).cast("long")
+
   // ---- repetition metrics --------------------------------------------------
 
   /** Gopher-style repetition metrics per document — the "is this text

@@ -44,6 +44,31 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       Seq(("u", "v", 2L), ("x", "y", 2L)), s"$m")
   }
 
+  test("encodeWord serves a STREAM with a frozen vocab == batch " +
+    "(stateless chained-replace expression)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val m = Bpe.train(Seq((1L, "aaab aaab ab")).toDF("doc_id", "text"),
+      "text", k = 3)
+    val live = Seq((10L, "aaab"), (11L, "aab"), (12L, "ba"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val batch = rows(live.toDF("id", "w")
+      .select(col("id"), Bpe.encodeWord(col("w"), m).as("t")))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "w")
+      .select(col("id"), Bpe.encodeWord(col("w"), m).as("t"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    try {
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      val streamed = rows(spark.table("bpe_out"))
+      assert(streamed == batch, s"$streamed vs $batch")
+      assert(streamed(10L) == Seq("aaab") && streamed(11L) == Seq("aa", "b"))
+    } finally q.stop()
+  }
+
   test("train stops early when no pairs remain") {
     val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // one merge exhausts every multi-token word; k=5 must return 1
