@@ -2889,6 +2889,65 @@ object TextSimQueries {
        |FROM de ORDER BY doc_id""".stripMargin
   }
 
+  /** URL parsing/canonicalization over five injected URL shapes (mixed
+    * case, userinfo, default ports, queries, fragments, trailing
+    * slashes — the corpus has no URLs, so the injection exercises every
+    * branch on both engines): scheme/host/registered-domain extraction
+    * plus the dedup canonical form. */
+  private def qT30urlParse(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val k = (col("doc_id") % 7).cast("string")
+    val j = (col("doc_id") % 37).cast("string")
+    val id = col("doc_id").cast("string")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://user:pw@WWW.Sub"), j, lit(".Example"), k,
+          lit(".COM:443/Path/"), id, lit("/?q=1#frag")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("http://example"), k, lit(".com:80/a/"), id))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://sub.example"), k, lit(".com/b/"), id, lit("?x=2")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("ftp://files.example"), k, lit(".com/data/"), id,
+          lit("#sec")))
+      .otherwise(concat(lit("https://example"), k, lit(".com/")))
+    docs(s, d).select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        Urls.scheme(col("url")).as("scheme"),
+        Urls.host(col("url")).as("host"),
+        Urls.registeredDomain(col("url")).as("domain"),
+        Urls.canonicalize(col("url")).as("canonical"))
+      .orderBy("doc_id")
+  }
+  private val oT30 =
+    """WITH u AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'HTTPS://user:pw@WWW.Sub' || CAST(doc_id % 37 AS VARCHAR)
+      |      || '.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Path/'
+      |      || CAST(doc_id AS VARCHAR) || '/?q=1#frag'
+      |    WHEN 1 THEN 'http://example' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.com:80/a/' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN 'https://sub.example' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.com/b/' || CAST(doc_id AS VARCHAR) || '?x=2'
+      |    WHEN 3 THEN 'ftp://files.example' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.com/data/' || CAST(doc_id AS VARCHAR) || '#sec'
+      |    ELSE 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
+      |  END AS url FROM documents),
+      |p AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      |      '^[^@]*@', ''), ':(80|443)$', '') AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM u)
+      |SELECT doc_id, url, scheme, host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+      |  scheme || '://' || host || regexp_replace(path, '/+$', '')
+      |    AS canonical
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Per-language cap (deterministic reservoir): smallest-(hash, id) 20
     * docs per lang survive; two-phase partial cap, no hot-group funnel. */
   private def qX3cap(s: SparkSession, d: String): DataFrame =
@@ -3188,6 +3247,7 @@ object TextSimQueries {
     "q_t26_collocations" -> qT26collocations _,
     "q_t27_bpe_train" -> qT27bpe _,
     "q_t29_html_strip" -> qT29htmlStrip _,
+    "q_t30_url_parse" -> qT30urlParse _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3263,6 +3323,7 @@ object TextSimQueries {
     "q_t26_collocations" -> oT26,
     "q_t27_bpe_train" -> oT27,
     "q_t29_html_strip" -> oT29,
+    "q_t30_url_parse" -> oT30,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
