@@ -234,6 +234,47 @@ object TextSimQueries {
       |  round(1.0 / (1.0 + exp(-(CAST(wsum AS DOUBLE) / (greatest(n, 1) * 1000.0)))), 6) AS score
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Corpus-scale AUC — the fixed-weight classifier's score (q_t12)
+    * graded against the lang=='en' label with the histogram rank-sum
+    * AUC: ONE (score, n_pos, n_neg) aggregate, the cumulative window
+    * over HISTOGRAM rows only (grid-rounded scores bound the distinct
+    * count), ties at half credit, exact-BIGINT numerator until the one
+    * final division. */
+  private def qT31auc(s: SparkSession, d: String): DataFrame =
+    graft.operators.Metrics.auc(
+      docs(s, d).select(
+        TextStats.hashedClassifierScore(col("text"), dim = 64).as("score"),
+        (col("lang") === "en").cast("long").as("y")),
+      col("score"), col("y"))
+  private val oT31 =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n,
+      |  coalesce(list_sum(list_transform(toks, tk ->
+      |    CAST(concat('0x', substr(md5(concat('w',
+      |      CAST(CAST(concat('0x', substr(md5(concat(tk, '|graft')), 1, 6)) AS BIGINT) % 64
+      |        AS VARCHAR), '|graft')), 1, 6)) AS BIGINT) % 2001 - 1000)), 0) AS wsum
+      |FROM t),
+      |sc AS (SELECT
+      |    round(1.0 / (1.0 + exp(-(CAST(s.wsum AS DOUBLE)
+      |      / (greatest(s.n, 1) * 1000.0)))), 6) AS score,
+      |    CAST(d.lang = 'en' AS BIGINT) AS y
+      |  FROM s JOIN documents d USING (doc_id)),
+      |h AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY 1),
+      |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      |  FROM h),
+      |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(nn) AS BIGINT) AS n_neg,
+      |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS s2 FROM c)
+      |SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN round(CAST(s2 AS DOUBLE)
+      |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |  END AS auc
+      |FROM a""".stripMargin
+
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
     * shuffle with map-side combine, then the k-bounded `BoundedTopK`
@@ -3248,6 +3289,7 @@ object TextSimQueries {
     "q_t27_bpe_train" -> qT27bpe _,
     "q_t29_html_strip" -> qT29htmlStrip _,
     "q_t30_url_parse" -> qT30urlParse _,
+    "q_t31_auc" -> qT31auc _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3324,6 +3366,7 @@ object TextSimQueries {
     "q_t27_bpe_train" -> oT27,
     "q_t29_html_strip" -> oT29,
     "q_t30_url_parse" -> oT30,
+    "q_t31_auc" -> oT31,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
