@@ -1404,6 +1404,51 @@ object TextSimQueries {
     s"CASE WHEN CAST(concat('0x', substr(md5(concat(CAST($key AS VARCHAR), " +
       "'|graft')), 1, 6)) AS BIGINT) < 3355443 THEN 'test' ELSE 'train' END"
 
+  /** Inter-annotator agreement (Cohen's κ) over two deterministic
+    * synthetic raters (the q_x2 injection discipline — no human labels
+    * in the corpus): rater A = hash24(id|raterA) % 3; rater B copies A
+    * 70% of the time (hash24(id|agree) % 10 < 7), else shifts by
+    * 1 + hash24(id|raterB) % 2 — so κ lands strictly between 0 and 1
+    * and every branch of the contingency/marginal/chance arithmetic
+    * crosses the hash gate. */
+  private def qX13kappa(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Metrics, Sampling}
+    val a = Sampling.hash24(col("doc_id"), "raterA") % 3
+    val b = when(Sampling.hash24(col("doc_id"), "agree") % 10 < 7, a)
+      .otherwise((a + lit(1L) + Sampling.hash24(col("doc_id"), "raterB") % 2)
+        % 3)
+    Metrics.cohenKappa(docs(s, d).select(a.as("a"), b.as("b")),
+      col("a"), col("b"))
+  }
+  private val oX13 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH r AS (SELECT doc_id, ${h24("raterA")} % 3 AS a FROM documents),
+       |rb AS (SELECT r.doc_id, CAST(r.a AS VARCHAR) AS a,
+       |    CAST(CASE WHEN ${h24("agree")} % 10 < 7 THEN r.a
+       |      ELSE (r.a + 1 + ${h24("raterB")} % 2) % 3 END AS VARCHAR) AS b
+       |  FROM r JOIN documents USING (doc_id)),
+       |ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM rb GROUP BY 1, 2),
+       |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM ct GROUP BY 1),
+       |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY 1),
+       |x AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS x
+       |  FROM ma JOIN mb ON ma.a = mb.b),
+       |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS g
+       |  FROM ct),
+       |pp AS (SELECT n,
+       |    round(CAST(g AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       |    round(CAST(x.x AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe
+       |  FROM ag, x)
+       |SELECT n, po, pe,
+       |  CASE WHEN pe < 1.0
+       |    THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+       |FROM pp""".stripMargin
+  }
+
   /** Leakage-free train/test split: label every document with its
     * near-dup CLUSTER (the q_d6 closure; singletons keep their own id)
     * and hash-split on the CLUSTER label, so near-duplicates can never
@@ -3290,6 +3335,7 @@ object TextSimQueries {
     "q_t29_html_strip" -> qT29htmlStrip _,
     "q_t30_url_parse" -> qT30urlParse _,
     "q_t31_auc" -> qT31auc _,
+    "q_x13_kappa" -> qX13kappa _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3367,6 +3413,7 @@ object TextSimQueries {
     "q_t29_html_strip" -> oT29,
     "q_t30_url_parse" -> oT30,
     "q_t31_auc" -> oT31,
+    "q_x13_kappa" -> oX13,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

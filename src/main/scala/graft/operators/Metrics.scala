@@ -42,4 +42,39 @@ object Metrics {
             / (lit(2.0) * col("n_pos").cast("double")
               * col("n_neg").cast("double")), 6)).as("auc"))
   }
+
+  /** Cohen's kappa — chance-corrected inter-annotator agreement, the
+    * label-QA gate before human labels feed training: κ = (p_o − p_e) /
+    * (1 − p_e) with p_o the observed agreement and p_e the chance
+    * agreement Σ_c p_a(c)·p_b(c). One (a, b) contingency aggregate
+    * (rows bounded by label-pair cardinality, map-side combinable);
+    * marginals re-aggregate the contingency frame, never the examples;
+    * counts stay exact BIGINTs — p_o, p_e, and κ are each ONE fixed
+    * division order so the oracle replays the doubles. Output one row:
+    * (n, po, pe, kappa); κ is null when p_e = 1 (a single shared label
+    * — agreement is undefined, not perfect). */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val ct = df.select(aCol.cast("string").as("_a"),
+        bCol.cast("string").as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
+    val ma = ct.groupBy("_a").agg(sum(col("_c")).as("_ca"))
+    val mb = ct.groupBy("_b").agg(sum(col("_c")).as("_cb"))
+    // Σ_c ca(c)·cb(c) over the classes BOTH raters used (absent side = 0)
+    val cross = ma.join(mb, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("_x"))
+    val agree = ct.agg(sum(col("_c")).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("_c"))), lit(0L))
+        .as("_ag"))
+    agree.crossJoin(broadcast(cross))
+      .select(col("n"),
+        round(col("_ag").cast("double") / col("n").cast("double"), 6)
+          .as("po"),
+        round(col("_x").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .as("kappa"))
+  }
 }

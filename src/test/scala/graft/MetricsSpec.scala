@@ -36,4 +36,29 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     assert(aucOf(Seq((0.9, 1L), (0.1, 1L))) == (2L, 0L, None))
     assert(aucOf(Seq((0.9, 0L), (0.1, 0L))) == (0L, 2L, None))
   }
+
+  private def kappaOf(rows: Seq[(String, String)])
+      : (Long, Double, Double, Option[Double]) = {
+    val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Double]("po"), r.getAs[Double]("pe"),
+      if (r.isNullAt(r.fieldIndex("kappa"))) None
+      else Some(r.getAs[Double]("kappa")))
+  }
+
+  test("cohenKappa: hand-computed 2x2 case; perfect agreement; " +
+    "single shared label is undefined") {
+    // (0,0)x4 (0,1)x1 (1,1)x3 (1,0)x2: po=0.7;
+    // marginals a(0)=5,a(1)=5 / b(0)=6,b(1)=4 -> pe=(30+20)/100=0.5;
+    // kappa = 0.2/0.5 = 0.4
+    val rows = Seq.fill(4)(("0", "0")) ++ Seq(("0", "1")) ++
+      Seq.fill(3)(("1", "1")) ++ Seq.fill(2)(("1", "0"))
+    assert(kappaOf(rows) == (10L, 0.7, 0.5, Some(0.4)))
+    // perfect agreement over 2 classes: po=1, pe=0.5 -> kappa=1
+    assert(kappaOf(Seq(("x", "x"), ("y", "y")))._4 == Some(1.0))
+    // both raters always say the same single label: pe=1 -> undefined
+    assert(kappaOf(Seq(("z", "z"), ("z", "z"))) == (2L, 1.0, 1.0, None))
+    // disjoint label sets: po=0, pe=0 -> kappa=0
+    assert(kappaOf(Seq(("p", "q"), ("p", "q"))) == (2L, 0.0, 0.0, Some(0.0)))
+  }
 }

@@ -244,6 +244,23 @@ object ScaleSmoke {
         f"15 epochs must cost ~3x 5 (flat per-epoch), got $t5%.1fs -> $t15%.1fs")
       50000L
     }
+    // round 10: BPE training at 10× — verbatim copies multiply EVERY
+    // pair count by exactly 10 with the word vocabulary unchanged, so
+    // the merge trajectory (pairs, order, tie-breaks) must be
+    // IDENTICAL to a 1× run and every count exactly ×10. This is the
+    // histogram-not-corpus scale claim made falsifiable: if training
+    // leaked any per-occurrence state, copies would perturb it.
+    timed("bpe 10x invariance") {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val m1 = graft.operators.Bpe.train(base, "text", k = 10)
+      val m10 = graft.operators.Bpe.train(docs, "text", k = 10)
+      require(m10.map(m => (m.l, m.r)) == m1.map(m => (m.l, m.r)),
+        s"10x merges diverged:\n1x  ${m1}\n10x ${m10}")
+      require(m10.map(_.count) == m1.map(_.count * 10),
+        s"10x counts must be exactly 10x the 1x counts:\n$m1\n$m10")
+      m10.size.toLong
+    }
     // q_d5's graded mid-threshold config (0.4, 64 planes / 16 bands) was
     // measured ONCE here at 346.9 s: r=4 bands stop discriminating as n
     // grows (random-pair candidate P = 1−(1−2^-4)^16 ≈ 0.64 → the join
