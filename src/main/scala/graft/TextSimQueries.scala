@@ -275,6 +275,52 @@ object TextSimQueries {
       |  END AS auc
       |FROM a""".stripMargin
 
+  /** Calibration bins (the reliability diagram) over a synthetic
+    * WELL-CALIBRATED model: score = uniform md5 hash in [0, 1), label
+    * drawn positive with probability ≈ score from an independent hash —
+    * so all 10 bins populate, pos_rate tracks mean_score, and the gap
+    * column measures the (small) sampling deviation. Mean scores via
+    * exact 1e-6-regridded BIGINT sums — no partition-order float
+    * accumulation. (The q_x2 injection discipline: the corpus has no
+    * scored model output spanning [0,1), so the query builds one whose
+    * calibration is true by construction and lets the hash gate pin
+    * every bin.) */
+  private def qT32calibration(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val score = round(Sampling.hash24(col("doc_id"), "cal")
+      .cast("double") / lit(16777216.0), 6)
+    val y = (Sampling.hash24(col("doc_id"), "draw") % 1000000 <
+      floor(score * lit(1e6)).cast("long")).cast("long")
+    graft.operators.Metrics.calibrationBins(
+      docs(s, d).select(score.as("score"), y.as("y")),
+      col("score"), col("y"), bins = 10).orderBy("bin")
+  }
+  private val oT32 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH sc AS (SELECT
+      |    round(CAST(${h24("cal")} AS DOUBLE) / 16777216.0, 6) AS score0,
+      |    ${h24("draw")} % 1000000 AS draw
+      |  FROM documents),
+      |sc2 AS (SELECT score0 AS score,
+      |    CAST(draw < CAST(floor(score0 * 1000000.0) AS BIGINT) AS BIGINT)
+      |      AS y
+      |  FROM sc),""".stripMargin
+  } + "\n" + """g AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS ss
+      |  FROM sc2 GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)
+      |    AS mean_score,
+      |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+      |  round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    - round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6)
+      |    AS gap
+      |FROM g ORDER BY bin""".stripMargin
+
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
     * shuffle with map-side combine, then the k-bounded `BoundedTopK`
@@ -3336,6 +3382,7 @@ object TextSimQueries {
     "q_t30_url_parse" -> qT30urlParse _,
     "q_t31_auc" -> qT31auc _,
     "q_x13_kappa" -> qX13kappa _,
+    "q_t32_calibration" -> qT32calibration _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3414,6 +3461,7 @@ object TextSimQueries {
     "q_t30_url_parse" -> oT30,
     "q_t31_auc" -> oT31,
     "q_x13_kappa" -> oX13,
+    "q_t32_calibration" -> oT32,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

@@ -43,6 +43,32 @@ object Metrics {
               * col("n_neg").cast("double")), 6)).as("auc"))
   }
 
+  /** Calibration bins (the reliability diagram): equal-width score bins
+    * with each bin's mean predicted score vs observed positive rate —
+    * "when the model says 0.8, is it right 80% of the time". ONE hash
+    * aggregate over (bin); the mean avoids partition-order float
+    * accumulation by re-gridding scores to exact 1e-6 integers
+    * (floor(s·1e6 + 0.5), the engine's own rounding discipline) and
+    * summing BIGINTs — one division at the end. Output per non-empty
+    * bin: (bin, n, n_pos, mean_score, pos_rate, gap). */
+  def calibrationBins(df: DataFrame, scoreCol: Column, labelCol: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val b = least(floor(scoreCol * lit(bins)), lit(bins - 1)).cast("long")
+    df.select(b.as("bin"),
+        floor(scoreCol * lit(1e6) + lit(0.5)).cast("long").as("_s6"),
+        labelCol.cast("long").as("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_s6")).as("_ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_ss").cast("double") / col("n").cast("double")
+          / lit(1e6), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+      .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
+  }
+
   /** Cohen's kappa — chance-corrected inter-annotator agreement, the
     * label-QA gate before human labels feed training: κ = (p_o − p_e) /
     * (1 − p_e) with p_o the observed agreement and p_e the chance

@@ -37,6 +37,21 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     assert(aucOf(Seq((0.9, 0L), (0.1, 0L))) == (0L, 2L, None))
   }
 
+  test("calibrationBins: hand-computed bins, exact regridded means, " +
+    "score 1.0 clamps into the top bin") {
+    val rows = Seq((0.05, 0L), (0.95, 1L), (0.95, 1L), (0.96, 0L), (1.0, 1L))
+    val out = Metrics.calibrationBins(rows.toDF("score", "y"),
+        col("score"), col("y"), bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("mean_score"), r.getAs[Double]("pos_rate"),
+          r.getAs[Double]("gap"))).toMap
+    assert(out.keySet == Set(0L, 9L), s"${out.keySet}")
+    assert(out(0L) == (1L, 0L, 0.05, 0.0, -0.05))
+    // bin 9: n=4 (1.0 clamped in), mean = (0.95+0.95+0.96+1.0)/4 = 0.965
+    assert(out(9L) == (4L, 3L, 0.965, 0.75, -0.215), s"${out(9L)}")
+  }
+
   private def kappaOf(rows: Seq[(String, String)])
       : (Long, Double, Double, Option[Double]) = {
     val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
