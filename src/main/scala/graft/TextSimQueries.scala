@@ -275,6 +275,52 @@ object TextSimQueries {
       |  END AS auc
       |FROM a""".stripMargin
 
+  /** PR-curve threshold sweep — the fixed-weight classifier's score
+    * (q_t12) swept against the lang=='en' label: one row per distinct
+    * score with exact-BIGINT TP/FP/FN, precision, recall, and the
+    * integer-form F1 (2TP/(2TP+FP+FN) — never composes two rounded
+    * doubles). Cumulative windows run over HISTOGRAM rows only. */
+  private def qT33prCurve(s: SparkSession, d: String): DataFrame =
+    graft.operators.Metrics.prCurve(
+      docs(s, d).select(
+        TextStats.hashedClassifierScore(col("text"), dim = 64).as("score"),
+        (col("lang") === "en").cast("long").as("y")),
+      col("score"), col("y")).orderBy("threshold")
+  private val oT33 =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n,
+      |  coalesce(list_sum(list_transform(toks, tk ->
+      |    CAST(concat('0x', substr(md5(concat('w',
+      |      CAST(CAST(concat('0x', substr(md5(concat(tk, '|graft')), 1, 6)) AS BIGINT) % 64
+      |        AS VARCHAR), '|graft')), 1, 6)) AS BIGINT) % 2001 - 1000)), 0) AS wsum
+      |FROM t),
+      |sc AS (SELECT
+      |    round(1.0 / (1.0 + exp(-(CAST(s.wsum AS DOUBLE)
+      |      / (greatest(s.n, 1) * 1000.0)))), 6) AS score,
+      |    CAST(d.lang = 'en' AS BIGINT) AS y
+      |  FROM s JOIN documents d USING (doc_id)),
+      |h AS (SELECT score AS threshold, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY 1),
+      |c AS (SELECT threshold, np, nn,
+      |    sum(np) OVER (ORDER BY threshold DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    sum(nn) OVER (ORDER BY threshold DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+      |    sum(np) OVER () AS p FROM h)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(p - tp AS BIGINT) AS fn,
+      |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+      |    AS "precision",
+      |  CASE WHEN p > 0
+      |    THEN round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+      |  END AS recall,
+      |  CASE WHEN p > 0
+      |    THEN round(CAST(2 * tp AS DOUBLE)
+      |      / CAST(2 * tp + fp + (p - tp) AS DOUBLE), 6)
+      |  END AS f1
+      |FROM c ORDER BY threshold""".stripMargin
+
   /** Calibration bins (the reliability diagram) over a synthetic
     * WELL-CALIBRATED model: score = uniform md5 hash in [0, 1), label
     * drawn positive with probability ≈ score from an independent hash —
@@ -320,6 +366,111 @@ object TextSimQueries {
       |    - round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6), 6)
       |    AS gap
       |FROM g ORDER BY bin""".stripMargin
+
+  /** Expected / max calibration error over the q_t32 synthetic
+    * well-calibrated model — the one-row grade of the reliability
+    * diagram. The per-bin gaps re-grid to exact 1e-6 BIGINTs so the
+    * weighted sum is exact until one final division; hash-gated against
+    * the oracle's full CTE replay. */
+  private def qT34ece(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val score = round(Sampling.hash24(col("doc_id"), "cal")
+      .cast("double") / lit(16777216.0), 6)
+    val y = (Sampling.hash24(col("doc_id"), "draw") % 1000000 <
+      floor(score * lit(1e6)).cast("long")).cast("long")
+    graft.operators.Metrics.ece(
+      docs(s, d).select(score.as("score"), y.as("y")),
+      col("score"), col("y"), bins = 10)
+  }
+  private val oT34 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH sc AS (SELECT
+      |    round(CAST(${h24("cal")} AS DOUBLE) / 16777216.0, 6) AS score0,
+      |    ${h24("draw")} % 1000000 AS draw
+      |  FROM documents),
+      |sc2 AS (SELECT score0 AS score,
+      |    CAST(draw < CAST(floor(score0 * 1000000.0) AS BIGINT) AS BIGINT)
+      |      AS y
+      |  FROM sc),""".stripMargin
+  } + "\n" + """g AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS ss
+      |  FROM sc2 GROUP BY 1),
+      |g2 AS (SELECT n, CAST(floor(abs(
+      |    round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      - round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6),
+      |      6)) * 1000000.0 + 0.5) AS BIGINT) AS g6
+      |  FROM g)
+      |SELECT CAST(sum(n) AS BIGINT) AS n,
+      |  round(CAST(sum(n * g6) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |    / 1000000.0, 6) AS ece,
+      |  round(CAST(max(g6) AS DOUBLE) / 1000000.0, 6) AS mce
+      |FROM g2""".stripMargin
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential keys) — 20 docs per language with probability ∝ text
+    * length: key = −ln(u)/w from a deterministic (doc_id, salt) hash,
+    * k smallest keys win via the k-bounded BoundedTopK aggregate. The
+    * whole draw — hash, uniform transform, exponential key, per-group
+    * rank — replays in the oracle. */
+  private def qX14weighted(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.weightedSample(docs(s, d), "lang", "doc_id",
+        length(col("text")).cast("double"), k = 20, salt = "samp")
+      .orderBy("lang", "key", "doc_id")
+  private val oX14 =
+    """WITH w AS (SELECT lang, doc_id, CAST(length(text) AS DOUBLE) AS wt,
+      |    (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |      '|samp')), 1, 6)) AS BIGINT) + 1) / 16777216.0 AS u
+      |  FROM documents WHERE length(text) > 0),
+      |k AS (SELECT lang, doc_id, wt, -ln(u) / wt AS key,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY -ln(u) / wt, doc_id) AS rn
+      |  FROM w)
+      |SELECT lang, doc_id, round(wt, 6) AS weight, round(key, 6) AS key
+      |FROM k WHERE rn <= 20 ORDER BY lang, key, doc_id""".stripMargin
+
+  /** Log-likelihood keyness (Dunning's G²): the 50 words most
+    * distinctive of lang=='en' vs the rest of the corpus — signed by
+    * rate so target-overrepresented ranks first; counts exact BIGINTs,
+    * one fixed double op order per term, all replayed in the oracle. */
+  private def qT35keyness(s: SparkSession, d: String): DataFrame =
+    TextStats.keyness(docs(s, d), "lang", "text", target = "en",
+      minCount = 5L, k = 50)
+  private val oT35 =
+    """WITH tok AS (SELECT (lang = 'en') AS t,
+      |    unnest(string_split(trim(lower(regexp_replace(text,
+      |      '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents),
+      |tw AS (SELECT t, w, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |j AS (SELECT coalesce(a.w, b.w) AS word,
+      |    coalesce(a.c, CAST(0 AS BIGINT)) AS ca,
+      |    coalesce(b.c, CAST(0 AS BIGINT)) AS cb
+      |  FROM (SELECT w, c FROM tw WHERE t) a
+      |  FULL JOIN (SELECT w, c FROM tw WHERE NOT t) b ON a.w = b.w),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb FROM j),
+      |g AS (SELECT word, ca, cb,
+      |    (CASE WHEN ca > 0 THEN CAST(ca AS DOUBLE)
+      |        * ln(CAST(ca AS DOUBLE) / (CAST(na AS DOUBLE)
+      |          * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN cb > 0 THEN CAST(cb AS DOUBLE)
+      |        * ln(CAST(cb AS DOUBLE) / (CAST(nb AS DOUBLE)
+      |          * CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+      |      ELSE 0.0 END) AS ll,
+      |    CASE WHEN (CASE WHEN na > 0
+      |        THEN CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) ELSE 0.0 END)
+      |      >= (CASE WHEN nb > 0
+      |        THEN CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END)
+      |      THEN 1.0 ELSE -1.0 END AS sg
+      |  FROM j CROSS JOIN tot WHERE ca + cb >= 5)
+      |SELECT word, ca AS cnt_target, cb AS cnt_rest,
+      |  round(sg * 2.0 * ll, 6) AS g2
+      |FROM g ORDER BY g2 DESC, word LIMIT 50""".stripMargin
 
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
@@ -3383,6 +3534,10 @@ object TextSimQueries {
     "q_t31_auc" -> qT31auc _,
     "q_x13_kappa" -> qX13kappa _,
     "q_t32_calibration" -> qT32calibration _,
+    "q_t33_pr_curve" -> qT33prCurve _,
+    "q_t34_ece" -> qT34ece _,
+    "q_t35_keyness" -> qT35keyness _,
+    "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -3462,6 +3617,10 @@ object TextSimQueries {
     "q_t31_auc" -> oT31,
     "q_x13_kappa" -> oX13,
     "q_t32_calibration" -> oT32,
+    "q_t33_pr_curve" -> oT33,
+    "q_t34_ece" -> oT34,
+    "q_t35_keyness" -> oT35,
+    "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

@@ -69,6 +69,68 @@ object Metrics {
       .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
   }
 
+  /** Precision/recall/F1 threshold sweep (the PR curve) — one row per
+    * DISTINCT score, treating each as the decision threshold "predict
+    * positive iff score ≥ t". Same histogram discipline as [[auc]]: the
+    * examples reduce to ONE (score, n_pos, n_neg) map-side-combinable
+    * aggregate and every window runs over HISTOGRAM rows (bounded by
+    * the score grid — ≤ 1e6+1 rows for 6-decimal scores, never the
+    * corpus). TP/FP are cumulative sums down the score-desc order;
+    * FN = P − TP. All counts exact BIGINTs; precision = TP/(TP+FP)
+    * (denominator ≥ 1 by construction — the threshold row itself is
+    * counted), and F1 uses the integer form 2·TP/(2·TP+FP+FN) so it
+    * never composes two already-rounded doubles. recall/F1 are null
+    * when the corpus has no positives (undefined, not 0). */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column)
+      : DataFrame = {
+    val hist = df
+      .select(scoreCol.as("threshold"), labelCol.cast("long").as("_y"))
+      .groupBy("threshold")
+      .agg(sum(col("_y")).as("_np"), sum(lit(1L) - col("_y")).as("_nn"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hist
+      .withColumn("tp", sum(col("_np")).over(wDesc))
+      .withColumn("fp", sum(col("_nn")).over(wDesc))
+      .withColumn("_p", sum(col("_np")).over(wAll))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("_p") - col("tp")).as("fn"),
+        round(col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        when(col("_p") > 0,
+          round(col("tp").cast("double") / col("_p").cast("double"), 6))
+          .as("recall"),
+        when(col("_p") > 0,
+          round((lit(2L) * col("tp")).cast("double")
+            / (lit(2L) * col("tp") + col("fp")
+              + (col("_p") - col("tp"))).cast("double"), 6)).as("f1"))
+  }
+
+  /** Expected / max calibration error — the one-row summary of
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|gap_b|, MCE = max_b
+    * |gap_b|. The per-bin gaps are already on the exact 1e-6 grid, so
+    * they re-grid to BIGINTs (floor(|gap|·1e6 + 0.5)) and the weighted
+    * sum stays exact until ONE final division — no partition-order
+    * float accumulation over the ≤`bins` rows. Output: (n, ece, mce). */
+  def ece(df: DataFrame, scoreCol: Column, labelCol: Column,
+          bins: Int = 10): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .select(col("n"),
+        floor(abs(col("gap")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("_g6"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("n") * col("_g6")).as("_num"), max(col("_g6")).as("_mx"))
+      .select(col("n"),
+        round(col("_num").cast("double") / col("n").cast("double")
+          / lit(1e6), 6).as("ece"),
+        round(col("_mx").cast("double") / lit(1e6), 6).as("mce"))
+
   /** Cohen's kappa — chance-corrected inter-annotator agreement, the
     * label-QA gate before human labels feed training: κ = (p_o − p_e) /
     * (1 − p_e) with p_o the observed agreement and p_e the chance

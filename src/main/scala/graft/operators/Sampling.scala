@@ -86,6 +86,43 @@ object Sampling {
         col("_it.s").as("score"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, the
+    * exponential-clock form): each row draws key = −ln(u)/w with u a
+    * deterministic uniform hash of (id, salt) in (0, 1], and the k
+    * SMALLEST keys per group are exactly a weight-proportional
+    * without-replacement sample — the randomized middle ground between
+    * [[capPerGroup]]'s uniform reservoir and [[capPerGroupByScore]]'s
+    * deterministic top-k ("prefer high-quality docs, but don't take
+    * ONLY the top of the quality ranking"). Membership is a pure
+    * function of (id, salt, weight), reproducible across runs and
+    * partitionings like everything in this object.
+    *
+    * Rows with null or non-positive weight are excluded (they have no
+    * sampling mass). Returns (group, id, weight, key) keeper rows with
+    * weight/key rounded onto the 1e-6 grid for the oracle; selection
+    * ranks the UNROUNDED key (hash-distinct u values keep competing
+    * keys far beyond any libm ulp).
+    *
+    * Scale shape: same k-bounded `BoundedTopK` aggregate as the caps —
+    * state ∝ k per group, map-side partial combine, ONE exchange, no
+    * window, no corpus sort. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: Column, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hash24(col(idCol), salt) + lit(1L)).cast("double") /
+      lit(16777216.0)
+    val key = -log(u) / weightCol.cast("double")
+    val item = struct(key.as("key"), col(idCol).as("id"),
+      weightCol.cast("double").as("w"))
+    GroupTopN.smallestPerKey(
+        df.where(weightCol.isNotNull && weightCol > 0), groupCol, item, k)
+      .select(col(groupCol), explode(col("_top")).as("_it"))
+      .select(col(groupCol), col("_it.id").as(idCol),
+        round(col("_it.w"), 6).as("weight"),
+        round(col("_it.key"), 6).as("key"))
+  }
+
   /** Stratified deterministic sample: per-group keep fractions (corpus
     * rebalancing — downsample the over-represented languages/sources,
     * keep the rare ones whole). Same hash-threshold construction as

@@ -145,6 +145,62 @@ object TextStats {
         round(sum(col("_term")).cast("double"), 6).as("kl"))
   }
 
+  /** Log-likelihood keyness (Dunning's G², 1993): WORD-level source
+    * attribution — which words distinguish the `target` group from the
+    * rest of the corpus. The word-resolution companion to
+    * [[sourceDivergence]]'s distribution-level KL: KL says "this source
+    * is 0.4 nats from the blend", keyness says WHICH words carry it.
+    * G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) per word with a/b the
+    * target/rest counts and E the expected counts under independence;
+    * the result is SIGNED by rate comparison (positive = target-
+    * overrepresented) before rounding, so one column ranks both
+    * directions. Zero-count terms contribute exactly 0 (no smoothing
+    * needed — both marginals are observed).
+    *
+    * Cross-engine discipline: counts stay exact BIGINTs; each term is
+    * ONE fixed double op order (a·ln(a / (N_a·(a+b)/N)), the PMI/KL
+    * pattern) and the expected-count arithmetic runs in doubles so no
+    * BIGINT product overflows at corpus scale. Output:
+    * (word, cnt_target, cnt_rest, g2), top-k by (g2 desc, word).
+    *
+    * Scale shape: ONE (side, word) count aggregate (map-side
+    * combinable), a word-keyed full-outer self-alignment, one broadcast
+    * 1-row totals frame; the minCount gate bounds the ranked set and
+    * nothing is O(vocab²). */
+  def keyness(df: DataFrame, groupCol: String, textCol: String,
+              target: String, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val words = df.select((col(groupCol) === target).as("_t"),
+      explode(filter(graft.operators.Dedup.words(col(textCol)),
+        w => w =!= lit(""))).as("_w"))
+    val tw = words.groupBy("_t", "_w").agg(count(lit(1)).as("_c"))
+    val a = tw.where(col("_t")).select(col("_w"), col("_c").as("_ca"))
+    val b = tw.where(!col("_t")).select(col("_w"), col("_c").as("_cb"))
+    val j = a.join(b, Seq("_w"), "full_outer")
+      .select(col("_w").as("word"),
+        coalesce(col("_ca"), lit(0L)).as("_a"),
+        coalesce(col("_cb"), lit(0L)).as("_b"))
+    val tot = j.agg(sum(col("_a")).as("_na"), sum(col("_b")).as("_nb"))
+    val ad = col("_a").cast("double"); val bd = col("_b").cast("double")
+    val nad = col("_na").cast("double"); val nbd = col("_nb").cast("double")
+    val abd = (col("_a") + col("_b")).cast("double")
+    val nd = (col("_na") + col("_nb")).cast("double")
+    val ll =
+      when(col("_a") > 0, ad * log(ad / (nad * abd / nd))).otherwise(lit(0.0)) +
+      when(col("_b") > 0, bd * log(bd / (nbd * abd / nd))).otherwise(lit(0.0))
+    val rateA = when(col("_na") > 0, ad / nad).otherwise(lit(0.0))
+    val rateB = when(col("_nb") > 0, bd / nbd).otherwise(lit(0.0))
+    val sg = when(rateA >= rateB, lit(1.0)).otherwise(lit(-1.0))
+    j.where(col("_a") + col("_b") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("word"), col("_a").as("cnt_target"),
+        col("_b").as("cnt_rest"),
+        round(sg * lit(2.0) * ll, 6).as("g2"))
+      .orderBy(col("g2").desc, col("word"))
+      .limit(k)
+  }
+
   /** Per-group rank-defined score BUCKETS — the CCNet head/middle/tail
     * split generalized: `fractions` are cumulative cut fractions (e.g.
     * Seq(1/3, 2/3) → 3 buckets), and bucket b holds the rows between

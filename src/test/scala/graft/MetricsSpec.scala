@@ -52,6 +52,37 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     assert(out(9L) == (4L, 3L, 0.965, 0.75, -0.215), s"${out(9L)}")
   }
 
+  test("prCurve: hand-computed sweep with a tie row; no-positive " +
+    "corpus gives null recall/f1") {
+    val rows = Seq((0.9, 1L), (0.9, 0L), (0.7, 1L), (0.5, 0L))
+    val out = Metrics.prCurve(rows.toDF("score", "y"),
+        col("score"), col("y"))
+      .collect().map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1"))).toMap
+    assert(out.keySet == Set(0.9, 0.7, 0.5))
+    assert(out(0.9) == (1L, 1L, 1L, 0.5, 0.5, 0.5))
+    assert(out(0.7) == (2L, 1L, 0L, 0.666667, 1.0, 0.8))
+    assert(out(0.5) == (2L, 2L, 0L, 0.5, 1.0, 0.666667))
+    val neg = Metrics.prCurve(Seq((0.3, 0L), (0.8, 0L))
+        .toDF("score", "y"), col("score"), col("y")).collect()
+    assert(neg.forall(r => r.isNullAt(r.fieldIndex("recall"))
+      && r.isNullAt(r.fieldIndex("f1"))))
+    assert(neg.map(r => r.getAs[Double]("precision")).toSet == Set(0.0))
+  }
+
+  test("ece: weighted mean and max of the calibration-bin gaps") {
+    // same rows as the calibrationBins spec: bins 0 (n=1, gap -0.05)
+    // and 9 (n=4, gap -0.215) -> ece = (0.05 + 4*0.215)/5, mce = 0.215
+    val rows = Seq((0.05, 0L), (0.95, 1L), (0.95, 1L), (0.96, 0L), (1.0, 1L))
+    val r = Metrics.ece(rows.toDF("score", "y"),
+      col("score"), col("y"), bins = 10).collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("ece") == 0.182)
+    assert(r.getAs[Double]("mce") == 0.215)
+  }
+
   private def kappaOf(rows: Seq[(String, String)])
       : (Long, Double, Double, Option[Double]) = {
     val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))

@@ -911,6 +911,56 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Set(("g", 1L, 0.9), ("g", 2L, 0.5), ("h", 9L, 0.2)), s"$out")
   }
 
+  test("weightedSample: exactly the k smallest exponential keys per " +
+    "group, non-positive weights excluded, heavy weight dominates") {
+    def h24(id: Long, salt: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    def key(id: Long, w: Double): Double =
+      -math.log((h24(id, "samp") + 1L).toDouble / 16777216.0) / w
+    val rows = Seq(
+      (1L, "g", 3.0), (2L, "g", 1.0), (3L, "g", 5.0), (4L, "g", 2.0),
+      (5L, "g", 0.0), (6L, "h", 1.0) // weight 0 has no sampling mass
+    ).toDF("id", "grp", "w")
+    val out = Sampling.weightedSample(rows, "grp", "id", col("w"),
+        k = 2, salt = "samp")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    val expectG = Seq(1L -> 3.0, 2L -> 1.0, 3L -> 5.0, 4L -> 2.0)
+      .sortBy { case (id, w) => (key(id, w), id) }.take(2)
+      .map { case (id, _) => ("g", id) }.toSet
+    assert(out == expectG + (("h", 6L)), s"$out vs $expectG")
+    // probability ∝ weight: one huge-weight row beats k=1 of the rest
+    val heavy = (Seq((10L, "g", 1e9)) ++ (1L to 9L).map((_, "g", 1.0)))
+      .toDF("id", "grp", "w")
+    val win = Sampling.weightedSample(heavy, "grp", "id", col("w"), k = 1)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(win == Seq(10L), s"$win")
+  }
+
+  test("keyness: hand-computed G2 with sign from rate comparison; " +
+    "equal rates give 0") {
+    // target en: "aa aa bb" (na=3); rest fr: "bb cc cc" (nb=3), N=6
+    // aa: a=2,b=0 -> G2 = 2*(2*ln(2/1)) = 4 ln 2, target-overrepresented
+    // bb: a=1,b=1 -> expected 1/1, G2 = 0 (equal rates, sign +)
+    // cc: a=0,b=2 -> 4 ln 2 with NEGATIVE sign (rest-overrepresented)
+    val docs = Seq((1L, "en", "aa aa bb"), (2L, "fr", "bb cc cc"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.keyness(docs, "lang", "text", target = "en",
+        minCount = 1L, k = 10)
+      .collect().map(r => (r.getAs[String]("word"),
+        r.getAs[Long]("cnt_target"), r.getAs[Long]("cnt_rest"),
+        r.getAs[Double]("g2")))
+    val g4ln2 = BigDecimal(4.0 * math.log(2.0)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("aa", 2L, 0L, g4ln2),
+      ("bb", 1L, 1L, 0.0),
+      ("cc", 0L, 2L, -g4ln2)), s"${out.toSeq}")
+  }
+
   test("collocations: PMI over adjacent pairs, hand-computed, " +
     "minCount gates support, ties at the cut break on the bigram") {
     import graft.operators.TextStats
