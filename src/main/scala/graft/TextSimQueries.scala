@@ -307,7 +307,8 @@ object TextSimQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
       |    sum(nn) OVER (ORDER BY threshold DESC
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
-      |    sum(np) OVER () AS p FROM h)
+      |    sum(np) OVER () AS p,
+      |    sum(nn) OVER () AS nneg FROM h)
       |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
       |  CAST(p - tp AS BIGINT) AS fn,
       |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
@@ -315,6 +316,9 @@ object TextSimQueries {
       |  CASE WHEN p > 0
       |    THEN round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
       |  END AS recall,
+      |  CASE WHEN nneg > 0
+      |    THEN round(CAST(fp AS DOUBLE) / CAST(nneg AS DOUBLE), 6)
+      |  END AS fpr,
       |  CASE WHEN p > 0
       |    THEN round(CAST(2 * tp AS DOUBLE)
       |      / CAST(2 * tp + fp + (p - tp) AS DOUBLE), 6)

@@ -80,7 +80,9 @@ object Metrics {
     * (denominator ≥ 1 by construction — the threshold row itself is
     * counted), and F1 uses the integer form 2·TP/(2·TP+FP+FN) so it
     * never composes two already-rounded doubles. recall/F1 are null
-    * when the corpus has no positives (undefined, not 0). */
+    * when the corpus has no positives (undefined, not 0); fpr = FP/N
+    * rides along so the same sweep also plots the ROC (tpr == recall),
+    * null when there are no negatives. */
   def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column)
       : DataFrame = {
     val hist = df
@@ -99,6 +101,7 @@ object Metrics {
       .withColumn("tp", sum(col("_np")).over(wDesc))
       .withColumn("fp", sum(col("_nn")).over(wDesc))
       .withColumn("_p", sum(col("_np")).over(wAll))
+      .withColumn("_n", sum(col("_nn")).over(wAll))
       .select(col("threshold"), col("tp"), col("fp"),
         (col("_p") - col("tp")).as("fn"),
         round(col("tp").cast("double")
@@ -106,6 +109,9 @@ object Metrics {
         when(col("_p") > 0,
           round(col("tp").cast("double") / col("_p").cast("double"), 6))
           .as("recall"),
+        when(col("_n") > 0,
+          round(col("fp").cast("double") / col("_n").cast("double"), 6))
+          .as("fpr"),
         when(col("_p") > 0,
           round((lit(2L) * col("tp")).cast("double")
             / (lit(2L) * col("tp") + col("fp")

@@ -55,6 +55,23 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     assert(Sessions.sessionize(noEvents, Seq("user_id"), "ts", 600).isEmpty)
   }
 
+  test("metrics / weighted-sample / keyness on empty input") {
+    val noScored = Seq.empty[(Double, Long)].toDF("score", "y")
+    assert(Metrics.prCurve(noScored, col("score"), col("y")).isEmpty)
+    assert(Metrics.calibrationBins(noScored, col("score"), col("y")).isEmpty)
+    // one-row reducers on empty input: defined-null, not a crash
+    val aucRow = Metrics.auc(noScored, col("score"), col("y")).collect().head
+    assert(aucRow.isNullAt(aucRow.fieldIndex("auc")))
+    val eceRow = Metrics.ece(noScored, col("score"), col("y")).collect().head
+    assert(eceRow.isNullAt(eceRow.fieldIndex("ece"))
+      && eceRow.isNullAt(eceRow.fieldIndex("mce")))
+    assert(Sampling.weightedSample(noDocs.withColumn("w", lit(1.0)),
+      "text", "doc_id", col("w"), k = 3).isEmpty)
+    val noLangDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(TextStats.keyness(noLangDocs, "lang", "text", "en").isEmpty)
+  }
+
   test("LM / multimodal / calendar renderers on empty input") {
     // empty corpus: the bigram model has nothing to train on — empty out
     assert(TextStats.bigramLm(noDocs, "doc_id", "text").isEmpty)

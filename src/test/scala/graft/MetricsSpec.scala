@@ -60,16 +60,18 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getAs[Double]("threshold") ->
         (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
           r.getAs[Double]("precision"), r.getAs[Double]("recall"),
-          r.getAs[Double]("f1"))).toMap
+          r.getAs[Double]("fpr"), r.getAs[Double]("f1"))).toMap
     assert(out.keySet == Set(0.9, 0.7, 0.5))
-    assert(out(0.9) == (1L, 1L, 1L, 0.5, 0.5, 0.5))
-    assert(out(0.7) == (2L, 1L, 0L, 0.666667, 1.0, 0.8))
-    assert(out(0.5) == (2L, 2L, 0L, 0.5, 1.0, 0.666667))
+    assert(out(0.9) == (1L, 1L, 1L, 0.5, 0.5, 0.5, 0.5))
+    assert(out(0.7) == (2L, 1L, 0L, 0.666667, 1.0, 0.5, 0.8))
+    assert(out(0.5) == (2L, 2L, 0L, 0.5, 1.0, 1.0, 0.666667))
     val neg = Metrics.prCurve(Seq((0.3, 0L), (0.8, 0L))
         .toDF("score", "y"), col("score"), col("y")).collect()
     assert(neg.forall(r => r.isNullAt(r.fieldIndex("recall"))
       && r.isNullAt(r.fieldIndex("f1"))))
     assert(neg.map(r => r.getAs[Double]("precision")).toSet == Set(0.0))
+    // the ROC side stays defined: fpr sweeps over the negatives
+    assert(neg.map(r => r.getAs[Double]("fpr")).toSet == Set(0.5, 1.0))
   }
 
   test("ece: weighted mean and max of the calibration-bin gaps") {

@@ -198,6 +198,44 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("round-10 metrics/sampling: keyness, weightedSample, calibration " +
+    "stay window-free; prCurve windows ONLY the score histogram") {
+    import graft.operators.{Metrics, Sampling, TextStats}
+    val docs = Tables.documents(spark, sf)
+    val scored = docs.select(
+      TextStats.hashedClassifierScore(col("text"), dim = 64).as("score"),
+      (col("lang") === "en").cast("long").as("y"))
+    val windowFree = Seq(
+      // one (side, word) aggregate + word-keyed join + broadcast totals
+      "keyness" -> TextStats.keyness(docs, "lang", "text", "en"),
+      // BoundedTopK cap on the exponential key, not a row_number window
+      "weightedSample" -> Sampling.weightedSample(docs, "lang", "doc_id",
+        length(col("text")).cast("double"), k = 5),
+      // ONE hash aggregate per bin; the ece fold adds a second
+      "calibrationBins" -> Metrics.calibrationBins(scored, col("score"),
+        col("y")),
+      "ece" -> Metrics.ece(scored, col("score"), col("y")))
+    for ((name, df) <- windowFree) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plan contains a window operator:\n$plan")
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+    // prCurve: every window sits above the (score) histogram aggregate —
+    // cumulative TP/FP run over DISTINCT scores, never examples
+    val pr = Metrics.prCurve(scored, col("score"), col("y"))
+    val prPlan = pr.queryExecution.optimizedPlan
+    val windows = prPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, "histogram cumulative window expected")
+    assert(windows.forall(_.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty),
+      s"every prCurve window must sit above the score histogram " +
+        s"aggregate:\n$prPlan")
+    assert(pr.count() > 0)
+  }
+
   test("round-10 additions: windowed funnel stays window-free; " +
     "transitionStats windows ONLY the gap histogram") {
     import graft.operators.Funnel
