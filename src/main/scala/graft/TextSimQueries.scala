@@ -901,8 +901,12 @@ object TextSimQueries {
       .withColumn("predicted", (col("p") >= 0.5).cast("long"))
       .orderBy("doc_id")
   }
-  private val oT25 = {
-    val iters = 30
+  /** The oT25 training-trajectory CTE prefix (features → per-iteration
+    * logit/residual/gradient/weight-update chain → final logits zf),
+    * parameterized by iteration count so q_t25 (30 iters, per-doc
+    * output) and q_e5 (10 iters, corpus-grade output) replay the SAME
+    * arithmetic. */
+  private def trainedCtePrefix(iters: Int): String = {
     val stages = (1 to iters).map { i =>
       s"""z$i AS (SELECT fx.id, sum(fx.x * w${i - 1}.w) AS z
          |  FROM fx JOIN w${i - 1} ON w${i - 1}.b = fx.b GROUP BY 1),
@@ -935,8 +939,11 @@ object TextSimQueries {
        |w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM fx),
        |$stages,
        |zf AS (SELECT fx.id, sum(fx.x * w$iters.w) AS z
-       |  FROM fx JOIN w$iters ON w$iters.b = fx.b GROUP BY 1)
-       |SELECT d2.id AS doc_id,
+       |  FROM fx JOIN w$iters ON w$iters.b = fx.b GROUP BY 1)""".stripMargin
+  }
+  private val oT25 =
+    trainedCtePrefix(30) + "\n" +
+    s"""SELECT d2.id AS doc_id,
        |  CAST(floor(CAST(coalesce(zf.z, 0) AS DOUBLE)
        |    / (CAST(d2.n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5)
        |    AS DOUBLE) / 1000000.0 AS z,
@@ -949,7 +956,67 @@ object TextSimQueries {
        |    AS DOUBLE) / 1000000.0 >= 0.5 AS BIGINT) AS predicted
        |FROM d2 LEFT JOIN zf ON zf.id = d2.id
        |ORDER BY doc_id""".stripMargin
+
+  /** Train → score → GRADE, end to end under ONE hash gate: 10
+    * full-batch GD iterations learn English-vs-rest (the q_t25
+    * machinery), every doc is scored with the learned model, and the
+    * scores are graded IN THE SAME QUERY with the histogram AUC and the
+    * exact-grid ECE/MCE — the complete model-development loop (fit,
+    * predict, evaluate) as one replayable pipeline. The oracle replays
+    * the whole trajectory (shared [[trainedCtePrefix]]) plus both
+    * grading folds. Scored frame is localCheckpoint'd once so the two
+    * one-row grades don't re-score. */
+  private def qE5gradeTrained(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).withColumn("y", (col("lang") === "en").cast("long"))
+    val w = graft.operators.Classifier.train(dd, "doc_id", "text", "y",
+      dim = 256, iters = 10, lr = 4.0)
+    val scored = graft.operators.Classifier
+      .score(dd, "doc_id", "text", w, dim = 256)
+      .withColumnRenamed("id", "doc_id")
+      .join(dd.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(col("p"), col("y"))
+      .localCheckpoint()
+    graft.operators.Metrics.auc(scored, col("p"), col("y"))
+      .crossJoin(broadcast(graft.operators.Metrics.ece(
+        scored, col("p"), col("y"), bins = 10)))
   }
+  private val oE5 =
+    trainedCtePrefix(10) + ",\n" +
+    """sc AS (SELECT
+      |    CAST(floor(1.0 / (1.0 + exp(-(CAST(coalesce(zf.z, 0) AS DOUBLE)
+      |      / (CAST(d2.n AS DOUBLE) * 1000000.0)))) * 1000000.0 + 0.5)
+      |      AS DOUBLE) / 1000000.0 AS score, d2.y AS y
+      |  FROM d2 LEFT JOIN zf ON zf.id = d2.id),
+      |h AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(sum(1 - y) AS BIGINT) AS nneg FROM sc GROUP BY 1),
+      |c AS (SELECT np, nneg, coalesce(sum(nneg) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      |  FROM h),
+      |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(nneg) AS BIGINT) AS n_neg,
+      |    CAST(sum(np * (2 * cumneg + nneg)) AS BIGINT) AS s2 FROM c),
+      |cb AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS ss
+      |  FROM sc GROUP BY 1),
+      |cg AS (SELECT n, CAST(floor(abs(
+      |    round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      - round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6),
+      |      6)) * 1000000.0 + 0.5) AS BIGINT) AS g6
+      |  FROM cb),
+      |e AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+      |    round(CAST(sum(n * g6) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |      / 1000000.0, 6) AS ece,
+      |    round(CAST(max(g6) AS DOUBLE) / 1000000.0, 6) AS mce
+      |  FROM cg)
+      |SELECT a.n_pos, a.n_neg,
+      |  CASE WHEN a.n_pos > 0 AND a.n_neg > 0
+      |    THEN round(CAST(a.s2 AS DOUBLE)
+      |      / (2.0 * CAST(a.n_pos AS DOUBLE) * CAST(a.n_neg AS DOUBLE)), 6)
+      |  END AS auc,
+      |  e.n, e.ece, e.mce
+      |FROM a CROSS JOIN e""".stripMargin
 
   /** Per-source curation dashboard — the operator-composition showcase:
     * ONE row per source with volume (docs, words), quality (exact
@@ -3530,6 +3597,7 @@ object TextSimQueries {
     "q_x12_quality_cap" -> qX12qualityCap _,
     "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_e3_corpus_report" -> qE3corpusReport _,
+    "q_e5_grade_trained" -> qE5gradeTrained _,
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_t26_collocations" -> qT26collocations _,
     "q_t27_bpe_train" -> qT27bpe _,
@@ -3613,6 +3681,7 @@ object TextSimQueries {
     "q_x12_quality_cap" -> oX12,
     "q_t23_lm_frozen" -> oT23,
     "q_e3_corpus_report" -> oE3,
+    "q_e5_grade_trained" -> oE5,
     "q_t25_trained_classifier" -> oT25,
     "q_t26_collocations" -> oT26,
     "q_t27_bpe_train" -> oT27,
