@@ -18,22 +18,39 @@ import org.apache.spark.sql.functions._
   * division order, so a SQL oracle replays the double exactly. */
 object Metrics {
 
+  /** The (score, n_pos, n_neg) histogram — the MERGEABLE artifact every
+    * metric here folds from: counts sum across shards/epochs, so a
+    * persisted histogram accumulates a scored STREAM with state bounded
+    * by the score grid and grades at any time ([[graft.streaming
+    * .StreamMetrics]] is exactly that). ONE map-side-combinable hash
+    * aggregate. */
+  def scoreHistogram(df: DataFrame, scoreCol: Column,
+                     labelCol: Column): DataFrame =
+    df.select(scoreCol.as("score"), labelCol.cast("long").as("_y"))
+      .groupBy("score")
+      .agg(sum(col("_y")).as("n_pos"), sum(lit(1L) - col("_y")).as("n_neg"))
+
+  /** Merge histogram shards (epochs, partitions): counts just add. */
+  def mergeHistograms(hist: DataFrame): DataFrame =
+    hist.groupBy("score")
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"))
+
   /** One-row frame: (n_pos, n_neg, auc). `labelCol` must be 0/1.
     * AUC is null when either class is empty (undefined, not 0.5). */
-  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    val hist = df
-      .select(scoreCol.as("_s"), labelCol.cast("long").as("_y"))
-      .groupBy("_s")
-      .agg(sum(col("_y")).as("_np"),
-        sum(lit(1L) - col("_y")).as("_nn"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("_s")
+  def auc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame =
+    aucFromHistogram(scoreHistogram(df, scoreCol, labelCol))
+
+  /** The AUC fold over an existing (score, n_pos, n_neg) histogram —
+    * same arithmetic, same one-row output as [[auc]]. */
+  def aucFromHistogram(hist: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val contrib = hist
-      .withColumn("_cumneg", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .withColumn("_cumneg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
       // 2·contribution stays integral (the n_neg/2 tie term is the only
       // half), so the sum is an EXACT BIGINT until the single division
-      .select((col("_np") * (lit(2L) * col("_cumneg") + col("_nn")))
-        .as("_c2"), col("_np"), col("_nn"))
+      .select((col("n_pos") * (lit(2L) * col("_cumneg") + col("n_neg")))
+        .as("_c2"), col("n_pos").as("_np"), col("n_neg").as("_nn"))
     contrib.agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
         sum(col("_c2")).as("_s2"))
       .select(col("n_pos"), col("n_neg"),
@@ -118,6 +135,29 @@ object Metrics {
               + (col("_p") - col("tp"))).cast("double"), 6)).as("f1"))
   }
 
+  /** [[calibrationBins]] folded from an existing (score, n_pos, n_neg)
+    * histogram instead of examples — identical output by construction:
+    * the bin aggregate's per-example terms (count, label, 1e-6-regridded
+    * score) are each constant within a histogram row, so summing
+    * count-weighted histogram rows reproduces the example sums exactly
+    * (spec-pinned equal). */
+  def calibrationFromHistogram(hist: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val b = least(floor(col("score") * lit(bins)), lit(bins - 1)).cast("long")
+    val n = col("n_pos") + col("n_neg")
+    hist.select(b.as("bin"), n.as("_n"), col("n_pos").as("_npos"),
+        (n * floor(col("score") * lit(1e6) + lit(0.5)).cast("long")).as("_s6"))
+      .groupBy("bin")
+      .agg(sum(col("_n")).as("n"), sum(col("_npos")).as("n_pos"),
+        sum(col("_s6")).as("_ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_ss").cast("double") / col("n").cast("double")
+          / lit(1e6), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"))
+      .withColumn("gap", round(col("pos_rate") - col("mean_score"), 6))
+  }
+
   /** Expected / max calibration error — the one-row summary of
     * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|gap_b|, MCE = max_b
     * |gap_b|. The per-bin gaps are already on the exact 1e-6 grid, so
@@ -126,7 +166,14 @@ object Metrics {
     * float accumulation over the ≤`bins` rows. Output: (n, ece, mce). */
   def ece(df: DataFrame, scoreCol: Column, labelCol: Column,
           bins: Int = 10): DataFrame =
-    calibrationBins(df, scoreCol, labelCol, bins)
+    eceFold(calibrationBins(df, scoreCol, labelCol, bins))
+
+  /** [[ece]] folded from an existing (score, n_pos, n_neg) histogram. */
+  def eceFromHistogram(hist: DataFrame, bins: Int = 10): DataFrame =
+    eceFold(calibrationFromHistogram(hist, bins))
+
+  private def eceFold(binsDf: DataFrame): DataFrame =
+    binsDf
       .select(col("n"),
         floor(abs(col("gap")) * lit(1e6) + lit(0.5)).cast("long")
           .as("_g6"))

@@ -85,6 +85,30 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Double]("mce") == 0.215)
   }
 
+  test("histogram forms reproduce the example forms exactly, and " +
+    "merged shard histograms grade like the whole corpus") {
+    val rows = Seq((0.05, 0L), (0.95, 1L), (0.95, 1L), (0.96, 0L),
+      (1.0, 1L), (0.42, 1L), (0.42, 0L), (0.42, 1L))
+    val df = rows.toDF("score", "y")
+    val hist = Metrics.scoreHistogram(df, col("score"), col("y"))
+    assert(Metrics.calibrationFromHistogram(hist).orderBy("bin")
+      .collect().toSeq ==
+      Metrics.calibrationBins(df, col("score"), col("y")).orderBy("bin")
+        .collect().toSeq)
+    assert(Metrics.eceFromHistogram(hist).collect().toSeq ==
+      Metrics.ece(df, col("score"), col("y")).collect().toSeq)
+    // mergeability: shard histograms summed == whole-corpus histogram
+    val (h1, h2) = (rows.take(3), rows.drop(3))
+    val merged = Metrics.mergeHistograms(
+      Metrics.scoreHistogram(h1.toDF("score", "y"), col("score"), col("y"))
+        .union(Metrics.scoreHistogram(h2.toDF("score", "y"),
+          col("score"), col("y"))))
+    assert(Metrics.aucFromHistogram(merged).collect().toSeq ==
+      Metrics.auc(df, col("score"), col("y")).collect().toSeq)
+    assert(Metrics.eceFromHistogram(merged).collect().toSeq ==
+      Metrics.ece(df, col("score"), col("y")).collect().toSeq)
+  }
+
   private def kappaOf(rows: Seq[(String, String)])
       : (Long, Double, Double, Option[Double]) = {
     val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))

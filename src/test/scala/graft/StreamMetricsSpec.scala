@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Metrics
+import graft.streaming.StreamMetrics
+
+class StreamMetricsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_smetrics_$tag").toString
+
+  private type Grade = (Long, Long, Double, Long, Double, Double)
+  private def gradeRow(df: org.apache.spark.sql.DataFrame): Grade = {
+    val r = df.collect().head
+    (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"), r.getAs[Double]("auc"),
+      r.getAs[Long]("n"), r.getAs[Double]("ece"), r.getAs[Double]("mce"))
+  }
+  private def batchGrade(rows: Seq[(Double, Long)]): Grade = {
+    val df = rows.toDF("score", "y")
+    gradeRow(Metrics.auc(df, col("score"), col("y"))
+      .crossJoin(broadcast(Metrics.ece(df, col("score"), col("y")))))
+  }
+
+  test("per-epoch cumulative grade == batch grade over the rows seen; " +
+    "replayed epoch never double-counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("twin")
+    val e1 = Seq((0.9, 1L), (0.2, 0L), (0.7, 1L), (0.7, 0L))
+    val e2 = Seq((0.4, 0L), (0.95, 1L), (0.7, 1L)) // re-hits the 0.7 bin
+    val mem = MemoryStream[(Double, Long)]
+    val grades = scala.collection.mutable.Map[Long, Grade]()
+    val q = StreamMetrics.writer(mem.toDS().toDF("score", "y"),
+        col("score"), col("y"), dir) { (g, epoch) =>
+      grades(epoch) = gradeRow(g); ()
+    }.start()
+    try {
+      mem.addData(e1); q.processAllAvailable()
+      mem.addData(e2); q.processAllAvailable()
+    } finally q.stop()
+    val byEpoch = grades.toSeq.sortBy(_._1).map(_._2)
+    assert(byEpoch == Seq(batchGrade(e1), batchGrade(e1 ++ e2)),
+      s"$byEpoch")
+    // replay guard: re-processing the last epoch must change nothing
+    val replayed = gradeRow(StreamMetrics.processEpoch(
+      e2.toDF("score", "y"), 1L, col("score"), col("y"), dir))
+    assert(replayed == batchGrade(e1 ++ e2), s"$replayed")
+    // the store grades without any stream running (shared batch lane)
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) ==
+      batchGrade(e1 ++ e2))
+  }
+}
