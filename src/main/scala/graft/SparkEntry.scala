@@ -530,6 +530,46 @@ object SparkEntry {
       |GROUP BY CUBE (yr, o_orderstatus)
       |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
 
+  /** A21: key-skew diagnostic over a prospective shuffle key — one row
+    * of (n_keys, n_rows, max_count, rank-defined p99_count, mean_count,
+    * exact-rank-sum Gini) from the count-of-counts histogram; everything
+    * past the one per-key count folds over DISTINCT SIZES, never keys.
+    * The detector half of the Skew story (saltedAgg/saltedJoin are the
+    * cure). */
+  private def qA21skewReport(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.keySkewReport(Tables.events(s, d),
+      Seq("user_id"), q = 0.99)
+  private val oA21 =
+    """WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |coc AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM cnt GROUP BY 1),
+      |en AS (SELECT c, k,
+      |    sum(k) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk,
+      |    coalesce(sum(k) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevk,
+      |    sum(k) OVER () AS nk,
+      |    sum(c * k) OVER () AS nr,
+      |    max(c) OVER () AS mx
+      |  FROM coc),
+      |s AS (SELECT max(nk) AS n_keys, max(nr) AS n_rows,
+      |    max(mx) AS max_count,
+      |    sum(c * (k * prevk + (k * (k + 1)) // 2)) AS rs,
+      |    min(CASE WHEN cumk >= ceil(0.99 * CAST(nk AS DOUBLE))
+      |      THEN c END) AS p99
+      |  FROM en)
+      |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(max_count AS BIGINT) AS max_count,
+      |  CAST(p99 AS BIGINT) AS p99_count,
+      |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+      |    AS mean_count,
+      |  round(2.0 * CAST(rs AS DOUBLE)
+      |      / CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+      |    AS gini
+      |FROM s""".stripMargin
+
   /** A19: hash-sampled quantiles vs exact — the "percentile on a 10%
     * deterministic sample" pattern that replaces a full-column sort at
     * 100 TB; the sampling error is part of the gated result (err
@@ -654,6 +694,7 @@ object SparkEntry {
     "q_a17_rollup" -> qA17rollup _,
     "q_a19_sampled_quantiles" -> qA19sampledQuantiles _,
     "q_a20_cube" -> qA20cube _,
+    "q_a21_skew_report" -> qA21skewReport _,
     "q_w4_window_pack" -> qW4windows _,
   ) ++ TextSimQueries.queries ++ PipelineQueries.queries
 
@@ -697,6 +738,7 @@ object SparkEntry {
     "q_a17_rollup" -> oA17,
     "q_a19_sampled_quantiles" -> oA19,
     "q_a20_cube" -> oA20,
+    "q_a21_skew_report" -> oA21,
     "q_w4_window_pack" -> oW4,
   ) ++ TextSimQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -64,4 +64,53 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Key-skew DIAGNOSTIC — the detector that tells you whether the
+    * mitigations above (or AQE) are even needed: one row of
+    * (n_keys, n_rows, max_count, p<q>_count, mean_count, gini) for a
+    * prospective shuffle key. Gini 0 = perfectly balanced keys, → 1 =
+    * one key owns everything; p99_count is the rank-defined size
+    * (smallest count with ≥ ⌈q·n_keys⌉ keys at or below it — the
+    * percentileGate discipline, no interpolation).
+    *
+    * Scale shape: the per-key count is the one key-cardinality
+    * aggregate (map-side combinable — and it is exactly the shuffle
+    * being diagnosed, run once as a dry run); everything after folds
+    * over the COUNT-OF-COUNTS histogram, bounded by distinct sizes,
+    * never keys. The Gini rank-sum uses the block form Σ s·(k·r₀ +
+    * k(k+1)/2) over same-size blocks — exact BIGINTs (k(k+1) is even,
+    * halved by shiftright) until the two final fixed-order divisions,
+    * so a SQL oracle replays the doubles. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String],
+                    q: Double = 0.99): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(q > 0.0 && q <= 1.0, s"q out of (0,1]: $q")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_c"))
+    val coc = cnt.groupBy("_c").agg(count(lit(1)).as("_k"))
+    val wCum = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val en = coc
+      .withColumn("_cumk", sum(col("_k")).over(wCum))
+      .withColumn("_prevk", coalesce(sum(col("_k")).over(wPrev), lit(0L)))
+      .withColumn("_nk", sum(col("_k")).over(wAll))
+      .withColumn("_nr", sum(col("_c") * col("_k")).over(wAll))
+      .withColumn("_mx", max(col("_c")).over(wAll))
+      .withColumn("_sterm", col("_c") * (col("_k") * col("_prevk")
+        + shiftright(col("_k") * (col("_k") + lit(1L)), 1)))
+    en.agg(max(col("_nk")).as("n_keys"), max(col("_nr")).as("n_rows"),
+        max(col("_mx")).as("max_count"), sum(col("_sterm")).as("_s"),
+        min(when(col("_cumk") >= ceil(lit(q) * col("_nk").cast("double")),
+          col("_c"))).as("p_count"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        col("p_count").as(s"p${(q * 100).round}_count"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6)
+          .as("mean_count"),
+        round(lit(2.0) * col("_s").cast("double")
+            / col("n_keys").cast("double") / col("n_rows").cast("double")
+          - (col("n_keys") + lit(1L)).cast("double")
+            / col("n_keys").cast("double"), 6).as("gini"))
+  }
 }

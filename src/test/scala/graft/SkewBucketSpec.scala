@@ -156,4 +156,23 @@ class SkewBucketSpec extends AnyFunSuite with SparkSpec {
       assert(joined.count() == Tables.orders(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("keySkewReport: hand-computed Gini from the block rank-sum, " +
+    "rank-defined p99, balanced keys give 0") {
+    // keys a:4 b:2 c:1 d:1 -> sizes asc 1,1,2,4; S = 1+2+6+16 = 25
+    // gini = 2*25/(4*8) - 5/4 = 0.3125; p99 = smallest size with
+    // cum keys >= ceil(.99*4)=4 -> 4
+    val rows = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val r = Skew.keySkewReport(rows, Seq("k"), q = 0.99).collect().head
+    assert((r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("max_count"), r.getAs[Long]("p99_count"),
+      r.getAs[Double]("mean_count"), r.getAs[Double]("gini")) ==
+      ((4L, 8L, 4L, 4L, 2.0, 0.3125)), s"$r")
+    val even = Seq("a", "a", "b", "b").zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val e = Skew.keySkewReport(even, Seq("k")).collect().head
+    assert(e.getAs[Double]("gini") == 0.0 &&
+      e.getAs[Long]("p99_count") == 2L, s"$e")
+  }
 }
