@@ -1018,6 +1018,77 @@ object TextSimQueries {
       |  e.n, e.ece, e.mce
       |FROM a CROSS JOIN e""".stripMargin
 
+  /** Curriculum packing — quality tiers feed the trainer in order: per
+    * language, docs split into head/middle/tail quality buckets (the
+    * CCNet rank-bucket discipline, bucket 0 = best) and each
+    * (lang, bucket) tier packs independently into exact 512-char
+    * training sequences — so a curriculum scheduler can stream tier 0's
+    * sequences first while docs WITHIN a tier arrive hash-shuffled.
+    * Real operators composed (rankBuckets ∘ packSequences), not
+    * re-implementations; the oracle replays the quality formula, the
+    * per-language rank thresholds, and the span arithmetic end to end. */
+  private def qE6curriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), TextStats.qualityScore(col("text")).as("q"))
+    val bucketed = TextStats.rankBuckets(scored, "lang", col("q"),
+      fractions = Seq(1.0 / 3, 2.0 / 3), ascending = false)
+    graft.operators.Sampling.packSequences(
+        bucketed.withColumn("grp",
+          concat_ws("#", col("lang"), col("bucket"))),
+        "grp", "doc_id", "n_chars", seqLen = 512L)
+      .select(col("lang"), col("bucket"), col("doc_id"), col("seq_no"),
+        col("tok_start"), col("tok_end"), col("seq_offset"))
+      .orderBy("lang", "bucket", "seq_no", "seq_offset", "doc_id")
+  }
+  private val oE6 =
+    s"""WITH t AS (SELECT doc_id, text,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM documents),
+      |qs AS (SELECT doc_id, round(
+      |  (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
+      |  + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |          BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |  + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |  6) AS q
+      |FROM t),
+      |dd AS (SELECT d.doc_id, d.lang, d.n_chars, qs.q
+      |  FROM documents d JOIN qs USING (doc_id)),
+      |hist AS (SELECT lang, q, count(*) AS c FROM dd GROUP BY 1, 2),
+      |n AS (SELECT lang, sum(c) AS n FROM hist GROUP BY 1),
+      |cum AS (SELECT lang, q,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY q DESC) AS cum
+      |  FROM hist),
+      |t0 AS (SELECT cum.lang, max(q) AS thr FROM cum JOIN n USING (lang)
+      |  WHERE cum >= ceil(${1.0 / 3} * n) GROUP BY 1),
+      |t1 AS (SELECT cum.lang, max(q) AS thr FROM cum JOIN n USING (lang)
+      |  WHERE cum >= ceil(${2.0 / 3} * n) GROUP BY 1),
+      |b AS (SELECT dd.doc_id, dd.lang, dd.n_chars,
+      |    CAST((CASE WHEN dd.q < t0.thr THEN 1 ELSE 0 END)
+      |       + (CASE WHEN dd.q < t1.thr THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM dd JOIN t0 USING (lang) JOIN t1 USING (lang)),
+      |h AS (SELECT lang, bucket, doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+      |      '|graft')), 1, 6)) AS BIGINT) AS hh FROM b),
+      |c2 AS (SELECT lang, bucket, doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY lang, bucket
+      |      ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM h),
+      |s2 AS (SELECT lang, bucket, doc_id, cum, cum - n_chars AS st
+      |  FROM c2 WHERE n_chars > 0),
+      |sp AS (SELECT lang, bucket, doc_id, cum, st,
+      |    unnest(range(st // 512, (cum - 1) // 512 + 1)) AS seq_no
+      |  FROM s2)
+      |SELECT lang, bucket, doc_id, CAST(seq_no AS BIGINT) AS seq_no,
+      |  CAST(greatest(st, seq_no * 512) - st AS BIGINT) AS tok_start,
+      |  CAST(least(cum, (seq_no + 1) * 512) - st AS BIGINT) AS tok_end,
+      |  CAST(greatest(st, seq_no * 512) - seq_no * 512 AS BIGINT)
+      |    AS seq_offset
+      |FROM sp ORDER BY lang, bucket, seq_no, seq_offset, doc_id""".stripMargin
+
   /** Per-source curation dashboard — the operator-composition showcase:
     * ONE row per source with volume (docs, words), quality (exact
     * DECIMAL mean of the 6-dp quality grid), the Gopher keep rate, the
@@ -3598,6 +3669,7 @@ object TextSimQueries {
     "q_t23_lm_frozen" -> qT23lmFrozen _,
     "q_e3_corpus_report" -> qE3corpusReport _,
     "q_e5_grade_trained" -> qE5gradeTrained _,
+    "q_e6_curriculum_pack" -> qE6curriculum _,
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_t26_collocations" -> qT26collocations _,
     "q_t27_bpe_train" -> qT27bpe _,
@@ -3682,6 +3754,7 @@ object TextSimQueries {
     "q_t23_lm_frozen" -> oT23,
     "q_e3_corpus_report" -> oE3,
     "q_e5_grade_trained" -> oE5,
+    "q_e6_curriculum_pack" -> oE6,
     "q_t25_trained_classifier" -> oT25,
     "q_t26_collocations" -> oT26,
     "q_t27_bpe_train" -> oT27,
