@@ -570,6 +570,32 @@ object SparkEntry {
       |    AS gini
       |FROM s""".stripMargin
 
+  /** J9: equi-join cardinality diagnostic — the exact self-join output
+    * size on events.user_id (Σ c(k)² = the candidate-pair explosion a
+    * bucket join on this key would produce) plus the hottest key's
+    * share, computed from two count aggregates and a key-bounded join,
+    * never the join itself. */
+  private def qJ9joinCardinality(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    graft.operators.Skew.joinCardinality(ev, ev, "user_id")
+  }
+  private val oJ9 =
+    """WITH ca AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |j AS (SELECT CAST(count(*) AS BIGINT) AS keys_shared,
+      |    CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS est_rows,
+      |    CAST(max(a.c * b.c) AS BIGINT) AS max_key_rows
+      |  FROM ca a JOIN ca b USING (k)),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS nk FROM ca)
+      |SELECT t.n AS n_left, t.n AS n_right, t.nk AS keys_left,
+      |  t.nk AS keys_right, j.keys_shared, j.est_rows, j.max_key_rows,
+      |  CASE WHEN j.est_rows > 0
+      |    THEN round(CAST(j.max_key_rows AS DOUBLE)
+      |      / CAST(j.est_rows AS DOUBLE), 6)
+      |  END AS hot_key_frac
+      |FROM t CROSS JOIN j""".stripMargin
+
   /** A19: hash-sampled quantiles vs exact — the "percentile on a 10%
     * deterministic sample" pattern that replaces a full-column sort at
     * 100 TB; the sampling error is part of the gated result (err
@@ -695,6 +721,7 @@ object SparkEntry {
     "q_a19_sampled_quantiles" -> qA19sampledQuantiles _,
     "q_a20_cube" -> qA20cube _,
     "q_a21_skew_report" -> qA21skewReport _,
+    "q_j9_join_cardinality" -> qJ9joinCardinality _,
     "q_w4_window_pack" -> qW4windows _,
   ) ++ TextSimQueries.queries ++ PipelineQueries.queries
 
@@ -739,6 +766,7 @@ object SparkEntry {
     "q_a19_sampled_quantiles" -> oA19,
     "q_a20_cube" -> oA20,
     "q_a21_skew_report" -> oA21,
+    "q_j9_join_cardinality" -> oJ9,
     "q_w4_window_pack" -> oW4,
   ) ++ TextSimQueries.oracleSql ++ PipelineQueries.oracleSql
 }

@@ -65,6 +65,39 @@ object Skew {
     saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Equi-join CARDINALITY diagnostic — the exact output size an
+    * equi-join on `key` would produce, computed WITHOUT running it:
+    * Σ_k cl(k)·cr(k) over shared keys, plus the hottest key's
+    * contribution (the row that tells you whether you need [[saltedJoin]]
+    * before you've burned the cluster discovering it). Self-joins (pass
+    * the same frame twice) make this the candidate-pair-explosion check
+    * the dedup/ANN family runs conceptually — Σ c(k)² IS the bucket
+    * join's output size.
+    *
+    * Scale shape: two per-key count aggregates (map-side combinable),
+    * one count-table equi-join bounded by KEY cardinality (never rows),
+    * exact BIGINT products; one row out. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+                      key: String): DataFrame = {
+    val ca = left.groupBy(col(key).as("_k")).agg(count(lit(1)).as("_cl"))
+    val cb = right.groupBy(col(key).as("_k")).agg(count(lit(1)).as("_cr"))
+    val tots = ca.agg(sum(col("_cl")).as("n_left"),
+        count(lit(1)).as("keys_left"))
+      .crossJoin(cb.agg(sum(col("_cr")).as("n_right"),
+        count(lit(1)).as("keys_right")))
+    val j = ca.join(cb, Seq("_k"))
+      .agg(count(lit(1)).as("keys_shared"),
+        coalesce(sum(col("_cl") * col("_cr")), lit(0L)).as("est_rows"),
+        max(col("_cl") * col("_cr")).as("max_key_rows"))
+    tots.crossJoin(broadcast(j))
+      .select(col("n_left"), col("n_right"), col("keys_left"),
+        col("keys_right"), col("keys_shared"), col("est_rows"),
+        col("max_key_rows"),
+        when(col("est_rows") > 0,
+          round(col("max_key_rows").cast("double")
+            / col("est_rows").cast("double"), 6)).as("hot_key_frac"))
+  }
+
   /** Key-skew DIAGNOSTIC — the detector that tells you whether the
     * mitigations above (or AQE) are even needed: one row of
     * (n_keys, n_rows, max_count, p<q>_count, mean_count, gini) for a

@@ -157,6 +157,29 @@ class SkewBucketSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("joinCardinality: exact blowup prediction equals the real join " +
+    "size; unmatched keys counted on their side only") {
+    // left a:3 b:1 c:2, right a:2 b:4 d:5 -> shared {a,b},
+    // est = 3*2 + 1*4 = 10, max = 6, hot = 0.6
+    val l = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val rt = (Seq.fill(2)("a") ++ Seq.fill(4)("b") ++ Seq.fill(5)("d"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val r = Skew.joinCardinality(l, rt, "k").collect().head
+    assert((r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+      r.getAs[Long]("keys_left"), r.getAs[Long]("keys_right"),
+      r.getAs[Long]("keys_shared"), r.getAs[Long]("est_rows"),
+      r.getAs[Long]("max_key_rows"), r.getAs[Double]("hot_key_frac")) ==
+      ((6L, 11L, 3L, 3L, 2L, 10L, 6L, 0.6)), s"$r")
+    // the prediction IS the join size
+    assert(l.join(rt.withColumnRenamed("v", "v2"), Seq("k")).count() == 10L)
+    // disjoint keys: est 0, null hot fraction, max null
+    val d0 = Skew.joinCardinality(l,
+      Seq(("z", 1L)).toDF("k", "v"), "k").collect().head
+    assert(d0.getAs[Long]("est_rows") == 0L
+      && d0.isNullAt(d0.fieldIndex("hot_key_frac")))
+  }
+
   test("keySkewReport: hand-computed Gini from the block rank-sum, " +
     "rank-defined p99, balanced keys give 0") {
     // keys a:4 b:2 c:1 d:1 -> sizes asc 1,1,2,4; S = 1+2+6+16 = 25
