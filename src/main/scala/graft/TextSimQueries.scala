@@ -476,6 +476,48 @@ object TextSimQueries {
       |  round(sg * 2.0 * ll, 6) AS g2
       |FROM g ORDER BY g2 DESC, word LIMIT 50""".stripMargin
 
+  /** PSI score-distribution drift — the q_t32 synthetic uniform score
+    * as the frozen REFERENCE vs its square as the drifted CURRENT
+    * population (mass pushed toward 0 by construction, so the index is
+    * decisively positive): equal-width bins, Laplace-smoothed shares,
+    * each term one fixed op order on the 1e-6 grid — all replayed. */
+  private def qT36psi(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val s0 = round(Sampling.hash24(col("doc_id"), "cal")
+      .cast("double") / lit(16777216.0), 6)
+    graft.operators.Metrics.psi(
+      docs(s, d).select(s0.as("s")),
+      docs(s, d).select(round(s0 * s0, 6).as("s")),
+      col("s"), col("s"), bins = 10)
+  }
+  private val oT36 =
+    """WITH sc AS (SELECT
+      |    round(CAST(CAST(concat('0x', substr(md5(concat(
+      |      CAST(doc_id AS VARCHAR), '|cal')), 1, 6)) AS BIGINT) AS DOUBLE)
+      |      / 16777216.0, 6) AS s
+      |  FROM documents),
+      |r AS (SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cr FROM sc GROUP BY 1),
+      |c AS (SELECT CAST(least(floor(round(s * s, 6) * 10), 9) AS BIGINT)
+      |      AS bin,
+      |    CAST(count(*) AS BIGINT) AS cc FROM sc GROUP BY 1),
+      |j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+      |    coalesce(cr, CAST(0 AS BIGINT)) AS cr,
+      |    coalesce(cc, CAST(0 AS BIGINT)) AS cc
+      |  FROM r FULL JOIN c ON r.bin = c.bin),
+      |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+      |    CAST(sum(cc) AS BIGINT) AS nc FROM j),
+      |terms AS (SELECT CAST(round(
+      |    ((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+      |      - (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))
+      |    * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+      |      / (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 6)
+      |    AS DECIMAL(28,6)) AS t
+      |  FROM j CROSS JOIN t)
+      |SELECT (SELECT nr FROM t) AS n_ref, (SELECT nc FROM t) AS n_cur,
+      |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
+      |FROM terms""".stripMargin
+
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
     * shuffle with map-side combine, then the k-bounded `BoundedTopK`
@@ -3681,6 +3723,7 @@ object TextSimQueries {
     "q_t33_pr_curve" -> qT33prCurve _,
     "q_t34_ece" -> qT34ece _,
     "q_t35_keyness" -> qT35keyness _,
+    "q_t36_psi" -> qT36psi _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
@@ -3766,6 +3809,7 @@ object TextSimQueries {
     "q_t33_pr_curve" -> oT33,
     "q_t34_ece" -> oT34,
     "q_t35_keyness" -> oT35,
+    "q_t36_psi" -> oT36,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,

@@ -184,6 +184,55 @@ object Metrics {
           / lit(1e6), 6).as("ece"),
         round(col("_mx").cast("double") / lit(1e6), 6).as("mce"))
 
+  /** Population stability index — score-distribution DRIFT between a
+    * REFERENCE and a CURRENT scored population: PSI = Σ_b (p_b − q_b)·
+    * ln(p_b/q_b) over equal-width score bins (the standard model-
+    * monitoring thresholds: < 0.1 stable, > 0.25 action). Bin shares
+    * are Laplace-smoothed ((c+1)/(N+bins)) so empty bins stay defined
+    * without a special case — deterministic, oracle-replayable, and
+    * symmetric-in-spirit with the KL discipline: each term is ONE fixed
+    * double op order, rounded onto the 1e-6 grid and summed as DECIMAL
+    * (order-free), one final round. Output one row: (n_ref, n_cur, psi).
+    *
+    * Scale shape: one bounded (≤ bins-row) fold past the two histogram
+    * aggregates; with persisted [[scoreHistogram]] stores (the
+    * [[graft.streaming.StreamMetrics]] artifact) drift against a frozen
+    * baseline needs NO example re-scan — that is what
+    * [[psiFromHistograms]] is for. */
+  def psi(ref: DataFrame, cur: DataFrame, refScore: Column,
+          curScore: Column, bins: Int = 10): DataFrame =
+    psiFromHistograms(
+      scoreHistogram(ref, refScore, lit(0L)),
+      scoreHistogram(cur, curScore, lit(0L)), bins)
+
+  /** [[psi]] from two existing (score, n_pos, n_neg) histograms —
+    * labels are ignored (drift is about the score distribution). */
+  def psiFromHistograms(refHist: DataFrame, curHist: DataFrame,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    def binCounts(h: DataFrame): DataFrame =
+      h.select(least(floor(col("score") * lit(bins)), lit(bins - 1))
+          .cast("long").as("bin"),
+          (col("n_pos") + col("n_neg")).as("_c"))
+        .groupBy("bin").agg(sum(col("_c")).as("_c"))
+    val j = binCounts(refHist).select(col("bin"), col("_c").as("_cr"))
+      .join(binCounts(curHist).select(col("bin"), col("_c").as("_cc")),
+        Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val tot = j.agg(sum(col("_cr")).as("_nr"), sum(col("_cc")).as("_nc"))
+    val p = (col("_cr") + lit(1L)).cast("double") /
+      (col("_nr") + lit(bins.toLong)).cast("double")
+    val q = (col("_cc") + lit(1L)).cast("double") /
+      (col("_nc") + lit(bins.toLong)).cast("double")
+    j.crossJoin(broadcast(tot))
+      .select(col("_nr"), col("_nc"),
+        round((p - q) * log(p / q), 6).cast("decimal(28,6)").as("_t"))
+      .groupBy("_nr", "_nc")
+      .agg(round(sum(col("_t")).cast("double"), 6).as("psi"))
+      .select(col("_nr").as("n_ref"), col("_nc").as("n_cur"), col("psi"))
+  }
+
   /** Cohen's kappa — chance-corrected inter-annotator agreement, the
     * label-QA gate before human labels feed training: κ = (p_o − p_e) /
     * (1 − p_e) with p_o the observed agreement and p_e the chance

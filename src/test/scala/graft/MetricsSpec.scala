@@ -109,6 +109,33 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
       Metrics.ece(df, col("score"), col("y")).collect().toSeq)
   }
 
+  test("psi: hand-computed two-bin drift with Laplace smoothing; " +
+    "identical distributions give 0; histogram form matches") {
+    // bins=2: ref [0.1, 0.6] -> p = (0.5, 0.5); cur [0.1, 0.1] ->
+    // q = (0.75, 0.25). terms: -0.25*ln(2/3) -> 0.101366,
+    // 0.25*ln(2) -> 0.173287; psi = 0.274653
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ref = Seq(0.1, 0.6).toDF("s")
+    val cur = Seq(0.1, 0.1).toDF("s")
+    val out = Metrics.psi(ref, cur, col("s"), col("s"), bins = 2)
+      .collect().head
+    val expect = r6(r6((0.5 - 0.75) * math.log(0.5 / 0.75))
+      + r6((0.5 - 0.25) * math.log(0.5 / 0.25)))
+    assert((out.getAs[Long]("n_ref"), out.getAs[Long]("n_cur"),
+      out.getAs[Double]("psi")) == ((2L, 2L, expect)), s"$out vs $expect")
+    assert(expect == 0.274653)
+    val same = Metrics.psi(ref, ref, col("s"), col("s"), bins = 2)
+      .collect().head
+    assert(same.getAs[Double]("psi") == 0.0)
+    // histogram form == example form
+    val hOut = Metrics.psiFromHistograms(
+      Metrics.scoreHistogram(ref, col("s"), lit(1L)),
+      Metrics.scoreHistogram(cur, col("s"), lit(0L)), bins = 2)
+      .collect().head
+    assert(hOut.getAs[Double]("psi") == expect)
+  }
+
   private def kappaOf(rows: Seq[(String, String)])
       : (Long, Double, Double, Option[Double]) = {
     val r = Metrics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
