@@ -476,6 +476,38 @@ object TextSimQueries {
       |  round(sg * 2.0 * ll, 6) AS g2
       |FROM g ORDER BY g2 DESC, word LIMIT 50""".stripMargin
 
+  /** Brier score of the q_t32 synthetic calibrated model — for a
+    * well-calibrated uniform score the expectation is E[p(1−p)] = 1/6,
+    * and the exact integer-grid arithmetic replays in the oracle. */
+  private def qT37brier(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    val score = round(Sampling.hash24(col("doc_id"), "cal")
+      .cast("double") / lit(16777216.0), 6)
+    val y = (Sampling.hash24(col("doc_id"), "draw") % 1000000 <
+      floor(score * lit(1e6)).cast("long")).cast("long")
+    graft.operators.Metrics.brier(
+      docs(s, d).select(score.as("score"), y.as("y")),
+      col("score"), col("y"))
+  }
+  private val oT37 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH sc AS (SELECT
+      |    round(CAST(${h24("cal")} AS DOUBLE) / 16777216.0, 6) AS score0,
+      |    ${h24("draw")} % 1000000 AS draw
+      |  FROM documents),
+      |sc2 AS (SELECT
+      |    CAST(floor(score0 * 1000000.0 + 0.5) AS BIGINT) AS p6,
+      |    CAST(draw < CAST(floor(score0 * 1000000.0) AS BIGINT) AS BIGINT)
+      |      * 1000000 AS y6
+      |  FROM sc)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum((p6 - y6) * (p6 - y6)) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 1000000000000.0, 6) AS brier
+      |FROM sc2""".stripMargin
+  }
+
   /** PSI score-distribution drift — the q_t32 synthetic uniform score
     * as the frozen REFERENCE vs its square as the drifted CURRENT
     * population (mass pushed toward 0 by construction, so the index is
@@ -3724,6 +3756,7 @@ object TextSimQueries {
     "q_t34_ece" -> qT34ece _,
     "q_t35_keyness" -> qT35keyness _,
     "q_t36_psi" -> qT36psi _,
+    "q_t37_brier" -> qT37brier _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
@@ -3810,6 +3843,7 @@ object TextSimQueries {
     "q_t34_ece" -> oT34,
     "q_t35_keyness" -> oT35,
     "q_t36_psi" -> oT36,
+    "q_t37_brier" -> oT37,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,

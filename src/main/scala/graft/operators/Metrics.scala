@@ -184,6 +184,34 @@ object Metrics {
           / lit(1e6), 6).as("ece"),
         round(col("_mx").cast("double") / lit(1e6), 6).as("mce"))
 
+  /** Brier score — the PROPER scoring rule mean (p − y)², completing
+    * the grade family (AUC ranks, ECE calibrates, Brier scores): exact
+    * arithmetic by re-gridding p to 1e-6 integers so each term
+    * (p6 − y·1e6)² is an exact BIGINT and the sum is order-free; ONE
+    * aggregate, one final division. Output one row: (n, brier). */
+  def brier(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame =
+    df.select(floor(scoreCol * lit(1e6) + lit(0.5)).cast("long").as("_p6"),
+        (labelCol.cast("long") * lit(1000000L)).as("_y6"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_p6") - col("_y6")) * (col("_p6") - col("_y6"))).as("_s2"))
+      .select(col("n"),
+        round(col("_s2").cast("double") / col("n").cast("double")
+          / lit(1e12), 6).as("brier"))
+
+  /** [[brier]] from an existing (score, n_pos, n_neg) histogram —
+    * per score the positives contribute (p6 − 1e6)² each and the
+    * negatives p6² each, so the example sum reproduces exactly. */
+  def brierFromHistogram(hist: DataFrame): DataFrame = {
+    val p6 = floor(col("score") * lit(1e6) + lit(0.5)).cast("long")
+    hist.select((col("n_pos") + col("n_neg")).as("_n"),
+        ((p6 - lit(1000000L)) * (p6 - lit(1000000L)) * col("n_pos")
+          + p6 * p6 * col("n_neg")).as("_s2"))
+      .agg(sum(col("_n")).as("n"), sum(col("_s2")).as("_s2"))
+      .select(col("n"),
+        round(col("_s2").cast("double") / col("n").cast("double")
+          / lit(1e12), 6).as("brier"))
+  }
+
   /** Population stability index — score-distribution DRIFT between a
     * REFERENCE and a CURRENT scored population: PSI = Σ_b (p_b − q_b)·
     * ln(p_b/q_b) over equal-width score bins (the standard model-

@@ -109,6 +109,21 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
       Metrics.ece(df, col("score"), col("y")).collect().toSeq)
   }
 
+  test("brier: hand-computed exact-grid score; perfect prediction 0; " +
+    "histogram form matches") {
+    // (0.8,1) -> 0.04, (0.8,0) -> 0.64 => mean 0.34
+    val rows = Seq((0.8, 1L), (0.8, 0L))
+    val r = Metrics.brier(rows.toDF("score", "y"), col("score"), col("y"))
+      .collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Double]("brier")) == ((2L, 0.34)))
+    val perfect = Metrics.brier(Seq((1.0, 1L), (0.0, 0L)).toDF("score", "y"),
+      col("score"), col("y")).collect().head
+    assert(perfect.getAs[Double]("brier") == 0.0)
+    val h = Metrics.brierFromHistogram(Metrics.scoreHistogram(
+      rows.toDF("score", "y"), col("score"), col("y"))).collect().head
+    assert((h.getAs[Long]("n"), h.getAs[Double]("brier")) == ((2L, 0.34)))
+  }
+
   test("psi: hand-computed two-bin drift with Laplace smoothing; " +
     "identical distributions give 0; histogram form matches") {
     // bins=2: ref [0.1, 0.6] -> p = (0.5, 0.5); cur [0.1, 0.1] ->
