@@ -267,7 +267,7 @@ object TextSimQueries {
       |  FROM h),
       |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
       |    CAST(sum(nn) AS BIGINT) AS n_neg,
-      |    CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS s2 FROM c)
+      |    sum(CAST(np AS DECIMAL(38,0)) * (2 * cumneg + nn)) AS s2 FROM c)
       |SELECT n_pos, n_neg,
       |  CASE WHEN n_pos > 0 AND n_neg > 0
       |    THEN round(CAST(s2 AS DOUBLE)
@@ -409,7 +409,8 @@ object TextSimQueries {
       |      6)) * 1000000.0 + 0.5) AS BIGINT) AS g6
       |  FROM g)
       |SELECT CAST(sum(n) AS BIGINT) AS n,
-      |  round(CAST(sum(n * g6) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |  round(CAST(sum(CAST(n AS DECIMAL(38,0)) * g6) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE)
       |    / 1000000.0, 6) AS ece,
       |  round(CAST(max(g6) AS DOUBLE) / 1000000.0, 6) AS mce
       |FROM g2""".stripMargin
@@ -503,7 +504,8 @@ object TextSimQueries {
       |      * 1000000 AS y6
       |  FROM sc)
       |SELECT CAST(count(*) AS BIGINT) AS n,
-      |  round(CAST(sum((p6 - y6) * (p6 - y6)) AS DOUBLE)
+      |  round(CAST(sum(CAST((p6 - y6) * (p6 - y6) AS DECIMAL(38,0)))
+      |      AS DOUBLE)
       |    / CAST(count(*) AS DOUBLE) / 1000000000000.0, 6) AS brier
       |FROM sc2""".stripMargin
   }
@@ -1846,7 +1848,8 @@ object TextSimQueries {
        |  FROM rb GROUP BY 1, 2),
        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM ct GROUP BY 1),
        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY 1),
-       |x AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS x
+       |x AS (SELECT coalesce(sum(CAST(ca AS DECIMAL(38,0)) * cb),
+       |      CAST(0 AS DECIMAL(38,0))) AS x
        |  FROM ma JOIN mb ON ma.a = mb.b),
        |ag AS (SELECT CAST(sum(c) AS BIGINT) AS n,
        |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS g
@@ -3406,7 +3409,7 @@ object TextSimQueries {
       .when(col("doc_id") % 5 === 2,
         concat(lit("https://sub.example"), k, lit(".com/b/"), id, lit("?x=2")))
       .when(col("doc_id") % 5 === 3,
-        concat(lit("ftp://files.example"), k, lit(".com/data/"), id,
+        concat(lit("ftp://files.example"), k, lit(".com:2121/data/"), id,
           lit("#sec")))
       .otherwise(concat(lit("https://example"), k, lit(".com/")))
     docs(s, d).select(col("doc_id"), url.as("url"))
@@ -3428,7 +3431,7 @@ object TextSimQueries {
       |    WHEN 2 THEN 'https://sub.example' || CAST(doc_id % 7 AS VARCHAR)
       |      || '.com/b/' || CAST(doc_id AS VARCHAR) || '?x=2'
       |    WHEN 3 THEN 'ftp://files.example' || CAST(doc_id % 7 AS VARCHAR)
-      |      || '.com/data/' || CAST(doc_id AS VARCHAR) || '#sec'
+      |      || '.com:2121/data/' || CAST(doc_id AS VARCHAR) || '#sec'
       |    ELSE 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/'
       |  END AS url FROM documents),
       |p AS (SELECT doc_id, url,
@@ -3437,15 +3440,18 @@ object TextSimQueries {
       |    regexp_replace(regexp_replace(
       |      lower(regexp_extract(url,
       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-      |      '^[^@]*@', ''), ':(80|443)$', '') AS host,
+      |      '^[^@]*@', ''), ':(80|443)$', '') AS hostport,
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
-      |  FROM u)
+      |  FROM u),
+      |p2 AS (SELECT doc_id, url, scheme, hostport, path,
+      |    regexp_replace(hostport, ':[0-9]+$', '') AS host
+      |  FROM p)
       |SELECT doc_id, url, scheme, host,
       |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
-      |  scheme || '://' || host || regexp_replace(path, '/+$', '')
+      |  scheme || '://' || hostport || regexp_replace(path, '/+$', '')
       |    AS canonical
-      |FROM p ORDER BY doc_id""".stripMargin
+      |FROM p2 ORDER BY doc_id""".stripMargin
 
   /** Per-language cap (deterministic reservoir): smallest-(hash, id) 20
     * docs per lang survive; two-phase partial cap, no hot-group funnel. */

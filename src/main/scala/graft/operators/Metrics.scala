@@ -48,8 +48,11 @@ object Metrics {
     val contrib = hist
       .withColumn("_cumneg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
       // 2·contribution stays integral (the n_neg/2 tie term is the only
-      // half), so the sum is an EXACT BIGINT until the single division
-      .select((col("n_pos") * (lit(2L) * col("_cumneg") + col("n_neg")))
+      // half) and widens to DECIMAL(38,0) before the sum — Σ 2·n_pos·N
+      // approaches 2·P·N, past BIGINT once P·N nears 4.6e18 — so the
+      // accumulator is EXACT at any corpus size until the one division
+      .select((col("n_pos").cast("decimal(38,0)")
+          * (lit(2L) * col("_cumneg") + col("n_neg")))
         .as("_c2"), col("n_pos").as("_np"), col("n_neg").as("_nn"))
     contrib.agg(sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"),
         sum(col("_c2")).as("_s2"))
@@ -178,7 +181,9 @@ object Metrics {
         floor(abs(col("gap")) * lit(1e6) + lit(0.5)).cast("long")
           .as("_g6"))
       .agg(sum(col("n")).as("n"),
-        sum(col("n") * col("_g6")).as("_num"), max(col("_g6")).as("_mx"))
+        // n·g6 reaches N·1e6 per bin — widen past BIGINT before summing
+        sum(col("n").cast("decimal(38,0)") * col("_g6")).as("_num"),
+        max(col("_g6")).as("_mx"))
       .select(col("n"),
         round(col("_num").cast("double") / col("n").cast("double")
           / lit(1e6), 6).as("ece"),
@@ -193,7 +198,12 @@ object Metrics {
     df.select(floor(scoreCol * lit(1e6) + lit(0.5)).cast("long").as("_p6"),
         (labelCol.cast("long") * lit(1000000L)).as("_y6"))
       .agg(count(lit(1)).as("n"),
-        sum((col("_p6") - col("_y6")) * (col("_p6") - col("_y6"))).as("_s2"))
+        // each (p6−y6)² term is ≤ 1e12, so a BIGINT sum overflows near
+        // 1e7 examples (ANSI throw / silent wrap) while the oracle's
+        // HUGEINT keeps going — widen to DECIMAL(38,0) so both engines
+        // stay exact to ~1e26 examples (the Funnel _sumus discipline)
+        sum(((col("_p6") - col("_y6")) * (col("_p6") - col("_y6")))
+          .cast("decimal(38,0)")).as("_s2"))
       .select(col("n"),
         round(col("_s2").cast("double") / col("n").cast("double")
           / lit(1e12), 6).as("brier"))
@@ -204,8 +214,11 @@ object Metrics {
   def brierFromHistogram(hist: DataFrame): DataFrame = {
     val p6 = floor(col("score") * lit(1e6) + lit(0.5)).cast("long")
     hist.select((col("n_pos") + col("n_neg")).as("_n"),
-        ((p6 - lit(1000000L)) * (p6 - lit(1000000L)) * col("n_pos")
-          + p6 * p6 * col("n_neg")).as("_s2"))
+        // per-row term is (≤1e12)·count — widen BEFORE the count factor
+        // so neither the product nor the sum can pass BIGINT
+        (((p6 - lit(1000000L)) * (p6 - lit(1000000L))).cast("decimal(38,0)")
+            * col("n_pos")
+          + (p6 * p6).cast("decimal(38,0)") * col("n_neg")).as("_s2"))
       .agg(sum(col("_n")).as("n"), sum(col("_s2")).as("_s2"))
       .select(col("n"),
         round(col("_s2").cast("double") / col("n").cast("double")
@@ -253,12 +266,17 @@ object Metrics {
       (col("_nr") + lit(bins.toLong)).cast("double")
     val q = (col("_cc") + lit(1L)).cast("double") /
       (col("_nc") + lit(bins.toLong)).cast("double")
-    j.crossJoin(broadcast(tot))
-      .select(col("_nr"), col("_nc"),
-        round((p - q) * log(p / q), 6).cast("decimal(28,6)").as("_t"))
-      .groupBy("_nr", "_nc")
-      .agg(round(sum(col("_t")).cast("double"), 6).as("psi"))
-      .select(col("_nr").as("n_ref"), col("_nc").as("n_cur"), col("psi"))
+    // fold the terms WITHOUT a groupBy (a groupBy over zero joined rows
+    // emits zero rows) so the output is exactly one row even when both
+    // histograms are empty — there PSI is 0 by the smoothing's own
+    // definition (every bin has p = q = 1/bins)
+    val folded = j.crossJoin(broadcast(tot))
+      .select(round((p - q) * log(p / q), 6).cast("decimal(28,6)").as("_t"))
+      .agg(coalesce(round(sum(col("_t")).cast("double"), 6), lit(0.0))
+        .as("psi"))
+    tot.crossJoin(broadcast(folded))
+      .select(coalesce(col("_nr"), lit(0L)).as("n_ref"),
+        coalesce(col("_nc"), lit(0L)).as("n_cur"), col("psi"))
   }
 
   /** Cohen's kappa — chance-corrected inter-annotator agreement, the
@@ -277,9 +295,11 @@ object Metrics {
       .groupBy("_a", "_b").agg(count(lit(1)).as("_c"))
     val ma = ct.groupBy("_a").agg(sum(col("_c")).as("_ca"))
     val mb = ct.groupBy("_b").agg(sum(col("_c")).as("_cb"))
-    // Σ_c ca(c)·cb(c) over the classes BOTH raters used (absent side = 0)
+    // Σ_c ca(c)·cb(c) over the classes BOTH raters used (absent side = 0);
+    // each product nears n² — widen past BIGINT (overflow at ~3e9 rows)
     val cross = ma.join(mb, col("_a") === col("_b"))
-      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("_x"))
+      .agg(coalesce(sum(col("_ca").cast("decimal(38,0)") * col("_cb")),
+        lit(0L).cast("decimal(38,0)")).as("_x"))
     val agree = ct.agg(sum(col("_c")).as("n"),
       coalesce(sum(when(col("_a") === col("_b"), col("_c"))), lit(0L))
         .as("_ag"))

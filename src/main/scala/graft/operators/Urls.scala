@@ -25,8 +25,19 @@ object Urls {
 
   def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
 
-  /** Host, lowercased, default :80/:443 ports and userinfo dropped. */
-  def host(url: Column): Column = {
+  /** Host, lowercased, with userinfo and ANY port dropped — "host"
+    * means the hostname, so a non-default port can never leak into
+    * [[registeredDomain]] keys or per-domain rollups
+    * ('http://a.example.com:8080/x' rolls up under example.com, not
+    * 'example.com:8080'). [[canonicalize]] keeps non-default ports via
+    * [[hostPort]] so distinct origins stay distinct under URL dedup. */
+  def host(url: Column): Column =
+    regexp_replace(hostPort(url), ":[0-9]+$", "")
+
+  /** Host with a NON-DEFAULT port retained (userinfo dropped, default
+    * :80/:443 collapsed) — the origin-preserving form for canonical
+    * URLs. */
+  def hostPort(url: Column): Column = {
     val raw = lower(regexp_extract(url, HostRe, 1))
     val noUser = regexp_replace(raw, "^[^@]*@", "")
     regexp_replace(noUser, ":(80|443)$", "")
@@ -39,11 +50,12 @@ object Urls {
   def registeredDomain(url: Column): Column =
     regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
 
-  /** Canonical form for URL dedup: scheme://host/path with the query,
-    * fragment, default port, and trailing slash dropped (path '/' and
-    * '' collapse to the same canonical). */
+  /** Canonical form for URL dedup: scheme://host[:port]/path with the
+    * query, fragment, DEFAULT port, and trailing slash dropped (path '/'
+    * and '' collapse to the same canonical; a non-default port survives
+    * — it names a different origin). */
   def canonicalize(url: Column): Column = {
     val p = regexp_replace(path(url), "/+$", "")
-    concat(scheme(url), lit("://"), host(url), p)
+    concat(scheme(url), lit("://"), hostPort(url), p)
   }
 }

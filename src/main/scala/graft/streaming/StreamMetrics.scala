@@ -27,18 +27,53 @@ import graft.operators.{IndexFiles, Metrics}
   *
   * Delivery contract: appends are guarded by the `applied_epochs`
   * high-water mark (the [[StreamIndexDedup]] replay discipline, same
-  * sidecar layout), so a replayed epoch never double-counts; the grade
-  * itself is a pure read. */
+  * sidecar layout) AND every hist row carries its epoch stamp: a crash
+  * BETWEEN the hist append and its marker write followed by a
+  * foreachBatch replay re-appends that epoch's rows (the guard only
+  * sees the missing marker), and the stamp makes those replays exact
+  * duplicates that [[grade]] drops at read — idempotent wherever the
+  * crash lands. [[compact]] folds the per-epoch shards into one merged
+  * shard so a long-lived monitor's grade never becomes a 10k-file
+  * scan. */
 object StreamMetrics {
+
+  /** The epoch stamp on rows produced by [[compact]] — never a real
+    * foreachBatch epoch (those are ≥ 0). */
+  val CompactedEpoch: Long = -1L
+
+  /** The store's merged histogram: epoch-replay duplicates dropped
+    * (exact duplicates by the stamp contract), then counts summed. */
+  private def mergedHist(spark: SparkSession, path: String): DataFrame =
+    Metrics.mergeHistograms(
+      spark.read.parquet(s"$path/hist")
+        .dropDuplicates("epoch", "score")
+        .select(col("score"), col("n_pos"), col("n_neg")))
 
   /** Cumulative grade from the persisted histogram at `path`: ONE row
     * (n_pos, n_neg, auc, n, ece, mce) — the q_e5 grade shape. */
   def grade(spark: SparkSession, path: String, bins: Int = 10): DataFrame = {
-    val hist = Metrics.mergeHistograms(
-      spark.read.parquet(s"$path/hist")
-        .select(col("score"), col("n_pos"), col("n_neg")))
+    val hist = mergedHist(spark, path)
     Metrics.aucFromHistogram(hist)
       .crossJoin(broadcast(Metrics.eceFromHistogram(hist, bins)))
+  }
+
+  /** Fold the accumulated per-epoch histogram shards into ONE merged
+    * shard (epoch stamp [[CompactedEpoch]]) via the staging-swap
+    * discipline of [[graft.operators.DedupIndex.compact]] — the
+    * lifecycle pass a long-lived monitor needs: after 10k epochs the
+    * store is 10k small files and every [[grade]] re-merges them all;
+    * after compact it is O(1) files bounded by the score grid. The
+    * `applied_epochs` sidecar is untouched, so a replayed epoch after
+    * compaction still no-ops at the marker guard. Same-grade before and
+    * after (spec-pinned); not safe against a concurrent reader across
+    * the swap instant — run in the store's write lane. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/hist_compacting"
+    mergedHist(spark, path)
+      .withColumn("epoch", lit(CompactedEpoch))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    IndexFiles.swapIn(spark, s"$path/hist", staged)
   }
 
   /** One epoch of the monitor, callable directly (the
@@ -54,6 +89,7 @@ object StreamMetrics {
         .map(_.asInstanceOf[Long]))
     if (!applied.exists(_ >= epoch)) {
       Metrics.scoreHistogram(batch, scoreCol, labelCol)
+        .withColumn("epoch", lit(epoch))
         .write.mode("append").parquet(s"$path/hist")
       import spark.implicits._
       Seq(epoch).toDF("epoch").write.mode("append")

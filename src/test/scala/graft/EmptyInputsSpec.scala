@@ -65,6 +65,14 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     val eceRow = Metrics.ece(noScored, col("score"), col("y")).collect().head
     assert(eceRow.isNullAt(eceRow.fieldIndex("ece"))
       && eceRow.isNullAt(eceRow.fieldIndex("mce")))
+    // PSI keeps its documented one-row shape even for two empty stores
+    // (smoothing makes every bin p = q = 1/bins → psi exactly 0)
+    val noHist = Seq.empty[(Double, Long, Long)].toDF("score", "n_pos", "n_neg")
+    val psiRows = Metrics.psiFromHistograms(noHist, noHist).collect()
+    assert(psiRows.length == 1)
+    assert(psiRows.head.getAs[Long]("n_ref") == 0L
+      && psiRows.head.getAs[Long]("n_cur") == 0L
+      && psiRows.head.getAs[Double]("psi") == 0.0)
     assert(Sampling.weightedSample(noDocs.withColumn("w", lit(1.0)),
       "text", "doc_id", col("w"), k = 3).isEmpty)
     val noLangDocs = Seq.empty[(Long, String, String)]

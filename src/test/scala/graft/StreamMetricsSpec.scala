@@ -52,4 +52,33 @@ class StreamMetricsSpec extends AnyFunSuite with SparkSpec {
     assert(gradeRow(StreamMetrics.grade(spark, dir)) ==
       batchGrade(e1 ++ e2))
   }
+
+  test("crash between hist append and marker + replay never double-counts; " +
+    "compact folds shards to O(1) files with the grade unchanged") {
+    val dir = tmp("compact")
+    val e1 = Seq((0.9, 1L), (0.2, 0L), (0.7, 1L))
+    val e2 = Seq((0.4, 0L), (0.95, 1L), (0.7, 0L))
+    StreamMetrics.processEpoch(e1.toDF("score", "y"), 0L,
+      col("score"), col("y"), dir)
+    // simulate the crash window: epoch 1's hist append commits but the
+    // applied_epochs marker never lands
+    Metrics.scoreHistogram(e2.toDF("score", "y"), col("score"), col("y"))
+      .withColumn("epoch", lit(1L))
+      .write.mode("append").parquet(s"$dir/hist")
+    // the foreachBatch replay re-runs epoch 1: the guard sees no marker
+    // and appends AGAIN — the epoch stamp must make that a read-time no-op
+    val g = gradeRow(StreamMetrics.processEpoch(
+      e2.toDF("score", "y"), 1L, col("score"), col("y"), dir))
+    assert(g == batchGrade(e1 ++ e2), s"$g")
+    // compact: grade unchanged, shard fan-out collapses to one file
+    StreamMetrics.compact(spark, dir)
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) == batchGrade(e1 ++ e2))
+    val files = new java.io.File(s"$dir/hist").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"$files parquet files after compact")
+    // a replayed epoch AFTER compaction still no-ops at the marker guard
+    val replayed = gradeRow(StreamMetrics.processEpoch(
+      e2.toDF("score", "y"), 1L, col("score"), col("y"), dir))
+    assert(replayed == batchGrade(e1 ++ e2), s"$replayed")
+  }
 }
