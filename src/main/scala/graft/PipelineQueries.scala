@@ -122,7 +122,7 @@ object PipelineQueries {
   }
   private val oT7 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -147,7 +147,7 @@ object PipelineQueries {
     TextStats.repetitionStats(docs(s, d), "doc_id", "text").orderBy("id")
   private val oT8 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
       |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -243,11 +243,11 @@ object PipelineQueries {
       .orderBy("source", "lang")
   private val oT9 =
     """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+      |  CAST(sum(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+'))) AS BIGINT)
       |    AS total_words,
       |  round(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
       |  round(quantile_cont(n_chars, 0.9), 6) AS chars_p90,
-      |  CAST(count(DISTINCT md5(lower(regexp_replace(text, '[^A-Za-z0-9]+',
+      |  CAST(count(DISTINCT md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+',
       |    '', 'g')))) AS BIGINT) AS uniq_fp
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -263,7 +263,7 @@ object PipelineQueries {
   private val oT10 = {
     val chunk = 40; val step = 32
     s"""WITH w AS (SELECT doc_id,
-       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
        |FROM documents),
        |c AS (SELECT doc_id, ws, unnest(range(0,
        |    greatest((len(ws) - 1 - ${chunk - step}) // $step, 0) + 1)) AS ci
@@ -372,8 +372,8 @@ object PipelineQueries {
     Dedup.exactSubstringDedup(docs(s, d), "doc_id", "text", gramLen = 10)
       .orderBy("id")
   private val oD11 =
-    """WITH w AS (SELECT doc_id, list_filter(string_split(trim(lower(
-      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+    """WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(
+      |    regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |    x -> x <> '') AS ws FROM documents),
       |g0 AS (SELECT doc_id, unnest(list_transform(
       |    range(1, greatest(len(ws) - 10 + 1, 0) + 1),
@@ -420,11 +420,11 @@ object PipelineQueries {
     * NOTHING else changed. */
   private def oD7sql(corpus: String => String): String =
     s"""WITH fp AS (SELECT doc_id,
-      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  md5(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+', '', 'g'))) AS fp
       |FROM documents),
       |cfp AS (SELECT DISTINCT fp FROM fp WHERE ${corpus("")}),
       |w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -491,10 +491,10 @@ object PipelineQueries {
       |    CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text
       |  FROM documents WHERE doc_id % 10 <> 0),
       |v1f AS (SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS fp
       |  FROM documents WHERE doc_id % 13 <> 0),
       |f2 AS (SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS fp
       |  FROM v2),
       |st AS (SELECT f2.doc_id,
       |    CASE WHEN v1f.fp IS NULL THEN 'added'
@@ -506,7 +506,7 @@ object PipelineQueries {
       |corp AS (SELECT doc_id FROM st WHERE status = 'unchanged'),
       |cfp AS (SELECT DISTINCT f2.fp FROM f2 JOIN corp USING (doc_id)),
       |w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM v2),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -565,18 +565,18 @@ object PipelineQueries {
     val email = graft.operators.TextStats.EmailRe
     val phone = graft.operators.TextStats.PhoneRe
     s"""WITH fp AS (SELECT doc_id, lang, text,
-      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |  md5(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+', '', 'g'))) AS f
       |FROM documents),
       |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
       |dd AS (SELECT fp.doc_id, fp.lang, fp.text FROM fp
       |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
       |gm AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-      |  greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE),
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS DOUBLE),
       |    1.0) AS nw,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE) AS alnum,
-      |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
-      |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+      |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}\\p{N}]')) AS DOUBLE) AS alnum,
+      |  CAST(len(list_filter(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+'),
+      |    w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) AS alpha_words,
       |  CAST(len(regexp_extract_all(text, '#')) +
       |    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
       |  greatest(CAST(len(string_split(text, chr(10))) AS DOUBLE), 1.0) AS nl,
@@ -601,8 +601,8 @@ object PipelineQueries {
       |    regexp_replace(regexp_replace(dd.text, '$email', '<EMAIL>', 'g'),
       |      '$phone', '<PHONE>', 'g') AS text
       |  FROM dd JOIN gk USING (doc_id)),
-      |w AS (SELECT doc_id, lang, list_filter(string_split(trim(lower(
-      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |w AS (SELECT doc_id, lang, list_filter(string_split_regex(trim(lower(
+      |    regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +'),
       |    x -> x <> '') AS ws FROM sc),
       |g0 AS (SELECT doc_id, unnest(list_transform(
       |    range(1, greatest(len(ws) - 10 + 1, 0) + 1),
@@ -656,14 +656,14 @@ object PipelineQueries {
 
   private val oE2E =
     """WITH fp AS (SELECT doc_id, lang, n_chars, text,
-      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |  md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS f
       |FROM documents),
       |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
       |dd AS (SELECT fp.doc_id, fp.lang, fp.n_chars, fp.text FROM fp
       |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
       |t AS (SELECT doc_id, lang, n_chars, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM dd),
@@ -703,14 +703,14 @@ object PipelineQueries {
       .orderBy("lang", "seq_no", "seq_offset", "doc_id")
   private val oE2Epack =
     """WITH fp AS (SELECT doc_id, lang, n_chars, text,
-      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |  md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS f
       |FROM documents),
       |keep AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY 1),
       |dd AS (SELECT fp.doc_id, fp.lang, fp.n_chars, fp.text FROM fp
       |  JOIN keep ON fp.f = keep.f AND fp.doc_id = keep.kid),
       |t AS (SELECT doc_id, lang, n_chars, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM dd),
@@ -853,8 +853,8 @@ object PipelineQueries {
         budgetTokens = 2000000L, maxEpochs = 2.5)
       .orderBy("source")
   private val oX10 =
-    """WITH toks AS (SELECT source, CAST(len(regexp_extract_all(text,
-      |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+    """WITH toks AS (SELECT source, CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'),
+      |    '[\p{L}\p{M}\p{N}]+|[^\p{L}\p{M}\p{N}\s]')) AS BIGINT) AS toks
       |  FROM documents),
       |avail AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tokens_available
       |  FROM toks GROUP BY 1),
@@ -1057,7 +1057,7 @@ object PipelineQueries {
       .orderBy("source")
   private val oX11 =
     """WITH c AS (SELECT source,
-      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS w
+      |    CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS w
       |  FROM documents),
       |g AS (SELECT source, CAST(sum(w) AS BIGINT) AS tokens FROM c GROUP BY 1),
       |t AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM g),

@@ -37,11 +37,11 @@ object TextSimQueries {
       .orderBy("doc_id")
   private val oT1 =
     """SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
-      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+|[^\p{L}\p{M}\p{N}\s]')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS n_alpha,
+      |  CAST(len(regexp_extract_all(text, '\p{N}')) AS BIGINT) AS n_digit,
+      |  CAST(len(regexp_extract_all(text, '[^\p{L}\p{M}\p{N}\s]')) AS BIGINT) AS n_punct,
       |  CAST(length(text) AS BIGINT) AS len
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -53,8 +53,8 @@ object TextSimQueries {
   // are bit-identical before the final round).
   private val oT2 =
     """WITH t AS (SELECT doc_id, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM documents)
@@ -168,7 +168,7 @@ object TextSimQueries {
       .orderBy("doc_id")
   private val oT4 =
     """SELECT doc_id,
-      |  md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |  md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** C4-style repeated-line removal. The synthetic corpus has no
@@ -190,7 +190,7 @@ object TextSimQueries {
   }
   private val oT11 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |seg AS (SELECT doc_id, array_to_string(list_transform(
       |    range(0, greatest(CAST(ceil(len(ws)/8.0) AS BIGINT), 1)),
@@ -223,7 +223,7 @@ object TextSimQueries {
       .orderBy("doc_id")
   private val oT12 =
     """WITH t AS (SELECT doc_id,
-      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |  regexp_extract_all(regexp_replace(lower(text), '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+') AS toks FROM documents),
       |s AS (SELECT doc_id, len(toks) AS n,
       |  coalesce(list_sum(list_transform(toks, tk ->
       |    CAST(concat('0x', substr(md5(concat('w',
@@ -248,7 +248,7 @@ object TextSimQueries {
       col("score"), col("y"))
   private val oT31 =
     """WITH t AS (SELECT doc_id,
-      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |  regexp_extract_all(regexp_replace(lower(text), '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+') AS toks FROM documents),
       |s AS (SELECT doc_id, len(toks) AS n,
       |  coalesce(list_sum(list_transform(toks, tk ->
       |    CAST(concat('0x', substr(md5(concat('w',
@@ -288,7 +288,7 @@ object TextSimQueries {
       col("score"), col("y")).orderBy("threshold")
   private val oT33 =
     """WITH t AS (SELECT doc_id,
-      |  regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS toks FROM documents),
+      |  regexp_extract_all(regexp_replace(lower(text), '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+') AS toks FROM documents),
       |s AS (SELECT doc_id, len(toks) AS n,
       |  coalesce(list_sum(list_transform(toks, tk ->
       |    CAST(concat('0x', substr(md5(concat('w',
@@ -446,8 +446,8 @@ object TextSimQueries {
       minCount = 5L, k = 50)
   private val oT35 =
     """WITH tok AS (SELECT (lang = 'en') AS t,
-      |    unnest(string_split(trim(lower(regexp_replace(text,
-      |      '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+      |    unnest(string_split_regex(trim(lower(regexp_replace(text,
+      |      '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +')) AS w
       |  FROM documents),
       |tw AS (SELECT t, w, CAST(count(*) AS BIGINT) AS c FROM tok
       |  WHERE w <> '' GROUP BY 1, 2),
@@ -509,6 +509,73 @@ object TextSimQueries {
       |    / CAST(count(*) AS DOUBLE) / 1000000000000.0, 6) AS brier
       |FROM sc2""".stripMargin
   }
+
+  /** Multilingual tokenization gate — the q_x2 injection discipline over
+    * NON-LATIN scripts (the corpus itself is ASCII): deterministic
+    * zh/ru/ar/hi texts (4 script templates × 5 digit suffixes = 20
+    * exact-dup groups) run the REAL tokenize → shingle → fingerprint →
+    * exact-dedup chain under the hash gate, proving end-to-end that the
+    * Unicode tokenizer (1) emits per-codepoint CJK tokens, (2) keeps
+    * Devanagari/Arabic combining marks inside their words, (3) builds
+    * non-empty 3-gram shingles from non-Latin text, and (4) fingerprints
+    * dedup every doc against its own copies WITHOUT collapsing distinct
+    * scripts (the old ASCII tokenizer mapped all non-Latin docs to
+    * md5('') — one giant false dup group). Output: one row per dup
+    * group with the keeper's token stats. */
+  private def qT38multilingual(s: SparkSession, d: String): DataFrame = {
+    val base = when(col("doc_id") % 4 === 0,
+        lit("深度学习模型的训练数据质量很重要"))
+      .when(col("doc_id") % 4 === 1,
+        lit("Качество обучающих данных важно для модели"))
+      .when(col("doc_id") % 4 === 2,
+        lit("جودة بيانات التدريب مهمة للنموذج"))
+      .otherwise(lit("प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है"))
+    val injected = docs(s, d).select(col("doc_id"),
+      concat(base, lit(" "), (col("doc_id") % 5).cast("string")).as("text"))
+    val toks = filter(Dedup.words(col("text")), w => w =!= lit(""))
+    val stats = injected.select(col("doc_id").as("kid"),
+      size(toks).cast("long").as("n_tokens"),
+      size(Dedup.shingleStrings(col("text"), 3)).cast("long").as("n_shingles"),
+      element_at(toks, 1).as("tok_first"),
+      element_at(toks, -1).as("tok_last"))
+    Dedup.exactGroups(injected, "doc_id",
+        graft.operators.TextStats.fingerprint(col("text")))
+      .select(col("dup_key"), col("keeper"), col("group_size"))
+      .join(stats, col("keeper") === col("kid"))
+      .select(col("dup_key"), col("keeper"), col("group_size"),
+        col("n_tokens"), col("n_shingles"), col("tok_first"), col("tok_last"))
+      .orderBy("dup_key")
+  }
+  private val oT38 =
+    """WITH inj AS (SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN '深度学习模型的训练数据质量很重要'
+      |      WHEN 1 THEN 'Качество обучающих данных важно для модели'
+      |      WHEN 2 THEN 'جودة بيانات التدريب مهمة للنموذج'
+      |      ELSE 'प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है'
+      |    END || ' ' || CAST(doc_id % 5 AS VARCHAR) AS text
+      |  FROM documents),
+      |fp AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g')))
+      |      AS dup_key,
+      |    list_filter(string_split_regex(trim(lower(regexp_replace(text,
+      |      '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
+      |      w -> w <> '') AS ws
+      |  FROM inj),
+      |g AS (SELECT dup_key, CAST(min(doc_id) AS BIGINT) AS keeper,
+      |    CAST(count(*) AS BIGINT) AS group_size
+      |  FROM fp GROUP BY 1),
+      |st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(list_transform(
+      |      range(1, greatest(len(ws) - 2, 0) + 1),
+      |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+      |      AS BIGINT) AS n_shingles,
+      |    ws[1] AS tok_first, ws[len(ws)] AS tok_last
+      |  FROM fp)
+      |SELECT g.dup_key, g.keeper, g.group_size,
+      |  st.n_tokens, st.n_shingles, st.tok_first, st.tok_last
+      |FROM g JOIN st ON g.keeper = st.doc_id
+      |ORDER BY g.dup_key""".stripMargin
 
   /** PSI score-distribution drift — the q_t32 synthetic uniform score
     * as the frozen REFERENCE vs its square as the drifted CURRENT
@@ -572,8 +639,8 @@ object TextSimQueries {
       .orderBy("lang", "rank")
   private val oT13 =
     """WITH wc AS (SELECT lang, t AS word, CAST(count(*) AS BIGINT) AS n
-      |  FROM (SELECT lang, unnest(string_split(trim(lower(
-      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+      |  FROM (SELECT lang, unnest(string_split_regex(trim(lower(
+      |      regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +')) AS t
       |    FROM documents)
       |  WHERE t <> '' GROUP BY 1, 2),
       |r AS (SELECT lang, word, n,
@@ -594,8 +661,8 @@ object TextSimQueries {
     * replays the SAME lm score before cutting it into thirds). */
   private val lmCtes =
     """base AS (SELECT doc_id,
-      |    list_filter(string_split(trim(lower(
-      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    list_filter(string_split_regex(trim(lower(
+      |      regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |      x -> x <> '') AS ws
       |  FROM documents),
       |big AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
@@ -688,12 +755,12 @@ object TextSimQueries {
          |  / ${w.length + 1} > 0 THEN 1 ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
     s"""WITH m AS (SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-      |  greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE),
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS DOUBLE),
       |    1.0) AS nw,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE) AS alnum,
-      |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
-      |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+      |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}\\p{N}]')) AS DOUBLE) AS alnum,
+      |  CAST(len(list_filter(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+'),
+      |    w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) AS alpha_words,
       |  CAST(len(regexp_extract_all(text, '#')) +
       |    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
       |  greatest(CAST(len(string_split(text, chr(10))) AS DOUBLE), 1.0) AS nl,
@@ -737,8 +804,8 @@ object TextSimQueries {
       .orderBy("doc_id")
   private val oT18 =
     """WITH t AS (SELECT doc_id, source, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM documents),
@@ -794,8 +861,8 @@ object TextSimQueries {
     TextStats.bigramLmScore(all, "doc_id", "text", model).orderBy("doc_id")
   }
   private val oT23 =
-    """WITH ab AS (SELECT doc_id, list_filter(string_split(trim(lower(
-      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+    """WITH ab AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(
+      |    regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |    x -> x <> '') AS ws
       |  FROM documents),
       |abig AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
@@ -833,7 +900,7 @@ object TextSimQueries {
       minCount = 5L, k = 50)
   private val oT26 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |b AS (SELECT unnest(list_transform(
       |    range(1, greatest(len(ws) - 1, 0) + 1),
@@ -897,8 +964,8 @@ object TextSimQueries {
          |  FROM t${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
     s"""h AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-       |    SELECT unnest(string_split(trim(lower(
-       |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+       |    SELECT unnest(string_split_regex(trim(lower(
+       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
        |    FROM documents)
        |  WHERE w <> '' GROUP BY 1),
        |t0 AS (SELECT w, cnt, regexp_replace(w, '(.)', '$S\\1$S', 'g') AS seq
@@ -946,8 +1013,8 @@ object TextSimQueries {
        |    CAST(len(string_split(trim(seq, '$S'), '$S$S')) AS BIGINT) AS nt,
        |    CAST(length(w) AS BIGINT) AS nc
        |  FROM t10),
-       |dw AS (SELECT doc_id, unnest(string_split(trim(lower(
-       |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS w
+       |dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(
+       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
        |  FROM documents),
        |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
        |    CAST(sum(nc) AS BIGINT) AS n_chars,
@@ -1002,12 +1069,12 @@ object TextSimQueries {
        |    CAST(concat('0x', substr(md5(concat(tk, '|graft')), 1, 6))
        |      AS BIGINT) % 256 AS b,
        |    CAST(count(*) AS BIGINT) AS x
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
-       |      '[A-Za-z0-9]+')) AS tk FROM documents)
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(regexp_replace(lower(text),
+       |      '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS tk FROM documents)
        |  GROUP BY 1, 2
        |  UNION ALL SELECT doc_id, 256, 1 FROM documents),
        |d2 AS MATERIALIZED (SELECT doc_id AS id,
-       |    greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+       |    greatest(CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+'))
        |      AS BIGINT), 1) AS n,
        |    CAST(lang = 'en' AS BIGINT) AS y
        |  FROM documents),
@@ -1118,8 +1185,8 @@ object TextSimQueries {
   }
   private val oE6 =
     s"""WITH t AS (SELECT doc_id, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM documents),
@@ -1200,12 +1267,12 @@ object TextSimQueries {
       .map(w => s"CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)")
       .mkString(" + ")
     s"""WITH m AS (SELECT doc_id, text,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
-       |  CAST(greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS DOUBLE) AS nw,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS n_words,
+       |  CAST(greatest(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')), 1) AS DOUBLE) AS nw,
        |  CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE) AS nl,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alnum,
-       |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
-       |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+       |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}]')) AS DOUBLE) AS alnum,
+       |  CAST(len(list_filter(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+'),
+       |    w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) AS alpha_words,
        |  CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
        |    + CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
        |  CAST(len(list_filter(string_split(text, chr(10)),
@@ -1223,8 +1290,8 @@ object TextSimQueries {
        |    AND stop_hits >= 1 AS BIGINT) AS keep
        |FROM m),
        |t AS (SELECT doc_id, text,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+       |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}]')) AS BIGINT) AS alpha,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS words,
        |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
        |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
        |FROM documents),
@@ -1236,12 +1303,12 @@ object TextSimQueries {
        |    6) AS DECIMAL(18,6)) AS qv
        |FROM t),
        |base AS (SELECT d.source,
-       |    CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS w,
+       |    CAST(len(regexp_extract_all(regexp_replace(d.text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS w,
        |    r.keep AS keep, q.qv AS qv,
        |    CAST(regexp_matches(d.text,
        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS BIGINT) AS pii,
        |    md5(array_to_string(list_slice(
-       |      string_split(trim(lower(regexp_replace(d.text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+       |      string_split_regex(trim(lower(regexp_replace(d.text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +'),
        |      1, 2), ' ')) AS k
        |  FROM documents d
        |  JOIN r ON r.doc_id = d.doc_id
@@ -1265,7 +1332,7 @@ object TextSimQueries {
       .orderBy("source")
   private val oT22 =
     """WITH w AS (SELECT source AS g, unnest(list_filter(
-      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |    x -> x <> '')) AS w
       |  FROM documents),
       |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
@@ -1297,7 +1364,7 @@ object TextSimQueries {
     val p = 12; val m = 1 << p; val w = 60 - p
     val twoW = 1L << w
     s"""WITH wd AS (SELECT doc_id,
-       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
        |FROM documents),
        |sh AS (SELECT DISTINCT sg FROM (
        |  SELECT unnest(list_transform(
@@ -1330,8 +1397,8 @@ object TextSimQueries {
       .orderBy("doc_id", "rank")
   private val oT16 =
     """WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id,
-      |    unnest(string_split(trim(lower(
-      |      regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+      |    unnest(string_split_regex(trim(lower(
+      |      regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +')) AS t
       |  FROM documents) WHERE t <> ''),
       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n
       |  FROM tok GROUP BY 1, 2),
@@ -1398,7 +1465,7 @@ object TextSimQueries {
   }
   private val oD9 =
     """WITH fpc AS (SELECT DISTINCT
-      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS f
       |  FROM documents),
       |dd AS (SELECT unnest(range(0, 5)) AS d),
       |cb AS (SELECT DISTINCT (h1 + d * h2) % 4096 AS bucket FROM (
@@ -1409,7 +1476,7 @@ object TextSimQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 7 = 1),
       |bh AS (SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS f
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS f
       |  FROM batch),
       |bb AS (SELECT doc_id, f,
       |    (CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT)
@@ -1467,7 +1534,7 @@ object TextSimQueries {
   private val oD1 =
     """WITH k AS (SELECT doc_id,
       |  md5(array_to_string(list_slice(
-      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |    1, 2), ' ')) AS dup_key
       |FROM documents)
       |SELECT dup_key, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size,
@@ -1479,14 +1546,14 @@ object TextSimQueries {
     * dup_key, score). */
   private def keyScoreCtes: String =
     """t AS (SELECT doc_id, source, text,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
       |FROM documents),
       |kq AS (SELECT doc_id, source,
       |  md5(array_to_string(list_slice(
-      |    string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |    string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |    1, 2), ' ')) AS dup_key,
       |  round(
       |    (CAST(alpha AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.5
@@ -1621,7 +1688,7 @@ object TextSimQueries {
       .orderBy("id_a", "id_b")
   private val oD2 =
     s"""WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -1667,7 +1734,7 @@ object TextSimQueries {
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT doc_id,
-       |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+       |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
        |FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -1711,12 +1778,12 @@ object TextSimQueries {
   }
   private val oD17 =
     """WITH o AS (SELECT doc_id,
-      |    md5(lower(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |    md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS fp
       |  FROM documents WHERE doc_id % 13 <> 0),
       |n AS (SELECT doc_id,
       |    md5(lower(regexp_replace(
       |      CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END,
-      |      '[^A-Za-z0-9]+', '', 'g'))) AS fp
+      |      '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS fp
       |  FROM documents WHERE doc_id % 10 <> 0)
       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |  o.fp AS old_fp, n.fp AS new_fp,
@@ -1746,10 +1813,10 @@ object TextSimQueries {
   private val oD18 =
     """WITH t AS (SELECT doc_id,
       |    array_to_string(list_slice(
-      |      string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |      string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |      1, 6), ' ') AS s,
       |    md5(array_to_string(list_slice(
-      |      string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+      |      string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +'),
       |      1, 2), ' ')) AS b
       |  FROM documents),
       |ok AS (SELECT b FROM t GROUP BY 1 HAVING count(*) <= 100),
@@ -1784,7 +1851,7 @@ object TextSimQueries {
     * reused by q_d6 (cluster rollup) and q_x7 (leakage-free split). */
   private def closureCtes: String =
     s"""w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -1907,7 +1974,7 @@ object TextSimQueries {
   }
   private val oD3 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -1945,8 +2012,8 @@ object TextSimQueries {
       .orderBy("id_a", "id_b")
   }
   private val oD4 =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(lower(
-      |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(
+      |    regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +')) AS t
       |  FROM documents),
       |hsh AS (SELECT doc_id,
       |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
@@ -2855,7 +2922,7 @@ object TextSimQueries {
       .orderBy("shingle")
   private val oT5 =
     """WITH w AS (SELECT doc_id,
-      |  string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ') AS ws
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+|([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'))), ' +') AS ws
       |FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
       |  range(1, greatest(len(ws) - 2, 0) + 1),
@@ -2887,7 +2954,7 @@ object TextSimQueries {
     }.mkString(" + ")
     val anyTf = idx.map(i => s"tf$i").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id,
-       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |  unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS t
        |FROM documents),
        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
        |    $tfCols
@@ -3210,7 +3277,7 @@ object TextSimQueries {
     }.mkString(" + ")
     val anyTf = idx.map(i => s"tf$i").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id,
-       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |  unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS t
        |FROM documents),
        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len, $tfCols
        |  FROM tok GROUP BY 1),
@@ -3269,7 +3336,7 @@ object TextSimQueries {
     }.mkString(" + ")
     val anyTf = idx.map(i => s"tf$i").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id,
-       |  unnest(string_split(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' ')) AS t
+       |  unnest(string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS t
        |FROM documents),
        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len, $tfCols
        |  FROM tok GROUP BY 1),
@@ -3481,8 +3548,8 @@ object TextSimQueries {
   }
   private val oX9 = {
     val nb = 4096; val kb = 0.5 * nb
-    s"""WITH base AS (SELECT doc_id, list_filter(string_split(trim(lower(
-       |    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), ' '),
+    s"""WITH base AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(
+       |    regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +'),
        |    x -> x <> '') AS ws FROM documents),
        |feat AS (SELECT doc_id, unnest(list_concat(ws,
        |    list_transform(range(1, len(ws)),
@@ -3763,6 +3830,7 @@ object TextSimQueries {
     "q_t35_keyness" -> qT35keyness _,
     "q_t36_psi" -> qT36psi _,
     "q_t37_brier" -> qT37brier _,
+    "q_t38_multilingual" -> qT38multilingual _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_s1_cosine_topk" -> qS1topk _,
@@ -3850,6 +3918,7 @@ object TextSimQueries {
     "q_t35_keyness" -> oT35,
     "q_t36_psi" -> oT36,
     "q_t37_brier" -> oT37,
+    "q_t38_multilingual" -> oT38,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_s1_cosine_topk" -> oS1,

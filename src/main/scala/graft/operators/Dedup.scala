@@ -16,9 +16,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Normalize + word-split (shared by all text dedup ops). */
+  /** Codepoint ranges tokenized per-CODEPOINT (scripts without word
+    * boundaries): Han + extension A, the CJK iteration mark,
+    * Hiragana/Katakana (+ phonetic extensions), Hangul syllables.
+    * Explicit BMP ranges rather than \p{script} so the Java and RE2
+    * (DuckDB oracle) engines agree byte-for-byte regardless of their
+    * Unicode table versions. */
+  val CjkClass: String =
+    "\u3005\u3040-\u30ff\u31f0-\u31ff\u3400-\u4dbf\u4e00-\u9fff\uac00-\ud7a3"
+
+  /** The ONE-pass splitter feeding [[words]]: a separator run (anything
+    * that is not a Unicode letter/number) or an individual CJK codepoint
+    * both become boundaries — replacement ' $1 ' wraps a CJK char in
+    * spaces and turns a separator run into spaces (an unmatched group
+    * substitutes the empty string in BOTH Java and RE2). Consumers split
+    * on ' +'. */
+  val SepOrCjkRe: String = s"[^\\p{L}\\p{M}\\p{N}]+|([$CjkClass])"
+
+  /** Normalize + word-split (shared by all text dedup ops):
+    * Unicode-aware — letters/numbers of ANY script are token characters
+    * ([\p{L}\p{M}\p{N}] — marks ride with their base letters, so Devanagari/Arabic diacritics never split a word), and CJK tokenizes per codepoint (the
+    * standard no-word-boundary fallback; n-gram shingling downstream
+    * then composes character n-grams). Same cost shape as the old ASCII
+    * form: ONE regex pass + one split. Engine parity: \p{L}/\p{N} and
+    * the explicit [[CjkClass]] ranges mean the same thing to Java and
+    * RE2, and `lower` runs AFTER the boundary pass in both engines
+    * (locale-dependent case mappings that change string length —
+    * Turkish İ — are outside the portability contract, like the md5
+    * hash-value discipline this mirrors). */
   def words(c: Column): Column =
-    split(trim(lower(regexp_replace(c, "[^A-Za-z0-9]+", " "))), " ")
+    split(trim(lower(regexp_replace(c, SepOrCjkRe, " $1 "))), " +")
 
   /** Append a MATERIALIZED words-array column behind a Generate boundary
     * (explode of a one-element array): CollapseProject cannot inline the

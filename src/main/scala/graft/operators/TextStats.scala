@@ -11,16 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** BPE-ish token pattern: runs of alphanumerics or single non-space
-    * punctuation marks (approximates how byte-pair tokenizers split). */
-  val TokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
-  val WordPattern = "[A-Za-z0-9]+"
+  /** BPE-ish token pattern: runs of Unicode alphanumerics or single
+    * non-space punctuation marks (approximates how byte-pair tokenizers
+    * split). Count functions evaluate it over [[cjkSpaced]] text so CJK
+    * codepoints count individually (a 500-char Chinese sentence is ~500
+    * tokens, not 1 — the budget-accounting semantics [[graft.operators
+    * .Dedup.words]] pins for the tokenizer itself). */
+  val TokenPattern = "[\\p{L}\\p{M}\\p{N}]+|[^\\p{L}\\p{M}\\p{N}\\s]"
+  val WordPattern = "[\\p{L}\\p{M}\\p{N}]+"
+
+  /** Text with every CJK codepoint space-isolated — the shared pre-pass
+    * that lets run-counting patterns see per-codepoint tokens without a
+    * full tokenize (separators already break runs on their own). */
+  private def cjkSpaced(c: Column): Column =
+    regexp_replace(c, "([" + graft.operators.Dedup.CjkClass + "])", " $1 ")
 
   def wordCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(WordPattern), lit(0))).cast("long")
+    size(regexp_extract_all(cjkSpaced(c), lit(WordPattern), lit(0)))
+      .cast("long")
 
   def tokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(TokenPattern), lit(0))).cast("long")
+    size(regexp_extract_all(cjkSpaced(c), lit(TokenPattern), lit(0)))
+      .cast("long")
 
   /** Whitespace-split token count (the cheap estimator). */
   def whitespaceTokenCount(c: Column): Column =
@@ -29,9 +41,9 @@ object TextStats {
   private def countMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
-  def alphaChars(c: Column): Column = countMatches(c, "[A-Za-z]")
-  def digitChars(c: Column): Column = countMatches(c, "[0-9]")
-  def punctChars(c: Column): Column = countMatches(c, "[^A-Za-z0-9\\s]")
+  def alphaChars(c: Column): Column = countMatches(c, "[\\p{L}\\p{M}]")
+  def digitChars(c: Column): Column = countMatches(c, "\\p{N}")
+  def punctChars(c: Column): Column = countMatches(c, "[^\\p{L}\\p{M}\\p{N}\\s]")
 
   /** Count non-overlapping occurrences of literal `word` bounded by
     * spaces, via the replace-length trick (expressible identically in any
@@ -293,7 +305,7 @@ object TextStats {
   /** Document fingerprint: hash of the alphanumeric-normalized text —
     * the exact-dedup key (S/F analog of a rolling-hash fingerprint). */
   def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(c, "[^A-Za-z0-9]+", "")))
+    md5(lower(regexp_replace(c, "[^\\p{L}\\p{M}\\p{N}]+", "")))
 
   // ---- PII scrubbing -------------------------------------------------------
 
@@ -612,13 +624,13 @@ object TextStats {
     * per-doc flags frame and the single-expression [[gopherKeep]]
     * predicate so the two can never drift. */
   private def gopherMetricCols(c: Column): Map[String, Column] = {
-    val words = regexp_extract_all(c, lit(WordPattern), lit(0))
+    val words = regexp_extract_all(cjkSpaced(c), lit(WordPattern), lit(0))
     val nWords = size(words).cast("long")
     val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
     val meanWordLen = round(
-      countMatches(c, "[A-Za-z0-9]").cast("double") / nWordsSafe, 6)
+      countMatches(c, "[\\p{L}\\p{M}\\p{N}]").cast("double") / nWordsSafe, 6)
     val alphaWordFrac = round(
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") /
+      size(filter(words, w => w.rlike("\\p{L}"))).cast("double") /
         nWordsSafe, 6)
     val symbolRatio = round(
       (countMatches(c, "#") + countMatches(c, "\\.\\.\\.|…"))
