@@ -75,4 +75,56 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val m = Bpe.train(df, "text", k = 5)
     assert(m.map(x => (x.l, x.r)) == Seq(("a", "b")), s"$m")
   }
+
+  test("trainBatched: batch=1 is one-at-a-time greedy on a rich corpus; " +
+    "batch>1 equals greedy on the disjoint-window fixture; early stop") {
+    // rich corpus with chained merges and ties — the hard case: batch=1
+    // must replay train() exactly (same merges, same order, same counts)
+    val rich = (Seq.fill(13)("international") ++ Seq.fill(7)("internet") ++
+      Seq.fill(5)("nation") ++ Seq.fill(3)("intern") ++
+      Seq.fill(2)("rational") ++ Seq("net"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val exact = Bpe.train(rich, "text", k = 19)
+    val one = Bpe.trainBatched(rich, "text", k = 19, batch = 1)
+    assert(one.map(m => (m.l, m.r, m.count)) ==
+      exact.map(m => (m.l, m.r, m.count)), s"one=$one\nexact=$exact")
+    // disjoint-window fixture: two-char words over non-overlapping
+    // letters, distinct counts — merges neither conflict nor spawn new
+    // pairs, so ANY batch size must equal the greedy trajectory
+    val disjoint = (Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(7)("ef") ++ Seq.fill(6)("gh") ++ Seq.fill(5)("ij") ++
+      Seq.fill(4)("kl") ++ Seq.fill(3)("mn") ++ Seq.fill(2)("op"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val dExact = Bpe.train(disjoint, "text", k = 8)
+    val dBatched = Bpe.trainBatched(disjoint, "text", k = 8, batch = 3)
+    assert(dBatched.map(m => (m.l, m.r, m.count)) ==
+      dExact.map(m => (m.l, m.r, m.count)),
+      s"batched=$dBatched\nexact=$dExact")
+    assert(dBatched.map(m => (m.l, m.r, m.count)) == Seq(
+      ("a", "b", 9L), ("c", "d", 8L), ("e", "f", 7L), ("g", "h", 6L),
+      ("i", "j", 5L), ("k", "l", 4L), ("m", "n", 3L), ("o", "p", 2L)))
+    // batched stops early when pairs exhaust, like train
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    assert(Bpe.trainBatched(tiny, "text", k = 5, batch = 3)
+      .map(m => (m.l, m.r)) == Seq(("a", "b")))
+  }
+
+  test("save/load round-trips the vocabulary; a loaded vocab encodes " +
+    "identically to the trained one") {
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", k = 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab").toString + "/merges"
+    Bpe.save(spark, m, dir)
+    val loaded = Bpe.load(spark, dir)
+    assert(loaded == m, s"$loaded vs $m")
+    val words = Seq("aaab", "aab", "ba").toDF("w")
+    val a = words.select(Bpe.encodeWord(col("w"), m).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val b = words.select(Bpe.encodeWord(col("w"), loaded).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(a == b)
+  }
 }

@@ -112,6 +112,40 @@ object ScaleSmoke {
       return
     }
 
+    // ---- batched-BPE throughput smoke (round 11): k=8000 merges on a
+    // WIDE synthetic vocabulary (the corpus tables' ~30-word vocabulary
+    // exhausts after a few hundred merges, so the driver-round scaling
+    // claim needs its own corpus: 60 k distinct 8-char hex words with a
+    // 1..97 tie-heavy count profile). Asserts the judge target: 8000
+    // merges in <= 20 driver rounds, each round ONE histogram aggregate
+    // + one bounded collect.
+    //   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 bpe"
+    if (args.contains("bpe")) {
+      import graft.operators.Bpe
+      val corpus = spark.range(60000).select(
+          substring(md5(col("id").cast("string")), 1, 8).as("w"),
+          (lit(1) + col("id") % 97).cast("int").as("n"))
+        .select(col("w"), explode(sequence(lit(1), col("n"))).as("_i"))
+        .select(monotonically_increasing_id().as("doc_id"),
+          col("w").as("text"))
+        .localCheckpoint()
+      println(s"bpe corpus rows=${corpus.count()}")
+      var rounds = 0
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainBatched(corpus, "text", k = 8000, batch = 512,
+        roundHook = (r, accepted) => {
+          rounds = r
+          println(f"  round $r%2d: accepted $accepted%3d merges")
+        })
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe trainBatched k=8000: ${merges.size} merges in " +
+        f"$rounds rounds, $secs%.1f s")
+      require(merges.size == 8000, s"expected 8000 merges: ${merges.size}")
+      require(rounds <= 20, s"expected <= 20 driver rounds: $rounds")
+      spark.stop()
+      return
+    }
+
     def times10(df: DataFrame, idCol: String): DataFrame =
       (0 until copies).map(i => df.withColumn(idCol,
         col(idCol) + lit(i.toLong * 1000000000L))).reduce(_ union _)
