@@ -1803,10 +1803,13 @@ object TextSimQueries {
     * true lower bound, so the oracle omits it — same row set either
     * way. */
   private def qD18fuzzy(s: SparkSession, d: String): DataFrame = {
-    val ws = Dedup.words(col("text"))
-    graft.operators.Fuzzy.blockedEditJoin(docs(s, d), "doc_id",
-        array_join(slice(ws, 1, 6), " "),
-        md5(array_join(slice(ws, 1, 2), " ")),
+    // tokenize ONCE: _ws materializes behind withWords' Generate
+    // boundary, so the title and block-key projections share one
+    // tokenizer run instead of inlining it twice per row
+    val withWs = Dedup.withWords(docs(s, d), "text")
+    graft.operators.Fuzzy.blockedEditJoin(withWs, "doc_id",
+        array_join(slice(col("_ws"), 1, 6), " "),
+        md5(array_join(slice(col("_ws"), 1, 2), " ")),
         maxDist = 15, maxBlock = 100)
       .orderBy("id_a", "id_b")
   }

@@ -213,11 +213,10 @@ object Hll {
   def unionSketchFrame(df: DataFrame, groupCols: Seq[String],
                        regCol: Column, p: Int): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val est = udf((b: Array[Byte]) => estimate(b))
     df.groupBy(groupCols.map(col): _*)
       .agg(mergeSketches(p)(regCol).as("registers"))
       .select(groupCols.map(col) ++ Seq(col("registers"),
-        round(est(col("registers")), 6).as("estimate")): _*)
+        round(HllEstimate(col("registers")), 6).as("estimate")): _*)
   }
 
   /** Pairwise segment-overlap matrix from persisted sketches: for every
@@ -233,15 +232,13 @@ object Hll {
     * 0 like [[intersectionEstimate]]). */
   def pairwiseOverlap(df: DataFrame, segCol: String, regCol: Column,
                       p: Int): DataFrame = {
-    val est = udf((b: Array[Byte]) => estimate(b))
-    val unionEst = udf((a: Array[Byte], b: Array[Byte]) => unionEstimate(a, b))
     val a = df.select(col(segCol).as("seg_a"), regCol.as("_ra"))
     val b = df.select(col(segCol).as("seg_b"), regCol.as("_rb"))
     a.join(b, col("seg_a") < col("seg_b"))
       .select(col("seg_a"), col("seg_b"),
-        round(est(col("_ra")), 6).as("est_a"),
-        round(est(col("_rb")), 6).as("est_b"),
-        round(unionEst(col("_ra"), col("_rb")), 6).as("est_union"))
+        round(HllEstimate(col("_ra")), 6).as("est_a"),
+        round(HllEstimate(col("_rb")), 6).as("est_b"),
+        round(HllUnionEstimate(col("_ra"), col("_rb")), 6).as("est_union"))
       .withColumn("est_intersection",
         round(greatest(col("est_a") + col("est_b") - col("est_union"),
           lit(0.0)), 6))

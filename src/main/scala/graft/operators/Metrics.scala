@@ -23,10 +23,19 @@ object Metrics {
     * persisted histogram accumulates a scored STREAM with state bounded
     * by the score grid and grades at any time ([[graft.streaming
     * .StreamMetrics]] is exactly that). ONE map-side-combinable hash
-    * aggregate. */
+    * aggregate.
+    *
+    * Scores are REGRIDDED to the 1e-6 grid HERE, which makes the grid
+    * bound structural rather than conventional: the downstream
+    * single-task folds (the AUC cumulative window, the PR sweep) are
+    * provably ≤ 1e6+1 rows for ANY caller passing [0,1] scores — a raw
+    * unrounded double score can no longer blow the histogram up to
+    * corpus size. Idempotent for already-gridded scores (`round` is a
+    * fixpoint on its own output), so pre-rounding callers see identical
+    * values. */
   def scoreHistogram(df: DataFrame, scoreCol: Column,
                      labelCol: Column): DataFrame =
-    df.select(scoreCol.as("score"), labelCol.cast("long").as("_y"))
+    df.select(round(scoreCol, 6).as("score"), labelCol.cast("long").as("_y"))
       .groupBy("score")
       .agg(sum(col("_y")).as("n_pos"), sum(lit(1L) - col("_y")).as("n_neg"))
 
@@ -106,7 +115,10 @@ object Metrics {
   def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column)
       : DataFrame = {
     val hist = df
-      .select(scoreCol.as("threshold"), labelCol.cast("long").as("_y"))
+      // same structural 1e-6 regrid as [[scoreHistogram]]: the desc
+      // window below is then bounded by the grid for any caller
+      .select(round(scoreCol, 6).as("threshold"),
+        labelCol.cast("long").as("_y"))
       .groupBy("threshold")
       .agg(sum(col("_y")).as("_np"), sum(lit(1L) - col("_y")).as("_nn"))
     val wDesc = org.apache.spark.sql.expressions.Window

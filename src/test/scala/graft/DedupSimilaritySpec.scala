@@ -1143,4 +1143,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out == Map((1L, 2L) -> 1L, (1L, 3L) -> 3L, (2L, 3L) -> 3L),
       s"$out")
   }
+
+  test("lengthBandEditJoin: EXACT recall on planted typo pairs (band " +
+    "boundaries cannot split a true pair), exact precision, no dup pairs") {
+    import graft.operators.Fuzzy
+    // planted pairs straddle every band-boundary shape for maxDist=3
+    // (w=3): same band, adjacent bands, and lengths right at the edge
+    val rows = Seq(
+      (1L, "ab"),        // len 2, band 0
+      (2L, "abc"),       // len 3, band 1: dist(1,2)=1 crosses bands
+      (3L, "abcd"),      // len 4, band 1: dist(2,3)=1 same band
+      (4L, "abcdef"),    // len 6, band 2: dist(3,4)=2 crosses bands
+      (10L, "zzzzzzzzzzzz"),   // len 12, band 4
+      (11L, "zzzzzzzzzzzzyy"), // len 14, band 4: dist=2 same band
+      (20L, "qqqq")      // len 4: dist to everything > 3
+    ).toDF("id", "s")
+    val out = Fuzzy.lengthBandEditJoin(rows, "id", col("s"), maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("dist")).toMap
+    // every true pair (levenshtein <= 3) recalled exactly once
+    val expected = Map(
+      (1L, 2L) -> 1L, (1L, 3L) -> 2L, (2L, 3L) -> 1L, (2L, 4L) -> 3L,
+      (3L, 4L) -> 2L, (10L, 11L) -> 2L)
+    assert(out == expected, s"$out")
+    // brute-force cross-check: the banded join finds EVERY pair the
+    // all-pairs scan finds (recall 1.0 within maxDist)
+    val brute = rows.as("a").join(rows.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.s"), col("b.s")) <= 3)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet == brute, s"banded=$out brute=$brute")
+  }
 }

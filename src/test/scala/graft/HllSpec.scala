@@ -111,6 +111,20 @@ class HllSpec extends AnyFunSuite with SparkSpec {
     // disjoint pairs clamp near zero
     assert(out(("a", "c")).getAs[Double]("est_intersection") < 500.0)
     assert(out(("b", "c")).getAs[Double]("est_intersection") < 500.0)
+    // the estimate kernels are codegen Expressions (round-11): no Scala
+    // UDF anywhere in the plan — per-row closure dispatch would show up
+    // when estimating millions of grouped sketches
+    val plan = Hll.pairwiseOverlap(df, "seg", col("registers"), p = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"UDF in pairwiseOverlap plan:\n$plan")
+    // and the expression forms are BIT-identical to the scalar kernels
+    // (same static method invoked), not merely close
+    val exprRow = Seq((rA, rB)).toDF("ra", "rb").select(
+        graft.functions.HllEstimate(col("ra")).as("ea"),
+        graft.functions.HllUnionEstimate(col("ra"), col("rb")).as("eu"))
+      .collect()(0)
+    assert(exprRow.getAs[Double]("ea") == Hll.estimate(rA))
+    assert(exprRow.getAs[Double]("eu") == Hll.unionEstimate(rA, rB))
   }
 
   test("HLL sketch aggregates over a stream (complete mode) == batch") {

@@ -175,4 +175,29 @@ class MetricsSpec extends AnyFunSuite with SparkSpec {
     // disjoint label sets: po=0, pe=0 -> kappa=0
     assert(kappaOf(Seq(("p", "q"), ("p", "q"))) == (2L, 0.0, 0.0, Some(0.0)))
   }
+
+  test("scoreHistogram regrids structurally: 10M RAW doubles stay within " +
+    "the 1e-6 grid bound; gridded scores are a regrid fixpoint") {
+    // raw 9-decimal scores - without the regrid this histogram would
+    // have ~10M distinct rows and the AUC window would sort the corpus
+    val raw = spark.range(10000000L).select(
+      ((abs(xxhash64(col("id"))) % 1000000000L).cast("double")
+        / lit(1e9)).as("score"),
+      (col("id") % 2).cast("long").as("y"))
+    val n = Metrics.scoreHistogram(raw, col("score"), col("y")).count()
+    assert(n <= 1000001L, s"histogram rows $n exceed the 1e-6 grid bound")
+    // already-gridded input: the regrid is a fixpoint, so auc via
+    // scoreHistogram equals auc folded from a manually built
+    // no-regrid histogram
+    val gridded = spark.range(20000L).select(
+      round((abs(xxhash64(col("id"))) % 1000000L).cast("double")
+        / lit(1e6), 6).as("score"),
+      (col("id") % 2).cast("long").as("y"))
+    val manual = gridded
+      .groupBy("score")
+      .agg(sum(col("y")).as("n_pos"),
+        sum(lit(1L) - col("y")).as("n_neg"))
+    assert(Metrics.auc(gridded, col("score"), col("y")).collect().toSeq ==
+      Metrics.aucFromHistogram(manual).collect().toSeq)
+  }
 }

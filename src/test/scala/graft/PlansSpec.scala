@@ -222,7 +222,12 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       assert(df.count() > 0, s"$name returned no rows")
     }
     // prCurve: every window sits above the (score) histogram aggregate —
-    // cumulative TP/FP run over DISTINCT scores, never examples
+    // cumulative TP/FP run over DISTINCT scores, never examples. Since
+    // round 11 the histogram REGRIDS scores to the 1e-6 grid itself
+    // (Metrics.scoreHistogram / the prCurve threshold aggregate), so the
+    // windowed frame is structurally <= 1e6+1 rows for ANY caller — the
+    // bound no longer depends on callers pre-rounding (MetricsSpec
+    // feeds 10M raw doubles to pin it)
     val pr = Metrics.prCurve(scored, col("score"), col("y"))
     val prPlan = pr.queryExecution.optimizedPlan
     val windows = prPlan.collect {
