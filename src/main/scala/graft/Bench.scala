@@ -141,9 +141,15 @@ object Bench {
   }
 
   /** Full record, pretty-printed one query per line, for the committed
-    * BENCH_LOCAL.json artifact. Same fields as the one-line form. */
+    * BENCH_LOCAL.json artifact. Same fields as the one-line form, PLUS
+    * the per-query trimmed medians ("medians", with "value_median" =
+    * their sum): the min is the code-speed statistic (noise floor of
+    * fresh isolated forks), the median the expected-run statistic —
+    * committing both lets a reader separate them without re-running
+    * (the raw samples stay in the sidecar). */
   private def prettyRecord(queries: Seq[(String, Double)],
-                           samples: Map[String, Seq[Double]], runs: Int,
+                           samples: Map[String, Seq[Double]],
+                           medians: Map[String, Double], runs: Int,
                            sfDir: String): String = {
     val spreads = queries.map { case (k, _) =>
       val xs = samples(k)
@@ -153,11 +159,15 @@ object Bench {
     val unstable = spreads.collect { case (k, v) if v > 2.0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = queries.map(_._2).sum
+    val medianTotal = queries.map { case (k, _) => medians(k) }.sum
     val qs = queries.map { case (k, v) => s"""    "$k": ${num(v)}""" }
+      .mkString(",\n")
+    val ms = queries.map { case (k, _) => s"""    "$k": ${num(medians(k))}""" }
       .mkString(",\n")
     s"""{
   "metric": "total",
   "value": ${num(total)},
+  "value_median": ${num(medianTotal)},
   "unit": "sec",
   "runs": $runs,
   "n": ${queries.size},
@@ -165,6 +175,9 @@ object Bench {
   "unstable": $unstable,
   "queries": {
 $qs
+  },
+  "medians": {
+$ms
   }
 }
 """
@@ -244,7 +257,7 @@ $qs
       if (localArtifact.nonEmpty) {
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get(localArtifact),
-          prettyRecord(mins, bySample, n, sfDir))
+          prettyRecord(mins, bySample, meds, n, sfDir))
         catch { case e: java.io.IOException =>
           System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}") }
       }
