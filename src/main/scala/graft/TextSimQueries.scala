@@ -93,7 +93,9 @@ object TextSimQueries {
        |FROM documents),
        |b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM t)
        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
-       |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |  CASE WHEN regexp_matches(text, '[぀-ヿㇰ-ㇿ]') THEN 'ja'
+       |       WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+       |       WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
        |       WHEN s_en = best AND best > 0 THEN 'en'
        |       WHEN s_de = best AND best > 0 THEN 'de'
        |       WHEN s_es = best AND best > 0 THEN 'es'
@@ -129,7 +131,9 @@ object TextSimQueries {
        |FROM documents),
        |b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM t),
        |g AS (SELECT lang,
-       |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |  CASE WHEN regexp_matches(text, '[぀-ヿㇰ-ㇿ]') THEN 'ja'
+       |       WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+       |       WHEN regexp_matches(text, '[一-鿿㐀-䶿]') THEN 'zh'
        |       WHEN s_en = best AND best > 0 THEN 'en'
        |       WHEN s_de = best AND best > 0 THEN 'de'
        |       WHEN s_es = best AND best > 0 THEN 'es'

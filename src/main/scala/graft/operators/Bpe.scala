@@ -193,7 +193,11 @@ object Bpe {
   /** Tokenize a (normalized single-word) column with a learned merge
     * list: k chained literal replaces — a fixed codegen'd expression,
     * no state, serves batch or stream rows identically. Returns the
-    * token ARRAY. */
+    * token ARRAY. Demo-scale only: the plan grows one node per merge
+    * (analyzer recursion and the 64 KB codegen method cap bite near a
+    * thousand); real vocabularies serve through
+    * [[graft.functions.BpeEncode]] — one plan node at any k, rank-loop
+    * kernel, spec-pinned equal on trained vocabs. */
   def encodeWord(w: Column, merges: Seq[Merge]): Column = {
     val seq = merges.foldLeft(charSeq(w))(mergeOnce)
     split(trim(seq, Sep), Sep + Sep)

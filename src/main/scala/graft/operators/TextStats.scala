@@ -267,9 +267,13 @@ object TextStats {
   }
 
   /** Language-ID heuristic: distinctive-stopword hit counts per language,
-    * CJK characters short-circuit to zh; ties broken by a fixed priority
-    * order. N-gram-frequency profiles would be the production path; the
-    * shape (map-side scoring, argmax) is the same. */
+    * with script short-circuits for the CJK family — kana → ja (Japanese
+    * text mixes Han with kana, so kana is checked FIRST), Hangul → ko,
+    * remaining Han → zh; ties broken by a fixed priority order. N-gram
+    * frequency profiles would be the production path; the shape
+    * (map-side scoring, argmax) is the same. Scripts without a marker
+    * list (Cyrillic, Arabic, …) guess 'und' — honest abstention, not a
+    * wrong label. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "de" -> Seq("der", "und", "die"),
@@ -296,7 +300,10 @@ object TextStats {
     val pick = when(bst.getField("negs") < 0,
       element_at(typedlit(LangMarkers.map(_._1)), bst.getField("idx") + 1))
       .otherwise(lit("und"))
-    when(text.rlike("[一-鿿]"), lit("zh")).otherwise(pick)
+    when(text.rlike("[぀-ヿㇰ-ㇿ]"), lit("ja"))
+      .when(text.rlike("[가-힣]"), lit("ko"))
+      .when(text.rlike("[一-鿿㐀-䶿]"), lit("zh"))
+      .otherwise(pick)
   }
 
   def langGuess(c: Column): Column =

@@ -111,6 +111,51 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       .map(m => (m.l, m.r)) == Seq(("a", "b")))
   }
 
+  test("BpeEncode expression == encodeWord on a trained vocab, and " +
+    "serves a MULTI-THOUSAND-merge vocab the chained form cannot build") {
+    import graft.functions.BpeEncode
+    // small vocab: expression output == chained-replace encodeWord
+    val m3 = Bpe.train(Seq((1L, "aaab aaab ab")).toDF("doc_id", "text"),
+      "text", k = 3)
+    val words = Seq("aaab", "ab", "aab", "a", "ba", "")
+    val small = words.toDF("w").select(
+        Bpe.encodeWord(col("w"), m3).as("chain"),
+        BpeEncode(col("w"), m3).as("expr"))
+      .collect()
+    small.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"$r")
+    }
+    // large vocab: trainBatched on a wide synthetic corpus, then encode
+    // through the ONE-node expression; ground truth is a driver-side
+    // replay of the chained-replace semantics (the df chained form at
+    // this k would overflow the analyzer/codegen limits)
+    val corpus = spark.range(800).select(
+      col("id").as("doc_id"),
+      substring(md5(col("id").cast("string")), 1, 8).as("text"))
+    val big = Bpe.trainBatched(corpus, "text", k = 1500, batch = 256)
+    assert(big.size > 1000, s"corpus too narrow: ${big.size} merges")
+    def chainedReference(w: String): Seq[String] = {
+      val sep = Bpe.Sep
+      var s = w.map(c => s"$sep$c$sep").mkString
+      big.foreach { m =>
+        s = s.replace(sep + m.l + sep + sep + m.r + sep,
+          sep + m.merged + sep)
+      }
+      if (s.isEmpty) Seq("")
+      else s.substring(1, s.length - 1).split(sep + sep, -1).toSeq
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sample = (0 until 50).map(i => md5hex(i.toString).substring(0, 8))
+    val got = sample.toDF("w")
+      .select(col("w"), BpeEncode(col("w"), big).as("t")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    sample.foreach { w =>
+      assert(got(w) == chainedReference(w), s"$w: ${got(w)}")
+    }
+  }
+
   test("save/load round-trips the vocabulary; a loaded vocab encodes " +
     "identically to the trained one") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")

@@ -75,6 +75,20 @@ class UnicodeTokenizeSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == ((1L, 3L))).get._3 == 1.0)
   }
 
+  test("langGuess: script short-circuits — kana beats Han (ja), Hangul " +
+    "is ko, Han alone zh; unmarked scripts abstain to 'und'") {
+    val rows = Seq(
+      (1L, "深度学习の訓練データは重要です"),  // Han + kana -> ja
+      (2L, "深度学习模型的训练数据"),          // Han only -> zh
+      (3L, "한국어 텍스트 데이터"),            // Hangul -> ko
+      (4L, "Качество данных важно"),           // Cyrillic, no markers -> und
+      (5L, "the data and the model of it"))    // stopword path intact -> en
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.langGuess(col("text")).as("g"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("g")).toSeq
+    assert(rows == Seq("ja", "zh", "ko", "und", "en"), s"$rows")
+  }
+
   test("quality metrics produce non-degenerate scores on non-Latin text") {
     val rows = Seq(
       (1L, "深度学习模型的训练数据质量很重要，数据决定模型上限。"),
