@@ -1030,6 +1030,30 @@ object TextSimQueries {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** q_t28's aggregate computed through the RANK-LOOP BpeEncode
+    * expression instead of encodeWord's chained replaces — the
+    * whole-vocab serve path under the SAME DuckDB oracle (the two
+    * encoders are equivalent on trained vocabularies; this query makes
+    * that equivalence a hash-gated fact rather than a spec claim, since
+    * the oracle replays the chained-replace semantics). */
+  private def qT28bEncodeExpr(s: SparkSession, d: String): DataFrame = {
+    val merges = sharedBpeMerges(s, d)
+    docs(s, d)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        size(graft.functions.BpeEncode(col("w"), merges))
+          .cast("long").as("nt"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("doc_id")
+      .agg(sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_words"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** TRAINED hashed-feature classifier under the FULL hash gate: 3
     * full-batch logistic-regression steps (micro-integer weights, the
     * PageRank grid discipline) learn English-vs-rest from the hashed
@@ -1832,6 +1856,45 @@ object TextSimQueries {
       |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
       |FROM tt a JOIN tt b2 ON a.b = b2.b AND a.doc_id < b2.doc_id
       |WHERE levenshtein(a.s, b2.s) <= 15
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Length-band fuzzy join under the full hash gate — the DERIVED-key
+    * form of q_d18 (no semantic block key needed): injected strings
+    * with controlled length spread (8-char md5 prefix + 0..29 'ab'
+    * repeats → ~30 width-2 bands) where every odd doc is its even
+    * predecessor's string plus one char — a planted dist-1 pair whose
+    * lengths straddle band boundaries at every shape. The oracle
+    * replays the banding (own band + next, both-band dups collapsed by
+    * DISTINCT), the oversize guard, the |Δlen| prune, and the
+    * levenshtein gate. */
+  private def qD19lengthBand(s: SparkSession, d: String): DataFrame = {
+    val base = col("doc_id") - col("doc_id") % 2
+    val str = concat(
+      substring(md5(base.cast("string")), 1, 8),
+      lit("ab" * 30).substr(lit(1), ((base % 30) * 2).cast("int")),
+      when(col("doc_id") % 2 === 1, lit("z")).otherwise(lit("")))
+    graft.operators.Fuzzy.lengthBandEditJoin(
+        docs(s, d).select(col("doc_id"), str.as("s")),
+        "doc_id", col("s"), maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+  private val oD19 =
+    """WITH inj AS (SELECT doc_id,
+      |    substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR)), 1, 8)
+      |    || substr(repeat('ab', 30), 1,
+      |         CAST(((doc_id - doc_id % 2) % 30) * 2 AS INT))
+      |    || CASE WHEN doc_id % 2 = 1 THEN 'z' ELSE '' END AS s
+      |  FROM documents),
+      |b AS (SELECT doc_id, s,
+      |    unnest([length(s) // 2, length(s) // 2 + 1]) AS bk
+      |  FROM inj),
+      |ok AS (SELECT bk FROM b GROUP BY 1 HAVING count(*) <= 1000),
+      |bb AS (SELECT b.doc_id, b.s, b.bk FROM b JOIN ok USING (bk))
+      |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
+      |FROM bb a JOIN bb b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id
+      |WHERE abs(length(a.s) - length(b2.s)) <= 2
+      |  AND levenshtein(a.s, b2.s) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with
@@ -3812,6 +3875,7 @@ object TextSimQueries {
     "q_d16_pagerank" -> qD16pagerank _,
     "q_d17_snapshot_diff" -> qD17snapshot _,
     "q_d18_fuzzy_join" -> qD18fuzzy _,
+    "q_d19_length_band" -> qD19lengthBand _,
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
@@ -3840,6 +3904,7 @@ object TextSimQueries {
     "q_t38_multilingual" -> qT38multilingual _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
+    "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -3900,6 +3965,7 @@ object TextSimQueries {
     "q_d16_pagerank" -> oD16,
     "q_d17_snapshot_diff" -> oD17,
     "q_d18_fuzzy_join" -> oD18,
+    "q_d19_length_band" -> oD19,
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
     "q_st2_distinct_rollup" -> oSt2,
@@ -3928,6 +3994,7 @@ object TextSimQueries {
     "q_t38_multilingual" -> oT38,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
+    "q_t28b_bpe_encode_expr" -> oT28,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,
