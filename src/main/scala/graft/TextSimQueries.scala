@@ -1868,33 +1868,39 @@ object TextSimQueries {
     * DISTINCT), the oversize guard, the |Δlen| prune, and the
     * levenshtein gate. */
   private def qD19lengthBand(s: SparkSession, d: String): DataFrame = {
-    val base = col("doc_id") - col("doc_id") % 2
+    // 10% injection sample with 68 distinct lengths: thin bands keep the
+    // in-band quadratic honest (the operator's contract is banding +
+    // guard, not magic — a fixture whose lengths all collide would just
+    // be the all-pairs join)
+    val base = col("doc_id") - col("doc_id") % 10
+    val k = ((base / 10) % 60).cast("int")
     val str = concat(
       substring(md5(base.cast("string")), 1, 8),
-      lit("ab" * 30).substr(lit(1), ((base % 30) * 2).cast("int")),
-      when(col("doc_id") % 2 === 1, lit("z")).otherwise(lit("")))
+      lit("a" * 60).substr(lit(1), k),
+      when(col("doc_id") % 10 === 1, lit("z")).otherwise(lit("")))
     graft.operators.Fuzzy.lengthBandEditJoin(
-        docs(s, d).select(col("doc_id"), str.as("s")),
-        "doc_id", col("s"), maxDist = 2)
+        docs(s, d).where(col("doc_id") % 10 < 2)
+          .select(col("doc_id"), str.as("s")),
+        "doc_id", col("s"), maxDist = 1)
       .orderBy("id_a", "id_b")
   }
   private val oD19 =
     """WITH inj AS (SELECT doc_id,
-      |    substr(md5(CAST(doc_id - doc_id % 2 AS VARCHAR)), 1, 8)
-      |    || substr(repeat('ab', 30), 1,
-      |         CAST(((doc_id - doc_id % 2) % 30) * 2 AS INT))
-      |    || CASE WHEN doc_id % 2 = 1 THEN 'z' ELSE '' END AS s
-      |  FROM documents),
+      |    substr(md5(CAST(doc_id - doc_id % 10 AS VARCHAR)), 1, 8)
+      |    || substr(repeat('a', 60), 1,
+      |         CAST(((doc_id - doc_id % 10) // 10) % 60 AS INT))
+      |    || CASE WHEN doc_id % 10 = 1 THEN 'z' ELSE '' END AS s
+      |  FROM documents WHERE doc_id % 10 < 2),
       |b AS (SELECT doc_id, s,
-      |    unnest([length(s) // 2, length(s) // 2 + 1]) AS bk
+      |    unnest([length(s), length(s) + 1]) AS bk
       |  FROM inj),
       |ok AS (SELECT bk FROM b GROUP BY 1 HAVING count(*) <= 1000),
       |bb AS (SELECT b.doc_id, b.s, b.bk FROM b JOIN ok USING (bk))
       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
       |  CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
       |FROM bb a JOIN bb b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id
-      |WHERE abs(length(a.s) - length(b2.s)) <= 2
-      |  AND levenshtein(a.s, b2.s) <= 2
+      |WHERE abs(length(a.s) - length(b2.s)) <= 1
+      |  AND levenshtein(a.s, b2.s) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
   /** End-to-end dedup: Jaccard pairs → transitive closure → clusters with

@@ -157,7 +157,8 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("save/load round-trips the vocabulary; a loaded vocab encodes " +
-    "identically to the trained one") {
+    "identically to the trained one — and serves a STREAM through " +
+    "BpeEncode == batch") {
     val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
     val m = Bpe.train(df, "text", k = 3)
     val dir = java.nio.file.Files
@@ -171,5 +172,27 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     val b = words.select(Bpe.encodeWord(col("w"), loaded).as("t"))
       .collect().map(_.getSeq[String](0).toSeq).toSeq
     assert(a == b)
+    // the served pipeline: vocabulary read back from the artifact, the
+    // rank-loop expression encoding a live stream — rows == batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.BpeEncode
+    val live = Seq((10L, "aaab"), (11L, "aab"), (12L, "ba"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val batch = rows(live.toDF("id", "w")
+      .select(col("id"), BpeEncode(col("w"), loaded).as("t")))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "w")
+      .select(col("id"), BpeEncode(col("w"), loaded).as("t"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_loaded_out").start()
+    try {
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      val streamed = rows(spark.table("bpe_loaded_out"))
+      assert(streamed == batch, s"$streamed vs $batch")
+      assert(streamed(10L) == Seq("aaab") && streamed(11L) == Seq("aa", "b"))
+    } finally q.stop()
   }
 }
