@@ -516,24 +516,30 @@ object TextSimQueries {
 
   /** Multilingual tokenization gate — the q_x2 injection discipline over
     * NON-LATIN scripts (the corpus itself is ASCII): deterministic
-    * zh/ru/ar/hi texts (4 script templates × 5 digit suffixes = 20
-    * exact-dup groups) run the REAL tokenize → shingle → fingerprint →
+    * zh/ru/ar/hi/ja/ko texts (6 script templates × 5 digit suffixes =
+    * 30 exact-dup groups) run the REAL tokenize → shingle → fingerprint →
     * exact-dedup chain under the hash gate, proving end-to-end that the
     * Unicode tokenizer (1) emits per-codepoint CJK tokens, (2) keeps
     * Devanagari/Arabic combining marks inside their words, (3) builds
     * non-empty 3-gram shingles from non-Latin text, and (4) fingerprints
     * dedup every doc against its own copies WITHOUT collapsing distinct
     * scripts (the old ASCII tokenizer mapped all non-Latin docs to
-    * md5('') — one giant false dup group). Output: one row per dup
-    * group with the keeper's token stats. */
+    * md5('') — one giant false dup group), and (5) the ja/ko/zh script
+    * short-circuits of langGuess label each group (kana beats Han on
+    * the mixed ja text; unmarked ru/ar/hi abstain to 'und'). Output:
+    * one row per dup group with the keeper's token stats. */
   private def qT38multilingual(s: SparkSession, d: String): DataFrame = {
-    val base = when(col("doc_id") % 4 === 0,
+    val base = when(col("doc_id") % 6 === 0,
         lit("深度学习模型的训练数据质量很重要"))
-      .when(col("doc_id") % 4 === 1,
+      .when(col("doc_id") % 6 === 1,
         lit("Качество обучающих данных важно для модели"))
-      .when(col("doc_id") % 4 === 2,
+      .when(col("doc_id") % 6 === 2,
         lit("جودة بيانات التدريب مهمة للنموذج"))
-      .otherwise(lit("प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है"))
+      .when(col("doc_id") % 6 === 3,
+        lit("प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है"))
+      .when(col("doc_id") % 6 === 4,
+        lit("深層学習のデータ品質はとても重要です"))
+      .otherwise(lit("학습 데이터 품질이 중요하다"))
     val injected = docs(s, d).select(col("doc_id"),
       concat(base, lit(" "), (col("doc_id") % 5).cast("string")).as("text"))
     val toks = filter(Dedup.words(col("text")), w => w =!= lit(""))
@@ -541,22 +547,26 @@ object TextSimQueries {
       size(toks).cast("long").as("n_tokens"),
       size(Dedup.shingleStrings(col("text"), 3)).cast("long").as("n_shingles"),
       element_at(toks, 1).as("tok_first"),
-      element_at(toks, -1).as("tok_last"))
+      element_at(toks, -1).as("tok_last"),
+      graft.operators.TextStats.langGuess(col("text")).as("guess"))
     Dedup.exactGroups(injected, "doc_id",
         graft.operators.TextStats.fingerprint(col("text")))
       .select(col("dup_key"), col("keeper"), col("group_size"))
       .join(stats, col("keeper") === col("kid"))
       .select(col("dup_key"), col("keeper"), col("group_size"),
-        col("n_tokens"), col("n_shingles"), col("tok_first"), col("tok_last"))
+        col("n_tokens"), col("n_shingles"), col("tok_first"), col("tok_last"),
+        col("guess"))
       .orderBy("dup_key")
   }
   private val oT38 =
     """WITH inj AS (SELECT doc_id,
-      |    CASE doc_id % 4
+      |    CASE doc_id % 6
       |      WHEN 0 THEN '深度学习模型的训练数据质量很重要'
       |      WHEN 1 THEN 'Качество обучающих данных важно для модели'
       |      WHEN 2 THEN 'جودة بيانات التدريب مهمة للنموذج'
-      |      ELSE 'प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है'
+      |      WHEN 3 THEN 'प्रशिक्षण डेटा की गुणवत्ता महत्वपूर्ण है'
+      |      WHEN 4 THEN '深層学習のデータ品質はとても重要です'
+      |      ELSE '학습 데이터 품질이 중요하다'
       |    END || ' ' || CAST(doc_id % 5 AS VARCHAR) AS text
       |  FROM documents),
       |fp AS (SELECT doc_id,
@@ -574,10 +584,18 @@ object TextSimQueries {
       |      range(1, greatest(len(ws) - 2, 0) + 1),
       |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
       |      AS BIGINT) AS n_shingles,
-      |    ws[1] AS tok_first, ws[len(ws)] AS tok_last
-      |  FROM fp)
+      |    ws[1] AS tok_first, ws[len(ws)] AS tok_last,
+      |    CASE
+      |      WHEN regexp_matches(text, '[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}]')
+      |        THEN 'ja'
+      |      WHEN regexp_matches(text, '[\x{ac00}-\x{d7a3}]') THEN 'ko'
+      |      WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}\x{3400}-\x{4dbf}]')
+      |        THEN 'zh'
+      |      ELSE 'und'
+      |    END AS guess
+      |  FROM fp JOIN inj USING (doc_id))
       |SELECT g.dup_key, g.keeper, g.group_size,
-      |  st.n_tokens, st.n_shingles, st.tok_first, st.tok_last
+      |  st.n_tokens, st.n_shingles, st.tok_first, st.tok_last, st.guess
       |FROM g JOIN st ON g.keeper = st.doc_id
       |ORDER BY g.dup_key""".stripMargin
 
