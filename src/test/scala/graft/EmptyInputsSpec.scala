@@ -32,6 +32,23 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.nearDupClusters(noPairs).isEmpty)
     assert(Dedup.exactSubstringDedup(noDocs, "doc_id", "text", 10).isEmpty)
     assert(TextStats.gopherQualityFlags(noDocs, "doc_id", "text").isEmpty)
+    assert(Fuzzy.blockedEditJoin(noDocs, "doc_id", col("text"),
+      md5(col("text")), maxDist = 2).isEmpty)
+    assert(Fuzzy.lengthBandEditJoin(noDocs, "doc_id", col("text"),
+      maxDist = 2).isEmpty)
+    // BPE: empty corpus learns nothing (both trainers); the encode
+    // expression is null-safe and tokenizes the empty word to [""]
+    assert(Bpe.train(noDocs, "text", k = 3).isEmpty)
+    assert(Bpe.trainBatched(noDocs, "text", k = 3, batch = 2).isEmpty)
+    val enc = Seq((1L, Some("ab")), (2L, Some("")), (3L, None))
+      .toDF("id", "w")
+      .select(col("id"),
+        graft.functions.BpeEncode(col("w"),
+          Seq(Bpe.Merge("a", "b", 1L))).as("t"))
+      .orderBy("id").collect()
+    assert(enc(0).getSeq[String](1) == Seq("ab"))
+    assert(enc(1).getSeq[String](1) == Seq(""))
+    assert(enc(2).isNullAt(1))
     // empty-corpus dedup index: nothing stored, every batch doc keeps
     val dir = java.nio.file.Files
       .createTempDirectory("graft_empty_didx").toString
