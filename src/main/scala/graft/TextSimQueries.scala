@@ -641,6 +641,102 @@ object TextSimQueries {
       |  round(CAST(sum(t) AS DOUBLE), 6) AS psi
       |FROM terms""".stripMargin
 
+  /** The STREAMING metrics store lifecycle under the FULL hash gate
+    * (the q_d10 in-query-artifact discipline): two epochs of the q_t32
+    * synthetic scored model (even docs then odd docs) accumulate into a
+    * persisted histogram store, epoch 1 is REPLAYED (the applied_epochs
+    * guard must no-op it), the store is COMPACTED (staging-swap to one
+    * merged shard), and the output is the cumulative grade (AUC +
+    * ECE/MCE) plus the PSI drift of the full store against a frozen
+    * baseline store holding epoch 0 only. The oracle replays everything
+    * from the example sets — a double-counted replay, a compaction that
+    * loses a row, or a drifted stored count is a hash mismatch. */
+  private def qSt3metricsStore(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sampling
+    import graft.streaming.StreamMetrics
+    val score = round(Sampling.hash24(col("doc_id"), "cal")
+      .cast("double") / lit(16777216.0), 6)
+    val y = (Sampling.hash24(col("doc_id"), "draw") % 1000000 <
+      floor(score * lit(1e6)).cast("long")).cast("long")
+    val scored = docs(s, d).select(col("doc_id"),
+      score.as("score"), y.as("y"))
+    val e0 = scored.where(col("doc_id") % 2 === 0)
+    val e1 = scored.where(col("doc_id") % 2 === 1)
+    val dir = indexDir("metstore", d)
+    val base = indexDir("metbase", d)
+    StreamMetrics.processEpoch(e0, 0L, col("score"), col("y"), dir)
+    StreamMetrics.processEpoch(e1, 1L, col("score"), col("y"), dir)
+    // replayed epoch: the high-water guard must make this a no-op
+    StreamMetrics.processEpoch(e1, 1L, col("score"), col("y"), dir)
+    StreamMetrics.compact(s, dir)
+    StreamMetrics.processEpoch(e0, 0L, col("score"), col("y"), base)
+    StreamMetrics.grade(s, dir)
+      .crossJoin(broadcast(StreamMetrics.driftVsBaseline(s, base, dir)))
+  }
+  private val oSt3 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH sc0 AS (SELECT doc_id,
+      |    round(CAST(${h24("cal")} AS DOUBLE) / 16777216.0, 6) AS score0,
+      |    ${h24("draw")} % 1000000 AS draw
+      |  FROM documents),
+      |sc AS (SELECT doc_id, score0 AS score,
+      |    CAST(draw < CAST(floor(score0 * 1000000.0) AS BIGINT) AS BIGINT)
+      |      AS y
+      |  FROM sc0),""".stripMargin
+  } + "\n" + """h AS (SELECT score, CAST(sum(y) AS BIGINT) AS np,
+      |    CAST(sum(1 - y) AS BIGINT) AS nn FROM sc GROUP BY 1),
+      |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      |  FROM h),
+      |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(nn) AS BIGINT) AS n_neg,
+      |    sum(CAST(np AS DECIMAL(38,0)) * (2 * cumneg + nn)) AS s2 FROM c),
+      |auc AS (SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |    THEN round(CAST(s2 AS DOUBLE)
+      |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+      |  END AS auc FROM a),
+      |g AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(sum(CAST(floor(score * 1000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS ss
+      |  FROM sc GROUP BY 1),
+      |g2 AS (SELECT n, CAST(floor(abs(
+      |    round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      - round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6),
+      |      6)) * 1000000.0 + 0.5) AS BIGINT) AS g6
+      |  FROM g),
+      |ec AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(n AS DECIMAL(38,0)) * g6) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE)
+      |    / 1000000.0, 6) AS ece,
+      |  round(CAST(max(g6) AS DOUBLE) / 1000000.0, 6) AS mce
+      |FROM g2),
+      |r AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cr FROM sc WHERE doc_id % 2 = 0
+      |  GROUP BY 1),
+      |cc AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cc FROM sc GROUP BY 1),
+      |j AS (SELECT coalesce(r.bin, cc.bin) AS bin,
+      |    coalesce(cr, CAST(0 AS BIGINT)) AS cr,
+      |    coalesce(cc.cc, CAST(0 AS BIGINT)) AS cc
+      |  FROM r FULL JOIN cc ON r.bin = cc.bin),
+      |t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+      |    CAST(sum(cc) AS BIGINT) AS nc FROM j),
+      |terms AS (SELECT CAST(round(
+      |    ((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+      |      - (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))
+      |    * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+      |      / (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 6)
+      |    AS DECIMAL(28,6)) AS t
+      |  FROM j CROSS JOIN t)
+      |SELECT auc.n_pos, auc.n_neg, auc.auc, ec.n, ec.ece, ec.mce,
+      |  (SELECT nr FROM t) AS n_ref, (SELECT nc FROM t) AS n_cur,
+      |  (SELECT round(CAST(sum(t) AS DOUBLE), 6) FROM terms) AS psi
+      |FROM auc CROSS JOIN ec""".stripMargin
+
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
     * shuffle with map-side combine, then the k-bounded `BoundedTopK`
@@ -3926,6 +4022,7 @@ object TextSimQueries {
     "q_t36_psi" -> qT36psi _,
     "q_t37_brier" -> qT37brier _,
     "q_t38_multilingual" -> qT38multilingual _,
+    "q_st3_metrics_store" -> qSt3metricsStore _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
@@ -4016,6 +4113,7 @@ object TextSimQueries {
     "q_t36_psi" -> oT36,
     "q_t37_brier" -> oT37,
     "q_t38_multilingual" -> oT38,
+    "q_st3_metrics_store" -> oSt3,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_t28b_bpe_encode_expr" -> oT28,

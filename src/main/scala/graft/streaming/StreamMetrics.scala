@@ -76,6 +76,17 @@ object StreamMetrics {
     IndexFiles.swapIn(spark, s"$path/hist", staged)
   }
 
+  /** PSI drift of the store at `path` against a FROZEN baseline store —
+    * the X107 monitoring leg run entirely off persisted histograms: no
+    * example re-scan, cost bounded by the score grid, callable from any
+    * session with no stream running. "Has the score distribution moved
+    * since the reference window" answered from two artifact reads. One
+    * row: (n_ref, n_cur, psi). */
+  def driftVsBaseline(spark: SparkSession, baselinePath: String,
+                      path: String, bins: Int = 10): DataFrame =
+    Metrics.psiFromHistograms(
+      mergedHist(spark, baselinePath), mergedHist(spark, path), bins)
+
   /** One epoch of the monitor, callable directly (the
     * [[StreamIndexDedup.processEpoch]] convention): merge the batch's
     * histogram into the store unless this epoch already applied, then
