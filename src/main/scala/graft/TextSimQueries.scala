@@ -2761,6 +2761,47 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Cluster-balanced curation sample (SemDeDup/DCLM-style) under the
+    * FULL hash gate: every embedding assigns to its nearest hash-seeded
+    * centroid (the q_s3b seed + argmax-cosine machinery, no refinement)
+    * and a deterministic (hash, id) reservoir keeps 20 docs per cluster
+    * — diversity-preserving curation as one assignment aggregate + one
+    * k-bounded cap. The oracle replays seeding, every cosine, the
+    * argmax tie-break, and the reservoir rank. */
+  private def qX15clusterBalanced(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterBalancedSample(emb(s, d), "vec_id", "embedding",
+        nCentroids = 16, perCluster = 20)
+      .orderBy("cluster", "vec_id")
+  private val oX15 =
+    """WITH e AS (SELECT vec_id AS id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |h AS (SELECT id, embedding,
+      |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+      |      1, 6)) AS BIGINT) AS hh FROM e),
+      |cents AS (SELECT id AS cid, embedding AS ce FROM h
+      |  ORDER BY hh, id LIMIT 16),
+      |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+      |  FROM h CROSS JOIN cents c),
+      |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+      |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+      |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+      |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+      |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+      |assign AS (SELECT vid, cid FROM (SELECT vid, cid, row_number() OVER (
+      |    PARTITION BY vid ORDER BY s DESC, cid) AS rn FROM sim) WHERE rn = 1),
+      |bh AS (SELECT cid, vid,
+      |    CAST(concat('0x', substr(md5(concat(CAST(vid AS VARCHAR), '|bal')),
+      |      1, 6)) AS BIGINT) AS b FROM assign),
+      |rk AS (SELECT cid, vid,
+      |    row_number() OVER (PARTITION BY cid ORDER BY b, vid) AS rn
+      |  FROM bh)
+      |SELECT cid AS cluster, vid AS vec_id FROM rk WHERE rn <= 20
+      |ORDER BY cluster, vec_id""".stripMargin
+
   /** PQ (product-quantization) ANN — codes scanned with ADC lookup
     * tables, exact re-rank of the bounded candidate set. Fully oracled:
     * every stage (md5-seeded codebook, normalization, argmin encoding,
@@ -4032,6 +4073,7 @@ object TextSimQueries {
     "q_s2_ann_lsh" -> qS2annLsh _,
     "q_s3_ann_ivf" -> qS3annIvf _,
     "q_s3b_ann_ivf_kmeans" -> qS3bannIvfKmeans _,
+    "q_x15_cluster_balanced" -> qX15clusterBalanced _,
     "q_s4_ann_pq" -> qS4annPq _,
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_s6_hybrid_rerank" -> qS6hybrid _,
@@ -4123,6 +4165,7 @@ object TextSimQueries {
     "q_s2_ann_lsh" -> oS2,
     "q_s3_ann_ivf" -> oS3,
     "q_s3b_ann_ivf_kmeans" -> oS3b,
+    "q_x15_cluster_balanced" -> oX15,
     "q_s4_ann_pq" -> oS4,
     "q_s5_ann_ivfpq" -> oS5,
     "q_s6_hybrid_rerank" -> oS6,

@@ -407,6 +407,40 @@ object Similarity {
     * it is the ORACLE/debug mode; production refinement keeps the
     * map-side-combinable sum whose ulp-level order noise k-means is
     * insensitive to. */
+  /** Cluster-balanced sampling — the SemDeDup/DCLM-style curation step:
+    * assign every embedding to its nearest (hash-seeded) centroid and
+    * keep a deterministic reservoir of `perCluster` docs per cluster, so
+    * the curated subset preserves embedding-space DIVERSITY instead of
+    * letting the corpus's dominant modes crowd out the tail (a uniform
+    * sample keeps the modes in proportion; a quality top-k keeps
+    * whatever the scorer likes — this keeps every REGION).
+    *
+    * Scale shape: one broadcast assignment pass (O(n·nCentroids·d)
+    * map-side FLOPs folded into ONE min-struct aggregate — one row per
+    * vector crosses the exchange) + the k-bounded per-group cap
+    * (state ∝ perCluster per cluster, map-side combine). No window, no
+    * corpus sort; for nCentroids past the broadcast budget, assign via
+    * [[assignToHierarchical]] first and feed the cap directly. Output:
+    * (cluster, idCol) keeper pairs — semi-join to materialize rows.
+    * Fully deterministic: centroid seed, argmax tie-break, and the cap's
+    * (hash, id) reservoir all replay in a SQL oracle (q_x15). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+                            vecCol: String, nCentroids: Int,
+                            perCluster: Int,
+                            salt: String = "bal"): DataFrame = {
+    require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = assignTo(c, cents)
+      .select(col("centroid_id").as("cluster"),
+        col("neighbor_id").as("_vid"))
+    Sampling.capPerGroup(assigned, "cluster", "_vid", perCluster, salt)
+      .select(col("cluster"), col("_vid").as(idCol))
+  }
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       init: DataFrame, iters: Int,
                       orderedMeans: Boolean = false): DataFrame = {
