@@ -271,4 +271,35 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
         s"aggregate:\n$tsPlan")
     assert(tsDf.count() > 0)
   }
+
+  test("round-11 additions: cluster-balanced sample and length-band " +
+    "fuzzy join stay window-free with broadcast-only small sides") {
+    import graft.operators.{Fuzzy, Similarity}
+    // clusterBalancedSample: ONE broadcast assignment aggregate + the
+    // k-bounded reservoir — no window, no cartesian product, and the
+    // centroid side reaches the join as a broadcast
+    val e = Tables.embeddings(spark, sf)
+    val bal = Similarity.clusterBalancedSample(e, "vec_id", "embedding",
+      nCentroids = 8, perCluster = 5)
+    val balPlan = bal.queryExecution.optimizedPlan.toString
+    assert(!balPlan.contains("Window"),
+      s"clusterBalancedSample grew a window:\n$balPlan")
+    val balPhys = bal.queryExecution.executedPlan.toString
+    assert(balPhys.contains("Broadcast"),
+      s"centroid side must broadcast:\n$balPhys")
+    assert(!balPhys.contains("CartesianProduct"),
+      s"unexpected cartesian:\n$balPhys")
+    assert(bal.count() > 0)
+    // lengthBandEditJoin: equi-join on the band key (never a theta/
+    // cartesian join), window-free, oversize guard via broadcast anti
+    val docs = Tables.documents(spark, sf)
+    val fz = Fuzzy.lengthBandEditJoin(docs.where(col("doc_id") % 10 < 2),
+      "doc_id", substring(col("text"), 1, (20)), maxDist = 1)
+    val fzPlan = fz.queryExecution.optimizedPlan.toString
+    assert(!fzPlan.contains("Window"),
+      s"lengthBandEditJoin grew a window:\n$fzPlan")
+    assert(!fz.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"),
+      s"banded join must be an equi-join:\n$fz")
+  }
 }
