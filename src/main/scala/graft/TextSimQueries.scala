@@ -2802,6 +2802,45 @@ object TextSimQueries {
       |SELECT cid AS cluster, vid AS vec_id FROM rk WHERE rn <= 20
       |ORDER BY cluster, vec_id""".stripMargin
 
+  /** Per-cluster cohesion diagnostics under the FULL hash gate — the
+    * q_x15 assignment measured: population, mean winning cosine (1e-6
+    * regrid, order-free DECIMAL sum, one division), min winning cosine.
+    * The oracle replays every cosine, the argmax, and the exact-grid
+    * fold. */
+  private def qX16clusterStats(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterStats(emb(s, d), "vec_id", "embedding",
+        nCentroids = 16)
+      .orderBy("cluster")
+  private val oX16 =
+    """WITH e AS (SELECT vec_id AS id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |h AS (SELECT id, embedding,
+      |    CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), '|ivf')),
+      |      1, 6)) AS BIGINT) AS hh FROM e),
+      |cents AS (SELECT id AS cid, embedding AS ce FROM h
+      |  ORDER BY hh, id LIMIT 16),
+      |p AS (SELECT h.id AS vid, c.cid, h.embedding AS ve, c.ce
+      |  FROM h CROSS JOIN cents c),
+      |u AS (SELECT vid, cid, CAST(unnest(ve) AS DOUBLE) AS xv,
+      |    CAST(unnest(ce) AS DOUBLE) AS xc FROM p),
+      |g AS (SELECT vid, cid, sum(xv * xc) AS dt, sum(xv * xv) AS nv,
+      |    sum(xc * xc) AS nc FROM u GROUP BY 1, 2),
+      |sim AS (SELECT vid, cid, dt / (sqrt(nv) * sqrt(nc)) AS s FROM g),
+      |assign AS (SELECT vid, cid, s FROM (SELECT vid, cid, s,
+      |    row_number() OVER (PARTITION BY vid ORDER BY s DESC, cid) AS rn
+      |  FROM sim) WHERE rn = 1),
+      |c6 AS (SELECT cid,
+      |    CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS c6 FROM assign)
+      |SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(c6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / 1000000.0, 6) AS mean_cosine,
+      |  round(CAST(min(c6) AS DOUBLE) / 1000000.0, 6) AS min_cosine
+      |FROM c6 GROUP BY 1 ORDER BY cluster""".stripMargin
+
   /** PQ (product-quantization) ANN — codes scanned with ADC lookup
     * tables, exact re-rank of the bounded candidate set. Fully oracled:
     * every stage (md5-seeded codebook, normalization, argmin encoding,
@@ -4074,6 +4113,7 @@ object TextSimQueries {
     "q_s3_ann_ivf" -> qS3annIvf _,
     "q_s3b_ann_ivf_kmeans" -> qS3bannIvfKmeans _,
     "q_x15_cluster_balanced" -> qX15clusterBalanced _,
+    "q_x16_cluster_stats" -> qX16clusterStats _,
     "q_s4_ann_pq" -> qS4annPq _,
     "q_s5_ann_ivfpq" -> qS5annIvfPq _,
     "q_s6_hybrid_rerank" -> qS6hybrid _,
@@ -4166,6 +4206,7 @@ object TextSimQueries {
     "q_s3_ann_ivf" -> oS3,
     "q_s3b_ann_ivf_kmeans" -> oS3b,
     "q_x15_cluster_balanced" -> oX15,
+    "q_x16_cluster_stats" -> oX16,
     "q_s4_ann_pq" -> oS4,
     "q_s5_ann_ivfpq" -> oS5,
     "q_s6_hybrid_rerank" -> oS6,

@@ -441,6 +441,38 @@ object Similarity {
       .select(col("cluster"), col("_vid").as(idCol))
   }
 
+  /** Per-cluster cohesion diagnostics — the measurement leg of
+    * [[clusterBalancedSample]]: for the same hash-seeded assignment,
+    * each cluster's population, MEAN centroid-cosine (how tight the
+    * region is), and MIN centroid-cosine (its worst straggler). A loose
+    * cluster (low mean) says the region needs more centroids before a
+    * balanced sample treats it as one mode; a tiny min flags vectors
+    * the seeding serves badly. ONE assignment aggregate + one per-
+    * cluster fold. Cross-engine mean discipline: winning cosines regrid
+    * to exact 1e-6 BIGINTs and sum order-free (the KL/bigram pattern),
+    * one division at the end. Output: (cluster, n, mean_cosine,
+    * min_cosine). */
+  def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int): DataFrame = {
+    require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .where(col("cn") > 0)
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCentroids)
+    assignToWithSim(c, cents)
+      .select(col("centroid_id").as("cluster"),
+        floor(col("cent_cosine") * lit(1e6) + lit(0.5)).cast("long")
+          .as("_c6"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("_c6")).as("_s6"),
+        min(col("_c6")).as("_m6"))
+      .select(col("cluster"), col("n"),
+        round(col("_s6").cast("double") / col("n").cast("double")
+          / lit(1e6), 6).as("mean_cosine"),
+        round(col("_m6").cast("double") / lit(1e6), 6).as("min_cosine"))
+  }
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       init: DataFrame, iters: Int,
                       orderedMeans: Boolean = false): DataFrame = {
