@@ -101,4 +101,58 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       .except(docs)
     assert(diff.isEmpty, "unique-line corpus must round-trip unchanged")
   }
+
+  test("property: words() tokens reconstruct the normalized text and " +
+    "never contain separator characters (multilingual pool)") {
+    // pool spans Latin/digits/punct + CJK + kana + Hangul + Cyrillic +
+    // Arabic (incl. a combining mark) + Devanagari matras + accents;
+    // locale-changing case mappings (Turkish I) and context-sensitive
+    // ones (Greek final sigma: lower('\u03a3') depends on what follows,
+    // so stripping separators BEFORE vs AFTER lowercasing diverges)
+    // stay out by contract
+    val pool = "abcz09 ,.!?\u4e2d\u6587\u7530\u3072\u3089\u30ab\u30ca" +
+      "\ud55c\uad6d\uc5b4\u043c\u0438\u0440\u062d\u062c\u0651" +
+      "\u0915\u093f\u0924\u00df\u00e9\u00e0\n\t-_"
+    val g = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.oneOf(pool.toSeq)).map(_.mkString)
+    val xs = sample(g, 300, seed = 11L)
+    val rows = xs.toDF("s").select(col("s"),
+        filter(graft.operators.Dedup.words(col("s")),
+          w => w =!= lit("")).as("t"))
+      .collect()
+    rows.foreach { r =>
+      val str = r.getString(0)
+      val toks = r.getSeq[String](1)
+      val expect = str.replaceAll("[^\\p{L}\\p{M}\\p{N}]+", "")
+        .toLowerCase(java.util.Locale.ROOT)
+      assert(toks.mkString == expect,
+        s"'$str': ${toks.mkString("|")} != $expect")
+      toks.foreach(t => assert(t.matches("[\\p{L}\\p{M}\\p{N}]+"),
+        s"token '$t' of '$str' carries a separator"))
+    }
+  }
+
+  test("property: BpeEncode tokens reconstruct the word and equal the " +
+    "chained encodeWord on random words over the trained alphabet") {
+    import graft.operators.Bpe
+    val corpus = (Seq.fill(13)("international") ++ Seq.fill(7)("internet") ++
+      Seq.fill(5)("nation") ++ Seq.fill(3)("intern"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val m = Bpe.train(corpus, "text", k = 12)
+    val g = org.scalacheck.Gen.listOfN(12,
+      org.scalacheck.Gen.oneOf("internatiol".toSeq)).map(_.mkString)
+    val words = sample(g, 200, seed = 13L).distinct
+    val rows = words.toDF("w").select(col("w"),
+        Bpe.encodeWord(col("w"), m).as("chain"),
+        graft.functions.BpeEncode(col("w"), m).as("expr"))
+      .collect()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val chain = r.getSeq[String](1)
+      val expr = r.getSeq[String](2)
+      assert(chain == expr, s"'$w': $chain vs $expr")
+      assert(expr.mkString == w, s"'$w' not reconstructed: $expr")
+    }
+  }
 }
