@@ -737,6 +737,43 @@ object TextSimQueries {
       |  (SELECT round(CAST(sum(t) AS DOUBLE), 6) FROM terms) AS psi
       |FROM auc CROSS JOIN ec""".stripMargin
 
+  /** FIM (fill-in-the-middle) transform under the FULL hash gate: half
+    * the corpus rewrites to PSM order at two hash-derived codepoint
+    * cuts, the rest passes through verbatim — the oracle replays the
+    * rate gate, both cut hashes, the least/greatest ordering, and all
+    * three substrings byte-for-byte, plus summary columns proving the
+    * transform is lossless (sentinels aside) and the gate share is the
+    * hash-threshold one. */
+  private def qT39fim(s: SparkSession, d: String): DataFrame =
+    TextStats.fimTransform(docs(s, d), "doc_id", "text", fimRate = 0.5)
+      .select(col("doc_id"), col("fim_applied"),
+        length(col("text_out")).cast("long").as("n_out"),
+        md5(col("text_out")).as("out_md5"))
+      .orderBy("doc_id")
+  private val oT39 = {
+    def h24(salt: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$salt')), 1, 6)) AS BIGINT)"
+    s"""WITH c AS (SELECT doc_id, text, length(text) AS n,
+      |    ${h24("fim.a")} % (length(text) + 1) AS a,
+      |    ${h24("fim.b")} % (length(text) + 1) AS b,
+      |    ${h24("fim")} < 8388608 AS g
+      |  FROM documents),
+      |t AS (SELECT doc_id, g,
+      |    CASE WHEN g THEN '<PRE>' || substr(text, 1, CAST(least(a, b) AS INT))
+      |      || '<SUF>' || substr(text, CAST(greatest(a, b) + 1 AS INT),
+      |           CAST(n - greatest(a, b) AS INT))
+      |      || '<MID>' || substr(text, CAST(least(a, b) + 1 AS INT),
+      |           CAST(greatest(a, b) - least(a, b) AS INT))
+      |    ELSE text END AS text_out
+      |  FROM c)
+      |SELECT doc_id, CAST(CASE WHEN g THEN 1 ELSE 0 END AS BIGINT)
+      |    AS fim_applied,
+      |  CAST(length(text_out) AS BIGINT) AS n_out,
+      |  md5(text_out) AS out_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** Vocabulary heavy hitters: top-10 words per language, ranked by
     * count desc then word asc. Window-free: one (lang, word) count
     * shuffle with map-side combine, then the k-bounded `BoundedTopK`
@@ -4103,6 +4140,7 @@ object TextSimQueries {
     "q_t37_brier" -> qT37brier _,
     "q_t38_multilingual" -> qT38multilingual _,
     "q_st3_metrics_store" -> qSt3metricsStore _,
+    "q_t39_fim_transform" -> qT39fim _,
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
@@ -4196,6 +4234,7 @@ object TextSimQueries {
     "q_t37_brier" -> oT37,
     "q_t38_multilingual" -> oT38,
     "q_st3_metrics_store" -> oSt3,
+    "q_t39_fim_transform" -> oT39,
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_t28b_bpe_encode_expr" -> oT28,

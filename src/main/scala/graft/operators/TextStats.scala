@@ -314,6 +314,42 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "[^\\p{L}\\p{M}\\p{N}]+", "")))
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, arXiv
+    * 2207.14255) — the code-LM training-data prep step: a gated share
+    * of documents is deterministically split into (prefix, middle,
+    * suffix) at two hash-derived codepoint cuts and re-emitted in PSM
+    * order with sentinel tokens, so an autoregressive model learns
+    * infilling from plain next-token prediction. Everything is a pure
+    * map-side expression over (id, text): the gate is the q_x1
+    * hash-threshold discipline (reproducible membership at exactly
+    * ⌊rate·2^24⌋), the two cuts are independent hashes mod (len+1)
+    * ordered by least/greatest, and the rewrite is three substrings —
+    * deterministic, shuffle-free, engine-replayable. Untransformed docs
+    * pass through verbatim (`fim_applied` = 0), matching the standard
+    * practice of mixing FIM and plain documents at a fixed rate.
+    * Output: (idCol, fim_applied, text_out). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimRate: Double = 0.5, salt: String = "fim",
+                   preTok: String = "<PRE>", midTok: String = "<MID>",
+                   sufTok: String = "<SUF>"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate in [0,1]: $fimRate")
+    import graft.operators.Sampling.hash24
+    val id = col(idCol)
+    val n = length(col(textCol))
+    val a = hash24(id, salt + ".a") % (n + lit(1))
+    val b = hash24(id, salt + ".b") % (n + lit(1))
+    val lo = least(a, b).cast("int")
+    val hi = greatest(a, b).cast("int")
+    val gate = hash24(id, salt) < lit(math.floor(fimRate * (1 << 24)).toLong)
+    // PSM order: prefix, suffix, middle — the model sees both sides
+    // before generating the hole
+    val psm = concat(lit(preTok), col(textCol).substr(lit(1), lo),
+      lit(sufTok), col(textCol).substr(hi + lit(1), n - hi),
+      lit(midTok), col(textCol).substr(lo + lit(1), hi - lo))
+    df.select(id, when(gate, lit(1L)).otherwise(lit(0L)).as("fim_applied"),
+      when(gate, psm).otherwise(col(textCol)).as("text_out"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------------
 
   /** Patterns kept to the Java↔RE2 common subset so the DuckDB oracle

@@ -155,4 +155,29 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(expr.mkString == w, s"'$w' not reconstructed: $expr")
     }
   }
+
+  test("property: fimTransform is lossless — prefix+middle+suffix " +
+    "reassemble the original on random multilingual strings") {
+    val pool = "abcz09 ,.!?\u4e2d\u6587\u3072\ud55c\u043c\u0438" +
+      "\u0915\u093f\u00e9"
+    val g = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.oneOf(pool.toSeq)).map(_.mkString)
+    val xs = sample(g, 200, seed = 17L).distinct
+    val rows = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextStats.fimTransform(rows, "doc_id", "text", fimRate = 1.0)
+      .join(rows, Seq("doc_id")).collect()
+    out.foreach { r =>
+      val orig = r.getAs[String]("text")
+      val t = r.getAs[String]("text_out")
+      assert(r.getAs[Long]("fim_applied") == 1L)
+      assert(t.startsWith("<PRE>"), t)
+      val sufAt = t.indexOf("<SUF>"); val midAt = t.indexOf("<MID>")
+      assert(sufAt >= 5 && midAt > sufAt, t)
+      val pre = t.substring(5, sufAt)
+      val suf = t.substring(sufAt + 5, midAt)
+      val mid = t.substring(midAt + 5)
+      assert(pre + mid + suf == orig, s"'$orig' != '$pre|$mid|$suf'")
+    }
+  }
 }
