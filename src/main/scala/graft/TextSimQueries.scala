@@ -2011,18 +2011,19 @@ object TextSimQueries {
 
   /** Length-band fuzzy join under the full hash gate — the DERIVED-key
     * form of q_d18 (no semantic block key needed): injected strings
-    * with controlled length spread (8-char md5 prefix + 0..29 'ab'
-    * repeats → ~30 width-2 bands) where every odd doc is its even
-    * predecessor's string plus one char — a planted dist-1 pair whose
-    * lengths straddle band boundaries at every shape. The oracle
-    * replays the banding (own band + next, both-band dups collapsed by
-    * DISTINCT), the oversize guard, the |Δlen| prune, and the
-    * levenshtein gate. */
+    * with controlled length spread (8-char md5 prefix + 0..59 'a'
+    * repeats → 60 distinct base lengths 8..67 in width-1 bands, since
+    * maxDist = 1) where every odd doc is its even predecessor's string
+    * plus one char — a planted dist-1 pair whose lengths straddle band
+    * boundaries at every shape. The oracle replays the banding (own
+    * band + next, both-band dups collapsed by DISTINCT), the oversize
+    * guard, the |Δlen| prune, and the levenshtein gate. */
   private def qD19lengthBand(s: SparkSession, d: String): DataFrame = {
-    // 10% injection sample with 68 distinct lengths: thin bands keep the
-    // in-band quadratic honest (the operator's contract is banding +
-    // guard, not magic — a fixture whose lengths all collide would just
-    // be the all-pairs join)
+    // 20% injection sample (2 of every 10 doc_ids) spread over 60 base
+    // lengths: thin width-1 bands keep the in-band quadratic honest (the
+    // operator's contract is banding + guard, not magic — a fixture
+    // whose lengths all collide would just be the all-pairs join, and
+    // now trips the band-collapse guard)
     val base = col("doc_id") - col("doc_id") % 10
     val k = ((base / 10) % 60).cast("int")
     val str = concat(

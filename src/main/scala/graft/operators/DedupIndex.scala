@@ -34,6 +34,20 @@ import graft.functions.Bloom
   *   path/applied_epochs/ (epoch) — optional; the streaming replay guard
   *                    (see [[lastAppliedEpoch]])
   *
+  * Every artifact table is PARTITIONED BY an `epoch` stamp (hive-style
+  * `epoch=<e>` directories): [[BaseEpoch]] (-1) for [[build]] and plain
+  * [[append]] rows, the foreachBatch epoch id for [[appendEpoch]] rows.
+  * The stamp is what makes the streaming ingest loop idempotent
+  * WHEREVER a crash lands (the StreamMetrics X112 discipline, lifted to
+  * the multi-table case): a replayed [[appendEpoch]] OVERWRITES its own
+  * epoch directories instead of appending next to the crashed attempt,
+  * and
+  * [[checkBatch]]'s `excludeEpoch` masks the in-flight epoch so the
+  * replay recomputes the SAME kept set the first attempt saw. Indexes
+  * written before the stamp existed keep reading fine (the readers
+  * select named columns); run [[compact]] once to migrate their layout
+  * before appending to them.
+  *
   * Check-time scale shape (`broadcastBatch = true`, the default): the
   * daily batch is small next to the corpus, so its shingle rows and
   * fingerprints ride BROADCAST sides of the two joins — the stored
@@ -62,24 +76,51 @@ object DedupIndex {
   val DefaultBloomBits: Int = 1 << 20
   val DefaultBloomHashes: Int = 5
 
+  /** The epoch stamp on rows written by [[build]], plain [[append]] and
+    * [[compact]] — never a real foreachBatch epoch (those are ≥ 0). */
+  val BaseEpoch: Long = -1L
+
   /** Tokenize + hash + fingerprint the corpus once and write all three
-    * artifacts under `path` — shared verbatim by `build` (overwrite) and
-    * `append` (append), so the incremental path cannot drift. */
+    * artifacts under `path`, each into its epoch's own hive-style
+    * partition directory (`<part>/epoch=<e>/`) — shared verbatim by
+    * `build` (overwrite), `append` (append into the base partition) and
+    * `appendEpoch` (overwrite of the epoch's own directory), so the
+    * incremental path cannot drift. The directory IS the stamp: it
+    * surfaces as an `epoch` partition column on every parent-directory
+    * read, and writing each epoch's directory directly (rather than
+    * `partitionBy`) keeps an EMPTY corpus readable — a plain parquet
+    * write of an empty frame still records the schema, where a
+    * partitioned one writes nothing. */
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, portable: Boolean,
-                         mode: String): Unit = {
+                         mode: String, epoch: Long): Unit = {
+    def write(df: DataFrame, part: String): Unit =
+      df.write.mode(mode).parquet(s"$path/$part/epoch=$epoch")
     val rows = Dedup.shingleHashRows(docs, idCol, textCol, n, portable)
     // two consumers (row write + count aggregate): persist so the
     // tokenize/window stage runs once — write-side only, released here
     rows.persist()
     try {
-      rows.write.mode(mode).parquet(s"$path/shingles")
-      rows.groupBy("id").agg(count(lit(1)).as("n_sh"))
-        .write.mode(mode).parquet(s"$path/counts")
+      write(rows, "shingles")
+      write(rows.groupBy("id").agg(count(lit(1)).as("n_sh")), "counts")
     } finally { rows.unpersist(); () }
-    docs.select(col(idCol).as("id"),
-        TextStats.fingerprint(col(textCol)).as("fp"))
-      .write.mode(mode).parquet(s"$path/fps")
+    write(docs.select(col(idCol).as("id"),
+        TextStats.fingerprint(col(textCol)).as("fp")), "fps")
+  }
+
+  /** Artifact-table read with the streaming replay mask: `excludeEpoch`
+    * filters out that epoch's partitions (partition pruning — the mask
+    * is a directory skip, not a scan-and-filter), so a replayed epoch
+    * checks against exactly the pre-epoch state. Pre-stamp indexes have
+    * no epoch column and read unmasked. */
+  private def readPart(spark: SparkSession, path: String, part: String,
+                       excludeEpoch: Option[Long]): DataFrame = {
+    val df = spark.read.parquet(s"$path/$part")
+    excludeEpoch match {
+      case Some(e) if df.columns.contains("epoch") =>
+        df.where(col("epoch") =!= e)
+      case _ => df
+    }
   }
 
   private def writeBloom(spark: SparkSession, path: String,
@@ -107,7 +148,11 @@ object DedupIndex {
     // a fresh build invalidates any previous index's optional sidecars
     IndexFiles.remove(spark, s"$path/tombstones")
     IndexFiles.remove(spark, s"$path/applied_epochs")
-    writeParts(corpus, idCol, textCol, path, n, portable, "overwrite")
+    // a rebuild must clear EVERY epoch directory, not just the base one
+    Seq("shingles", "counts", "fps")
+      .foreach(p => IndexFiles.remove(spark, s"$path/$p"))
+    writeParts(corpus, idCol, textCol, path, n, portable, "overwrite",
+      BaseEpoch)
     writeBloom(spark, path, Bloom.build(
       spark.read.parquet(s"$path/fps"), "fp", bloomBits, bloomHashes))
     import spark.implicits._
@@ -142,7 +187,36 @@ object DedupIndex {
              path: String): Unit = {
     val spark = batch.sparkSession
     val (n, portable) = readMeta(spark, path)
-    writeParts(batch, idCol, textCol, path, n, portable, "append")
+    writeParts(batch, idCol, textCol, path, n, portable, "append", BaseEpoch)
+    mergeBloom(batch, textCol, path)
+  }
+
+  /** [[append]] for the streaming ingest loop — IDEMPOTENT per epoch
+    * wherever a crash lands: the batch's rows land in the epoch's OWN
+    * partition directories, written with overwrite, so a foreachBatch
+    * replay (crash anywhere between this append and its
+    * `applied_epochs` marker) REWRITES the crashed attempt's rows
+    * instead of duplicating them — no [[compact]] needed to restore the
+    * single-append state. The Bloom merge is naturally idempotent
+    * (OR-ing the same bits twice is a no-op). Pair with
+    * `checkBatch(…, excludeEpoch = Some(epoch))` so the replayed check
+    * never sees the crashed attempt's own rows
+    * ([[graft.streaming.StreamIndexDedup.processEpoch]] wires both). */
+  def appendEpoch(batch: DataFrame, idCol: String, textCol: String,
+                  path: String, epoch: Long): Unit = {
+    require(epoch >= 0, s"stream epochs are >= 0 (got $epoch); " +
+      s"$BaseEpoch is reserved for batch rows")
+    val spark = batch.sparkSession
+    val (n, portable) = readMeta(spark, path)
+    writeParts(batch, idCol, textCol, path, n, portable, "overwrite", epoch)
+    mergeBloom(batch, textCol, path)
+  }
+
+  /** OR the batch's fingerprints into the stored Bloom filter (one pass
+    * over the batch; the filter words are a bounded driver artifact). */
+  private def mergeBloom(batch: DataFrame, textCol: String,
+                         path: String): Unit = {
+    val spark = batch.sparkSession
     readBloom(spark, path).foreach { stored =>
       val add = Bloom.build(
         batch.select(TextStats.fingerprint(col(textCol)).as("fp")), "fp",
@@ -189,6 +263,17 @@ object DedupIndex {
     * pending deletes, the rewrite is a pure layout change — same rows,
     * same verdicts (asserted byte-identical in DedupIndexSpec); after a
     * double-append it restores the single-append state (also asserted).
+    * Compacting also MIGRATES a pre-stamp index to the epoch-partitioned
+    * layout (all rows fold to [[BaseEpoch]]) — required before appending
+    * to one.
+    *
+    * Pending-epoch guard: compact REFUSES when a stamped epoch above the
+    * `applied_epochs` high-water mark is present — that epoch's append
+    * may be PARTIAL (crash mid-[[appendEpoch]]: shingles landed, fps did
+    * not) and folding it to [[BaseEpoch]] would strand the partial state
+    * where the replay's partition overwrite can no longer repair it. Let
+    * the stream replay the epoch (or record it manually if the stream is
+    * retired) and compact after — the refusal names both epochs.
     *
     * Crash-safety: each table stages into a sibling directory and swaps
     * by rename through the Hadoop FileSystem of the index's path — works
@@ -196,23 +281,41 @@ object DedupIndex {
     * against a CONCURRENT reader across the swap instant — run in the
     * index's write lane, like the appends themselves. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val shingles = spark.read.parquet(s"$path/shingles")
+    if (shingles.columns.contains("epoch")) {
+      // partition-directory inference types epoch as int; widen to long
+      val pending = Option(
+          shingles.agg(max(col("epoch").cast("long"))).head().get(0))
+        .map(_.asInstanceOf[Long]).filter(_ > BaseEpoch)
+      val marker = lastAppliedEpoch(spark, path)
+      pending.filterNot(p => marker.exists(_ >= p)).foreach { p =>
+        throw new IllegalStateException(
+          s"compact refused: epoch $p is stamped in the index but the " +
+          s"applied_epochs marker is at ${marker.getOrElse("none")} — its " +
+          "append may be partial (crash mid-appendEpoch). Replay the epoch " +
+          "(or recordAppliedEpoch manually) before compacting.")
+      }
+    }
     def swapIn(part: String, df: DataFrame): Unit = {
       val staged = s"$path/${part}_compacting"
-      df.write.mode("overwrite").parquet(staged)
+      // everything folds into the base partition directory (this also
+      // migrates a pre-stamp flat-file index to the epoch layout)
+      df.write.mode("overwrite").parquet(s"$staged/epoch=$BaseEpoch")
       IndexFiles.swapIn(spark, s"$path/$part", staged)
     }
     val tombs = tombstones(spark, path)
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    swapIn("shingles", live(spark.read.parquet(s"$path/shingles"))
+    swapIn("shingles", live(shingles.select("id", "h"))
       .distinct().repartition(n))
     // counts derive from the JUST-COMPACTED shingles — one aggregate over
     // the deduplicated table, so a duplicated or tombstoned count row
     // cannot survive
     swapIn("counts", spark.read.parquet(s"$path/shingles")
       .groupBy("id").agg(count(lit(1)).as("n_sh")))
-    swapIn("fps", live(spark.read.parquet(s"$path/fps")).distinct())
+    swapIn("fps", live(spark.read.parquet(s"$path/fps").select("id", "fp"))
+      .distinct())
     readBloom(spark, path).foreach { stored =>
       writeBloom(spark, path, Bloom.build(
         spark.read.parquet(s"$path/fps"), "fp",
@@ -254,19 +357,29 @@ object DedupIndex {
     * (the common case): one tiny batch-sided job replaces a scan of the
     * stored fps table. When some fingerprints pass, only THOSE ride the
     * join's broadcast side. No false negatives by Bloom's contract, so
-    * verdicts are identical either way (spec-asserted). */
+    * verdicts are identical either way (spec-asserted).
+    *
+    * `excludeEpoch` masks that epoch's partitions from all three stored
+    * tables (a partition-pruned directory skip) — the streaming replay
+    * discipline: a re-delivered epoch whose crashed first attempt already
+    * appended must check against the PRE-epoch state, or every doc would
+    * exact-match its own crashed copy. The Bloom gate stays safe under
+    * the mask: a masked fp in the filter is only ever a false POSITIVE
+    * (the fps join then misses, correctly). */
   def checkBatch(batch: DataFrame, idCol: String, textCol: String,
                  path: String, minJaccard: Double,
                  broadcastBatch: Boolean = true,
-                 useBloom: Boolean = true): DataFrame = {
+                 useBloom: Boolean = true,
+                 excludeEpoch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val (n, portable) = readMeta(spark, path)
     val tombs = tombstones(spark, path)
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
     val bRows = Dedup.shingleHashRows(batch, idCol, textCol, n, portable)
-    val cRows = live(spark.read.parquet(s"$path/shingles"))
-    val nb = live(spark.read.parquet(s"$path/counts"))
+    val cRows = live(readPart(spark, path, "shingles", excludeEpoch)
+      .select("id", "h"))
+    val nb = live(readPart(spark, path, "counts", excludeEpoch))
       .select(col("id").as("cid"), col("n_sh").as("nb"))
     val bfp = batch.select(col(idCol).as("id"),
       TextStats.fingerprint(col(textCol)).as("fp"))
@@ -289,7 +402,8 @@ object DedupIndex {
         // multiply batch rows. Stored ids are dropped (only needed for
         // deletes); `id` below is the BATCH id.
         val side = if (broadcastBatch) broadcast(candFps) else candFps
-        live(spark.read.parquet(s"$path/fps")).select("fp")
+        live(readPart(spark, path, "fps", excludeEpoch).select("id", "fp"))
+          .select("fp")
           .join(side, Seq("fp"))
           .select("id").distinct().withColumn("_hit", lit(1))
       }

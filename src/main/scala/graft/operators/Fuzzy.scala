@@ -49,22 +49,57 @@ object Fuzzy {
     * length bands, each row emitted into its own band and the next —
     * any true pair has |Δlen| ≤ maxDist, so its band indices differ by
     * at most 1 and the two emissions always share a key. Length-wise
-    * recall is therefore EXACT (no blocking misses for pairs within
-    * `maxDist` — spec-pinned on planted typos); callers reach for the
-    * custom-key form only when they have a semantic key (title prefix,
-    * phonetic code) that prunes harder than length can. Pairs landing in
-    * both shared bands are deduped by the final distinct (dist is
-    * deterministic per pair). Cost shape: 2× the block-join rows of a
-    * single-key blocking, same guard, same one equi-join. */
+    * recall is EXACT — no blocking misses for pairs within `maxDist`
+    * (spec-pinned on planted typos) — PROVIDED no band trips the
+    * `maxBlock` guard; callers reach for the custom-key form only when
+    * they have a semantic key (title prefix, phonetic code) that prunes
+    * harder than length can. Pairs landing in both shared bands are
+    * deduped by the final distinct (dist is deterministic per pair).
+    * Cost shape: 2× the block-join rows of a single-key blocking, same
+    * guard, same one equi-join.
+    *
+    * Band-collapse guard: length banding silently degenerates when the
+    * corpus's length variance is at or below the band width — most rows
+    * fall into one or two fat bands, and the guard's per-band cap would
+    * then DROP those bands, silently losing true pairs (contradicting
+    * the exact-recall contract), while raising `maxBlock` to keep them
+    * turns the join quadratic. So unlike [[blockedEditJoin]] (whose
+    * contract is blocking recall, where dropping a hot block is the
+    * documented behavior), this operator checks band occupancy UP FRONT
+    * and FAILS LOUD when any band exceeds `maxBlock`, naming the fat
+    * bands and the escape hatches: a semantic block key via
+    * [[blockedEditJoin]], a larger `maxBlock` (quadratic in the fattest
+    * band), or `onCollapse = "drop"` to accept the silent recall loss
+    * explicitly. The check is one map-side-combinable count over the
+    * banded rows — cheap next to the self-join it protects. */
   def lengthBandEditJoin(df: DataFrame, idCol: String, strCol: Column,
-                         maxDist: Int, maxBlock: Int = 1000): DataFrame = {
+                         maxDist: Int, maxBlock: Int = 1000,
+                         onCollapse: String = "error"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(maxBlock > 1, s"maxBlock must allow a pair: $maxBlock")
+    require(Set("error", "drop")(onCollapse),
+      s"onCollapse must be 'error' or 'drop': $onCollapse")
     val w = math.max(maxDist, 1)
     val band = floor(length(col("_s")) / lit(w)).cast("long")
     val rows = df.select(col(idCol).as("_id"), strCol.as("_s"))
       .select(col("_id"), col("_s"),
         explode(array(band, band + lit(1L))).as("_b"))
+    if (onCollapse == "error") {
+      val over = rows.groupBy("_b").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > maxBlock)
+        .agg(count(lit(1)).as("n_over"), max("_c").as("max_c"),
+          sum(col("_c") * col("_c")).as("sum_sq"))
+        .head()
+      if (over.getLong(0) > 0L)
+        throw new IllegalStateException(
+          s"lengthBandEditJoin band collapse: ${over.getLong(0)} band(s) " +
+          s"exceed maxBlock=$maxBlock (fattest: ${over.getLong(1)} rows, " +
+          s"Σ|band|² over oversized bands: ${over.getLong(2)}) — the " +
+          "corpus's length variance is too low for width-" + w + " bands " +
+          "(exact recall would be silently lost by dropping them). Use " +
+          "blockedEditJoin with a semantic key, raise maxBlock, or pass " +
+          "onCollapse = \"drop\" to accept the recall loss.")
+    }
     joinOnBlocks(rows, maxDist, maxBlock).distinct()
   }
 

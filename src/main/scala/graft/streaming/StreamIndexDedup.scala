@@ -23,19 +23,25 @@ import graft.operators.DedupIndex
   * batch `checkBatch` contract; run `StreamDedup.dedupByFingerprint`
   * upstream for intra-stream exact dups inside the watermark horizon).
   *
-  * Delivery contract (standard foreachBatch): the sink callback may see
-  * a replayed epoch after a failure — the SINK must tolerate replays,
-  * like every non-transactional foreachBatch sink. The APPEND path,
-  * however, is guarded here: each applied epoch id is recorded in the
-  * index's `applied_epochs` sidecar, and a replayed epoch at or below
-  * the high-water mark skips the append — a double-appended batch is NOT
-  * harmless (duplicated shingle rows overcount later intersections,
-  * j = 2·inter / (na + nb − 2·inter) > j_true). One crash window
-  * remains: failing BETWEEN the append and its epoch record replays as
-  * a double append (append-then-record, because the reverse order would
-  * silently LOSE the batch) — `DedupIndex.compact` restores exactly the
-  * single-append state, so the remediation is one maintenance pass, not
-  * a rebuild. */
+  * Delivery contract: the append path is IDEMPOTENT per epoch wherever
+  * a crash lands — no crash window, no compact needed. Three layers
+  * (the StreamMetrics X112 discipline lifted to the multi-table index):
+  * (1) every check masks the in-flight epoch's own partitions
+  * (`checkBatch(excludeEpoch)`), so a replay whose crashed first
+  * attempt already appended recomputes the SAME kept set against the
+  * same pre-epoch state — the sink sees byte-identical rows, not a
+  * doc-matches-its-own-crashed-copy empty set; (2) the append is a
+  * dynamic partition OVERWRITE of the epoch's own partitions
+  * (`DedupIndex.appendEpoch`) — a replayed append REWRITES the crashed
+  * attempt instead of duplicating it (a double-appended batch is NOT
+  * harmless: duplicated shingle rows overcount later intersections,
+  * j = 2·inter / (na + nb − 2·inter) > j_true); (3) the
+  * `applied_epochs` high-water marker skips the rewrite entirely once
+  * the epoch fully landed. One caveat survives, inherent to
+  * foreachBatch: after `DedupIndex.compact` folds a marked epoch's
+  * stamps away, a replay of THAT epoch still no-ops at the marker (the
+  * index stays correct) but the sink callback sees a reduced kept set —
+  * the standard non-transactional-sink replay tolerance. */
 object StreamIndexDedup {
 
   /** Wire a streaming `docs` frame into a `foreachBatch` writer that
@@ -61,8 +67,10 @@ object StreamIndexDedup {
                                   appendKept: Boolean)
                                  (sink: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
+    // mask this epoch's own partitions: on a replay after a crashed
+    // append, the check must see the PRE-epoch state (scaladoc layer 1)
     val verdicts = DedupIndex.checkBatch(batch, idCol, textCol, path,
-      minJaccard)
+      minJaccard, excludeEpoch = Some(epoch))
     val kept = batch.join(
         verdicts.where(col("keep")).select(col("id").as(idCol),
           col("best_jaccard")),
@@ -72,12 +80,12 @@ object StreamIndexDedup {
       .persist()
     try {
       sink(kept, epoch)
-      // idempotent per epoch: a foreachBatch replay re-delivers an
-      // epoch id already folded in — skip it (scaladoc: why the append
-      // comes before its record)
+      // appendEpoch is a dynamic partition overwrite (scaladoc layer 2)
+      // so a replay rewrites the crashed attempt; the marker (layer 3)
+      // skips the rewrite once the epoch fully landed
       if (appendKept &&
           !DedupIndex.lastAppliedEpoch(spark, path).exists(_ >= epoch)) {
-        DedupIndex.append(kept, idCol, textCol, path)
+        DedupIndex.appendEpoch(kept, idCol, textCol, path, epoch)
         DedupIndex.recordAppliedEpoch(spark, path, epoch)
       }
     } finally { kept.unpersist(); () }

@@ -42,12 +42,28 @@ object StreamMetrics {
   val CompactedEpoch: Long = -1L
 
   /** The store's merged histogram: epoch-replay duplicates dropped
-    * (exact duplicates by the stamp contract), then counts summed. */
-  private def mergedHist(spark: SparkSession, path: String): DataFrame =
+    * (exact duplicates by the stamp contract), then counts summed.
+    *
+    * Pre-stamp stores (written before the epoch column existed) read
+    * fine: rows with no stamp get a UNIQUE negative placeholder (below
+    * [[CompactedEpoch]], so it can never collide with a real epoch or a
+    * compacted shard) — every legacy row is kept, exactly the old
+    * merge-everything behavior, because a constant backfill would
+    * wrongly collapse two legacy epochs that happened to share a score
+    * row. The same placeholder covers a MIXED store (legacy files plus
+    * stamped appends), where the legacy rows surface as nulls. Legacy
+    * rows gain no replay protection retroactively — the old format
+    * never had any to reconstruct. */
+  private def mergedHist(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(s"$path/hist")
+    val legacyStamp = lit(CompactedEpoch - 1L) - monotonically_increasing_id()
+    val stamped =
+      if (!raw.columns.contains("epoch")) raw.withColumn("epoch", legacyStamp)
+      else raw.withColumn("epoch", coalesce(col("epoch"), legacyStamp))
     Metrics.mergeHistograms(
-      spark.read.parquet(s"$path/hist")
-        .dropDuplicates("epoch", "score")
+      stamped.dropDuplicates("epoch", "score")
         .select(col("score"), col("n_pos"), col("n_neg")))
+  }
 
   /** Cumulative grade from the persisted histogram at `path`: ONE row
     * (n_pos, n_neg, auc, n, ece, mce) — the q_e5 grade shape. */
@@ -62,12 +78,38 @@ object StreamMetrics {
     * discipline of [[graft.operators.DedupIndex.compact]] — the
     * lifecycle pass a long-lived monitor needs: after 10k epochs the
     * store is 10k small files and every [[grade]] re-merges them all;
-    * after compact it is O(1) files bounded by the score grid. The
-    * `applied_epochs` sidecar is untouched, so a replayed epoch after
-    * compaction still no-ops at the marker guard. Same-grade before and
-    * after (spec-pinned); not safe against a concurrent reader across
-    * the swap instant — run in the store's write lane. */
+    * after compact it is O(1) files bounded by the score grid.
+    *
+    * Pending epochs are SEALED first: any epoch stamped in the store but
+    * above the `applied_epochs` high-water mark (a crash landed between
+    * its hist append and its marker — the rows ARE in the store, the
+    * hist append is one atomic write) is written to the marker sidecar
+    * BEFORE the fold. Without the seal, folding that epoch's stamp into
+    * [[CompactedEpoch]] would let its later foreachBatch replay
+    * re-append under the real stamp — no longer a duplicate the read
+    * can drop — and the epoch would double-count. Sealing first is
+    * truthful and crash-safe: if compact dies after the seal, the store
+    * is unchanged, the marker says the epoch applied (it did), and the
+    * replay no-ops. With the seal, a replayed epoch after compaction
+    * always no-ops at the marker guard. Same-grade before and after
+    * (spec-pinned); not safe against a concurrent reader across the
+    * swap instant — run in the store's write lane. */
   def compact(spark: SparkSession, path: String): Unit = {
+    val hist = spark.read.parquet(s"$path/hist")
+    if (hist.columns.contains("epoch")) {
+      val pending = Option(
+          hist.where(col("epoch") > lit(CompactedEpoch))
+            .agg(max("epoch")).head().get(0))
+        .map(_.asInstanceOf[Long])
+      val applied = IndexFiles.readIfExists(spark, s"$path/applied_epochs")
+        .flatMap(df => Option(df.agg(max("epoch")).head().get(0))
+          .map(_.asInstanceOf[Long]))
+      pending.filterNot(p => applied.exists(_ >= p)).foreach { p =>
+        import spark.implicits._
+        Seq(p).toDF("epoch").write.mode("append")
+          .parquet(s"$path/applied_epochs")
+      }
+    }
     val staged = s"$path/hist_compacting"
     mergedHist(spark, path)
       .withColumn("epoch", lit(CompactedEpoch))

@@ -77,8 +77,12 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     val parts = (0 until 4).map(i => corpus.where(col("doc_id") % 8 === i * 2))
     DedupIndex.build(parts.head, "doc_id", "text", dir, n = 3)
     parts.tail.foreach(p => DedupIndex.append(p, "doc_id", "text", dir))
-    def files(part: String): Int = new java.io.File(dir, part).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    def files(part: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir, part))
+    }
     val before = rows(DedupIndex.checkBatch(batch, "doc_id", "text", dir, 0.5))
     val shinglesBefore = files("shingles")
     DedupIndex.compact(spark, dir)
@@ -202,6 +206,91 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
         .toDF("doc_id", "text"), 1L, "doc_id", "text", dir, 0.5,
       appendKept = true)((_, _) => ())
     assert(snapshot() != once)
+  }
+
+  test("crash BETWEEN append and marker: replay restores the single-append " +
+    "state byte-identically WITHOUT compact; sink rows identical") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog tonight"
+    val keptText = "entirely fresh words about spark shuffles and broadcast joins"
+    val dupText = corpusText // dropped by the check, never appended
+    val epochDocs = Seq((10L, dupText), (11L, keptText)).toDF("doc_id", "text")
+
+    def contents(dir: String): (Set[String], Set[String], Set[String]) = {
+      def part(p: String): Set[String] =
+        spark.read.parquet(s"$dir/$p").collect().map(_.toString).toSet
+      (part("shingles"), part("counts"), part("fps"))
+    }
+    def build(dir: String): Unit =
+      DedupIndex.build(Seq((1L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", dir, n = 3)
+
+    // reference: the epoch applied exactly once, cleanly
+    val ref = tmp("replay_ref")
+    build(ref)
+    var refSink: Set[Long] = null
+    graft.streaming.StreamIndexDedup.processEpoch(epochDocs, 0L, "doc_id",
+      "text", ref, 0.5, appendKept = true) { (kept, _) =>
+      refSink = kept.select("doc_id").collect().map(_.getLong(0)).toSet; ()
+    }
+    assert(refSink == Set(11L), s"sanity: $refSink")
+
+    // crashed run: the append lands, the marker does NOT (the old weak
+    // window) — simulated by driving the append directly
+    val dir = tmp("replay_crash")
+    build(dir)
+    val kept0 = epochDocs.join(
+      DedupIndex.checkBatch(epochDocs, "doc_id", "text", dir, 0.5,
+          excludeEpoch = Some(0L))
+        .where(col("keep")).select(col("id").as("doc_id"), col("best_jaccard")),
+      Seq("doc_id"))
+    DedupIndex.appendEpoch(kept0, "doc_id", "text", dir, 0L)
+    assert(DedupIndex.lastAppliedEpoch(spark, dir).isEmpty,
+      "sanity: the crash left no marker")
+
+    // the at-least-once replay of the SAME epoch through the real loop
+    var replaySink: Set[Long] = null
+    graft.streaming.StreamIndexDedup.processEpoch(epochDocs, 0L, "doc_id",
+      "text", dir, 0.5, appendKept = true) { (kept, _) =>
+      replaySink = kept.select("doc_id").collect().map(_.getLong(0)).toSet; ()
+    }
+    // the sink saw the SAME kept rows the clean run saw (the epoch mask:
+    // doc 11 must not exact-match its own crashed copy)
+    assert(replaySink == refSink, s"replay sink $replaySink != $refSink")
+    // the index is row-identical to the clean single apply — NO compact
+    assert(contents(dir) == contents(ref),
+      "replayed index must equal the single-apply index without compact")
+    // and a later probe batch gets byte-identical verdicts from both
+    val probe = Seq((20L, keptText), (21L, "wholly new probe text rows"))
+      .toDF("doc_id", "text")
+    assert(rows(DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)) ==
+      rows(DedupIndex.checkBatch(probe, "doc_id", "text", ref, 0.5)))
+  }
+
+  test("compact refuses while an unmarked epoch is pending; proceeds once " +
+    "the replay (or a manual record) seals it") {
+    import spark.implicits._
+    val dir = tmp("pending")
+    DedupIndex.build(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, n = 3)
+    val batch = Seq((10L, "fresh words about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    // epoch 3 appended, marker missing (the crash window)
+    DedupIndex.appendEpoch(batch, "doc_id", "text", dir, 3L)
+    val boom = intercept[IllegalStateException] {
+      DedupIndex.compact(spark, dir)
+    }
+    assert(boom.getMessage.contains("epoch 3") &&
+      boom.getMessage.contains("compact refused"), boom.getMessage)
+    // sealing the epoch (what the stream's replay does) unblocks compact
+    DedupIndex.recordAppliedEpoch(spark, dir, 3L)
+    val before = rows(DedupIndex.checkBatch(
+      Seq((20L, "fresh words about spark shuffles and joins"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, 0.5))
+    DedupIndex.compact(spark, dir)
+    assert(rows(DedupIndex.checkBatch(
+      Seq((20L, "fresh words about spark shuffles and joins"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, 0.5)) == before)
   }
 
   test("streaming ingest with appendKept: later epochs dedupe against earlier") {

@@ -1175,4 +1175,32 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.keySet == brute, s"banded=$out brute=$brute")
   }
+
+  test("lengthBandEditJoin: collapsed length variance trips the loud " +
+    "band-occupancy guard; onCollapse=drop restores the silent prune") {
+    import graft.operators.Fuzzy
+    // every string the same length → ALL rows land in two fat bands:
+    // exact length-recall would silently vanish under the drop guard
+    val flat = (0L until 12L).map(i => (i, f"s$i%010d")).toDF("id", "s")
+    val boom = intercept[IllegalStateException] {
+      Fuzzy.lengthBandEditJoin(flat, "id", col("s"), maxDist = 1,
+        maxBlock = 10)
+    }
+    assert(boom.getMessage.contains("band collapse") &&
+      boom.getMessage.contains("maxBlock=10"), boom.getMessage)
+    // the explicit opt-out reproduces the old silent behavior: oversized
+    // bands dropped, zero pairs
+    assert(Fuzzy.lengthBandEditJoin(flat, "id", col("s"), maxDist = 1,
+      maxBlock = 10, onCollapse = "drop").count() == 0)
+    // a budget that fits the fat band passes the guard and finds the
+    // true pairs (every adjacent pair here is dist 1 in the suffix)
+    val out = Fuzzy.lengthBandEditJoin(flat, "id", col("s"), maxDist = 1,
+      maxBlock = 24)
+    assert(out.count() > 0)
+    // spread lengths never trip the guard at the tiny budget
+    val spread = (0L until 12L).map(i => (i, "a" * (3 * i.toInt + 1)))
+      .toDF("id", "s")
+    assert(Fuzzy.lengthBandEditJoin(spread, "id", col("s"), maxDist = 1,
+      maxBlock = 10).count() == 0) // no close pairs, but no throw either
+  }
 }

@@ -81,4 +81,51 @@ class StreamMetricsSpec extends AnyFunSuite with SparkSpec {
       e2.toDF("score", "y"), 1L, col("score"), col("y"), dir))
     assert(replayed == batchGrade(e1 ++ e2), s"$replayed")
   }
+
+  test("compact inside the crash window SEALS the pending epoch: the later " +
+    "replay no-ops instead of double-counting under a fresh stamp") {
+    val dir = tmp("seal")
+    val e1 = Seq((0.9, 1L), (0.2, 0L))
+    val e2 = Seq((0.4, 0L), (0.95, 1L))
+    StreamMetrics.processEpoch(e1.toDF("score", "y"), 0L,
+      col("score"), col("y"), dir)
+    // crash window: epoch 1's hist rows land, the marker does NOT
+    Metrics.scoreHistogram(e2.toDF("score", "y"), col("score"), col("y"))
+      .withColumn("epoch", lit(1L))
+      .write.mode("append").parquet(s"$dir/hist")
+    // compact runs BEFORE the replay (the round-11 hole: folding epoch
+    // 1's stamp away would let the replay re-append as a non-duplicate)
+    StreamMetrics.compact(spark, dir)
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) == batchGrade(e1 ++ e2))
+    // the foreachBatch replay of epoch 1 must now no-op at the sealed
+    // marker — NOT re-append under its real stamp
+    val replayed = gradeRow(StreamMetrics.processEpoch(
+      e2.toDF("score", "y"), 1L, col("score"), col("y"), dir))
+    assert(replayed == batchGrade(e1 ++ e2),
+      s"post-compact replay double-counted: $replayed")
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) == batchGrade(e1 ++ e2))
+  }
+
+  test("pre-stamp store (no epoch column) reads, grades and compacts: " +
+    "every legacy row kept, including same-score rows from two epochs") {
+    val dir = tmp("legacy")
+    val e1 = Seq((0.7, 1L), (0.2, 0L))
+    val e2 = Seq((0.7, 1L), (0.2, 0L)) // identical shape: the collapse trap
+    // simulate a store written before the epoch stamp existed: two
+    // separate appends, no epoch column anywhere
+    Metrics.scoreHistogram(e1.toDF("score", "y"), col("score"), col("y"))
+      .write.mode("append").parquet(s"$dir/hist")
+    Metrics.scoreHistogram(e2.toDF("score", "y"), col("score"), col("y"))
+      .write.mode("append").parquet(s"$dir/hist")
+    // a constant backfill would collapse the two identical epochs; the
+    // unique placeholder must keep both (old merge-everything behavior)
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) == batchGrade(e1 ++ e2))
+    StreamMetrics.compact(spark, dir)
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) == batchGrade(e1 ++ e2))
+    // and the store keeps working with stamped appends after migration
+    val e3 = Seq((0.5, 1L))
+    val g = gradeRow(StreamMetrics.processEpoch(e3.toDF("score", "y"), 9L,
+      col("score"), col("y"), dir))
+    assert(g == batchGrade(e1 ++ e2 ++ e3), s"$g")
+  }
 }
