@@ -2951,6 +2951,111 @@ object TextSimQueries {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** OPQ (Ge et al., CVPR 2013) under the FULL hash gate: the PCA
+    * eigen-allocation rotation learned from the corpus
+    * ([[graft.operators.Opq.rotationFromPca]]), applied to a 16-dim
+    * embedding prefix (q_s19's slice convention keeps the rotation
+    * literal block compact), then the UNCHANGED q_s4 PQ pipeline over
+    * the rotated column at m=4. The rotation cannot be re-derived in SQL
+    * (Jacobi eigen-decomposition), so the query registers the R it used
+    * per dir and the oracle embeds those EXACT doubles as literals —
+    * from the literals on, every stage (bit-exact rotated coordinates
+    * via ascending list_sum dots, norms, md5-seeded codebook, argmin
+    * encode, LUT sums, exact re-rank) replays in DuckDB with identical
+    * float math. The recall CLAIM (OPQ beats plain PQ at equal code
+    * bytes) is gated separately in DedupSimilaritySpec on the rank-8
+    * low-rank table. */
+  private val opqRotCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Double]]]
+  private val opqLastDir =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private def qS20annOpq(s: SparkSession, d: String): DataFrame = {
+    val e16 = emb(s, d).select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("e16"))
+    val r = opqRotCache.getOrElseUpdate(d,
+      graft.operators.Opq.rotationFromPca(e16, "e16", dim = 16, m = 4))
+    opqLastDir.set(d)
+    val rc = graft.operators.Opq.rotate(e16, "e16", r, "rot")
+    graft.operators.Pq.pqTopK(rc, rc.where(col("vec_id") < 5), "vec_id",
+        "rot", k = 5, m = 4, dim = 16, codebookSize = 16, rerankDepth = 50)
+      .orderBy("query_id", "rank")
+  }
+  private def oS20: String = {
+    val m = 4; val dsub = 4; val cbk = 16; val k = 5; val rerank = 50
+    val dim = 16
+    opqRotCache.get(opqLastDir.get) match {
+      case None =>
+        // the literals exist only after the query ran in this JVM —
+        // Verify always runs queries before dumping oracle_sql.json, so
+        // a consumer can only see this placeholder by reading the map
+        // without running q_s20 (e.g. the keys-only contract spec)
+        "-- q_s20 oracle is emitted after qS20annOpq runs (R literals)"
+      case Some(r) =>
+        val rows = r.zipWithIndex.map { case (row, i) =>
+          s"($i, ${row.mkString("[", ", ", "]")})"
+        }.mkString(",\n    ")
+        s"""WITH rotm AS (SELECT * FROM (VALUES
+           |    $rows) t(ri, rvec)),
+           |e0 AS (SELECT vec_id AS id,
+           |    list_slice(embedding, 1, $dim) AS e16 FROM embeddings),
+           |rote AS (SELECT e0.id, r.ri,
+           |    list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> r.rvec[i] * CAST(e0.e16[i] AS DOUBLE))) AS x
+           |  FROM e0 CROSS JOIN rotm r),
+           |rv AS (SELECT id, list(x ORDER BY ri) AS v FROM rote GROUP BY 1),
+           |e AS (SELECT id, v,
+           |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           |  FROM rv WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+           |nvs AS (SELECT id, list_transform(v, x -> x / nrm) AS nv FROM e),
+           |sd AS (SELECT code, nv FROM (SELECT id, nv, row_number() OVER (
+           |    ORDER BY CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR),
+           |      '|pq')), 1, 6)) AS BIGINT), id) - 1 AS code
+           |  FROM nvs) WHERE code < $cbk),
+           |cw AS (SELECT sd.code, r.j,
+           |    list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub) AS w,
+           |    list_sum(list_transform(
+           |      list_slice(sd.nv, r.j * $dsub + 1, r.j * $dsub + $dsub),
+           |      x -> x * x)) / 2 AS half
+           |  FROM sd CROSS JOIN range(0, $m) r(j)),
+           |sc AS (SELECT n.id, c.j, c.code,
+           |    list_sum(list_transform(range(1, ${dsub + 1}),
+           |      i -> list_slice(n.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+           |        * c.w[i])) - c.half AS s
+           |  FROM nvs n CROSS JOIN cw c),
+           |enc AS (SELECT id, list(code ORDER BY j) AS codes FROM (
+           |    SELECT id, j, code, row_number() OVER (PARTITION BY id, j
+           |      ORDER BY s DESC, code) AS rn FROM sc)
+           |  WHERE rn = 1 GROUP BY id),
+           |q AS (SELECT id AS query_id, nv FROM nvs WHERE id < 5),
+           |lutp AS (SELECT q.query_id, c.j, c.code,
+           |    list_sum(list_transform(range(1, ${dsub + 1}),
+           |      i -> list_slice(q.nv, c.j * $dsub + 1, c.j * $dsub + $dsub)[i]
+           |        * c.w[i])) AS p
+           |  FROM q CROSS JOIN cw c),
+           |lut AS (SELECT query_id, list(pl ORDER BY j) AS lut FROM (
+           |    SELECT query_id, j, list(p ORDER BY code) AS pl
+           |    FROM lutp GROUP BY 1, 2) GROUP BY 1),
+           |adc AS (SELECT l.query_id, enc.id AS neighbor_id,
+           |    round(list_sum(list_transform(range(1, ${m + 1}),
+           |      j -> l.lut[j][enc.codes[j] + 1])), 6) AS s
+           |  FROM lut l CROSS JOIN enc WHERE enc.id <> l.query_id),
+           |cand AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+           |    FROM adc) WHERE rn <= $rerank),
+           |ex AS (SELECT c.query_id, c.neighbor_id,
+           |    round(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> eq.v[i] * ec.v[i])) / (eq.nrm * ec.nrm), 6) AS cosine
+           |  FROM cand c JOIN e eq ON eq.id = c.query_id
+           |  JOIN e ec ON ec.id = c.neighbor_id),
+           |rk AS (SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+           |    AS rank FROM ex)
+           |SELECT query_id, neighbor_id, cosine, rank
+           |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
+  }
+
   /** SQ8 scalar-quantization ANN under the FULL hash gate: per-dim
     * [min,max] bounds over the normalized corpus, floor(·255+0.5)
     * levels, asymmetric dequantized-dot scan, exact re-rank. The oracle
@@ -4116,6 +4221,7 @@ object TextSimQueries {
     "q_d19_length_band" -> qD19lengthBand _,
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
+    "q_s20_ann_opq" -> qS20annOpq _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
     "q_t21_hll_shingles" -> qT21hll _,
@@ -4210,6 +4316,7 @@ object TextSimQueries {
     "q_d19_length_band" -> oD19,
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
+    "q_s20_ann_opq" -> oS20,
     "q_st2_distinct_rollup" -> oSt2,
     "q_t20_ppl_buckets" -> oT20,
     "q_t21_hll_shingles" -> oT21,

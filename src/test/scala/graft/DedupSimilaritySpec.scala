@@ -812,6 +812,83 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     lowRank.unpersist()
   }
 
+  test("OPQ rotation beats plain PQ recall at equal code bytes (low-rank); " +
+    "R is orthogonal; allocation is balanced") {
+    import graft.operators.{Opq, Pq, Similarity}
+    // same deterministic rank-8-plus-noise table as the residual test:
+    // every raw 4-dim slice carries projections of all 8 factors, the
+    // failure mode OPQ's decorrelate-and-balance rotation exists for
+    val rank = 8; val dim = 64
+    val rnd = new scala.util.Random(42)
+    val w = Array.fill(rank, dim)(rnd.nextGaussian() / math.sqrt(rank.toDouble))
+    def u01(salt: Int) =
+      conv(substring(md5(concat_ws("|", col("id"), lit(salt))), 1, 6), 16, 10)
+        .cast("double") / lit(8388607.5d) - 1.0d
+    val lowRank = spark.range(2000).select(col("id").as("vec_id"),
+      array((0 until dim).map { d =>
+        val signal = (0 until rank).map(r => u01(r) * lit(w(r)(d))).reduce(_ + _)
+        (signal + u01(1000 + d) * lit(0.05d)).cast("float")
+      }: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lowRank.count()
+    val q = lowRank.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(lowRank, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    // rerankDepth = k: re-rank rescue OFF, the ADC ordering alone decides
+    // — a pure equal-code-bytes quantizer comparison (m=8, cb=16 both:
+    // 8-dim subspaces, where 16 codewords over correlated raw slices are
+    // hopeless and the decorrelate-and-balance rotation shines; measured
+    // 29 vs 55 of 100 — m=16's 4-dim slices leave a far thinner gap)
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+    val plain = hits(Pq.pqTopK(lowRank, q, "vec_id", "embedding", k = 5,
+      m = 8, dim = dim, codebookSize = 16, rerankDepth = 5))
+    val opq = hits(Opq.opqPqTopK(lowRank, q, "vec_id", "embedding", k = 5,
+      m = 8, dim = dim, codebookSize = 16, rerankDepth = 5))
+    info(s"recall@5 vs exact: plain PQ $plain/100, OPQ $opq/100")
+    assert(opq > plain + 10,
+      s"OPQ must win decisively at equal code bytes: $opq vs $plain")
+    // R is orthogonal: R·Rᵀ = I to machine precision — the invariant
+    // that makes rotated cosine == original cosine (rank preservation)
+    val r = Opq.rotationFromPca(lowRank, "embedding", dim, 16)
+    assert(r.length == dim && r.forall(_.length == dim))
+    for (i <- 0 until dim; j <- i until dim) {
+      val dot = (0 until dim).map(t => r(i)(t) * r(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    // eigenvalue allocation: descending variances, balanced buckets
+    val alloc = Opq.eigenAllocation(Array(8.0, 4.0, 2.0, 1.0), 2)
+    assert(alloc.map(_.length).toSeq == Seq(2, 2))
+    // 8 goes to bucket 0, 4 to bucket 1, then 2 joins the smaller
+    // product (bucket 1: 4·2 = 8) and 1 fills bucket 0 (8·1 = 8)
+    assert(alloc(0).toSeq == Seq(0, 3) && alloc(1).toSeq == Seq(1, 2),
+      alloc.map(_.mkString(",")).mkString(" | "))
+    lowRank.unpersist()
+  }
+
+  test("OPQ composes with IvfPqIndex: index over the rotated column " +
+    "serves the rotated queries byte-identically to the in-memory run") {
+    import graft.operators.{IvfPqIndex, Opq, Pq}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_opq_ivfpq").toString
+    val r = Opq.rotationFromPca(sfEmb, "embedding", 64, 16)
+    val rc = Opq.rotate(sfEmb, "embedding", r, "rot")
+    val rq = Opq.rotate(sfEmb.where(col("vec_id") < 5), "embedding", r, "rot")
+    IvfPqIndex.build(rc, "vec_id", "rot", dir, nCentroids = 16, m = 16,
+      dim = 64, codebookSize = 16)
+    val served = IvfPqIndex.search(spark, dir, rq, "vec_id", "rot", k = 5,
+        nProbe = 4, rerankDepth = 50, rerank = Some(rc))
+      .collect().map(_.toString).sorted
+    val inMem = Pq.ivfPqTopK(rc, rq, "vec_id", "rot", k = 5,
+        nCentroids = 16, nProbe = 4, m = 16, dim = 64, codebookSize = 16,
+        rerankDepth = 50)
+      .collect().map(_.toString).sorted
+    assert(served.toSeq == inMem.toSeq,
+      "persisted OPQ-rotated index must serve the in-memory results")
+  }
+
   test("PQ codebookSize=256: constant-size plan encodes + searches (sf0.01)") {
     import graft.operators.Pq
     // the standard PQ byte code — the literal-unrolled formulation could

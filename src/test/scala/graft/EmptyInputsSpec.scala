@@ -130,6 +130,15 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     val nullMedia = Seq((1L, null: Array[Byte])).toDF("media_id", "media")
     assert(graft.operators.Multimodal.sniffContainerMeta(nullMedia)
       .where(col("container_meta").isNotNull).isEmpty)
+    // OPQ: learning a rotation from an empty corpus is the same loud
+    // moments error as PCA (there is no "identity default" — a silent
+    // fallback would quietly serve unrotated codes); APPLYING a known
+    // rotation to an empty frame is empty out
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Opq.rotationFromPca(noVecs, "embedding", 4, 2))
+    assert(e2.getMessage.contains("empty"))
+    val ident = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(graft.operators.Opq.rotate(noVecs, "embedding", ident).isEmpty)
   }
 
   test("as-of/range joins: empty right keeps left with null payload") {

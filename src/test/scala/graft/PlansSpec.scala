@@ -302,4 +302,19 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
         .contains("CartesianProduct"),
       s"banded join must be an equi-join:\n$fz")
   }
+
+  test("round-12 additions: OPQ rotate is a pure map-side projection") {
+    import graft.operators.Opq
+    val e = Tables.embeddings(spark, sf)
+    // the learned-rotation APPLY must add nothing to the plan but a
+    // Project over the scan: no exchange, no window, no join — at 100 TB
+    // the rotation rides the same pass that reads the vectors
+    val ident = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val rot = Opq.rotate(e, "embedding", ident, "rot")
+    val phys = rot.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange") && !phys.contains("Window") &&
+      !phys.contains("Join"),
+      s"Opq.rotate must stay map-side:\n$phys")
+    assert(rot.count() > 0)
+  }
 }
