@@ -654,6 +654,144 @@ object PipelineQueries {
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** The STREAMING ingest loop end-to-end under the FULL hash gate (the
+    * q_st3 in-query-lifecycle discipline over the round-12 idempotent
+    * index lane): the corpus quarter (doc_id % 4 = 0) flows through the
+    * stateless curation front door ([[graft.streaming.StreamCurate]]:
+    * Gopher raw-text gate at minStopwordHits=1 + PII scrub + token
+    * cost) and is indexed; three stream epochs (quarters 1–3, curated
+    * identically) run the EXACT foreachBatch epoch body
+    * ([[graft.streaming.StreamIndexDedup.processEpoch]] with
+    * appendKept), so each epoch's keepers join the corpus the next
+    * epoch dedupes against; epoch 1 is then REPLAYED mid-stream (the
+    * crash-window case) with its sink rows landing in the SAME parquet
+    * sink — the final DISTINCT over the sink equals the clean 3-epoch
+    * union precisely because the replay is byte-identical (the
+    * excludeEpoch mask + partition-overwrite append closed the window).
+    * The oracle replays the gate, the scrub, the fingerprints, and the
+    * three SEQUENTIAL corpus states as batch CTEs — a double-appended
+    * epoch, a drifted verdict, or a sink row that changed across the
+    * replay is a hash mismatch. */
+  private def qE7streamIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.{StreamCurate, StreamIndexDedup}
+    val gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
+    def curated(m: Int): DataFrame = StreamCurate.curateStateless(
+      docs(s, d).where(col("doc_id") % 4 === m).select("doc_id", "text"),
+      "text", gopher)
+    val idx = TextSimQueries.indexDir("e7idx", d)
+    val sink = TextSimQueries.indexDir("e7sink", d)
+    // fresh lifecycle per run: build overwrites the index and clears its
+    // markers; the sink only ever receives byte-identical replays of the
+    // same rows, so the closing DISTINCT also makes RE-running the query
+    // in one JVM (bench warmup + timed) idempotent
+    graft.operators.DedupIndex.build(curated(0), "doc_id", "text", idx, n = 3)
+    def run(m: Int, epoch: Long): Unit =
+      StreamIndexDedup.processEpoch(curated(m), epoch, "doc_id", "text",
+        idx, minJaccard = 0.5, appendKept = true) { (kept, e) =>
+        kept.select(col("doc_id"), lit(e).as("epoch"), col("n_tokens"),
+            col("best_jaccard"), md5(col("text")).as("out_md5"))
+          .write.mode("append").parquet(sink)
+      }
+    run(1, 0L)
+    run(2, 1L)
+    run(2, 1L) // the at-least-once replay: index no-ops, sink rows repeat
+    run(3, 2L)
+    s.read.parquet(sink).distinct().orderBy("doc_id")
+  }
+  private val oE7 = {
+    val stop = graft.operators.TextStats.GopherStopwords.map { w =>
+      s"""CASE WHEN (length(' '||lower(text)||' ') -
+         |  length(regexp_replace(' '||lower(text)||' ', ' $w ', ' ', 'g')))
+         |  / ${w.length + 1} > 0 THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    val email = graft.operators.TextStats.EmailRe
+    val phone = graft.operators.TextStats.PhoneRe
+    val cjk = "([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}" +
+      "\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])"
+    // one dedup stage per epoch: batch quarter b<k> checked against the
+    // accumulated corpus c<k>; keepers fold into c<k+1> — the batch-CTE
+    // replay of the sequential stream state
+    def stage(k: Int): String =
+      s"""x$k AS (SELECT DISTINCT f.doc_id FROM fp f
+         |  JOIN b$k ON b$k.doc_id = f.doc_id
+         |  WHERE f.fp IN (SELECT f2.fp FROM fp f2
+         |    JOIN c$k ON c$k.doc_id = f2.doc_id)),
+         |p$k AS (SELECT be.doc_id AS bid, ce.doc_id AS cid, be.n_sh AS na,
+         |    ce.n_sh AS nb, count(*) AS inter
+         |  FROM e be JOIN b$k ON b$k.doc_id = be.doc_id
+         |  JOIN e ce ON be.sg = ce.sg
+         |  JOIN c$k ON c$k.doc_id = ce.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |bj$k AS (SELECT bid, round(max(CAST(inter AS DOUBLE) /
+         |    CAST(na + nb - inter AS DOUBLE)), 6) AS best_jaccard
+         |  FROM p$k GROUP BY 1),
+         |k$k AS (SELECT b$k.doc_id, CAST($k AS BIGINT) AS epoch,
+         |    bj$k.best_jaccard
+         |  FROM b$k LEFT JOIN x$k ON x$k.doc_id = b$k.doc_id
+         |  LEFT JOIN bj$k ON bj$k.bid = b$k.doc_id
+         |  WHERE x$k.doc_id IS NULL AND (bj$k.best_jaccard IS NULL
+         |    OR bj$k.best_jaccard < CAST(0.5 AS DOUBLE))),
+         |c${k + 1} AS (SELECT doc_id FROM c$k
+         |  UNION ALL SELECT doc_id FROM k$k)""".stripMargin
+    s"""WITH gm AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '$cjk', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS n_words,
+      |  greatest(CAST(len(regexp_extract_all(regexp_replace(text, '$cjk', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS DOUBLE),
+      |    1.0) AS nw,
+      |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}\\p{N}]')) AS DOUBLE) AS alnum,
+      |  CAST(len(list_filter(regexp_extract_all(regexp_replace(text, '$cjk', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+'),
+      |    w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE) AS alpha_words,
+      |  CAST(len(regexp_extract_all(text, '#')) +
+      |    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) AS symbols,
+      |  greatest(CAST(len(string_split(text, chr(10))) AS DOUBLE), 1.0) AS nl,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE) AS bullets,
+      |  CAST(len(list_filter(string_split(text, chr(10)),
+      |    l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) AS ellipses,
+      |  CAST($stop AS BIGINT) AS stop_hits
+      |FROM documents),
+      |gk AS (SELECT doc_id FROM (SELECT doc_id, n_words,
+      |    round(alnum / nw, 6) AS mean_word_len,
+      |    round(alpha_words / nw, 6) AS alpha_word_frac,
+      |    round(symbols / nw, 6) AS symbol_ratio,
+      |    round(bullets / nl, 6) AS bullet_line_frac,
+      |    round(ellipses / nl, 6) AS ellipsis_line_frac, stop_hits FROM gm)
+      |  WHERE n_words BETWEEN 50 AND 100000
+      |    AND mean_word_len BETWEEN 3.0 AND 10.0
+      |    AND alpha_word_frac >= 0.8 AND symbol_ratio < 0.1
+      |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+      |    AND stop_hits >= 1),
+      |sc AS (SELECT d2.doc_id,
+      |    regexp_replace(regexp_replace(d2.text, '$email', '<EMAIL>', 'g'),
+      |      '$phone', '<PHONE>', 'g') AS text
+      |  FROM documents d2 JOIN gk USING (doc_id)),
+      |fp AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+', '', 'g'))) AS fp
+      |  FROM sc),
+      |tk AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(regexp_replace(text, '$cjk', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+|[^\\p{L}\\p{M}\\p{N}\\s]')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS out_md5
+      |  FROM sc),
+      |w AS (SELECT doc_id,
+      |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|$cjk', ' \\1 ', 'g'))), ' +') AS ws
+      |FROM sc),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 2, 0) + 1),
+      |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+      |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
+      |c0 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 0),
+      |b0 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 1),
+      |b1 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 2),
+      |b2 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 3),
+      |${stage(0)},
+      |${stage(1)},
+      |${stage(2)}
+      |SELECT k.doc_id, k.epoch, tk.n_tokens, k.best_jaccard, tk.out_md5
+      |FROM (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+      |  UNION ALL SELECT * FROM k2) k
+      |JOIN tk ON tk.doc_id = k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+  }
+
   private val oE2E =
     """WITH fp AS (SELECT doc_id, lang, n_chars, text,
       |  md5(lower(regexp_replace(text, '[^\p{L}\p{M}\p{N}]+', '', 'g'))) AS f
@@ -1104,6 +1242,7 @@ object PipelineQueries {
     "q_e2e_pack" -> qE2Epack _,
     "q_e2e_strict" -> qE2Estrict _,
     "q_e4_incremental_curate" -> qE4incremental _,
+    "q_e7_stream_ingest" -> qE7streamIngest _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1135,5 +1274,6 @@ object PipelineQueries {
     "q_e2e_pack" -> oE2Epack,
     "q_e2e_strict" -> oE2Estrict,
     "q_e4_incremental_curate" -> oE4,
+    "q_e7_stream_ingest" -> oE7,
   )
 }

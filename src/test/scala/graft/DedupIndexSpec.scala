@@ -322,6 +322,69 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("q_e7's stream face: a 3-epoch MemoryStream through curate → " +
+    "index-dedup equals the epoch-driven batch replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{StreamCurate, StreamIndexDedup}
+    val gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
+    // 60+ words so every doc passes the Gopher gate; the word pools are
+    // DISJOINT per doc index (w<i>x<j>) so distinct docs share ~no
+    // shingles (a shared base would make them >0.5-Jaccard near-dups and
+    // every epoch would drop to empty), while exact copies reuse the
+    // full string; the short tail supplies the stopword hit
+    def t(i: Int) = (0 until 60).map(w => s"w${i}x$w").mkString(" ") +
+      " and the cat sat on a mat"
+    val corpus = Seq((1L, t(0))).toDF("doc_id", "text")
+    val epochs = Seq(
+      Seq((10L, t(0)), (11L, t(1))), // 10 exact-dups the corpus
+      Seq((20L, t(1)), (21L, t(2))), // 20 exact-dups epoch-0's keeper
+      Seq((30L, t(3))))
+    def freshIndex(): String = {
+      val dir = tmp("e7face")
+      DedupIndex.build(StreamCurate.curateStateless(corpus, "text", gopher),
+        "doc_id", "text", dir, n = 3)
+      dir
+    }
+    // stream path: a real 3-epoch MemoryStream through the same chain
+    val dirS = freshIndex()
+    val mem = MemoryStream[(Long, String)]
+    val seenS = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = StreamIndexDedup.writer(
+        StreamCurate.curateStateless(
+          mem.toDS().toDF("doc_id", "text"), "text", gopher),
+        "doc_id", "text", dirS, minJaccard = 0.5, appendKept = true) {
+      (kept, e) =>
+        seenS(e) = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+    }.start()
+    try {
+      epochs.foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // batch path: the q_e7 discipline — the factored epoch body directly
+    val dirB = freshIndex()
+    val seenB = scala.collection.mutable.Map[Long, Set[Long]]()
+    epochs.zipWithIndex.foreach { case (batch, e) =>
+      StreamIndexDedup.processEpoch(
+        StreamCurate.curateStateless(batch.toDF("doc_id", "text"), "text",
+          gopher), e.toLong, "doc_id", "text", dirB, 0.5,
+        appendKept = true) { (kept, _) =>
+        seenB(e.toLong) =
+          kept.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }
+    }
+    assert(seenS.toMap == seenB.toMap,
+      s"stream keeps ${seenS.toMap} != batch keeps ${seenB.toMap}")
+    assert(seenS(0L) == Set(11L) && seenS(1L) == Set(21L) &&
+      seenS(2L) == Set(30L), s"expected keeps drifted: ${seenS.toMap}")
+    // both index lifecycles answer a later probe identically
+    val probe = Seq((40L, t(2)), (41L, t(9))).toDF("doc_id", "text")
+    assert(rows(DedupIndex.checkBatch(probe, "doc_id", "text", dirS, 0.5)) ==
+      rows(DedupIndex.checkBatch(probe, "doc_id", "text", dirB, 0.5)))
+  }
+
   test("empty batch in, empty verdicts out; unknown text keeps") {
     val dir = tmp("empty")
     DedupIndex.build(corpus, "doc_id", "text", dir, n = 3)
