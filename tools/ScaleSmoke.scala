@@ -108,6 +108,212 @@ object ScaleSmoke {
           s"pruning must TIGHTEN at 100x (expect <1/4): read $read of $total")
         n
       }
+      // ---- round 12: the dedup CHAIN graduates to 100× (the round-9
+      // graduation covered only curateStrict and the persisted ANN
+      // index). 500 k docs / 26 M shingle rows through the same guarded
+      // paths the 10× table pins, with closed-form known answers from
+      // the verbatim-copy construction: copies add no NEW shingles, have
+      // IDENTICAL minhashes (so every copy pair is a certain LSH
+      // candidate at est_jaccard = 1.0), and collapse into their base's
+      // connected component.
+      val docs100 = timesN(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows1 = Dedup.shingleHashRows(spark.read
+          .parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text", n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows100 = Dedup.shingleHashRows(docs100, "doc_id", "text", n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed100("shingleHashRows 100x") {
+        val n1 = rows1.count()
+        val n100 = rows100.count()
+        require(n100 == 100L * n1,
+          s"each copy must contribute its base's distinct shingle rows: " +
+            s"$n100 != 100 * $n1")
+        val v1 = rows1.select("h").distinct().count()
+        val v100 = rows100.select("h").distinct().count()
+        require(v100 == v1,
+          s"verbatim copies must add NO new shingles: vocab $v1 -> $v100")
+        n100
+      }
+      // q_d3 at 100×: minhash k=64 over 26 M hash rows, then the banded
+      // 16×4 self-join. Every one of the 5 000 bases' C(100,2) = 4 950
+      // copy pairs MUST surface (identical signatures agree on all 16
+      // bands) at est_jaccard exactly 1.0 — 24 750 000 pairs, counted
+      // not sampled; one hash drift anywhere and the count moves.
+      val pairs100 = Dedup.lshCandidatePairs(
+          Dedup.minhashFromHashes(rows100, k = 64), bands = 16, rowsPerBand = 4)
+        .where(col("est_jaccard") >= 0.2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed100("q_d3 minhash+lsh 100x") {
+        val withinBase = pairs100
+          .where(col("id_a") % 1000000000L === col("id_b") % 1000000000L &&
+            col("est_jaccard") === 1.0d)
+          .count()
+        require(withinBase == 4950L * 5000L,
+          s"every within-base copy pair must be a certain candidate: " +
+            s"$withinBase != ${4950L * 5000L}")
+        pairs100.count()
+      }
+      // rows100 fed ONLY the signature build above — release its ~26 M
+      // cached rows before the closure stage competes for execution
+      // memory (the 8 GiB-heap run OOM'd the closure's label aggregate
+      // with rows100/pairs100/docs100 all resident; the smoke also runs
+      // under SPARK_DRIVER_MEM=48g for the 100× stages)
+      rows100.unpersist()
+      // q_d6 at 100×: closure over the ~27 M-pair graph of dense
+      // 100-cliques. The 100× component structure is the 1× structure
+      // exactly: every 1× component absorbs its members' copies (copies
+      // share ALL bands with their base), and every 1×-isolated doc's
+      // 100 copies form one new component — so
+      //   nComponents(100×) = nComponents(1×) + (5000 − nVertices(1×)).
+      timed100("q_d6 closure 100x") {
+        val pairs1 = Dedup.lshCandidatePairs(
+            Dedup.minhashFromHashes(rows1, k = 64), bands = 16, rowsPerBand = 4)
+          .where(col("est_jaccard") >= 0.2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels1 = Dedup.componentLabels(
+          pairs1.select("id_a", "id_b"))
+        val v1 = labels1.count()
+        val c1 = labels1.select("label").distinct().count()
+        val labels100 = Dedup.componentLabels(
+            pairs100.select("id_a", "id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val v100 = labels100.count()
+        val c100v = labels100.select("label").distinct().count()
+        println(s"  1x: $v1 vertices / $c1 components; " +
+          s"100x: $v100 vertices / $c100v components " +
+          s"(isolated at 1x: ${5000 - v1})")
+        require(v100 == 500000L,
+          s"every doc pairs with its 99 copies — all 500k vertices: $v100")
+        require(c100v == c1 + (5000L - v1),
+          s"100x components must be 1x components + 1x-isolated bases: " +
+            s"$c100v != $c1 + ${5000L - v1}")
+        pairs1.unpersist()
+        labels100.unpersist()
+        v100
+      }
+      // persisted dedup index at 100×: build over the 500 k-doc corpus
+      // (26 M stored shingle rows + counts + fingerprints), then check a
+      // fresh 5 k batch against the stored artifacts. Known answer:
+      // every batch text appears verbatim in the corpus → ALL 5 000
+      // verdicts dropped_exact, ZERO keep.
+      timed100("q_d10 DedupIndex 100x") {
+        import graft.operators.DedupIndex
+        val dir = java.nio.file.Files
+          .createTempDirectory("smoke_dedupidx100").toString
+        DedupIndex.build(docs100, "doc_id", "text", dir, n = 3)
+        val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id") + lit(700000000000L) as "doc_id", col("text"))
+        val out = DedupIndex.checkBatch(batch, "doc_id", "text", dir,
+            minJaccard = 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = out.count()
+        val dropped = out.where(col("dropped_exact")).count()
+        val kept = out.where(col("keep")).count()
+        require(total == 5000L && dropped == 5000L && kept == 0L,
+          s"verbatim batch must be fully dropped at 100x: total=$total " +
+            s"dropped=$dropped kept=$kept")
+        out.unpersist()
+        total
+      }
+      rows1.unpersist()
+      pairs100.unpersist(); docs100.unpersist()
+      // event family at 100×: sessionize 10 M events (100 salted copies
+      // of each sf0.1 user). A copy-user's event multiset is identical
+      // to its base's, so session boundaries are identical: the session
+      // count is exactly 100× and the per-base session profile
+      // (session_idx, start, end, n_events) projected from ANY copy
+      // equals the 1× profile row-for-row.
+      timed100("sessionize 100x") {
+        import graft.operators.Sessions
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("user_id", "ts")
+        val ev100 = timesN(ev, "user_id")
+        val s1 = Sessions.sessionize(ev, Seq("user_id"), "ts",
+            gapSeconds = 1800)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val s100 = Sessions.sessionize(ev100, Seq("user_id"), "ts",
+            gapSeconds = 1800)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n1 = s1.count()
+        val n100 = s100.count()
+        require(n100 == 100L * n1,
+          s"identical event multisets must session identically: " +
+            s"$n100 != 100 * $n1")
+        val proj = s100.select(
+          (col("user_id") % 1000000000L).as("user_id"), col("session_idx"),
+          col("session_start"), col("session_end"), col("n_events"))
+          .distinct()
+        val drift = proj.exceptAll(s1).count() + s1.exceptAll(proj).count()
+        require(drift == 0L,
+          s"per-base session profiles must match 1x row-for-row: $drift")
+        s1.unpersist(); s100.unpersist()
+        n100
+      }
+      spark.stop()
+      return
+    }
+
+    // ---- batched-BPE at PRODUCTION vocabulary scale (round 12):
+    // k=32 000 — the k real tokenizers use — on the same wide synthetic
+    // vocabulary as the k=8000 smoke, batch auto-scaled so driver rounds
+    // stay ≤ ~40; then the serve side: BpeEncode (the one-plan-node
+    // rank-loop expression) encodes the 10× sf0.1 word stream with the
+    // full 32 k vocabulary and the throughput is recorded.
+    //   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 bpe32k"
+    if (args.contains("bpe32k")) {
+      import graft.operators.Bpe
+      val k = 32000
+      val corpus = spark.range(60000).select(
+          substring(md5(col("id").cast("string")), 1, 8).as("w"),
+          (lit(1) + col("id") % 97).cast("int").as("n"))
+        .select(col("w"), explode(sequence(lit(1), col("n"))).as("_i"))
+        .select(monotonically_increasing_id().as("doc_id"),
+          col("w").as("text"))
+        .localCheckpoint()
+      println(s"bpe corpus rows=${corpus.count()}")
+      // ~87% of a round's batch is accepted on this tie-heavy profile
+      // (the rest defer on token overlap), so k/32 with that headroom
+      // keeps the round count ≤ ~40
+      val batch = math.ceil(k / 32.0 / 0.85).toInt
+      var rounds = 0
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainBatched(corpus, "text", k = k, batch = batch,
+        roundHook = (r, accepted) => {
+          rounds = r
+          println(f"  round $r%2d: accepted $accepted%4d merges")
+        })
+      val trainSecs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe trainBatched k=$k batch=$batch: ${merges.size} merges " +
+        f"in $rounds rounds, $trainSecs%.1f s")
+      require(merges.size == k, s"expected $k merges: ${merges.size}")
+      require(rounds <= 45, s"expected <= ~40 driver rounds: $rounds")
+      // serve throughput: the full 32 k vocabulary as ONE BpeEncode
+      // expression over the 10× sf0.1 word stream (the corpus words the
+      // graded q_t28b encodes, at bench volume)
+      val words10 = (0 until 10).map(i =>
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+              col("text")))
+        .reduce(_ union _)
+        .select(explode(graft.operators.Dedup.words(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .localCheckpoint()
+      val nWords = words10.count()
+      val t1 = System.nanoTime()
+      val toks = words10
+        .select(graft.functions.BpeEncode(col("w"), merges).as("toks"))
+        .agg(sum(size(col("toks"))))
+        .head().getLong(0)
+      val encSecs = (System.nanoTime() - t1) / 1e9
+      val rate = nWords / encSecs
+      println(f"BpeEncode k=$k: $nWords words -> $toks tokens in " +
+        f"$encSecs%.1f s = ${rate / 1000}%.0f k words/s")
+      require(toks >= nWords, "token count can never shrink below words")
+      require(rate > 100000,
+        f"32k-vocab encode throughput collapsed: $rate%.0f words/s")
       spark.stop()
       return
     }
