@@ -675,9 +675,15 @@ object PipelineQueries {
   private def qE7streamIngest(s: SparkSession, d: String): DataFrame = {
     import graft.streaming.{StreamCurate, StreamIndexDedup}
     val gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
+    // localCheckpoint = the foreachBatch contract: a real micro-batch
+    // arrives MATERIALIZED, so the curation regex battery runs once per
+    // quarter here too (un-checkpointed, every reference to the batch
+    // inside the epoch plan — fingerprints, shingles, kept output —
+    // re-ran the full Gopher scan: 3-4 regex passes per epoch)
     def curated(m: Int): DataFrame = StreamCurate.curateStateless(
-      docs(s, d).where(col("doc_id") % 4 === m).select("doc_id", "text"),
-      "text", gopher)
+        docs(s, d).where(col("doc_id") % 4 === m).select("doc_id", "text"),
+        "text", gopher)
+      .localCheckpoint()
     val idx = TextSimQueries.indexDir("e7idx", d)
     val sink = TextSimQueries.indexDir("e7sink", d)
     // fresh lifecycle per run: build overwrites the index and clears its
@@ -1211,6 +1217,68 @@ object PipelineQueries {
       |  round(weight / share, 6) AS boost
       |FROM s2 ORDER BY source""".stripMargin
 
+  /** Token-budget curation cut (`Sampling.tokenBudgetSelect`) — fully
+    * oracled: the quality score replays term-by-term (oT18's formula),
+    * token mass is the Unicode word count, the budget (37% of the
+    * corpus's own token mass, integer-floored) replays as a scalar
+    * subquery, and the (score → token mass) histogram, strictly-better
+    * prefix, boundary-bin pick, and the (hash, id)-ordered greedy fill
+    * inside the boundary bin replay as the same CTEs. The 1-row budget
+    * collect is the only driver-side step (bounded, corpus-independent
+    * state). */
+  private def qX17budget(s: SparkSession, d: String): DataFrame = {
+    // the regex-heavy scorer evaluates ONCE into a slim materialized
+    // (id, score, tokens) frame (the q_t25 feature-frame discipline) —
+    // the op's budget/whole/boundary branches then re-read three cheap
+    // columns instead of re-running five regex passes over the corpus
+    val slim = docs(s, d).select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("_s"),
+        TextStats.wordCount(col("text")).as("_t"))
+      .localCheckpoint()
+    val budget = slim.agg(sum(col("_t"))).head().getLong(0) * 37L / 100L
+    Sampling.tokenBudgetSelect(slim, "doc_id", col("_s"), col("_t"),
+        budget = budget)
+      .select(col("doc_id"), col("score"), col("tokens"))
+      .orderBy("doc_id")
+  }
+  private val oX17 =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}\p{M}]')) AS BIGINT) AS alpha,
+      |  CAST(len(regexp_extract_all(regexp_replace(text, '([\x{3005}\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7a3}])', ' \1 ', 'g'), '[\p{L}\p{M}\p{N}]+')) AS BIGINT) AS words,
+      |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+      |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+      |FROM documents),
+      |q AS (SELECT doc_id, round(
+      |  (CAST(alpha AS DOUBLE) / greatest(n, 1.0)) * 0.5
+      |  + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+      |          BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+      |  + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+      |  6) AS score, words AS tokens FROM t),
+      |b AS (SELECT CAST(sum(tokens) AS BIGINT) * 37 // 100 AS budget FROM q),
+      |hist AS (SELECT score, CAST(sum(tokens) AS BIGINT) AS bt FROM q GROUP BY 1),
+      |cum AS (SELECT score, bt,
+      |    CAST(sum(bt) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - bt AS pfx
+      |  FROM hist),
+      |bb AS (SELECT max(CASE WHEN pfx <= budget AND pfx + bt > budget
+      |      THEN score END) AS bscore,
+      |    max(CASE WHEN pfx <= budget AND pfx + bt > budget
+      |      THEN pfx END) AS bpfx
+      |  FROM cum, b),
+      |whole AS (SELECT q.doc_id, q.score, q.tokens FROM q, bb
+      |  WHERE bb.bscore IS NULL OR q.score > bb.bscore),
+      |part AS (SELECT q.doc_id, q.score, q.tokens,
+      |    bb.bpfx + CAST(sum(q.tokens) OVER (ORDER BY
+      |      CAST(concat('0x', substr(md5(concat(CAST(q.doc_id AS VARCHAR),
+      |        '|budget')), 1, 6)) AS BIGINT), q.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM q, bb WHERE q.score = bb.bscore)
+      |SELECT doc_id, score, tokens FROM whole
+      |UNION ALL
+      |SELECT doc_id, score, tokens FROM part, b WHERE cum <= budget
+      |ORDER BY doc_id""".stripMargin
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1224,6 +1292,7 @@ object PipelineQueries {
     "q_x6_mixture" -> qX6mixture _,
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
+    "q_x17_token_budget" -> qX17budget _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -1256,6 +1325,7 @@ object PipelineQueries {
     "q_x6_mixture" -> oX6,
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,
+    "q_x17_token_budget" -> oX17,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

@@ -449,4 +449,77 @@ object Sampling {
       .where(col(weightCol) >= col("_kth"))
       .drop("_kth")
   }
+
+  /** Token-budget selection — "take the best documents until the token
+    * budget is spent" (the DCLM/FineWeb-style curation cut, where the
+    * constraint a trainer actually has is a TOKEN count, not a doc count
+    * or a quality percentile): rows are taken in (score DESC, hash, id)
+    * order while the running token sum stays ≤ `budget`; documents are
+    * atomic (a doc never splits across the cut). The greedy prefix is
+    * the selection the published recipes use; [[TextStats.percentileGate]]
+    * is the rank-defined cousin when the constraint is a FRACTION.
+    *
+    * Determinism: ties at the boundary score break by (md5-hash, id) —
+    * membership is a pure function of the corpus content, reproducible
+    * across runs, repartitions, and engines (the DuckDB oracle replays
+    * the whole selection). Pass a GRID-ALIGNED score (e.g.
+    * [[TextStats.qualityScore]], rounded 6 dp): the boundary is an
+    * equality test on the score value, so an unrounded double would make
+    * the boundary bin engine-dependent in the last ulp.
+    *
+    * Scale shape (the percentileGate discipline): ONE map-side-combinable
+    * (score → token mass) histogram aggregate — state bounded by the
+    * score grid, never by row count — then the cumulative window runs
+    * over that compressed histogram, the single boundary bin (the one
+    * score where the budget runs out) broadcasts back as one row, and
+    * the whole-bin keep is a map-side filter. Only the boundary bin's
+    * OWN rows pass through a window (one score value — bounded by the
+    * largest tie group, not the corpus); everything else never sorts,
+    * never shuffles beyond the histogram. Rows with null score or null
+    * tokens carry no mass and are excluded.
+    *
+    * Appends `score` and `tokens` (the evaluated columns; any existing
+    * columns of those names are replaced) and returns ONLY the selected
+    * rows.
+    *
+    * The input is scanned by two output branches plus the histogram, so
+    * an EXPENSIVE scorer (regex quality formulas, model inference)
+    * re-evaluates up to 4×: materialize it first into a slim
+    * (id, score, tokens) frame (cache / localCheckpoint / a persisted
+    * score table) and pass plain column refs — the q_x17 caller shows
+    * the shape. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                        tokensCol: Column, budget: Long,
+                        salt: String = "budget"): DataFrame = {
+    require(budget >= 0L, s"token budget must be non-negative: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.withColumn("score", scoreCol)
+      .withColumn("tokens", tokensCol)
+      .where(col("score").isNotNull && col("tokens").isNotNull)
+    val hist = scored.groupBy(col("score")).agg(sum(col("tokens")).as("_bt"))
+    // token mass of all STRICTLY better scores (histogram-sized window;
+    // score is the group key so rows are unique and ROWS==RANGE)
+    val cum = hist.withColumn("_pfx",
+      sum(col("_bt")).over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("_bt"))
+    // the (at most one) boundary bin: the better-score mass fits, the
+    // whole bin does not. No boundary row ⇒ the budget covers everything.
+    val bnd = cum.agg(
+      max(when(col("_pfx") <= budget && col("_pfx") + col("_bt") > budget,
+        col("score"))).as("_bscore"),
+      max(when(col("_pfx") <= budget && col("_pfx") + col("_bt") > budget,
+        col("_pfx"))).as("_bpfx"))
+    val withB = scored.crossJoin(broadcast(bnd))
+    val whole = withB
+      .where(col("_bscore").isNull || col("score") > col("_bscore"))
+    val wBin = Window.partitionBy(col("score"))
+      .orderBy(hash24(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = withB.where(col("score") === col("_bscore"))
+      .withColumn("_cum", sum(col("tokens")).over(wBin))
+      .where(col("_bpfx") + col("_cum") <= budget)
+      .drop("_cum")
+    whole.union(partial).drop("_bscore", "_bpfx")
+  }
 }

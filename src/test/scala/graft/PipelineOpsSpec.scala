@@ -650,6 +650,62 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"window must sit above the histogram aggregate:\n$plan")
   }
 
+  test("tokenBudgetSelect: greedy budget prefix, boundary fill by " +
+    "(hash, id), atomic docs, repartition-invariant") {
+    val rows = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 10L), (3L, 0.7, 25L), (4L, 0.7, 25L),
+      (5L, 0.7, 25L), (6L, 0.5, 40L), (7L, 0.3, 100L)
+    ).toDF("id", "s", "t")
+    def sel(budget: Long): Set[Long] = Sampling.tokenBudgetSelect(
+        rows, "id", col("s"), col("t"), budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // brute-force reference: global greedy prefix in (score DESC, hash,
+    // id) order — the op's histogram/boundary decomposition must agree
+    // with the direct definition at every budget
+    val order = rows.select(col("id"), col("s"), col("t"),
+        Sampling.hash24(col("id"), "budget").as("h")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, s, _, h) => (-s, h, id) }
+    def ref(budget: Long): Set[Long] = {
+      var cum = 0L
+      order.takeWhile { case (_, _, t, _) => cum += t; cum <= budget }
+        .map(_._1).toSet
+    }
+    val total = order.map(_._3).sum
+    for (b <- Seq(0L, 5L, 10L, 20L, 45L, 70L, 94L, 95L, 120L, 134L, 135L,
+        200L, total, total + 1L))
+      assert(sel(b) == ref(b), s"budget $b: ${sel(b)} != ${ref(b)}")
+    assert(sel(total) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(sel(0L) == Set.empty[Long])
+    // whole-bin keeps are exact: budget 20 takes both score-0.9 docs and
+    // nothing from the 0.7 bin
+    assert(sel(20L) == Set(1L, 2L))
+    // repartition never changes membership (pure function of content)
+    val repart = Sampling.tokenBudgetSelect(
+        rows.repartition(7), "id", col("s"), col("t"), 70L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repart == ref(70L), s"repartition drift: $repart")
+    // null score / null tokens carry no mass
+    val withNulls = rows.union(Seq((8L, 0.95, 1L), (9L, 0.99, 1L))
+        .toDF("id", "s", "t")
+        .select(col("id"),
+          when(col("id") === 8L, lit(null)).otherwise(col("s")).as("s"),
+          when(col("id") === 9L, lit(null)).otherwise(col("t")).as("t")))
+    val nn = Sampling.tokenBudgetSelect(withNulls, "id", col("s"), col("t"),
+        20L).select("id").collect().map(_.getLong(0)).toSet
+    assert(nn == Set(1L, 2L), s"null-mass rows must be excluded: $nn")
+    // the corpus is never globally windowed: the only windows are the
+    // histogram cumsum (above the Aggregate) and the boundary-bin fill,
+    // which is PARTITIONED by the score column (one bin, never a global
+    // sort)
+    val plan = Sampling.tokenBudgetSelect(rows, "id", col("s"), col("t"),
+      70L).queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.exists(_.startsWith("score")),
+      s"boundary fill must partition by score:\n$plan")
+  }
+
   test("dsirWeights: target-like raw docs outscore off-domain ones") {
     val target = Seq((100L, "data selection importance resampling"),
       (101L, "importance resampling for data selection"))
