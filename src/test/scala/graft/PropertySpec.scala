@@ -59,6 +59,30 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       "split must be a pure function of the id")
   }
 
+  test("property: tokenBudgetSelect equals the brute-force greedy prefix " +
+    "on a random tie-heavy corpus") {
+    // scores on a 9-value grid force big tie bins (the boundary-fill
+    // path), token masses 1..50 force uneven prefix sums
+    val rows = sample(Gen.zip(Gen.chooseNum(1, 9), Gen.chooseNum(1L, 50L)),
+        200, seed = 23L).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s / 10.0, t) }
+    val df = rows.toDF("id", "s", "t")
+    val order = df.select(col("id"), col("s"), col("t"),
+        Sampling.hash24(col("id"), "budget").as("h")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy { case (id, s, _, h) => (-s, h, id) }
+    val total = order.map(_._3).sum
+    for (b <- Seq(0L, 1L, total / 7, total / 3, total / 2, 2 * total / 3,
+        total - 1, total, total + 5)) {
+      var cum = 0L
+      val expect = order.takeWhile { case (_, _, t, _) =>
+        cum += t; cum <= b }.map(_._1).toSet
+      val got = Sampling.tokenBudgetSelect(df, "id", col("s"), col("t"), b)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"budget $b of $total")
+    }
+  }
+
   test("property: packSequences tiles every group exactly on random costs") {
     // random per-row costs (some zero) in random-sized groups: total
     // packed tokens must equal the sum of positive costs, every sequence

@@ -403,6 +403,60 @@ object ScaleSmoke {
       check("pairs", rows.select(graft.operators.Sampling.hash60(
         concat_ws("|", col("id"), col("h"))).as("_k")))
     }
+    // round 12: tokenBudgetSelect at 10× — the rounding-proof invariant:
+    // verbatim ×10 copies scale every score bin's token mass AND the
+    // 37%-of-corpus budget by the same factor, so with all masses
+    // multiples of 10 and the budget within 9 of 10× the 1× budget, the
+    // boundary BIN is provably identical (10·pfx ≤ 10·b+δ < 10·(pfx+bt)
+    // ⇔ pfx ≤ b < pfx+bt for integers, δ < 10) — whole-bin membership at
+    // 10× is exactly the copies of the 1× whole-bin members, and the
+    // boundary fill stays greedy-tight against the scaled budget
+    timed("q_x17 tokenBudget 10x") {
+      import graft.operators.{Sampling, TextStats}
+      import org.apache.spark.sql.expressions.Window
+      val slim1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("s"),
+          TextStats.wordCount(col("text")).as("t"))
+        .localCheckpoint()
+      val slim10 = times10(slim1, "doc_id").localCheckpoint()
+      def budget(df: DataFrame): Long =
+        df.agg(sum("t")).head().getLong(0) * 37L / 100L
+      // replicate the op's boundary rule independently (histogram +
+      // strictly-better prefix) so the invariant is checked against the
+      // DEFINITION, not against the implementation under test
+      def bscore(df: DataFrame, b: Long): Double =
+        df.groupBy("s").agg(sum("t").as("bt"))
+          .withColumn("pfx",
+            sum(col("bt")).over(Window.orderBy(col("s").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              - col("bt"))
+          .where(col("pfx") <= b && col("pfx") + col("bt") > b)
+          .select("s").head().getDouble(0)
+      val b1 = budget(slim1)
+      val b10 = budget(slim10)
+      require(b10 - 10L * b1 < 10L, s"scaled budget drifted: $b1 -> $b10")
+      val bs1 = bscore(slim1, b1)
+      val bs10 = bscore(slim10, b10)
+      require(bs10 == bs1,
+        s"boundary score must be copy-invariant: $bs1 -> $bs10")
+      val sel10 = Sampling.tokenBudgetSelect(slim10, "doc_id", col("s"),
+          col("t"), b10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val whole1 = slim1.where(col("s") > bs1).count()
+      val whole10 = sel10.where(col("score") > bs1).count()
+      require(whole10 == 10L * whole1,
+        s"whole-bin keeps must be the 1x keeps x10: $whole10 != 10*$whole1")
+      val tot = sel10.agg(sum("tokens")).head().getLong(0)
+      require(tot <= b10, s"selection must respect the budget: $tot > $b10")
+      val maxBnd = slim10.where(col("s") === bs1)
+        .agg(max("t")).head().getLong(0)
+      require(b10 - tot < maxBnd,
+        s"greedy fill must be tight: gap ${b10 - tot} >= max bin token $maxBnd")
+      val n = sel10.count()
+      sel10.unpersist()
+      n
+    }
     // round 9: PageRank over the 10× LSH pair graph (50 k nodes in dense
     // 10-cliques — the densest edge set the guards admit); ranks must
     // stay on the teleport-floored grid through all 10 iterations
