@@ -696,6 +696,9 @@ object PipelineQueries {
         idx, minJaccard = 0.5, appendKept = true) { (kept, e) =>
         kept.select(col("doc_id"), lit(e).as("epoch"), col("n_tokens"),
             col("best_jaccard"), md5(col("text")).as("out_md5"))
+          // one file per epoch batch — micro-batch sink writes sized to
+          // the batch, not to the session's shuffle partitions
+          .coalesce(1)
           .write.mode("append").parquet(sink)
       }
     run(1, 0L)

@@ -2435,6 +2435,38 @@ object TextSimQueries {
 
   // ---- similarity search -------------------------------------------------
 
+  /** Semantic decontamination — fully oracled: eval = the vec_id % 97
+    * slice (a stand-in benchmark whose vectors ARE in the corpus, so
+    * every eval row contaminates at least itself at cosine 1.0); each
+    * corpus×eval cosine, the 6-dp rounding, the ≥ 0.95 hit set, and the
+    * keep anti-join replay in DuckDB (oS1's sum-of-products CTEs).
+    * Zero-norm rows (none in the fixture, guarded anyway) are kept. */
+  private def qS21decontam(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.semanticDecontaminate(e,
+        e.where(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        minCosine = 0.95)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+  private val oS21 =
+    """WITH nz AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+      |ev AS (SELECT vec_id AS eid, embedding AS ee FROM nz
+      |  WHERE vec_id % 97 = 0),
+      |p AS (SELECT nz.vec_id, ev.eid, nz.embedding AS ce, ev.ee
+      |  FROM nz, ev),
+      |u AS (SELECT vec_id, eid, CAST(unnest(ce) AS DOUBLE) AS xc,
+      |    CAST(unnest(ee) AS DOUBLE) AS xe FROM p),
+      |g AS (SELECT vec_id, eid, sum(xc * xe) AS dt, sum(xc * xc) AS nc,
+      |    sum(xe * xe) AS ne FROM u GROUP BY 1, 2),
+      |hits AS (SELECT DISTINCT vec_id FROM g
+      |  WHERE round(dt / (sqrt(nc) * sqrt(ne)), 6) >= CAST(0.95 AS DOUBLE))
+      |SELECT e2.vec_id, e2.label FROM embeddings e2
+      |LEFT JOIN hits ON e2.vec_id = hits.vec_id
+      |WHERE hits.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin
+
   private def qS1topk(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id",
@@ -4221,6 +4253,7 @@ object TextSimQueries {
     "q_d19_length_band" -> qD19lengthBand _,
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
+    "q_s21_semantic_decontam" -> qS21decontam _,
     "q_s20_ann_opq" -> qS20annOpq _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
@@ -4316,6 +4349,7 @@ object TextSimQueries {
     "q_d19_length_band" -> oD19,
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
+    "q_s21_semantic_decontam" -> oS21,
     "q_s20_ann_opq" -> oS20,
     "q_st2_distinct_rollup" -> oSt2,
     "q_t20_ppl_buckets" -> oT20,

@@ -91,21 +91,35 @@ object DedupIndex {
     * `partitionBy`) keeps an EMPTY corpus readable — a plain parquet
     * write of an empty frame still records the schema, where a
     * partitioned one writes nothing. */
+  /** Target shingle rows per written parquet file (see the sizing note
+    * inside [[writeParts]]). */
+  private val RowsPerFile: Long = 1L << 20
+
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, portable: Boolean,
                          mode: String, epoch: Long): Unit = {
-    def write(df: DataFrame, part: String): Unit =
-      df.write.mode(mode).parquet(s"$path/$part/epoch=$epoch")
+    def write(df: DataFrame, part: String, files: Int): Unit =
+      df.coalesce(files).write.mode(mode).parquet(s"$path/$part/epoch=$epoch")
     val rows = Dedup.shingleHashRows(docs, idCol, textCol, n, portable)
-    // two consumers (row write + count aggregate): persist so the
-    // tokenize/window stage runs once — write-side only, released here
+    // three consumers (row write + count aggregate + the file-count
+    // probe): persist so the tokenize stage runs once — write-side only,
+    // released here
     rows.persist()
     try {
-      write(rows, "shingles")
-      write(rows.groupBy("id").agg(count(lit(1)).as("n_sh")), "counts")
+      // writes are sized to the BATCH, not to the session's shuffle
+      // partitions: a micro-batch epoch lands as ONE file per table
+      // instead of one near-empty file per partition (10k stream epochs
+      // × 3 tables × 32 partitions is a small-files index — the same
+      // design-out rule as IvfPqIndex's by-list code compaction), while
+      // a full corpus build still fans out (26 M rows → 25 files)
+      val files = math.max(1L,
+        (rows.count() + RowsPerFile - 1L) / RowsPerFile).toInt
+      write(rows, "shingles", files)
+      write(rows.groupBy("id").agg(count(lit(1)).as("n_sh")), "counts",
+        files)
+      write(docs.select(col(idCol).as("id"),
+        TextStats.fingerprint(col(textCol)).as("fp")), "fps", files)
     } finally { rows.unpersist(); () }
-    write(docs.select(col(idCol).as("id"),
-        TextStats.fingerprint(col(textCol)).as("fp")), "fps")
   }
 
   /** Artifact-table read with the streaming replay mask: `excludeEpoch`
@@ -306,16 +320,22 @@ object DedupIndex {
     val tombs = tombstones(spark, path)
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    swapIn("shingles", live(shingles.select("id", "h"))
-      .distinct().repartition(n))
-    // counts derive from the JUST-COMPACTED shingles — one aggregate over
-    // the deduplicated table, so a duplicated or tombstoned count row
-    // cannot survive
-    swapIn("counts", spark.read.parquet(s"$path/shingles")
-      .groupBy("id").agg(count(lit(1)).as("n_sh")))
-    swapIn("fps", live(spark.read.parquet(s"$path/fps").select("id", "fp"))
-      .distinct())
+    // the compacted layout is sized to the SURVIVING rows (the whole
+    // point of compaction is few big files), not to the session's
+    // shuffle partitions
+    val deduped = live(shingles.select("id", "h")).distinct().persist()
+    try {
+      val files = math.max(1L,
+        (deduped.count() + RowsPerFile - 1L) / RowsPerFile).toInt
+      swapIn("shingles", deduped.repartition(files))
+      // counts derive from the JUST-COMPACTED shingles — one aggregate
+      // over the deduplicated table, so a duplicated or tombstoned count
+      // row cannot survive
+      swapIn("counts", spark.read.parquet(s"$path/shingles")
+        .groupBy("id").agg(count(lit(1)).as("n_sh")).coalesce(files))
+      swapIn("fps", live(spark.read.parquet(s"$path/fps").select("id", "fp"))
+        .distinct().coalesce(files))
+    } finally { deduped.unpersist(); () }
     readBloom(spark, path).foreach { stored =>
       writeBloom(spark, path, Bloom.build(
         spark.read.parquet(s"$path/fps"), "fp",

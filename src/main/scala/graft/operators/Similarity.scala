@@ -132,6 +132,46 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Embedding-space decontamination — the semantic cousin of the
+    * n-gram contamination gate (q_t7): DROP every corpus row whose
+    * embedding reaches cosine ≥ `minCosine` against ANY eval/benchmark
+    * vector. Catches the leakage n-gram overlap misses — paraphrases,
+    * translations, format-shifted copies of benchmark items — the
+    * standard second gate before training on web-scale corpora.
+    *
+    * Cosines are rounded to 6 dp BEFORE the threshold compare (the
+    * engine-reproducibility discipline of [[bruteForceTopK]]); zero-norm
+    * vectors on either side have no cosine direction and never match
+    * (zero-norm CORPUS rows are therefore kept).
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands of rows),
+    * so it BROADCASTS — scoring is a map-side broadcast nested loop with
+    * the ≥ threshold filter applied before anything shuffles; only the
+    * contaminated ids (tiny when the corpus is clean) reach the distinct
+    * and the anti-join, which AQE broadcasts back against the corpus.
+    * The corpus itself is scanned twice (score + anti-join) and never
+    * shuffled. For eval sets past broadcast size, pre-prune candidates
+    * with the banded hyperplane join ([[graft.operators.Dedup]]'s
+    * embedding LSH) and run this gate on the survivors. */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1]: $minCosine")
+    val c = corpus.select(col(idCol).as("_dc_id"),
+        asDouble(col(vecCol)).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+      .where(col("_cn") > 0)
+    val e = eval.select(asDouble(col(vecCol)).as("_ev"))
+      .withColumn("_en", norm(col("_ev")))
+      .where(col("_en") > 0)
+    val hits = c.crossJoin(broadcast(e))
+      .where(round(dot(col("_cv"), col("_ev")) / (col("_cn") * col("_en")),
+        6) >= minCosine)
+      .select(col("_dc_id")).distinct()
+    corpus.join(hits, corpus(idCol) === hits("_dc_id"), "left_anti")
+  }
+
   /** Matryoshka (prefix-truncation) ANN — the MRL serving pattern
     * (Kusupati et al. 2022: embeddings trained so nested prefixes are
     * themselves valid embeddings): candidate scoring runs on the FIRST

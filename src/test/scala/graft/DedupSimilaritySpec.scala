@@ -181,6 +181,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(guarded.length == 5 && guarded.forall(!_.getBoolean(3)))
   }
 
+  test("semanticDecontaminate: near-eval rows drop, orthogonal keep, " +
+    "zero-norm rows keep, eval side broadcasts") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // the eval vector itself → drop
+      (2L, Array(0.99f, 0.14f, 0.0f)), // cos ≈ 0.990 ≥ 0.95 → drop
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal → keep
+      (4L, Array(0.6f, 0.8f, 0.0f)),   // cos 0.6 → keep
+      (5L, Array(0.0f, 0.0f, 0.0f))    // zero norm: no direction → keep
+    ).toDF("id", "v")
+    // eval at 2× scale: cosine is scale-invariant, so 1 still matches
+    val ev = Seq((100L, Array(2.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val kept = Similarity.semanticDecontaminate(corpus, ev, "id", "v",
+        minCosine = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L), s"kept: $kept")
+    // a zero-norm eval vector matches nothing
+    val zev = Seq((100L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    assert(Similarity.semanticDecontaminate(corpus, zev, "id", "v", 0.95)
+      .count() == 5L)
+    // threshold is inclusive on the ROUNDED cosine
+    val atThr = Seq((9L, Array(0.95f, math.sqrt(1 - 0.95 * 0.95).toFloat,
+      0.0f))).toDF("id", "v")
+    assert(Similarity.semanticDecontaminate(atThr, ev, "id", "v", 0.95)
+      .count() == 0L)
+    // the eval side broadcasts (map-side scoring, no corpus shuffle
+    // before the threshold filter)
+    val plan = Similarity.semanticDecontaminate(corpus, ev, "id", "v",
+      0.95).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n$plan")
+  }
+
   test("hardNegatives: label-mismatched, semi-hard band, k-bounded") {
     val vs = Seq(
       (1L, Array(1f, 0f, 0f), 0),        // query, label 0
