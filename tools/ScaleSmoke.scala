@@ -352,6 +352,77 @@ object ScaleSmoke {
       return
     }
 
+    // ---- streaming epoch-accretion smoke (round 12): 200 micro-batch
+    // epochs through StreamIndexDedup.processEpoch against a persisted
+    // index — the evidence behind the batch-sized artifact writes. A
+    // long-lived ingest lane accretes one epoch directory per batch; the
+    // claims to falsify are (a) each epoch lands ONE file per artifact
+    // table (not one per shuffle partition — 200 epochs × 3 tables × 32
+    // partitions would be a 19k-file index), (b) per-epoch latency stays
+    // near-flat as 200 epochs accrete, and (c) compact folds the
+    // 200-epoch layout to row-sized files with check verdicts
+    // byte-identical across the swap.
+    //   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 epochs"
+    if (args.contains("epochs")) {
+      import graft.operators.DedupIndex
+      import graft.streaming.StreamIndexDedup
+      val nEpochs = 200
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").localCheckpoint()
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_epochs").toString
+      DedupIndex.build(docs1.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, n = 3)
+      val odd = docs1.where(col("doc_id") % 2 === 1)
+      val walls = new Array[Double](nEpochs)
+      val tAll = System.nanoTime()
+      (0 until nEpochs).foreach { e =>
+        val batch = odd.where(((col("doc_id") - 1) / 2) % nEpochs === e)
+        val t0 = System.nanoTime()
+        StreamIndexDedup.processEpoch(batch, e.toLong, "doc_id", "text",
+          dir, minJaccard = 0.5, appendKept = true)((_, _) => ())
+        walls(e) = (System.nanoTime() - t0) / 1e9
+      }
+      val total = (System.nanoTime() - tAll) / 1e9
+      val firstAvg = walls.take(20).sum / 20
+      val lastAvg = walls.takeRight(20).sum / 20
+      def files(part: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir, part))
+      }
+      val (sh0, cn0, fp0) = (files("shingles"), files("counts"), files("fps"))
+      println(f"epochs: $nEpochs in $total%.1f s — first-20 avg " +
+        f"$firstAvg%.2f s, last-20 avg $lastAvg%.2f s; files " +
+        f"shingles=$sh0 counts=$cn0 fps=$fp0")
+      Seq("shingles" -> sh0, "counts" -> cn0, "fps" -> fp0).foreach {
+        case (p, n) => require(n <= nEpochs + 2,
+          s"$p must land ONE file per epoch, got $n for $nEpochs epochs")
+      }
+      require(lastAvg < 5 * firstAvg,
+        f"per-epoch latency must stay near-flat: $firstAvg%.2f s -> " +
+          f"$lastAvg%.2f s")
+      // compact folds the 200-dir layout; verdicts byte-identical
+      val probe = docs1.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + lit(700000000000L)).as("doc_id"),
+          col("text"))
+      val before = DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)
+        .collect().map(_.toString).sorted
+      DedupIndex.compact(spark, dir)
+      val after = DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)
+        .collect().map(_.toString).sorted
+      require(before.sameElements(after),
+        "verdicts must be byte-identical across the compaction swap")
+      val (sh1, cn1, fp1) = (files("shingles"), files("counts"), files("fps"))
+      println(s"  post-compact files shingles=$sh1 counts=$cn1 fps=$fp1")
+      require(sh1 <= 3 && cn1 <= 3 && fp1 <= 3,
+        s"compact must fold to row-sized files: $sh1/$cn1/$fp1")
+      println(s"epoch smoke OK: ${before.length} probe verdicts stable")
+      spark.stop()
+      return
+    }
+
     def times10(df: DataFrame, idCol: String): DataFrame =
       (0 until copies).map(i => df.withColumn(idCol,
         col(idCol) + lit(i.toLong * 1000000000L))).reduce(_ union _)
