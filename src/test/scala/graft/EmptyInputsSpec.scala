@@ -70,6 +70,10 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     val noEvents = Seq.empty[(Long, Timestamp, Double)]
       .toDF("user_id", "ts", "value")
     assert(Sessions.sessionize(noEvents, Seq("user_id"), "ts", 600).isEmpty)
+    // token-budget selection: empty corpus has no boundary bin — the
+    // null-boundary branch must return empty, not throw on the agg row
+    assert(Sampling.tokenBudgetSelect(noDocs, "doc_id", lit(1.0),
+      lit(1L), budget = 100L).isEmpty)
   }
 
   test("metrics / weighted-sample / keyness on empty input") {
@@ -139,6 +143,13 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("empty"))
     val ident = Array.tabulate(4, 4)((i, j) => if (i == j) 1.0 else 0.0)
     assert(graft.operators.Opq.rotate(noVecs, "embedding", ident).isEmpty)
+    // semantic decontamination: empty eval keeps everything; empty
+    // corpus returns empty — neither side throws
+    val oneVec = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDecontaminate(oneVec, noVecs, "vec_id",
+      "embedding", 0.9).count() == 1L)
+    assert(Similarity.semanticDecontaminate(noVecs, oneVec, "vec_id",
+      "embedding", 0.9).isEmpty)
   }
 
   test("as-of/range joins: empty right keeps left with null payload") {
