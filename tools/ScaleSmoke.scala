@@ -474,6 +474,34 @@ object ScaleSmoke {
       check("pairs", rows.select(graft.operators.Sampling.hash60(
         concat_ws("|", col("id"), col("h"))).as("_k")))
     }
+    // round 12: semanticDecontaminate at 10× — verbatim copies of a
+    // contaminated base are identical vectors, so the kept set at 10×
+    // is EXACTLY the 10 salted copies of the 1× kept set (the eval side
+    // stays the 1× benchmark slice — decontamination against a fixed
+    // benchmark is what scales, the benchmark does not)
+    timed("q_s21 decontam 10x") {
+      import graft.operators.Similarity
+      val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val ev = e1.where(col("vec_id") % 97 === 0)
+      val kept1 = Similarity.semanticDecontaminate(e1, ev, "vec_id",
+          "embedding", minCosine = 0.95)
+        .select("vec_id")
+      val kept10 = Similarity.semanticDecontaminate(times10(e1, "vec_id"),
+          ev, "vec_id", "embedding", minCosine = 0.95)
+        .select("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n1 = kept1.count()
+      val n10 = kept10.count()
+      require(n10 == 10L * n1,
+        s"kept set must be the 1x kept set x10: $n10 != 10 * $n1")
+      val proj = kept10.select((col("vec_id") % 1000000000L).as("vec_id"))
+        .distinct()
+      val drift = proj.exceptAll(kept1).count() + kept1.exceptAll(proj).count()
+      require(drift == 0L, s"kept membership drifted across copies: $drift")
+      kept10.unpersist()
+      n10
+    }
     // round 12: tokenBudgetSelect at 10× — the rounding-proof invariant:
     // verbatim ×10 copies scale every score bin's token mass AND the
     // 37%-of-corpus budget by the same factor, so with all masses
