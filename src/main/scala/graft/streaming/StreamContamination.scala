@@ -47,4 +47,50 @@ object StreamContamination {
           s => Bloom.mightContain(s, filter)))
       .drop("_ws")
   }
+
+  /** Compile the benchmark EMBEDDINGS into a driver-side unit-row matrix
+    * — the semantic twin of [[benchmarkFilter]], feeding [[flagSemantic]].
+    * Eval sets are benchmark-sized (thousands of rows × a fixed dim), so
+    * the collect is a bounded model artifact, like a Bloom filter or a
+    * centroid table. Rows are L2-normalized here so the stream side pays
+    * ONE dot product per eval row; zero-norm eval rows are dropped (no
+    * cosine direction). */
+  def benchmarkMatrix(eval: DataFrame, vecCol: String): Array[Array[Double]] =
+    eval.select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) Some(v.map(_ / n)) else None
+      }
+
+  /** Add a `contaminated` flag: true iff the row's embedding reaches
+    * cosine ≥ `minCosine` against ANY benchmark vector — the streaming
+    * face of [[graft.operators.Similarity.semanticDecontaminate]]
+    * (flag-equivalence spec-asserted). The matrix rides as ONE array
+    * literal into a single higher-order `aggregate` expression (max dot
+    * against the unit rows, then one divide by the row's norm), so the
+    * check is STATELESS and map-side: no join, no watermark, no state
+    * store — identical on batch and streaming frames.
+    *
+    * Threshold semantics match the batch op: cosines land on the 6-dp
+    * grid before the compare (round is monotone, so rounding the MAX
+    * equals flagging on any rounded cosine). Zero-norm rows have no
+    * direction and never flag. */
+  def flagSemantic(df: DataFrame, vecCol: String,
+                   matrix: Array[Array[Double]],
+                   minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1]: $minCosine")
+    require(!df.columns.contains("contaminated"),
+      "input column 'contaminated' collides with the output flag — alias it")
+    if (matrix.isEmpty) return df.withColumn("contaminated", lit(false))
+    val m = typedLit(matrix.map(_.toSeq).toSeq)
+    val v = col(vecCol).cast("array<double>")
+    val vn = sqrt(graft.functions.VectorDot(v, v))
+    val bestDot = aggregate(m, lit(Double.MinValue),
+      (acc, ev) => greatest(acc, graft.functions.VectorDot(v, ev)))
+    df.withColumn("contaminated",
+      when(vn > 0, round(bestDot / vn, 6) >= minCosine)
+        .otherwise(lit(false)))
+  }
 }

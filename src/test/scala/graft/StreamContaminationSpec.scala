@@ -87,6 +87,55 @@ class StreamContaminationSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flagSemantic: flags == the batch decontamination drop set; " +
+    "stream == batch; zero-norm and empty-matrix behavior") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),    // the eval vector itself → flag
+      (2L, Seq(0.99, 0.14, 0.0)),  // cos ≈ 0.990 → flag
+      (3L, Seq(0.0, 1.0, 0.0)),    // orthogonal → clean
+      (4L, Seq(0.6, 0.8, 0.0)),    // cos 0.6 → clean
+      (5L, Seq(0.0, 0.0, 0.0))     // zero norm → clean
+    )
+    val ev = Seq((100L, Seq(2.0, 0.0, 0.0)), (101L, Seq(0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding") // zero-norm eval row must drop
+    val mat = StreamContamination.benchmarkMatrix(ev, "embedding")
+    assert(mat.length == 1, "zero-norm eval row must be dropped")
+    assert(math.abs(mat.head.map(x => x * x).sum - 1.0) < 1e-12,
+      "matrix rows must be unit-normalized")
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val flags = StreamContamination.flagSemantic(cdf, "embedding", mat,
+        minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false), s"flags: $flags")
+    // flag set == exactly the batch op's drop set
+    val kept = graft.operators.Similarity.semanticDecontaminate(cdf,
+        ev, "vec_id", "embedding", minCosine = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(flags.filter(!_._2).keySet == kept,
+      s"clean set ${flags.filter(!_._2).keySet} != batch kept $kept")
+    // empty matrix flags nothing
+    assert(StreamContamination.flagSemantic(cdf, "embedding",
+      Array.empty[Array[Double]], 0.95)
+      .where(col("contaminated")).isEmpty)
+    // stream == batch (stateless map-side expression, no watermark)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamContamination.flagSemantic(
+        mem.toDS().toDF("vec_id", "embedding"), "embedding", mat, 0.95)
+      .select("vec_id", "contaminated")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sem_contam_out").start()
+    try {
+      mem.addData(corpus.take(2))
+      mem.addData(corpus.drop(2))
+      q.processAllAvailable()
+      val stream = spark.table("sem_contam_out").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(stream == flags, s"stream $stream != batch $flags")
+    } finally q.stop()
+  }
+
   test("StreamCurate.curateStateless: stream == batch, gate + scrub + cost") {
     import graft.streaming.StreamCurate
     implicit val sqlCtx = spark.sqlContext
