@@ -1238,7 +1238,10 @@ object PipelineQueries {
         TextStats.qualityScore(col("text")).as("_s"),
         TextStats.wordCount(col("text")).as("_t"))
       .localCheckpoint()
-    val budget = slim.agg(sum(col("_t"))).head().getLong(0) * 37L / 100L
+    // sum over zero rows is null — an empty documents table means a zero
+    // budget, not an NPE (EmptyInputsSpec discipline)
+    val budget = slim.agg(coalesce(sum(col("_t")), lit(0L)))
+      .head().getLong(0) * 37L / 100L
     Sampling.tokenBudgetSelect(slim, "doc_id", col("_s"), col("_t"),
         budget = budget)
       .select(col("doc_id"), col("score"), col("tokens"))

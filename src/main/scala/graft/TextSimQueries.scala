@@ -2467,6 +2467,80 @@ object TextSimQueries {
       |LEFT JOIN hits ON e2.vec_id = hits.vec_id
       |WHERE hits.vec_id IS NULL ORDER BY e2.vec_id""".stripMargin
 
+  /** LSH-pre-pruned semantic decontamination — the past-broadcast-size
+    * eval path, fully oracled: the eval side is a PLANTED near-duplicate
+    * slice (vec_id % 23 rows with their first coordinate scaled ×1.2 —
+    * cosine ≥ 0.995 to their source, but byte-distinct, the semantic
+    * analogue of a paraphrase an n-gram gate misses); the (planes,
+    * bands) = (270, 15) banding comes from the S-curve rule at the 0.95
+    * threshold, and the DuckDB SQL replays the banding on BOTH sides
+    * with the SAME hyperplane literals, the corpus-bucket prune, the
+    * distinct candidate pairs, the exact 6-dp cosine gate, and the keep
+    * anti-join — a candidate set that drifted between engines is a hash
+    * mismatch. Recall vs the exact op is gated in
+    * StreamContaminationSpec. */
+  private def qS22decontamLsh(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val (planes, bands) = Dedup.suggestedHyperplaneConfig(0.95)
+    val eval = e.where(col("vec_id") % 23 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x * lit(1.2)).otherwise(x))
+          .as("embedding"))
+    Similarity.semanticDecontaminateLsh(e, eval, "vec_id", "embedding",
+        minCosine = 0.95, planes = planes, bands = bands, dim = 64)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+  private val oS22 = {
+    val (planes, bands) = graft.operators.Dedup.suggestedHyperplaneConfig(0.95)
+    val r = planes / bands; val dim = 64
+    val hp = graft.operators.Similarity.hyperplanes(planes, dim)
+    val planeRows = hp.zipWithIndex
+      .map { case (w, p) => s"($p, [${w.mkString(", ")}])" }
+      .mkString(",\n    ")
+    s"""WITH nz AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |ev0 AS (SELECT vec_id AS eid,
+       |    list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      (x, i) -> CASE WHEN i = 1 THEN x * 1.2 ELSE x END) AS ev
+       |  FROM embeddings WHERE vec_id % 23 = 0),
+       |ev AS (SELECT eid, ev FROM ev0
+       |  WHERE list_sum(list_transform(ev, x -> x * x)) > 0),
+       |pl AS (SELECT * FROM (VALUES
+       |    $planeRows) AS t(p, w)),
+       |csig AS (SELECT nz.vec_id AS id, pl.p,
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> nz.v[i] * pl.w[i])) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM nz CROSS JOIN pl),
+       |cbnd AS (SELECT id, p // $r AS band, sum(bit * (1::BIGINT << (p % $r))) AS bval
+       |  FROM csig GROUP BY 1, 2),
+       |esig AS (SELECT ev.eid, pl.p,
+       |    CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> ev.ev[i] * pl.w[i])) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM ev CROSS JOIN pl),
+       |ebnd AS (SELECT eid, p // $r AS band, sum(bit * (1::BIGINT << (p % $r))) AS bval
+       |  FROM esig GROUP BY 1, 2),
+       |okb AS (SELECT band, bval FROM cbnd GROUP BY band, bval
+       |  HAVING count(*) <= 100000),
+       |cbnd2 AS (SELECT cbnd.* FROM cbnd JOIN okb USING (band, bval)),
+       |cand AS (SELECT DISTINCT c.id, e.eid
+       |  FROM cbnd2 c JOIN ebnd e ON c.band = e.band AND c.bval = e.bval),
+       |pr AS (SELECT cand.id, cand.eid, nz.v AS cv, ev.ev AS evv
+       |  FROM cand JOIN nz ON nz.vec_id = cand.id JOIN ev ON ev.eid = cand.eid),
+       |u AS (SELECT id, eid, unnest(cv) AS xc, unnest(evv) AS xe FROM pr),
+       |g AS (SELECT id, eid, sum(xc * xe) AS dt, sum(xc * xc) AS nc,
+       |    sum(xe * xe) AS ne FROM u GROUP BY 1, 2),
+       |hits AS (SELECT DISTINCT id FROM g
+       |  WHERE round(dt / (sqrt(nc) * sqrt(ne)), 6) >= CAST(0.95 AS DOUBLE))
+       |SELECT e2.vec_id, e2.label FROM embeddings e2
+       |LEFT JOIN hits ON e2.vec_id = hits.id
+       |WHERE hits.id IS NULL ORDER BY e2.vec_id""".stripMargin
+  }
+
   private def qS1topk(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id",
@@ -4254,6 +4328,7 @@ object TextSimQueries {
     "q_s16_ann_hamming" -> qS16hamming _,
     "q_s19_ann_matryoshka" -> qS19matryoshka _,
     "q_s21_semantic_decontam" -> qS21decontam _,
+    "q_s22_decontam_lsh" -> qS22decontamLsh _,
     "q_s20_ann_opq" -> qS20annOpq _,
     "q_st2_distinct_rollup" -> qSt2distinct _,
     "q_t20_ppl_buckets" -> qT20pplBuckets _,
@@ -4350,6 +4425,7 @@ object TextSimQueries {
     "q_s16_ann_hamming" -> oS16,
     "q_s19_ann_matryoshka" -> oS19,
     "q_s21_semantic_decontam" -> oS21,
+    "q_s22_decontam_lsh" -> oS22,
     "q_s20_ann_opq" -> oS20,
     "q_st2_distinct_rollup" -> oSt2,
     "q_t20_ppl_buckets" -> oT20,

@@ -658,29 +658,18 @@ object Dedup {
   /** Per-band sign-bit values of a vector under `hp` (banded hyperplane
     * LSH): band b's value packs the signs of planes [b·r, (b+1)·r) into an
     * integer, r = hp.length / bands. Unlike a single packed long this
-    * supports arbitrarily many planes (128-plane signatures at scale). */
+    * supports arbitrarily many planes (128-plane signatures at scale).
+    * One codegen'd expression holding `hp` as a reference object
+    * ([[graft.functions.BandBits]]) — the original per-plane
+    * `when(dot(vec, typedlit(plane)) ≥ 0, …)` reduce blew the 64 KB
+    * generated-method limit (silent interpreted fallback) past ~100
+    * planes, exactly where the S-curve configs live. Fails loudly on an
+    * embedding/hyperplane dimension mismatch: silently bucketing every
+    * vector at 0 would degrade to all-pairs or, above maxBucketSize,
+    * return zero pairs with no error. */
   private[operators] def bandValues(vec: Column, hp: Array[Array[Double]],
-                                    bands: Int): Column = {
-    val r = hp.length / bands
-    val vals = (0 until bands).map { b =>
-      val packed = (0 until r).map { j =>
-        when(Similarity.dot(vec, typedlit(hp(b * r + j).toSeq)) >= 0, lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      // fail LOUDLY on a dimension mismatch (VectorDot yields null):
-      // silently bucketing every vector at 0 would degrade to all-pairs
-      // or, above maxBucketSize, return zero pairs with no error
-      if (b == 0)
-        when(vec.isNotNull &&
-            Similarity.dot(vec, typedlit(hp(0).toSeq)).isNull,
-          raise_error(concat(lit("embedding dimension "),
-            size(vec).cast("string"),
-            lit(s" != hyperplane dimension ${hp(0).length}"))))
-          .otherwise(packed)
-      else packed
-    }
-    array(vals: _*)
-  }
+                                    bands: Int): Column =
+    graft.functions.BandBits(vec, hp, bands)
 
   /** Scale rule for `embeddingNearDups` banding: the (planes, bands) pair
     * that maximizes random-pair pruning subject to an S-curve recall

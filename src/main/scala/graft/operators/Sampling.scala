@@ -476,7 +476,10 @@ object Sampling {
     * OWN rows pass through a window (one score value — bounded by the
     * largest tie group, not the corpus); everything else never sorts,
     * never shuffles beyond the histogram. Rows with null score or null
-    * tokens carry no mass and are excluded.
+    * tokens carry no mass and are excluded, as are rows with NEGATIVE
+    * token mass: the histogram/boundary decomposition equals the greedy
+    * takeWhile prefix only while the running token sum is monotone, so
+    * a negative mass would silently turn the selection non-greedy.
     *
     * Appends `score` and `tokens` (the evaluated columns; any existing
     * columns of those names are replaced) and returns ONLY the selected
@@ -495,7 +498,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val scored = df.withColumn("score", scoreCol)
       .withColumn("tokens", tokensCol)
-      .where(col("score").isNotNull && col("tokens").isNotNull)
+      .where(col("score").isNotNull && col("tokens").isNotNull &&
+        col("tokens") >= 0)
     val hist = scored.groupBy(col("score")).agg(sum(col("tokens")).as("_bt"))
     // token mass of all STRICTLY better scores (histogram-sized window;
     // score is the group key so rows are unique and ROWS==RANGE)

@@ -172,6 +172,82 @@ object Similarity {
     corpus.join(hits, corpus(idCol) === hits("_dc_id"), "left_anti")
   }
 
+  /** [[semanticDecontaminate]] for eval sets PAST broadcast size — the
+    * LSH pre-prune composition its scaladoc promises, as a real
+    * operator: banded random-hyperplane signatures
+    * ([[Dedup.bandValues]] — the X5 embedding-LSH machinery) on BOTH
+    * sides turn the corpus×eval candidate generation into an equi-join
+    * on (band, band-bits); the exact 6-dp-rounded cosine gate then runs
+    * on the surviving candidate pairs only. Drops every corpus row whose
+    * embedding reaches cosine ≥ `minCosine` against a candidate eval
+    * row.
+    *
+    * APPROXIMATE by the LSH S-curve (a contaminated pair is a candidate
+    * iff its signatures agree on ALL planes of ≥ 1 band): derive
+    * (planes, bands) from [[Dedup.suggestedHyperplaneConfig]] — at
+    * decontamination thresholds (≥ ~0.9) long bands keep the random
+    * collision rate ~bands·2^−r while true matches survive ≥ 1 band
+    * essentially surely (the recall floor is gated vs the exact op in
+    * StreamContaminationSpec). Precision is exact — the gate re-scores
+    * every candidate, so no clean doc is dropped by a hash collision.
+    *
+    * Scale shape: signatures are map-side plane dots; candidates come
+    * from ONE equi-join on (band, bval) (never a cross join — plan-
+    * asserted); the distinct candidate pairs re-join both vector sides
+    * by id (AQE broadcasts the eval side when it fits); only
+    * contaminated ids reach the final distinct + anti-join. Oversized
+    * CORPUS buckets (a band value shared by > `maxBucketSize` vectors —
+    * heavily clustered or degenerate data) are dropped with the
+    * [[Dedup.embeddingNearDups]] grouped-count discipline; a dropped
+    * bucket costs RECALL here (its rows skip that band's candidates),
+    * so the default is high and the knob loud. */
+  def semanticDecontaminateLsh(corpus: DataFrame, eval: DataFrame,
+                               idCol: String, vecCol: String,
+                               minCosine: Double, planes: Int = 64,
+                               bands: Int = 16, dim: Int = 64,
+                               seed: Long = 42L,
+                               maxBucketSize: Int = 100000): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1]: $minCosine")
+    require(planes % bands == 0,
+      s"planes ($planes) must divide into bands ($bands)")
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("_dc_id"),
+        asDouble(col(vecCol)).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+      .where(col("_cn") > 0)
+    val e = eval.select(col(idCol).as("_ev_id"),
+        asDouble(col(vecCol)).as("_ev"))
+      .withColumn("_en", norm(col("_ev")))
+      .where(col("_en") > 0)
+    val cb = c.select(col("_dc_id"),
+      posexplode(Dedup.bandValues(col("_cv"), hp, bands))
+        .as(Seq("_band", "_bval")))
+    val eb = e.select(col("_ev_id"),
+      posexplode(Dedup.bandValues(col("_ev"), hp, bands))
+        .as(Seq("_band", "_bval")))
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) cb
+      else {
+        val oversized = cb.groupBy("_band", "_bval")
+          .agg(count(lit(1)).as("_n"))
+          .where(col("_n") > maxBucketSize)
+          .select("_band", "_bval")
+        cb.join(broadcast(oversized), Seq("_band", "_bval"), "left_anti")
+      }
+    // a pair matching in several bands is ONE candidate — dedup before
+    // the exact gate so each pair pays one dot, not one per band
+    val cand = pruned.join(eb, Seq("_band", "_bval"))
+      .select(col("_dc_id"), col("_ev_id")).distinct()
+    val hits = cand
+      .join(c, Seq("_dc_id"))
+      .join(e, Seq("_ev_id"))
+      .where(round(dot(col("_cv"), col("_ev")) / (col("_cn") * col("_en")),
+        6) >= minCosine)
+      .select(col("_dc_id")).distinct()
+    corpus.join(hits, corpus(idCol) === hits("_dc_id"), "left_anti")
+  }
+
   /** Matryoshka (prefix-truncation) ANN — the MRL serving pattern
     * (Kusupati et al. 2022: embeddings trained so nested prefixes are
     * themselves valid embeddings): candidate scoring runs on the FIRST

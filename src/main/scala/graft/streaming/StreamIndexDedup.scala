@@ -48,13 +48,29 @@ object StreamIndexDedup {
     * checks each epoch against the index at `path` and hands the KEPT
     * rows (original columns, plus `best_jaccard` for observability) to
     * `sink`. Call `.start()` (or add trigger/checkpoint options) on the
-    * returned writer. */
+    * returned writer.
+    *
+    * `compactEvery` (with `appendKept`) folds the accumulated per-epoch
+    * partitions with [[DedupIndex.compact]] every that-many epochs, AT
+    * the epoch boundary where the `applied_epochs` marker is guaranteed
+    * current — so compact's pending-epoch refuse guard cannot fire in
+    * normal operation, and a 10k-epoch monitor's file count stays
+    * bounded without a manual maintenance lane. Timing: the compact runs
+    * after epochs compactEvery−1, 2·compactEvery−1, … have fully landed
+    * (marker written). A crash between the marker and the compact just
+    * defers the fold to the next boundary (the replay no-ops at the
+    * marker and skips the compact — file count stays ≤ 2× the interval's
+    * accretion). The one semantic it trades is the documented compact
+    * caveat: a replay of an epoch whose stamps were already folded away
+    * sees a reduced kept set at the sink (the index itself stays
+    * correct). 0 = never compact (the default). */
   def writer(docs: DataFrame, idCol: String, textCol: String, path: String,
-             minJaccard: Double, appendKept: Boolean = false)
+             minJaccard: Double, appendKept: Boolean = false,
+             compactEvery: Int = 0)
             (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], epoch: Long) =>
       processEpoch(batch.toDF(), epoch, idCol, textCol, path, minJaccard,
-        appendKept)(sink)
+        appendKept, compactEvery)(sink)
     }
 
   /** One epoch of the foreachBatch loop — factored out so the replay
@@ -64,8 +80,10 @@ object StreamIndexDedup {
   private[graft] def processEpoch(batch: DataFrame, epoch: Long,
                                   idCol: String, textCol: String,
                                   path: String, minJaccard: Double,
-                                  appendKept: Boolean)
+                                  appendKept: Boolean,
+                                  compactEvery: Int = 0)
                                  (sink: (DataFrame, Long) => Unit): Unit = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
     val spark = batch.sparkSession
     // mask this epoch's own partitions: on a replay after a crashed
     // append, the check must see the PRE-epoch state (scaladoc layer 1)
@@ -87,6 +105,12 @@ object StreamIndexDedup {
           !DedupIndex.lastAppliedEpoch(spark, path).exists(_ >= epoch)) {
         DedupIndex.appendEpoch(kept, idCol, textCol, path, epoch)
         DedupIndex.recordAppliedEpoch(spark, path, epoch)
+        // boundary compact: the marker above covers THIS epoch and every
+        // earlier one landed the same way, so the pending-epoch refuse
+        // guard cannot fire here; a replayed epoch skips this whole
+        // branch (the compact is deferred, never duplicated)
+        if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+          DedupIndex.compact(spark, path)
       }
     } finally { kept.unpersist(); () }
   }

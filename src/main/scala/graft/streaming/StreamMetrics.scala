@@ -132,10 +132,18 @@ object StreamMetrics {
   /** One epoch of the monitor, callable directly (the
     * [[StreamIndexDedup.processEpoch]] convention): merge the batch's
     * histogram into the store unless this epoch already applied, then
-    * return the cumulative grade. */
+    * return the cumulative grade.
+    *
+    * `compactEvery` folds the store with [[compact]] every that-many
+    * epochs at the boundary where this epoch's marker is already
+    * written (so the seal step finds nothing pending in normal
+    * operation) — the in-loop lifecycle a 10k-epoch monitor needs; a
+    * crash between the marker and the compact defers the fold to the
+    * next boundary. 0 = never (the default). */
   def processEpoch(batch: DataFrame, epoch: Long, scoreCol: Column,
                    labelCol: Column, path: String,
-                   bins: Int = 10): DataFrame = {
+                   bins: Int = 10, compactEvery: Int = 0): DataFrame = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0: $compactEvery")
     val spark = batch.sparkSession
     val applied = IndexFiles.readIfExists(spark, s"$path/applied_epochs")
       .flatMap(df => Option(df.agg(max("epoch")).head().get(0))
@@ -147,6 +155,8 @@ object StreamMetrics {
       import spark.implicits._
       Seq(epoch).toDF("epoch").write.mode("append")
         .parquet(s"$path/applied_epochs")
+      if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+        compact(spark, path)
     }
     grade(spark, path, bins)
   }
@@ -156,10 +166,10 @@ object StreamMetrics {
     * epoch's cumulative grade row to `sink`. Call `.start()` (or add
     * trigger/checkpoint options) on the returned writer. */
   def writer(scored: DataFrame, scoreCol: Column, labelCol: Column,
-             path: String, bins: Int = 10)
+             path: String, bins: Int = 10, compactEvery: Int = 0)
             (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     scored.writeStream.foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-      sink(processEpoch(batch.toDF(), epoch, scoreCol, labelCol, path, bins),
-        epoch)
+      sink(processEpoch(batch.toDF(), epoch, scoreCol, labelCol, path, bins,
+        compactEvery), epoch)
     }
 }

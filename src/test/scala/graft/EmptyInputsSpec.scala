@@ -150,6 +150,12 @@ class EmptyInputsSpec extends AnyFunSuite with SparkSpec {
       "embedding", 0.9).count() == 1L)
     assert(Similarity.semanticDecontaminate(noVecs, oneVec, "vec_id",
       "embedding", 0.9).isEmpty)
+    // the LSH pre-pruned variant: same empty-side contract (dim must
+    // match the hyperplanes here — bandValues fails loudly otherwise)
+    assert(Similarity.semanticDecontaminateLsh(oneVec, noVecs, "vec_id",
+      "embedding", 0.9, planes = 8, bands = 2, dim = 2).count() == 1L)
+    assert(Similarity.semanticDecontaminateLsh(noVecs, oneVec, "vec_id",
+      "embedding", 0.9, planes = 8, bands = 2, dim = 2).isEmpty)
   }
 
   test("as-of/range joins: empty right keeps left with null payload") {

@@ -136,6 +136,114 @@ class StreamContaminationSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flagSemantic: reference-object expression == plan-literal twin " +
+    "bit-for-bit; oversized matrix refused loudly") {
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Seq[Double])] =
+      (1L to 100L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))) ++
+        Seq((101L, null),                        // null vector
+          (102L, Seq.fill(8)(0.0)),              // zero norm
+          (103L, Seq.fill(5)(rnd.nextGaussian()))) // dim mismatch vs matrix
+    val df = rows.toDF("vec_id", "embedding")
+    val matrix = Array.fill(9)(Array.fill(8)(rnd.nextGaussian())).map { r =>
+      val n = math.sqrt(r.map(x => x * x).sum); r.map(_ / n)
+    }
+    // the production (MaxUnitDot reference object) path and the
+    // plan-literal twin must flag identically at every threshold
+    for (thr <- Seq(0.2, 0.5, 0.9)) {
+      val a = StreamContamination.flagSemantic(df, "embedding", matrix, thr)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val b = StreamContamination.flagSemanticViaPlanLiteral(
+          df, "embedding", matrix, thr)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(a == b, s"expression vs plan-literal flags differ at $thr")
+      assert(a.exists(_._2) && a.exists(!_._2),
+        s"threshold $thr must split the fixture for the compare to bite")
+    }
+    // raw kernel bit-for-bit vs the aggregate/greatest fold on every
+    // non-null vector (dim-mismatch row included: both sides skip to
+    // Double.MinValue)
+    val v = col("embedding").cast("array<double>")
+    val litForm = aggregate(
+      typedLit(matrix.map(_.toSeq).toSeq), lit(Double.MinValue),
+      (acc, ev) => greatest(acc, graft.functions.VectorDot(v, ev)))
+    val mismatch = df.where(col("embedding").isNotNull)
+      .select(graft.functions.MaxUnitDot(v, matrix).as("a"), litForm.as("b"))
+      .where(!(col("a") <=> col("b"))).count()
+    assert(mismatch == 0L, "MaxUnitDot must equal the fold bit-for-bit")
+    // the size guard is loud and names the escape hatch
+    val e = intercept[IllegalArgumentException](
+      StreamContamination.flagSemantic(df, "embedding", matrix, 0.9,
+        maxBytes = 100L))
+    assert(e.getMessage.contains("semanticDecontaminateLsh"),
+      s"guard must point at the LSH pre-prune: ${e.getMessage}")
+  }
+
+  test("semanticDecontaminateLsh: planted paraphrase the n-gram gate " +
+    "misses is caught; precision exact and recall >= 0.9 vs the exact " +
+    "op; candidates come from an equi-join (no cartesian)") {
+    import graft.operators.{Dedup, Similarity}
+    // a paraphrase: same meaning, ZERO shared words — no common 3-shingle
+    val evalDocs = Seq((100L, "a feline rested calmly upon a heated rug"))
+      .toDF("doc_id", "text")
+    val corpusDocs = Seq(
+      (1L, "the cat sat quietly on the warm mat today"), // paraphrase of 100
+      (2L, "weather reports say rain is coming tomorrow afternoon"))
+      .toDF("doc_id", "text")
+    val ngram = StreamContamination.flag(corpusDocs, "text",
+        StreamContamination.benchmarkFilter(evalDocs, "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!ngram(1L) && !ngram(2L),
+      s"the n-gram gate must MISS the paraphrase (no shared shingle): $ngram")
+    // ...but their embeddings are near-identical, and the LSH gate drops it
+    val (planes, bands) = Dedup.suggestedHyperplaneConfig(0.95)
+    val base = Array(0.8, 0.1, 0.4, 0.2, 0.1, 0.3, 0.05, 0.2)
+    val corpusEmb = Seq(
+      (1L, base.toSeq),
+      (2L, Seq(0.1, 0.9, 0.0, 0.1, 0.4, 0.0, 0.3, 0.2)))
+      .toDF("vec_id", "embedding")
+    val evalEmb = Seq((100L, base.map(_ * 1.001).zipWithIndex
+        .map { case (x, i) => if (i == 0) x + 0.002 else x }.toSeq))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminateLsh(corpusEmb, evalEmb,
+        "vec_id", "embedding", minCosine = 0.95,
+        planes = planes, bands = bands, dim = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"paraphrase must drop semantically: kept $kept")
+    // recall/precision gate vs the exact op on a seeded fixture: 60 base
+    // vectors, eval = 15 lightly-perturbed copies (cosine ~0.996) plus 5
+    // unrelated randoms
+    val rnd = new scala.util.Random(11)
+    def gauss(d: Int) = Array.fill(d)(rnd.nextGaussian())
+    val baseVecs = (1L to 60L).map(i => (i, gauss(8)))
+    val evalVecs =
+      baseVecs.take(15).map { case (i, v) =>
+        (1000L + i, v.zip(gauss(8)).map { case (x, n) => x + 0.05 * n }.toSeq)
+      } ++ (21L to 25L).map(i => (1000L + i, gauss(8).toSeq))
+    val corpus = baseVecs.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val ev = evalVecs.toDF("vec_id", "embedding")
+    val exactKept = Similarity.semanticDecontaminate(corpus, ev, "vec_id",
+      "embedding", 0.95).select("vec_id").collect().map(_.getLong(0)).toSet
+    val lshOut = Similarity.semanticDecontaminateLsh(corpus, ev, "vec_id",
+      "embedding", 0.95, planes = planes, bands = bands, dim = 8)
+    val lshKept = lshOut.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactDropped = (1L to 60L).toSet -- exactKept
+    val lshDropped = (1L to 60L).toSet -- lshKept
+    assert(exactDropped.size >= 10, s"fixture must plant drops: $exactDropped")
+    assert(lshDropped.subsetOf(exactDropped),
+      s"precision is exact — LSH may only drop true hits: " +
+        s"${lshDropped -- exactDropped}")
+    val recall = lshDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 " +
+      s"(missed: ${exactDropped -- lshDropped})")
+    // candidate generation is an equi-join on (band, bval) — never a
+    // cartesian / nested-loop corpus×eval product
+    val plan = lshOut.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"LSH pre-prune must plan as an equi-join:\n$plan")
+  }
+
   test("StreamCurate.curateStateless: stream == batch, gate + scrub + cost") {
     import graft.streaming.StreamCurate
     implicit val sqlCtx = spark.sqlContext
