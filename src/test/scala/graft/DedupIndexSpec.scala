@@ -267,6 +267,62 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
       rows(DedupIndex.checkBatch(probe, "doc_id", "text", ref, 0.5)))
   }
 
+  test("compactEvery: boundary compact folds epoch partitions in-loop; a " +
+    "replay that STRADDLES the compact no-ops the index (verdicts stable) " +
+    "and can only shrink the sink set; an unfolded epoch replays " +
+    "byte-identically") {
+    import spark.implicits._
+    val dir = tmp("autocompact")
+    val corpusText = "the quick brown fox jumps over the lazy dog tonight"
+    DedupIndex.build(Seq((1L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 3)
+    val eDocs = Map(
+      0L -> Seq((10L, "entirely fresh words about spark shuffles and joins"),
+        (19L, corpusText)), // exact dup of the corpus — dropped
+      1L -> Seq((11L, "another new document entirely about parquet pruning")),
+      2L -> Seq((12L, "a third novel doc on broadcast joins and skew salts")))
+    var sinks = Map.empty[Long, Set[Long]]
+    def run(e: Long): Unit =
+      graft.streaming.StreamIndexDedup.processEpoch(
+        eDocs(e).toDF("doc_id", "text"), e, "doc_id", "text", dir, 0.5,
+        appendKept = true, compactEvery = 2) { (kept, ep) =>
+        sinks += ep -> kept.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      }
+    def epochDirs(part: String): Set[String] =
+      new java.io.File(dir, part).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    run(0L)
+    assert(epochDirs("shingles").contains("epoch=0"))
+    run(1L) // boundary: (1+1) % 2 == 0 → compact folds everything to base
+    assert(epochDirs("shingles") == Set("epoch=-1"),
+      s"boundary compact must fold the epoch partitions: ${epochDirs("shingles")}")
+    run(2L) // accretes its own partition again
+    assert(epochDirs("shingles") == Set("epoch=-1", "epoch=2"))
+    assert(sinks(0L) == Set(10L) && sinks(1L) == Set(11L) &&
+      sinks(2L) == Set(12L), s"sanity: $sinks")
+    val probe = Seq((20L, "entirely fresh words about spark shuffles and joins"),
+      (21L, "wholly new probe text rows")).toDF("doc_id", "text")
+    val verdicts = rows(DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5))
+    // replay epoch 0 — STRADDLES the compact: its stamps are folded away,
+    // so the mask can no longer hide its rows; the kept set shrinks (doc
+    // 10 exact-matches its own folded copy) but the INDEX no-ops at the
+    // marker and every later verdict is unchanged — the documented
+    // non-transactional-sink replay tolerance
+    run(0L)
+    assert(sinks(0L).isEmpty,
+      s"straddling replay must see its own folded rows: ${sinks(0L)}")
+    assert(rows(DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)) ==
+      verdicts, "index must be untouched by the straddling replay")
+    assert(epochDirs("shingles") == Set("epoch=-1", "epoch=2"))
+    // replay epoch 2 — NOT folded: the mask sees the pre-epoch state, the
+    // sink rows are byte-identical and the index still no-ops
+    run(2L)
+    assert(sinks(2L) == Set(12L), s"unfolded replay must be byte-identical: ${sinks(2L)}")
+    assert(rows(DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)) ==
+      verdicts)
+  }
+
   test("compact refuses while an unmarked epoch is pending; proceeds once " +
     "the replay (or a manual record) seals it") {
     import spark.implicits._

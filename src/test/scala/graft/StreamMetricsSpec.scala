@@ -53,6 +53,36 @@ class StreamMetricsSpec extends AnyFunSuite with SparkSpec {
       batchGrade(e1 ++ e2))
   }
 
+  test("compactEvery folds the store in-loop: grade identical to the " +
+    "never-compacted store, file count bounded, replay still no-ops") {
+    val dir = tmp("autoc")
+    val ref = tmp("autoc_ref")
+    val epochs = Seq(
+      Seq((0.9, 1L), (0.2, 0L)), Seq((0.4, 0L), (0.95, 1L)),
+      Seq((0.7, 1L), (0.7, 0L)), Seq((0.6, 1L), (0.1, 0L)))
+    epochs.zipWithIndex.foreach { case (rows, e) =>
+      StreamMetrics.processEpoch(rows.toDF("score", "y"), e.toLong,
+        col("score"), col("y"), dir, compactEvery = 2)
+      StreamMetrics.processEpoch(rows.toDF("score", "y"), e.toLong,
+        col("score"), col("y"), ref)
+    }
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) ==
+      gradeRow(StreamMetrics.grade(spark, ref)),
+      "in-loop compaction must not change the grade")
+    assert(gradeRow(StreamMetrics.grade(spark, dir)) ==
+      batchGrade(epochs.flatten))
+    // boundary compact ran after epochs 1 and 3 → the store is ONE
+    // compacted shard (epoch 3 was the last boundary)
+    val files = new java.io.File(s"$dir/hist").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"store must be folded at the boundary: $files files")
+    // a replayed folded epoch still no-ops at the (sealed) marker
+    val replayed = gradeRow(StreamMetrics.processEpoch(
+      epochs(1).toDF("score", "y"), 1L, col("score"), col("y"), dir,
+      compactEvery = 2))
+    assert(replayed == batchGrade(epochs.flatten), s"$replayed")
+  }
+
   test("crash between hist append and marker + replay never double-counts; " +
     "compact folds shards to O(1) files with the grade unchanged") {
     val dir = tmp("compact")

@@ -423,6 +423,102 @@ object ScaleSmoke {
       return
     }
 
+    // ---- 1000-epoch accretion smoke with IN-LOOP compaction (round 13):
+    // the round-12 smoke proved 200 manual-compact epochs; a 10k-epoch
+    // monitor needs compaction IN the loop. Claims to falsify: (a) with
+    // compactEvery=100 the artifact file count stays bounded by the
+    // interval's accretion (never the epoch count), (b) per-epoch check
+    // latency is flat ACROSS compact boundaries (first-100 avg vs
+    // last-100 avg, boundary epochs excluded — they carry the fold
+    // itself), (c) a replay that STRADDLES a compact leaves every later
+    // verdict unchanged (index no-op; the sink-side shrink is the
+    // documented non-transactional-sink tolerance). The unfolded-epoch
+    // byte-identical replay is pinned at spec scale in DedupIndexSpec
+    // (here every epoch is folded by the final boundary compact).
+    //   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 epochs1k"
+    if (args.contains("epochs1k")) {
+      import graft.operators.DedupIndex
+      import graft.streaming.StreamIndexDedup
+      val nEpochs = 1000
+      val every = 100
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").localCheckpoint()
+      val dir = java.nio.file.Files
+        .createTempDirectory("smoke_epochs1k").toString
+      DedupIndex.build(docs1.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, n = 3)
+      val odd = docs1.where(col("doc_id") % 2 === 1).localCheckpoint()
+      def files(part: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(dir, part))
+      }
+      def batchOf(e: Int): DataFrame =
+        odd.where(((col("doc_id") - 1) / 2) % nEpochs === e)
+      val walls = new Array[Double](nEpochs)
+      val sinkKept = new Array[Set[Long]](nEpochs)
+      var maxFiles = 0
+      val tAll = System.nanoTime()
+      (0 until nEpochs).foreach { e =>
+        val t0 = System.nanoTime()
+        StreamIndexDedup.processEpoch(batchOf(e), e.toLong, "doc_id",
+          "text", dir, minJaccard = 0.5, appendKept = true,
+          compactEvery = every) { (kept, _) =>
+          sinkKept(e) = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+          ()
+        }
+        walls(e) = (System.nanoTime() - t0) / 1e9
+        if (e % 10 == 9) maxFiles = math.max(maxFiles, files("shingles"))
+        if (e % 100 == 99) println(f"  epoch $e: wall ${walls(e)}%.2f s, " +
+          s"shingle files ${files("shingles")}, max so far $maxFiles")
+      }
+      val total = (System.nanoTime() - tAll) / 1e9
+      // (b) flat latency across boundaries, compact epochs excluded
+      def avgIn(lo: Int, hi: Int): Double = {
+        val xs = (lo until hi).filterNot(e => (e + 1) % every == 0)
+          .map(walls)
+        xs.sum / xs.size
+      }
+      val firstAvg = avgIn(0, 100)
+      val lastAvg = avgIn(nEpochs - 100, nEpochs)
+      println(f"epochs1k: $nEpochs in $total%.1f s — first-100 avg " +
+        f"$firstAvg%.2f s, last-100 avg $lastAvg%.2f s; max shingle " +
+        f"files $maxFiles; final ${files("shingles")}")
+      // (a) bounded by the interval, never the epoch count
+      require(maxFiles <= every + 3,
+        s"file count must stay interval-bounded: $maxFiles > ${every + 3}")
+      require(files("shingles") <= 3,
+        s"final boundary compact must fold the store: ${files("shingles")}")
+      require(lastAvg < 3 * firstAvg,
+        f"per-epoch latency must stay flat across compacts: " +
+          f"$firstAvg%.2f s -> $lastAvg%.2f s")
+      // (c) straddling replay: epoch 57's stamps were folded 9 compacts
+      // ago — the index must not move, later verdicts must not drift
+      val probe = docs1.where(col("doc_id") % 2 === 0).limit(500)
+        .select((col("doc_id") + lit(700000000000L)).as("doc_id"),
+          col("text"))
+      val before = DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)
+        .collect().map(_.toString).sorted
+      var replay57: Set[Long] = null
+      StreamIndexDedup.processEpoch(batchOf(57), 57L, "doc_id", "text",
+        dir, minJaccard = 0.5, appendKept = true, compactEvery = every) {
+        (kept, _) =>
+          replay57 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+          ()
+      }
+      require(replay57.subsetOf(sinkKept(57)),
+        "straddling replay may only shrink the kept set")
+      val after = DedupIndex.checkBatch(probe, "doc_id", "text", dir, 0.5)
+        .collect().map(_.toString).sorted
+      require(before.sameElements(after),
+        "verdicts must be byte-identical across the straddling replay")
+      println(s"epochs1k smoke OK: ${before.length} probe verdicts stable; " +
+        s"epoch-57 straddle replay kept ${replay57.size}/${sinkKept(57).size}")
+      spark.stop()
+      return
+    }
+
     def times10(df: DataFrame, idCol: String): DataFrame =
       (0 until copies).map(i => df.withColumn(idCol,
         col(idCol) + lit(i.toLong * 1000000000L))).reduce(_ union _)
