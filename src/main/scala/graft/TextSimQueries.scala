@@ -1118,7 +1118,7 @@ object TextSimQueries {
          |    '$S' || m$i.l || m$i.r || '$S') AS seq
          |  FROM t${i - 1}, m$i)""".stripMargin
     }.mkString(",\n")
-    s"""h AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    s"""h AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split_regex(trim(lower(
        |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
        |    FROM documents)
@@ -1168,7 +1168,7 @@ object TextSimQueries {
        |    CAST(len(string_split(trim(seq, '$S'), '$S$S')) AS BIGINT) AS nt,
        |    CAST(length(w) AS BIGINT) AS nc
        |  FROM t10),
-       |dw AS (SELECT doc_id, unnest(string_split_regex(trim(lower(
+       |dw AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(trim(lower(
        |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
        |  FROM documents),
        |agg AS (SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -1204,6 +1204,185 @@ object TextSimQueries {
           .as("chars_per_token"))
       .orderBy("doc_id")
   }
+
+  // ---- unigram-LM tokenizer (q_t40 trains, q_t41 serves) -----------------
+
+  // one training per (session, dir) — the sharedBpeMerges discipline
+  private val unigramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Unigram.Piece]]
+  private val UniP = 4     // max piece length
+  private val UniR = 2     // EM rounds
+  private val UniV = 45    // final vocabulary size
+  private val UniSeed = 2L // multi-piece seed support floor
+  private val UniW = 12    // oracle DP unroll (corpus max word len is 8)
+  private def sharedUnigramVocab(s: SparkSession,
+      d: String): Seq[graft.operators.Unigram.Piece] = {
+    unigramCache.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) unigramCache.remove(k)
+    }
+    unigramCache.getOrElseUpdate((s, d),
+      graft.operators.Unigram.train(docs(s, d), "text", vocabSize = UniV,
+        maxPieceLen = UniP, emRounds = UniR, minSeedCount = UniSeed))
+  }
+
+  /** The micro-nat cost CTE (the exact `Unigram.costMicro` expression —
+    * floor(-ln(c/total)·1e6 + 0.5) on IEEE doubles, identical ops both
+    * engines). */
+  private def uniCostCte(name: String, src: String, tot: String): String =
+    s"""$name AS MATERIALIZED (SELECT piece, length(piece) AS pl, c,
+       |    CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+       |      * 1000000 + 0.5) AS BIGINT) AS cost
+       |  FROM $src, $tot)""".stripMargin
+
+  /** One Viterbi pass (suffix DP unrolled to `UniW` positions + forward
+    * walk) of the `words` frame under vocabulary CTE `v`, emitting piece
+    * CTEs `st${tag}_0..${UniW-1}` (w, cnt, pos, piece, pl). The DP and
+    * the walk mirror graft.functions.UnigramEncode exactly: BIGINT
+    * costs, argmin on (cost + suffix-optimal), ties to the SHORTER
+    * piece. */
+  private def uniViterbiCtes(tag: String, v: String): String = {
+    val dp = (UniW - 1) to 0 by -1 map { i =>
+      s"""bf${tag}_$i AS MATERIALIZED (
+         |  SELECT * FROM bf${tag}_${i + 1}
+         |  UNION ALL
+         |  SELECT ww.w, CAST($i AS BIGINT) AS pos, min(v.cost + b.s) AS s
+         |  FROM words ww
+         |  JOIN $v v ON $i + v.pl <= ww.wl
+         |    AND v.piece = substr(ww.w, $i + 1, v.pl)
+         |  JOIN bf${tag}_${i + 1} b ON b.w = ww.w AND b.pos = $i + v.pl
+         |  WHERE ww.wl > $i
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val walk = (0 until UniW).map { s =>
+      s"""st${tag}_$s AS MATERIALIZED (SELECT w, cnt, pos, piece, pl FROM (
+         |    SELECT k.w, k.cnt, k.pos, v.piece, v.pl,
+         |      row_number() OVER (PARTITION BY k.w
+         |        ORDER BY v.cost + b.s, v.pl) AS rn
+         |    FROM wk${tag}_$s k
+         |    JOIN words ww ON ww.w = k.w
+         |    JOIN $v v ON k.pos + v.pl <= ww.wl
+         |      AND v.piece = substr(k.w, k.pos + 1, v.pl)
+         |    JOIN bf${tag}_0 b ON b.w = k.w AND b.pos = k.pos + v.pl
+         |    WHERE k.pos < ww.wl) WHERE rn = 1),
+         |wk${tag}_${s + 1} AS MATERIALIZED (SELECT w, cnt, pos + pl AS pos
+         |  FROM st${tag}_$s)""".stripMargin
+    }
+    (Seq(s"""bf${tag}_$UniW AS MATERIALIZED (SELECT w, wl AS pos, CAST(0 AS BIGINT) AS s
+            |  FROM words)""".stripMargin) ++ dp ++
+      Seq(s"wk${tag}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS pos FROM words)") ++
+      walk).mkString(",\n")
+  }
+
+  private def uniPieces(tag: String): String =
+    (0 until UniW).map(s => s"SELECT w, cnt, piece FROM st${tag}_$s")
+      .mkString("\n  UNION ALL ")
+
+  /** Everything up to the post-EM vocabulary v$UniR plus the pruned
+    * final `kept`/`tf` CTEs — shared by the training (q_t40) and
+    * serving (q_t41) oracles. */
+  private def unigramCtes: String = {
+    val rounds = (1 to UniR).map { r =>
+      s"""${uniViterbiCtes(s"r$r", s"v${r - 1}")},
+         |ec$r AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |  ${uniPieces(s"r$r")}) GROUP BY 1),
+         |v${r}c AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(ec.c, CAST(0 AS BIGINT)) + 1 AS c
+         |  FROM v${r - 1} v LEFT JOIN ec$r ec USING (piece) WHERE v.pl = 1
+         |  UNION ALL
+         |  SELECT v.piece, ec.c FROM v${r - 1} v JOIN ec$r ec USING (piece)
+         |  WHERE v.pl > 1 AND ec.c > 0),
+         |t$r AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v${r}c),
+         |${uniCostCte(s"v$r", s"v${r}c", s"t$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""h AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(
+       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |words AS MATERIALIZED (SELECT w, cnt, length(w) AS wl FROM h),
+       |seedc AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT cnt, substr(w, CAST(ii.i AS INTEGER), CAST(ll.l AS INTEGER)) AS piece
+       |    FROM words CROSS JOIN range(1, ${UniW + 1}) ii(i)
+       |    CROSS JOIN range(1, ${UniP + 1}) ll(l)
+       |    WHERE ii.i + ll.l - 1 <= wl) GROUP BY 1),
+       |v0c AS MATERIALIZED (SELECT piece, c FROM seedc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, c FROM seedc
+       |  WHERE length(piece) > 1 AND c >= $UniSeed),
+       |t0 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v0c),
+       |${uniCostCte("v0", "v0c", "t0")},
+       |$rounds,
+       |nch AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v$UniR WHERE pl = 1),
+       |keepm AS MATERIALIZED (SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+       |    FROM v$UniR WHERE pl > 1), nch
+       |  WHERE rn <= $UniV - nch.n),
+       |kept AS MATERIALIZED (SELECT piece, c FROM v$UniR WHERE pl = 1
+       |  UNION ALL SELECT piece, c FROM keepm),
+       |tf AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM kept)""".stripMargin
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINED in-engine under
+    * the FULL hash gate: substring seed, `UniR` Viterbi-EM rounds on the
+    * word histogram (hard-EM — the deterministic scalable variant;
+    * integer micro-nat costs so both engines run the same argmin DP),
+    * frequency prune to `UniV` pieces with the alphabet always kept. The
+    * oracle replays the ENTIRE trajectory — seed counts, every round's
+    * suffix DP, Viterbi walk, expected counts, add-one char smoothing,
+    * dead-piece drops, the prune rank and the final re-normalized
+    * costs — as chained CTE blocks (the q_t27 discipline). */
+  private def qT40unigram(s: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.vocabFrame(s, sharedUnigramVocab(s, d))
+      .select(col("piece"), col("count").as("cnt"), col("cost_micro"))
+      .orderBy("piece")
+  private val oT40 =
+    s"""WITH $unigramCtes
+       |SELECT piece, c AS cnt,
+       |  CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+       |    * 1000000 + 0.5) AS BIGINT) AS cost_micro
+       |FROM kept, tf ORDER BY piece""".stripMargin
+
+  /** The trained vocabulary SERVED at corpus scale: every doc's words
+    * Viterbi-segmented with q_t40's final pieces (the reference-object
+    * UnigramEncode expression), per-doc piece/char totals and
+    * compression — the q_t28 shape. The oracle runs one more DP + walk
+    * under the FINAL re-normalized costs (renormalization shifts all
+    * costs equally, which can re-rank segmentations of different piece
+    * counts — so the serve pass must use final costs, not round-R ones)
+    * and reads each distinct word's piece count off the walk. */
+  private def qT41unigramEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = sharedUnigramVocab(s, d)
+    docs(s, d)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        size(graft.operators.Unigram.encodeWord(col("w"), vocab, UniP))
+          .cast("long").as("np"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("doc_id")
+      .agg(sum(col("np")).as("n_pieces"), sum(col("nc")).as("n_chars"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("n_pieces"), col("n_chars"), col("n_words"),
+        round(col("n_chars").cast("double") / col("n_pieces").cast("double"), 6)
+          .as("chars_per_piece"))
+      .orderBy("doc_id")
+  }
+  private val oT41 =
+    s"""WITH $unigramCtes,
+       |${uniCostCte("vf", "kept", "tf")},
+       |${uniViterbiCtes("f", "vf")},
+       |enc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS np FROM (
+       |  ${uniPieces("f")}) GROUP BY 1),
+       |dw AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(trim(lower(
+       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
+       |  FROM documents),
+       |agg AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(length(dw.w)) AS BIGINT) AS n_chars,
+       |    CAST(count(*) AS BIGINT) AS n_words
+       |  FROM dw JOIN enc ON enc.w = dw.w WHERE dw.w <> '' GROUP BY 1)
+       |SELECT doc_id, n_pieces, n_chars, n_words,
+       |  round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
+       |    AS chars_per_piece
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** TRAINED hashed-feature classifier under the FULL hash gate: 3
     * full-batch logistic-regression steps (micro-integer weights, the
@@ -4343,6 +4522,8 @@ object TextSimQueries {
     "q_t25_trained_classifier" -> qT25trainedClassifier _,
     "q_t26_collocations" -> qT26collocations _,
     "q_t27_bpe_train" -> qT27bpe _,
+    "q_t40_unigram_train" -> qT40unigram _,
+    "q_t41_unigram_encode" -> qT41unigramEncode _,
     "q_t29_html_strip" -> qT29htmlStrip _,
     "q_t30_url_parse" -> qT30urlParse _,
     "q_t31_auc" -> qT31auc _,
@@ -4440,6 +4621,8 @@ object TextSimQueries {
     "q_t25_trained_classifier" -> oT25,
     "q_t26_collocations" -> oT26,
     "q_t27_bpe_train" -> oT27,
+    "q_t40_unigram_train" -> oT40,
+    "q_t41_unigram_encode" -> oT41,
     "q_t29_html_strip" -> oT29,
     "q_t30_url_parse" -> oT30,
     "q_t31_auc" -> oT31,

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine unigram-LM tokenizer trainer — the SentencePiece-style
+  * counterpart to [[Bpe]] (Kudo 2018, "Subword Regularization"): pieces
+  * carry probabilities and a word segments into its maximum-likelihood
+  * (Viterbi) piece sequence. This is the OTHER production tokenizer
+  * family next to BPE; the trainer here is the standard scalable
+  * hard-EM (Viterbi-EM) variant — E-step: segment every distinct word
+  * by Viterbi under the current piece costs and count the pieces used;
+  * M-step: re-normalize counts into probabilities. (Kudo's full
+  * algorithm soft-counts over ALL segmentations via forward-backward
+  * and prunes by likelihood loss; hard counts + frequency pruning is
+  * the common deterministic simplification, stated here so the
+  * divergence is explicit.)
+  *
+  * Scale contract (the [[Bpe.trainBatched]] discipline): training runs
+  * on the WORD HISTOGRAM — one tokenize-and-count pass reduces the
+  * corpus to a vocabulary-sized frame, and each EM round is then ONE
+  * hash aggregate over that frame (Viterbi segmentation as a codegen'd
+  * reference-object expression, [[graft.functions.UnigramEncode]],
+  * exploded and summed) plus ONE vocabulary-sized collect (the
+  * gradient-collect pattern — the vocabulary is a bounded model
+  * artifact, like the BPE rank table or an IVF centroid frame). The
+  * number of driver rounds is `emRounds`, CONSTANT in both corpus and
+  * vocabulary size — unlike BPE's k merges, EM refines all pieces at
+  * once.
+  *
+  * Determinism contract (what lets a SQL oracle replay the WHOLE
+  * trajectory, q_t40): probabilities live on an integer grid — costs
+  * are micro-nats, `floor(-ln(count/total) · 1e6 + 0.5)` computed with
+  * the same IEEE ops on both engines — so Viterbi argmins compare
+  * BIGINTs, ties break on shorter piece, and no float drift can
+  * accumulate across rounds. Seed, E-step, M-step and the final prune
+  * are all deterministic functions of the corpus.
+  *
+  * Lifecycle: [[seedVocab]] (all substrings ≤ `maxPieceLen`, weighted by
+  * word count; single characters always kept, multi-character pieces
+  * need `minSeedCount`) → `emRounds` × Viterbi-EM (characters get
+  * add-one smoothing so they never die; dead multi-char pieces drop) →
+  * frequency prune to `vocabSize` (characters always survive; multi
+  * ranked count desc, piece asc) → final re-normalized costs. */
+object Unigram {
+
+  /** Serve-time cost of a character absent from the vocabulary (novel
+    * scripts at inference): any known alternative always wins, but the
+    * segmentation stays total. Large enough to dominate any real cost
+    * sum (≤ ~2e7 per piece), small enough that a 10k-char word of
+    * unknowns cannot overflow. */
+  val UnkCostMicro: Long = 1000000000000L
+
+  final case class Piece(piece: String, count: Long, costMicro: Long)
+
+  /** Micro-nat grid cost — the exact expression the DuckDB oracle
+    * mirrors (`floor(-ln(c/t) * 1e6 + 0.5)`), IEEE-identical on both
+    * engines. */
+  def costMicro(count: Long, total: Long): Long = {
+    require(count > 0 && total >= count,
+      s"cost needs 0 < count <= total: $count / $total")
+    math.floor(-math.log(count.toDouble / total.toDouble) * 1e6 + 0.5).toLong
+  }
+
+  private def pieceLen(p: String): Int = p.codePointCount(0, p.length)
+
+  /** Seed piece counts from the word histogram: every substring of
+    * length ≤ `maxPieceLen` of every distinct word, weighted by the
+    * word's corpus count (one occurrence per position). */
+  def seedCounts(hist: DataFrame, maxPieceLen: Int): DataFrame =
+    hist.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, char_length(w)),
+           |  i -> transform(sequence(1, least($maxPieceLen,
+           |         char_length(w) - i + 1)),
+           |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("c"))
+
+  private def normalized(counts: Seq[(String, Long)]): Seq[Piece] = {
+    val total = counts.map(_._2).sum
+    counts.map { case (p, c) => Piece(p, c, costMicro(c, total)) }
+      .sortBy(_.piece)
+  }
+
+  /** Train a unigram-LM vocabulary of `vocabSize` pieces. Returns the
+    * final pieces (piece asc) with their hard-EM counts and
+    * re-normalized micro-nat costs. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 4, emRounds: Int = 2,
+            minSeedCount: Long = 2L,
+            roundHook: Int => Unit = _ => ()): Seq[Piece] = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be positive: $emRounds")
+    val hist = Bpe.wordHistogram(df, textCol).localCheckpoint()
+    // seed: single chars unconditionally, multis above the support floor
+    val seed = seedCounts(hist, maxPieceLen)
+      .where(length(col("piece")) === 1 || col("c") >= minSeedCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(seed.nonEmpty, "unigram training needs a non-empty corpus")
+    var vocab = normalized(seed)
+    for (r <- 1 to emRounds) {
+      // E-step: ONE aggregate over the histogram — Viterbi pieces per
+      // distinct word (reference-object kernel), weighted by word count
+      val costs = vocab.map(p => p.piece -> p.costMicro).toMap
+      val eCounts = hist.select(col("cnt"),
+          explode(graft.functions.UnigramEncode(col("w"), costs,
+            maxPieceLen, UnkCostMicro)).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M-step (driver, vocabulary-sized): characters get add-one
+      // smoothing so the alphabet never dies; unused multi pieces drop
+      val next = vocab.flatMap { p =>
+        if (pieceLen(p.piece) == 1)
+          Some(p.piece -> (eCounts.getOrElse(p.piece, 0L) + 1L))
+        else eCounts.get(p.piece).filter(_ > 0).map(p.piece -> _)
+      }
+      vocab = normalized(next)
+      roundHook(r)
+    }
+    // frequency prune to vocabSize: the alphabet always survives, multi
+    // pieces rank (count desc, piece asc); costs re-normalize over the
+    // kept set
+    val (chars, multis) = vocab.partition(p => pieceLen(p.piece) == 1)
+    require(vocabSize > chars.size,
+      s"vocabSize $vocabSize must exceed the ${chars.size}-char alphabet")
+    val keptM = multis.sortBy(p => (-p.count, p.piece))
+      .take(vocabSize - chars.size)
+    normalized((chars ++ keptM).map(p => p.piece -> p.count))
+  }
+
+  /** Viterbi-segment a (normalized single-word) column with a trained
+    * vocabulary — the serve path (batch or stream rows identically).
+    * Returns the piece ARRAY. */
+  def encodeWord(w: Column, vocab: Seq[Piece], maxPieceLen: Int,
+                 unkCostMicro: Long = UnkCostMicro): Column =
+    graft.functions.UnigramEncode(w,
+      vocab.map(p => p.piece -> p.costMicro).toMap, maxPieceLen,
+      unkCostMicro)
+
+  /** The vocabulary as a small DataFrame (piece, count, cost_micro) —
+    * the persistable artifact (the [[Bpe.mergesFrame]] convention). */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+                 vocab: Seq[Piece]): DataFrame = {
+    import spark.implicits._
+    vocab.map(p => (p.piece, p.count, p.costMicro))
+      .toDF("piece", "count", "cost_micro")
+  }
+
+  /** A persisted [[vocabFrame]] read back (piece asc) — the serve-path
+    * load, a vocabulary-sized bounded collect. */
+  def vocabFromFrame(df: DataFrame): Seq[Piece] =
+    df.select("piece", "count", "cost_micro").orderBy("piece").collect()
+      .map(r => Piece(r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  def save(spark: org.apache.spark.sql.SparkSession, vocab: Seq[Piece],
+           path: String): Unit =
+    vocabFrame(spark, vocab).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Seq[Piece] =
+    vocabFromFrame(spark.read.parquet(path))
+}

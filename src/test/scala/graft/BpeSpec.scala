@@ -195,4 +195,81 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       assert(streamed(10L) == Seq("aaab") && streamed(11L) == Seq("aa", "b"))
     } finally q.stop()
   }
+
+  // ---- unigram-LM (SentencePiece-style) ----------------------------------
+
+  test("Unigram.train: hand-worked Viterbi-EM trajectory on the ab corpus " +
+    "(seed counts, E-step hard counts, char smoothing, renormalized costs)") {
+    import graft.operators.Unigram
+    // histogram: ab x3, b x1. Seed (P=2, minSeed=1): a=3, b=4, ab=3
+    // (total 10). Viterbi "ab": [ab] at cost(ab)=-ln(.3) beats
+    // [a,b] at -ln(.3)-ln(.4); "b" -> [b].
+    // E-counts: ab=3, b=1. M-step: a -> 0+1=1, b -> 1+1=2, ab -> 3
+    // (total 6) — identical again in round 2 (same argmins).
+    val df = Seq((1L, "ab ab ab b")).toDF("doc_id", "text")
+    val v = Unigram.train(df, "text", vocabSize = 3, maxPieceLen = 2,
+      emRounds = 2, minSeedCount = 1L)
+    assert(v.map(p => p.piece -> p.count) ==
+      Seq("a" -> 1L, "ab" -> 3L, "b" -> 2L), s"$v")
+    assert(v.map(_.costMicro) == Seq(
+      Unigram.costMicro(1, 6), Unigram.costMicro(3, 6),
+      Unigram.costMicro(2, 6)), s"$v")
+    // serve path: trained vocab segments like the training walk
+    val enc = Seq("ab", "b", "abab", "ba")
+      .toDF("w").select(col("w"),
+        Unigram.encodeWord(col("w"), v, maxPieceLen = 2).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(enc("ab") == Seq("ab") && enc("abab") == Seq("ab", "ab"))
+    assert(enc("b") == Seq("b") && enc("ba") == Seq("b", "a"))
+  }
+
+  test("UnigramEncode: equal-cost segmentations break to the SHORTER " +
+    "piece; unknown chars segment as themselves at unkCost; pieces " +
+    "always concatenate back to the word") {
+    import graft.functions.UnigramEncode
+    // costs crafted so [aa] and [a,a] tie at 20 -> shorter piece wins
+    val tie = Map("a" -> 10L, "aa" -> 20L)
+    val seg = Seq("aa", "aaa")
+      .toDF("w").select(col("w"),
+        UnigramEncode(col("w"), tie, 2, 1000000L).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(seg("aa") == Seq("a", "a"), s"tie must break short: $seg")
+    assert(seg("aaa") == Seq("a", "a", "a"))
+    // a vocab char beats the unk fallback; a truly novel char falls
+    // back to itself (total segmentation, never a crash)
+    val v = Map("a" -> 10L, "ab" -> 15L, "b" -> 12L)
+    val out = Seq("azb")
+      .toDF("w").select(UnigramEncode(col("w"), v, 2, 1000000L).as("t"))
+      .collect().head.getSeq[String](0).toSeq
+    assert(out == Seq("a", "z", "b"), s"$out")
+    // concatenation invariant on a corpus word sample with the real vocab
+    val docs = Seq((1L, "ab ab ab b")).toDF("doc_id", "text")
+    val vocab = graft.operators.Unigram.train(docs, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 1L)
+    val glued = Seq("abbbab", "bbb")
+      .toDF("w").select(col("w"),
+        concat_ws("", graft.operators.Unigram.encodeWord(col("w"), vocab, 2))
+          .as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(glued.forall { case (w, g) => w == g }, s"$glued")
+  }
+
+  test("Unigram: prune keeps the alphabet and the top multi pieces; " +
+    "vocabSize below the alphabet fails loudly; save/load round-trips") {
+    import graft.operators.Unigram
+    val df = Seq((1L, "abc abc abc bc bc c")).toDF("doc_id", "text")
+    // alphabet {a,b,c}; multis by count: bc(5) abc(3) ab(3) ... prune to 5
+    val v = Unigram.train(df, "text", vocabSize = 5, maxPieceLen = 3,
+      emRounds = 2, minSeedCount = 1L)
+    assert(v.size == 5, s"$v")
+    val chars = v.filter(_.piece.length == 1).map(_.piece)
+    assert(chars == Seq("a", "b", "c"), s"alphabet must survive: $v")
+    val e = intercept[IllegalArgumentException](
+      Unigram.train(df, "text", vocabSize = 3, maxPieceLen = 3,
+        emRounds = 1, minSeedCount = 1L))
+    assert(e.getMessage.contains("alphabet"), e.getMessage)
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    Unigram.save(spark, v, dir)
+    assert(Unigram.load(spark, dir) == v, "save/load must round-trip")
+  }
 }

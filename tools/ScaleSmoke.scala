@@ -318,6 +318,61 @@ object ScaleSmoke {
       return
     }
 
+    // ---- unigram-LM at PRODUCTION vocabulary scale (round 13):
+    // vocabSize=32 000 on the wide synthetic vocabulary (the corpus
+    // tables' 31-word vocabulary cannot seed a real piece space). The
+    // claims: (a) EM driver rounds are CONSTANT (emRounds=3 — unlike
+    // BPE's k-proportional rounds, EM refines every piece at once), each
+    // one histogram aggregate + a vocabulary-sized collect; (b) the
+    // serve side (UnigramEncode, one reference-object plan node at any
+    // vocabulary size) sustains real throughput on the 10× sf0.1 word
+    // stream with the full 32 k vocabulary.
+    //   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 unigram32k"
+    if (args.contains("unigram32k")) {
+      import graft.operators.Unigram
+      val v = 32000
+      val corpus = spark.range(60000).select(
+          substring(md5(col("id").cast("string")), 1, 8).as("w"),
+          (lit(1) + col("id") % 97).cast("int").as("n"))
+        .select(col("w"), explode(sequence(lit(1), col("n"))).as("_i"))
+        .select(monotonically_increasing_id().as("doc_id"),
+          col("w").as("text"))
+        .localCheckpoint()
+      println(s"unigram corpus rows=${corpus.count()}")
+      val t0 = System.nanoTime()
+      val vocab = Unigram.train(corpus, "text", vocabSize = v,
+        maxPieceLen = 6, emRounds = 3,
+        roundHook = r => println(s"  EM round $r done"))
+      val trainSecs = (System.nanoTime() - t0) / 1e9
+      println(f"unigram train V=$v: ${vocab.size} pieces in 3 EM rounds, " +
+        f"$trainSecs%.1f s")
+      require(vocab.size == v, s"expected $v pieces: ${vocab.size}")
+      // serve throughput with the full 32 k vocabulary
+      val words10 = (0 until 10).map(i =>
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+              col("text")))
+        .reduce(_ union _)
+        .select(explode(graft.operators.Dedup.words(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .localCheckpoint()
+      val nWords = words10.count()
+      val t1 = System.nanoTime()
+      val pieces = words10
+        .select(Unigram.encodeWord(col("w"), vocab, 6).as("ps"))
+        .agg(sum(size(col("ps"))))
+        .head().getLong(0)
+      val encSecs = (System.nanoTime() - t1) / 1e9
+      val rate = nWords / encSecs
+      println(f"UnigramEncode V=$v: $nWords words -> $pieces pieces in " +
+        f"$encSecs%.1f s = ${rate / 1000}%.0f k words/s")
+      require(pieces >= 1, "serve pass must produce pieces")
+      require(rate > 100000,
+        f"32k-vocab Viterbi throughput collapsed: $rate%.0f words/s")
+      spark.stop()
+      return
+    }
+
     // ---- batched-BPE throughput smoke (round 11): k=8000 merges on a
     // WIDE synthetic vocabulary (the corpus tables' ~30-word vocabulary
     // exhausts after a few hundred merges, so the driver-round scaling
