@@ -1285,6 +1285,89 @@ object PipelineQueries {
       |SELECT doc_id, score, tokens FROM part, b WHERE cum <= budget
       |ORDER BY doc_id""".stripMargin
 
+  /** Best-fit sequence packing (`Sampling.packBestFit`) — fully oracled:
+    * the (lang, word-count) histogram, the histogram best-fit-decreasing
+    * SOLVE (lengths desc; the smallest fitting capacity class absorbs
+    * ⌊rem/L⌋ docs per bulk step; FIFO bin ties), the per-(lang, length)
+    * (hash, id) rank and the prefix-range assignment all replay in
+    * DuckDB — the solve as a RECURSIVE single-row-per-group list-state
+    * CTE mirroring `Sampling.bestFitManifest` step for step. A drifted
+    * bin id anywhere in the manifest is a hash mismatch. */
+  private def qX18bestFitPack(s: SparkSession, d: String): DataFrame =
+    Sampling.packBestFit(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextStats.wordCount(col("text")).as("_wc")),
+        "lang", "doc_id", col("_wc"), maxLen = 256L)
+      .select(col("doc_id"), col("lang"), col("len"), col("bin"))
+      .orderBy("doc_id")
+  private val oX18 = {
+    val maxLen = 256L
+    s"""WITH RECURSIVE wl AS MATERIALIZED (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS l
+       |  FROM documents),
+       |hist AS MATERIALIZED (SELECT lang, l, CAST(count(*) AS BIGINT) AS c
+       |  FROM wl WHERE l > 0 GROUP BY 1, 2),
+       |pend0 AS MATERIALIZED (SELECT lang,
+       |    list(struct_pack(l := l, c := c, off := CAST(0 AS BIGINT))
+       |      ORDER BY l DESC) AS pending
+       |  FROM hist GROUP BY 1),
+       |solve AS (
+       |  SELECT lang, pending,
+       |    CAST([] AS STRUCT(rem BIGINT, ids BIGINT[])[]) AS classes,
+       |    CAST([] AS STRUCT(l BIGINT, off BIGINT, cnt BIGINT,
+       |      bin BIGINT)[]) AS manifest,
+       |    CAST(0 AS BIGINT) AS next_bin
+       |  FROM pend0
+       |  UNION ALL
+       |  SELECT lang,
+       |    CASE WHEN C - k = 0 THEN pending[2:]
+       |      ELSE list_concat([struct_pack(l := L, c := C - k,
+       |        off := off + k)], pending[2:]) END,
+       |    CASE WHEN len(list_filter(cls1, x -> x.rem = rem2)) > 0
+       |      THEN list_transform(cls1, x -> CASE WHEN x.rem = rem2
+       |        THEN struct_pack(rem := x.rem,
+       |          ids := list_concat(x.ids, [bin])) ELSE x END)
+       |      ELSE list_sort(list_concat(cls1,
+       |        [struct_pack(rem := rem2, ids := [bin])])) END,
+       |    manifest || [struct_pack(l := L, off := off, cnt := k,
+       |      bin := bin)],
+       |    CASE WHEN opened THEN next_bin + 1 ELSE next_bin END
+       |  FROM (
+       |    SELECT *, rem - k * L AS rem2,
+       |      CASE WHEN opened THEN classes
+       |        ELSE list_filter(list_transform(classes,
+       |          x -> CASE WHEN x.rem = rem
+       |            THEN struct_pack(rem := x.rem, ids := x.ids[2:])
+       |            ELSE x END), x -> len(x.ids) > 0) END AS cls1
+       |    FROM (
+       |      SELECT *, least(C, rem // L) AS k
+       |      FROM (
+       |        SELECT *, (len(fits) = 0) AS opened,
+       |          CASE WHEN len(fits) = 0 THEN next_bin
+       |            ELSE fits[1].ids[1] END AS bin,
+       |          CASE WHEN len(fits) = 0 THEN CAST($maxLen AS BIGINT)
+       |            ELSE fits[1].rem END AS rem
+       |        FROM (
+       |          SELECT lang, pending, classes, manifest, next_bin,
+       |            pending[1].l AS L, pending[1].c AS C,
+       |            pending[1].off AS off,
+       |            list_filter(classes, x -> x.rem >= pending[1].l) AS fits
+       |          FROM solve WHERE len(pending) > 0)))) ),
+       |mani AS MATERIALIZED (SELECT lang, u.l AS l, u.off AS off,
+       |    u.cnt AS cnt, u.bin AS bin
+       |  FROM (SELECT lang, unnest(manifest) AS u FROM solve
+       |    WHERE len(pending) = 0)),
+       |rk AS MATERIALIZED (SELECT doc_id, lang, l,
+       |    row_number() OVER (PARTITION BY lang, l ORDER BY
+       |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+       |        '|graft')), 1, 6)) AS BIGINT), doc_id) - 1 AS rk
+       |  FROM wl WHERE l > 0)
+       |SELECT rk.doc_id, rk.lang, rk.l AS len, mani.bin
+       |FROM rk JOIN mani ON mani.lang = rk.lang AND mani.l = rk.l
+       |  AND rk.rk >= mani.off AND rk.rk < mani.off + mani.cnt
+       |ORDER BY rk.doc_id""".stripMargin
+  }
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1299,6 +1382,7 @@ object PipelineQueries {
     "q_x10_mixture_solve" -> qX10solve _,
     "q_x11_temperature_mix" -> qX11temperature _,
     "q_x17_token_budget" -> qX17budget _,
+    "q_x18_bestfit_pack" -> qX18bestFitPack _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -1332,6 +1416,7 @@ object PipelineQueries {
     "q_x10_mixture_solve" -> oX10,
     "q_x11_temperature_mix" -> oX11,
     "q_x17_token_budget" -> oX17,
+    "q_x18_bestfit_pack" -> oX18,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

@@ -352,6 +352,120 @@ object Sampling {
       .drop("_cum", "_start")
   }
 
+  /** One manifest range from the best-fit solve: docs of length `len`
+    * with per-length rank in [off, off+cnt) land in bin `bin`. */
+  final case class PackRange(group: String, len: Long, off: Long,
+                             cnt: Long, bin: Long)
+
+  /** Deterministic histogram best-fit-decreasing solve for ONE group —
+    * the driver-side manifest step of [[packBestFit]]. Bulk form of
+    * item-wise best-fit on equal-length items: lengths descend; the
+    * open bin with the SMALLEST remaining capacity ≥ L absorbs
+    * ⌊rem/L⌋ docs before the next bin is touched (it is strictly the
+    * unique smallest fitting bin after each absorption — no other class
+    * can sit between rem−kL and rem), so each step is O(1) on the
+    * histogram and steps are bounded by bins × length classes, never
+    * doc count. Ties inside a capacity class break FIFO (bin id order).
+    * Exactly mirrored by the q_x18 oracle's recursive list-state CTE. */
+  private[graft] def bestFitManifest(group: String,
+      hist: Seq[(Long, Long)], maxLen: Long): Seq[PackRange] = {
+    // classes: rem -> FIFO bin ids, kept sorted by rem
+    val classes = scala.collection.mutable.TreeMap
+      .empty[Long, scala.collection.mutable.Queue[Long]]
+    val out = Seq.newBuilder[PackRange]
+    var nextBin = 0L
+    hist.sortBy(-_._1).foreach { case (len, total) =>
+      var c = total
+      var off = 0L
+      while (c > 0) {
+        val (bin, rem) = classes.minAfter(len) match {
+          case Some((r, ids)) =>
+            val b = ids.dequeue()
+            if (ids.isEmpty) classes.remove(r)
+            (b, r)
+          case None =>
+            val b = nextBin; nextBin += 1
+            (b, maxLen)
+        }
+        val k = math.min(c, rem / len)
+        out += PackRange(group, len, off, k, bin)
+        off += k; c -= k
+        val nr = rem - k * len
+        classes.getOrElseUpdate(nr,
+          scala.collection.mutable.Queue.empty[Long]).enqueue(bin)
+      }
+    }
+    out.result()
+  }
+
+  /** Length-binned BEST-FIT sequence packing (Krell et al. 2021,
+    * "Efficient Sequence Packing" — the waste-minimizing alternative to
+    * [[packSequences]]' concat-and-chunk when documents must stay WHOLE,
+    * i.e. no cross-document attention contamination): within each
+    * group, docs are assigned to fixed-capacity `maxLen` bins by
+    * histogram best-fit-decreasing, so short docs fold into long docs'
+    * leftover capacity instead of padding their own bins.
+    *
+    * Scale shape (the PCA/BPE argmax discipline): ONE (group, length)
+    * histogram aggregate — state bounded by groups × maxLen, never rows
+    * — collects to the driver, the solve runs on the histogram
+    * ([[bestFitManifest]]: steps bounded by bins × length classes), and
+    * the manifest broadcasts back as PREFIX RANGES per (group, length).
+    * Assignment is then map-side: docs rank within their (group,
+    * length) class by (md5-hash, id) — the one keyed window, bounded by
+    * the class, not the corpus — and range-join the manifest. The group
+    * is the parallelism AND manifest-size unit: at 100 TB pass
+    * lang × hash-bucket groups so each solve and each rank window stays
+    * bounded (bins never cross groups, so bucketing costs only the
+    * cross-bucket folding opportunity — the standard data-parallel
+    * packing trade).
+    *
+    * Docs with cost > `maxLen` fail LOUDLY map-side (chunk them first
+    * with [[packSequences]]); cost ≤ 0 rows are excluded (no mass).
+    * Deterministic: the histogram, the solve, the (hash, id) rank and
+    * the range join are all pure functions of the data — repartitioning
+    * or reordering the input cannot move a doc between bins
+    * (spec-asserted). Appends `len` (the evaluated cost) and `bin`
+    * (0-based per group). */
+  def packBestFit(df: DataFrame, groupCol: String, idCol: String,
+                  costCol: Column, maxLen: Long,
+                  salt: String = "graft"): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive: $maxLen")
+    val reserved = Seq("len", "bin", "_rk").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns ${reserved.mkString(", ")} collide with packing " +
+        "outputs — alias them")
+    val spark = df.sparkSession
+    val withLen = df.withColumn("len",
+      when(costCol > maxLen, raise_error(concat(
+          lit(s"packBestFit: cost "), costCol.cast("string"),
+          lit(s" exceeds maxLen $maxLen — chunk with packSequences first"))))
+        .otherwise(costCol.cast("long")))
+      .where(col("len") > 0)
+    val hist = withLen.groupBy(col(groupCol), col("len"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.get(0))
+      .map { case (g, rows) =>
+        String.valueOf(g) -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
+      }
+    val manifest = hist.toSeq.sortBy(_._1).flatMap { case (g, h) =>
+      bestFitManifest(g, h, maxLen)
+    }
+    import spark.implicits._
+    val mf = manifest.toDF("_mg", "_ml", "_moff", "_mcnt", "_mbin")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("len"))
+      .orderBy(hash24(col(idCol), salt), col(idCol))
+    withLen.withColumn("_rk", row_number().over(w).cast("long") - 1)
+      .join(broadcast(mf),
+        col(groupCol).cast("string") === col("_mg") &&
+          col("len") === col("_ml") &&
+          col("_rk") >= col("_moff") && col("_rk") < col("_moff") + col("_mcnt"))
+      .withColumn("bin", col("_mbin"))
+      .drop("_rk", "_mg", "_ml", "_moff", "_mcnt", "_mbin")
+  }
+
   /** Hashed uni+bigram feature-bucket occurrences for DSIR: one row per
     * feature OCCURRENCE, bucketed by the portable md5 hash so the DuckDB
     * oracle replays the exact assignment. The words array sits behind a

@@ -388,6 +388,65 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("best-fit packing: hand-worked manifest, no bin exceeds maxLen, " +
+    "waste <= sequential first-fit, layout invariance, loud overflow") {
+    import graft.operators.Sampling
+    // hand-worked: lengths [300, 300, 212, 212, 100, 100], maxLen 512.
+    // Desc: 300s -> bin0 (rem 212), bin1 (rem 212); 212s -> bin0 (rem 0),
+    // bin1 (rem 0); 100s -> no fit -> bin2 takes both (rem 312).
+    val hand = Sampling.bestFitManifest("g",
+      Seq(300L -> 2L, 212L -> 2L, 100L -> 2L), 512L)
+    assert(hand.map(r => (r.len, r.off, r.cnt, r.bin)) == Seq(
+      (300L, 0L, 1L, 0L), (300L, 1L, 1L, 1L),
+      (212L, 0L, 1L, 0L), (212L, 1L, 1L, 1L),
+      (100L, 0L, 2L, 2L)), s"$hand")
+    // skewed fixture: long docs + a tail of shorts (seeded)
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 60L).map(i => (i, "g",
+      if (i <= 20) 150L + rnd.nextInt(100) else 20L + rnd.nextInt(40)))
+    val df = rows.toDF("id", "grp", "cost")
+    val maxLen = 256L
+    val out = Sampling.packBestFit(df, "grp", "id", col("cost"), maxLen)
+      .select("id", "len", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 60, "every doc must land in exactly one bin")
+    val fills = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(fills.values.forall(_ <= maxLen),
+      s"no bin may exceed maxLen: $fills")
+    val waste = fills.values.map(maxLen - _).sum
+    // baseline: sequential first-fit in the SAME (hash, id) doc order
+    // without splitting — open a new bin when the next doc overflows
+    def hash24(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|graft".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString, 16)
+    val hashed = rows.sortBy { case (id, _, _) => (hash24(id), id) }
+    var rem = 0L; var bins = 0L; var used = 0L
+    hashed.foreach { case (_, _, c) =>
+      if (c > rem) { bins += 1; rem = maxLen }
+      rem -= c; used += c
+    }
+    val baselineWaste = bins * maxLen - used
+    assert(waste <= baselineWaste,
+      s"best-fit waste $waste must not exceed first-fit $baselineWaste")
+    // layout invariance: repartitioned + reversed input -> same bins
+    val shuffled = Sampling.packBestFit(
+        df.orderBy(col("id").desc).repartition(7), "grp", "id",
+        col("cost"), maxLen)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out.map(o => o._1 -> o._3).toMap == shuffled,
+      "assignment must be a pure function of the data")
+    // cost > maxLen fails loudly, naming the chunking escape hatch
+    val boom = intercept[Exception](Sampling.packBestFit(
+      Seq((99L, "g", 300L)).toDF("id", "grp", "cost"), "grp", "id",
+      col("cost"), 256L).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(boom).exists(m => m != null && m.contains("packSequences")),
+      s"overflow must point at the chunker: ${msgs(boom)}")
+  }
+
   test("tfidf top terms: hand-checked scores, ubiquitous term scores zero") {
     // N = 3 docs; "apple" in all → idf ln(1) = 0; "banana"/"cherry"
     // unique → idf ln(3); doc 3 has only the zero-scored term
