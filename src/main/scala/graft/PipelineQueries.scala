@@ -1368,6 +1368,74 @@ object PipelineQueries {
        |ORDER BY rk.doc_id""".stripMargin
   }
 
+  /** DoReMi-lite domain reweighting (`Sampling.doremiWeights`) — fully
+    * oracled: the quality-deficit excess signal (oX17's score formula),
+    * the round-salted minibatch hash gates, each round's per-domain
+    * micro-grid λ, the exponentiated-gradient update with its
+    * domain-ascending normalizer fold, the uniform smoothing and the
+    * per-round weight re-grid all replay as chained CTE blocks (the
+    * q_t25 trajectory discipline) — all four rounds of (λ, weight) per
+    * domain cross the hash gate. */
+  private def qX19doremi(s: SparkSession, d: String): DataFrame =
+    Sampling.doremiWeights(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          (lit(1.0) - TextStats.qualityScore(col("text"))).as("_x")),
+        "lang", "doc_id", col("_x"), rounds = 4)
+      .orderBy("round", "domain")
+  private val oX19 = {
+    val rounds = 4; val eta = 1.0; val c = 0.01
+    val thresh = math.floor(0.3 * (1 << 24)).toLong
+    def h24(saltT: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), " +
+        s"'|$saltT')), 1, 6)) AS BIGINT)"
+    val roundCtes = (1 to rounds).map { t =>
+      s"""s$t AS (SELECT lang, CAST(sum(exc) AS BIGINT) AS sm,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM q WHERE ${h24(s"doremi$t")} < $thresh GROUP BY 1),
+         |l$t AS (SELECT d.lang,
+         |    CASE WHEN coalesce(s$t.n, 0) > 0
+         |      THEN CAST(floor(CAST(s$t.sm AS DOUBLE)
+         |        / CAST(s$t.n AS DOUBLE) + 0.5) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS lm
+         |  FROM doms d LEFT JOIN s$t USING (lang)),
+         |r$t AS (SELECT l.lang, l.lm,
+         |    (CAST(a.wm AS DOUBLE) / 1e6)
+         |      * exp($eta * CAST(l.lm AS DOUBLE) / 1e6) AS raw
+         |  FROM l$t l JOIN a${t - 1} a USING (lang)),
+         |n$t AS (SELECT list_sum(list(raw ORDER BY lang)) AS nrm FROM r$t),
+         |a$t AS (SELECT lang, lm,
+         |    CAST(floor(((1 - $c) * raw / (SELECT nrm FROM n$t)
+         |      + $c / (SELECT k FROM kk)) * 1e6 + 0.5) AS BIGINT) AS wm
+         |  FROM r$t)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS round, lang AS domain, " +
+        s"lm AS lambda_micro, wm AS weight_micro FROM a$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (SELECT doc_id, lang,
+       |  CAST(length(text) AS DOUBLE) AS n,
+       |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{M}]')) AS BIGINT) AS alpha,
+       |  CAST(len(regexp_extract_all(regexp_replace(text, '([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'), '[\\p{L}\\p{M}\\p{N}]+')) AS BIGINT) AS words,
+       |  CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4 AS BIGINT)
+       |  + CAST((length(' '||text||' ') - length(regexp_replace(' '||text||' ', ' a ', ' ', 'g'))) / 2 AS BIGINT) AS stops
+       |FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  CAST(floor(greatest(1 - round(
+       |    (CAST(alpha AS DOUBLE) / greatest(n, 1.0)) * 0.5
+       |    + (CASE WHEN CAST(alpha AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)
+       |            BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+       |    + least((CAST(stops AS DOUBLE) / greatest(CAST(words AS DOUBLE), 1.0)) * 2.0, 1.0) * 0.2,
+       |    6), 0) * 1000000.0 + 0.5) AS BIGINT) AS exc
+       |  FROM t0),
+       |doms AS (SELECT DISTINCT lang FROM q),
+       |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM doms),
+       |a0 AS (SELECT lang, CAST(floor(1e6 / (SELECT k FROM kk) + 0.5)
+       |    AS BIGINT) AS wm FROM doms),
+       |$roundCtes
+       |SELECT * FROM ($out)
+       |ORDER BY round, domain""".stripMargin
+  }
+
   // ---- maps --------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1383,6 +1451,7 @@ object PipelineQueries {
     "q_x11_temperature_mix" -> qX11temperature _,
     "q_x17_token_budget" -> qX17budget _,
     "q_x18_bestfit_pack" -> qX18bestFitPack _,
+    "q_x19_doremi_mix" -> qX19doremi _,
     "q_as1_asof_join" -> qAs1asof _,
     "q_as2_asof_bucketed" -> qAs2asofBucketed _,
     "q_r1_range_join" -> qR1range _,
@@ -1417,6 +1486,7 @@ object PipelineQueries {
     "q_x11_temperature_mix" -> oX11,
     "q_x17_token_budget" -> oX17,
     "q_x18_bestfit_pack" -> oX18,
+    "q_x19_doremi_mix" -> oX19,
     "q_as1_asof_join" -> oAs1,
     "q_as2_asof_bucketed" -> oAs1,
     "q_r1_range_join" -> oR1,

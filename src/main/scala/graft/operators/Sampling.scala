@@ -352,6 +352,91 @@ object Sampling {
       .drop("_cum", "_start")
   }
 
+  /** DoReMi-lite domain reweighting (Xie et al., NeurIPS 2023 —
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): exponentiated-gradient ascent on domain weights
+    * driven by per-domain EXCESS LOSS — the dynamic closer of the
+    * mixture family next to the static rules ([[mixture]],
+    * [[temperatureWeights]], [[dsir]]). Per round t: a deterministic
+    * round-salted minibatch (hash24(id, salt+t) < frac·2^24) is
+    * aggregated to each domain's mean clipped excess loss λ_i; weights
+    * update α ∝ α·exp(η·λ) and mix with the uniform distribution at
+    * `smoothing` (the published update, eq. 2). Published DoReMi
+    * computes λ from a proxy-vs-reference model pair mid-training; here
+    * the caller supplies the per-example excess signal as a column
+    * (clipped ≥ 0 inside — e.g. a grid-aligned NLL or quality deficit),
+    * which is the same update on an engine-resident signal.
+    *
+    * Scale shape (the X84 gradient-collect discipline): per round ONE
+    * map-side-combinable hash aggregate over the sampled corpus
+    * (state = |domains| rows) + a |domains|-row collect; the EG update
+    * is driver arithmetic on that bounded artifact. Rounds are a fixed
+    * small constant — nothing in the loop touches corpus-sized state.
+    *
+    * Engine-bit-identical trajectory (the q_t25 weight-grid
+    * discipline): the excess column is re-gridded to 1e-6 BIGINTs and
+    * summed order-free; λ lands on the integer micro grid BEFORE the
+    * exp; weights re-grid to micro after every round; the EG normalizer
+    * folds in domain-ascending order (the oX11 ordered-list_sum
+    * pattern). Pass a GRID-ALIGNED excess expression (rounded 6 dp) or
+    * the re-grid floor is the only rounding.
+    *
+    * Returns the full trajectory: (round, domain, lambda_micro,
+    * weight_micro) for rounds 1..`rounds`, weight_micro being the
+    * post-update weight (round 0's uniform floor(1e6/k + 0.5) is the
+    * implicit start). Domains with no sampled examples in a round carry
+    * λ = 0 (their weight still renormalizes). */
+  def doremiWeights(df: DataFrame, domainCol: String, idCol: String,
+                    excessCol: Column, rounds: Int, eta: Double = 1.0,
+                    smoothing: Double = 0.01, sampleFrac: Double = 0.3,
+                    salt: String = "doremi"): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    require(sampleFrac > 0 && sampleFrac <= 1,
+      s"sampleFrac must be in (0, 1]: $sampleFrac")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0, 1): $smoothing")
+    val spark = df.sparkSession
+    val thresh = math.floor(sampleFrac * (1 << 24)).toLong
+    val base = df.select(col(domainCol).cast("string").as("_dom"),
+      col(idCol).as("_id"),
+      floor(greatest(excessCol, lit(0.0)) * lit(1e6) + lit(0.5))
+        .cast("long").as("_em"))
+      .localCheckpoint() // R tiny aggregates re-read this slim frame
+    val domains = base.select("_dom").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    require(domains.nonEmpty, "doremiWeights needs a non-empty corpus")
+    val k = domains.size
+    var wm: Map[String, Long] =
+      domains.map(_ -> math.floor(1e6 / k + 0.5).toLong).toMap
+    val traj = Seq.newBuilder[(Long, String, Long, Long)]
+    for (t <- 1 to rounds) {
+      val agg = base
+        .where(hash24(col("_id"), s"$salt$t") < thresh)
+        .groupBy("_dom")
+        .agg(sum(col("_em")).as("_sm"), count(lit(1)).as("_n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val lm: Map[String, Long] = domains.map { d =>
+        d -> (agg.get(d) match {
+          case Some((sm, n)) if n > 0 =>
+            math.floor(sm.toDouble / n.toDouble + 0.5).toLong
+          case _ => 0L
+        })
+      }.toMap
+      val raw: Seq[(String, Double)] = domains.map(d =>
+        d -> (wm(d).toDouble / 1e6) * math.exp(eta * lm(d).toDouble / 1e6))
+      // normalizer folds in domain-ascending order (domains is sorted)
+      val nrm = raw.foldLeft(0.0)(_ + _._2)
+      wm = raw.map { case (d, r) =>
+        d -> math.floor(((1 - smoothing) * r / nrm + smoothing / k) * 1e6
+          + 0.5).toLong
+      }.toMap
+      domains.foreach(d => traj += ((t.toLong, d, lm(d), wm(d))))
+    }
+    import spark.implicits._
+    traj.result().toDF("round", "domain", "lambda_micro", "weight_micro")
+  }
+
   /** One manifest range from the best-fit solve: docs of length `len`
     * with per-length rank in [off, off+cnt) land in bin `bin`. */
   final case class PackRange(group: String, len: Long, off: Long,

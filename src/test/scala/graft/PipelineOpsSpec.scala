@@ -447,6 +447,44 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"overflow must point at the chunker: ${msgs(boom)}")
   }
 
+  test("doremiWeights: high-excess domain rises monotonically, low-excess " +
+    "falls, weights stay a distribution, smoothing floors the minimum") {
+    import graft.operators.Sampling
+    // planted: domain A hurts (excess 2.0), B is easy (0.1), C middling
+    val rows = (1L to 300L).map { i =>
+      val dom = (i % 3) match { case 0 => "A"; case 1 => "B"; case _ => "C" }
+      val x = dom match { case "A" => 2.0; case "B" => 0.1; case _ => 0.5 }
+      (i, dom, x)
+    }
+    val df = rows.toDF("id", "dom", "x")
+    val out = Sampling.doremiWeights(df, "dom", "id", col("x"),
+        rounds = 5, eta = 1.0, smoothing = 0.02, sampleFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val w = out.groupBy(_._2).view
+      .mapValues(_.sortBy(_._1).map(_._4)).toMap
+    // A's weight rises EVERY round; B's falls every round
+    assert(w("A").sliding(2).forall(p => p(1) > p(0)),
+      s"high-excess domain must rise monotonically: ${w("A")}")
+    assert(w("B").sliding(2).forall(p => p(1) < p(0)),
+      s"low-excess domain must fall monotonically: ${w("B")}")
+    assert(w("A").last > w("C").last && w("C").last > w("B").last,
+      s"final order must follow excess: $w")
+    // each round's weights sum to ~1e6 (re-grid rounding only) and the
+    // uniform smoothing keeps every domain above c/k
+    out.groupBy(_._1).foreach { case (t, rs) =>
+      val s = rs.map(_._4).sum
+      assert(math.abs(s - 1000000L) <= rs.size,
+        s"round $t weights must sum to ~1e6: $s")
+    }
+    val floorW = (0.02 / 3 * 1e6).toLong
+    assert(out.forall(_._4 >= floorW),
+      s"smoothing must floor every weight at ~$floorW")
+    // λ is the gridded mean excess at full sampling: A = 2e6 exactly
+    val lmA = out.filter(o => o._2 == "A").map(_._3).distinct.toSeq
+    assert(lmA == Seq(2000000L), s"planted λ(A): $lmA")
+  }
+
   test("tfidf top terms: hand-checked scores, ubiquitous term scores zero") {
     // N = 3 docs; "apple" in all → idf ln(1) = 0; "banana"/"cherry"
     // unique → idf ln(3); doc 3 has only the zero-scored term
