@@ -656,10 +656,10 @@ object PipelineQueries {
 
   /** The STREAMING ingest loop end-to-end under the FULL hash gate (the
     * q_st3 in-query-lifecycle discipline over the round-12 idempotent
-    * index lane): the corpus quarter (doc_id % 4 = 0) flows through the
+    * index lane): the corpus eighth (doc_id % 8 = 0) flows through the
     * stateless curation front door ([[graft.streaming.StreamCurate]]:
     * Gopher raw-text gate at minStopwordHits=1 + PII scrub + token
-    * cost) and is indexed; two stream epochs (quarters 1–2, curated
+    * cost) and is indexed; two stream epochs (eighths 1–2, curated
     * identically) run the EXACT foreachBatch epoch body
     * ([[graft.streaming.StreamIndexDedup.processEpoch]] with
     * appendKept), so each epoch's keepers join the corpus the next
@@ -681,11 +681,11 @@ object PipelineQueries {
     val gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1)
     // localCheckpoint = the foreachBatch contract: a real micro-batch
     // arrives MATERIALIZED, so the curation regex battery runs once per
-    // quarter here too (un-checkpointed, every reference to the batch
+    // slice here too (un-checkpointed, every reference to the batch
     // inside the epoch plan — fingerprints, shingles, kept output —
     // re-ran the full Gopher scan: 3-4 regex passes per epoch)
     def curated(m: Int): DataFrame = StreamCurate.curateStateless(
-        docs(s, d).where(col("doc_id") % 4 === m).select("doc_id", "text"),
+        docs(s, d).where(col("doc_id") % 8 === m).select("doc_id", "text"),
         "text", gopher)
       .localCheckpoint()
     val idx = TextSimQueries.indexDir("e7idx", d)
@@ -790,9 +790,9 @@ object PipelineQueries {
       |  range(1, greatest(len(ws) - 2, 0) + 1),
       |  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
       |e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sg FROM s),
-      |c0 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 0),
-      |b0 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 1),
-      |b1 AS (SELECT doc_id FROM sc WHERE doc_id % 4 = 2),
+      |c0 AS (SELECT doc_id FROM sc WHERE doc_id % 8 = 0),
+      |b0 AS (SELECT doc_id FROM sc WHERE doc_id % 8 = 1),
+      |b1 AS (SELECT doc_id FROM sc WHERE doc_id % 8 = 2),
       |${stage(0)},
       |${stage(1)}
       |SELECT k.doc_id, k.epoch, tk.n_tokens, k.best_jaccard, tk.out_md5
