@@ -379,7 +379,15 @@ object Sampling {
     * exp; weights re-grid to micro after every round; the EG normalizer
     * folds in domain-ascending order (the oX11 ordered-list_sum
     * pattern). Pass a GRID-ALIGNED excess expression (rounded 6 dp) or
-    * the re-grid floor is the only rounding.
+    * the re-grid floor is the only rounding. Last-ulp caveat (the
+    * flagSemantic class): exp(η·λ) and the normalizer/smoothing mix run
+    * as raw doubles between the grids — JVM Math.exp and a SQL engine's
+    * libm exp are not GUARANTEED ulp-identical, so a raw weight landing
+    * within 1 ulp of a micro-grid floor boundary could flip the last
+    * digit of weight_micro vs an oracle replay (never observed on the
+    * fixtures; λ on the integer grid keeps the exp INPUTS identical, so
+    * any divergence is confined to one final-digit flip per round, not
+    * compounding drift — diagnose a q_x19 hash mismatch here first).
     *
     * Returns the full trajectory: (round, domain, lambda_micro,
     * weight_micro) for rounds 1..`rounds`, weight_micro being the
@@ -527,24 +535,34 @@ object Sampling {
           lit(s" exceeds maxLen $maxLen — chunk with packSequences first"))))
         .otherwise(costCol.cast("long")))
       .where(col("len") > 0)
-    val hist = withLen.groupBy(col(groupCol), col("len"))
+    // manifest keys carry the ENGINE's own string representation (the
+    // histogram groups on cast('string'), not on the raw value): a
+    // driver-side String.valueOf would disagree with SQL cast semantics
+    // on null groups ("null" vs NULL) and on types whose JVM toString
+    // differs from Spark's cast (java.sql.Timestamp appends ".0"), and
+    // the inner range-join would then SILENTLY drop those docs — the
+    // rank window below partitions on the same cast so rank space and
+    // manifest space can never diverge, and the join is null-safe so a
+    // null group packs like any other group
+    val gs = col(groupCol).cast("string")
+    val hist = withLen.groupBy(gs.as("_g"), col("len"))
       .agg(count(lit(1)).as("c"))
       .collect()
-      .groupBy(_.get(0))
+      .groupBy(r => if (r.isNullAt(0)) null else r.getString(0))
       .map { case (g, rows) =>
-        String.valueOf(g) -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
+        g -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq
       }
-    val manifest = hist.toSeq.sortBy(_._1).flatMap { case (g, h) =>
-      bestFitManifest(g, h, maxLen)
+    val manifest = hist.toSeq.sortBy(t => Option(t._1)).flatMap {
+      case (g, h) => bestFitManifest(g, h, maxLen)
     }
     import spark.implicits._
     val mf = manifest.toDF("_mg", "_ml", "_moff", "_mcnt", "_mbin")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol), col("len"))
+      .partitionBy(gs, col("len"))
       .orderBy(hash24(col(idCol), salt), col(idCol))
     withLen.withColumn("_rk", row_number().over(w).cast("long") - 1)
       .join(broadcast(mf),
-        col(groupCol).cast("string") === col("_mg") &&
+        gs <=> col("_mg") &&
           col("len") === col("_ml") &&
           col("_rk") >= col("_moff") && col("_rk") < col("_moff") + col("_mcnt"))
       .withColumn("bin", col("_mbin"))

@@ -64,6 +64,18 @@ object Unigram {
 
   private def pieceLen(p: String): Int = p.codePointCount(0, p.length)
 
+  /** Binary UTF-8 (code point) string order — the collation BOTH
+    * engines sort by (Spark orderBy and DuckDB ORDER BY compare UTF-8
+    * bytes). JVM String.compareTo orders by UTF-16 code UNIT, which
+    * ranks supplementary-plane characters (surrogate range 0xD800+)
+    * BELOW U+E000–U+FFFF — a driver-side prune tie-break or save/load
+    * ordering using it would diverge from the engines' order on such
+    * vocabularies, so every driver sort here uses this instead. */
+  private[graft] val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Seed piece counts from the word histogram: every substring of
     * length ≤ `maxPieceLen` of every distinct word, weighted by the
     * word's corpus count (one occurrence per position). */
@@ -78,7 +90,7 @@ object Unigram {
   private def normalized(counts: Seq[(String, Long)]): Seq[Piece] = {
     val total = counts.map(_._2).sum
     counts.map { case (p, c) => Piece(p, c, costMicro(c, total)) }
-      .sortBy(_.piece)
+      .sortBy(_.piece)(utf8Order)
   }
 
   /** Train a unigram-LM vocabulary of `vocabSize` pieces. Returns the
@@ -123,7 +135,9 @@ object Unigram {
     val (chars, multis) = vocab.partition(p => pieceLen(p.piece) == 1)
     require(vocabSize > chars.size,
       s"vocabSize $vocabSize must exceed the ${chars.size}-char alphabet")
-    val keptM = multis.sortBy(p => (-p.count, p.piece))
+    val keptM = multis
+      .sortBy(p => (-p.count, p.piece))(
+        Ordering.Tuple2(Ordering.Long, utf8Order))
       .take(vocabSize - chars.size)
     normalized((chars ++ keptM).map(p => p.piece -> p.count))
   }

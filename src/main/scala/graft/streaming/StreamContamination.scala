@@ -71,9 +71,14 @@ object StreamContamination {
   /** Hard ceiling on the eval matrix [[flagSemantic]] accepts — the
     * matrix rides to every task as a serialized reference object, so it
     * must stay a bounded model artifact (Bloom-filter-sized), not a
-    * second corpus. 256 MiB of doubles covers the union of real
-    * benchmark suites (1e5 rows × 768 dims ≈ 600 MB is the documented
-    * worst case — shrink it with the LSH pre-prune first). */
+    * second corpus. 256 MiB of doubles (~43k rows at 768 dims) covers
+    * typical benchmark suites; the documented worst case — the FULL
+    * union of public evals, ~1e5 rows × 768 dims ≈ 600 MB — is
+    * INTENTIONALLY refused by this guard: shrink such a set with the
+    * batch LSH pre-prune
+    * ([[graft.operators.Similarity.semanticDecontaminateLsh]]) before
+    * it reaches the stream, rather than shipping a corpus-sized matrix
+    * to every task. */
   val MaxMatrixBytes: Long = 256L << 20
 
   /** Add a `contaminated` flag: true iff the row's embedding reaches

@@ -272,4 +272,20 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     Unigram.save(spark, v, dir)
     assert(Unigram.load(spark, dir) == v, "save/load must round-trip")
   }
+
+  test("Unigram.utf8Order matches the engines' binary collation on " +
+    "supplementary-plane pieces where JVM compareTo diverges") {
+    import graft.operators.Unigram
+    // U+10348 sits in the supplementary plane: its UTF-16 lead surrogate
+    // (0xD800) ranks BELOW U+E000/U+FFFD under String.compareTo, while
+    // both engines order by code point (UTF-8 bytes) where it ranks above
+    val pieces = Seq("", new String(Character.toChars(0x10348)),
+      "z", "�")
+    val engine = pieces.toDF("p").orderBy("p")
+      .collect().map(_.getString(0)).toSeq
+    assert(pieces.sorted(Unigram.utf8Order) == engine,
+      "driver sort must match the engines' binary collation")
+    assert(pieces.sorted != engine,
+      "fixture must actually exercise the UTF-16 divergence")
+  }
 }

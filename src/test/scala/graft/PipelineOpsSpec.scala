@@ -447,6 +447,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       s"overflow must point at the chunker: ${msgs(boom)}")
   }
 
+  test("best-fit packing: null and timestamp groups land in bins (the " +
+    "manifest keys by the engine's cast, not JVM toString)") {
+    import graft.operators.Sampling
+    // null group: String.valueOf(null) = "null" vs SQL cast NULL used to
+    // drop these rows from the inner range-join silently
+    val withNull = Seq((1L, Some("g"), 100L), (2L, None, 100L),
+      (3L, None, 150L)).toDF("id", "grp", "cost")
+    val outN = Sampling.packBestFit(withNull, "grp", "id", col("cost"), 256L)
+    assert(outN.count() == 3L, "every doc (null group included) must pack")
+    assert(outN.where(col("grp").isNull).count() == 2L)
+    // timestamp group: java.sql.Timestamp.toString appends ".0" while
+    // Spark's cast renders "yyyy-MM-dd HH:mm:ss" — keys must agree
+    val ts = Timestamp.valueOf("2024-03-01 10:00:00")
+    val withTs = Seq((1L, ts, 100L), (2L, ts, 120L))
+      .toDF("id", "grp", "cost")
+    val outT = Sampling.packBestFit(withTs, "grp", "id", col("cost"), 256L)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(outT.length == 2, s"timestamp-grouped docs must pack: ${outT.toSeq}")
+    assert(outT.map(_._2).distinct.length == 1,
+      "220 total cost fits one 256-bin")
+  }
+
   test("doremiWeights: high-excess domain rises monotonically, low-excess " +
     "falls, weights stay a distribution, smoothing floors the minimum") {
     import graft.operators.Sampling
