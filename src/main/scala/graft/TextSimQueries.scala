@@ -2073,16 +2073,23 @@ object TextSimQueries {
     * HALF_UP and half-even engines split — a measured 1-ulp sf0.1
     * divergence under the round() formulation). Damping constants cross
     * as string-CAST doubles (decimal literal parsing must not intercept
-    * them). */
-  private def qD16pagerank(s: SparkSession, d: String): DataFrame =
-    graft.operators.Graph.pageRank(
-        sharedJaccardPairs(s, d).select(col("id_a"), col("id_b")),
-        iters = 10)
-      .orderBy("id")
+    * them). The `rounds` column pins the convergence EARLY-EXIT under
+    * the hash gate: the engine stops at the first checkEvery-block
+    * boundary whose iterate equals its immediate predecessor (an exact
+    * grid fixed point — the remaining rounds provably return the same
+    * vector, so the rank columns replay from the UNCONDITIONAL p10),
+    * and the oracle recomputes the same boundary schedule from its
+    * unrolled iterates. */
+  private def qD16pagerank(s: SparkSession, d: String): DataFrame = {
+    val run = graft.operators.Graph.pageRankRun(
+      sharedJaccardPairs(s, d).select(col("id_a"), col("id_b")),
+      iters = 10)
+    run.ranks.withColumn("rounds", lit(run.rounds.toLong)).orderBy("id")
+  }
   private val oD16 = {
-    val dmp = 0.85; val iters = 10
+    val dmp = 0.85; val iters = 10; val checkEvery = 4
     val stages = (1 to iters).map { i =>
-      s"""p$i AS (SELECT dst AS id, CAST(floor(CAST('${(1 - dmp) * 1e9}' AS DOUBLE)
+      s"""p$i AS MATERIALIZED (SELECT dst AS id, CAST(floor(CAST('${(1 - dmp) * 1e9}' AS DOUBLE)
          |    + CAST('$dmp' AS DOUBLE) * CAST(sum(c) AS DOUBLE) + 0.5)
          |    AS BIGINT) AS prn
          |  FROM (SELECT e2g.dst,
@@ -2091,6 +2098,17 @@ object TextSimQueries {
          |    FROM e2g JOIN p${i - 1} ON p${i - 1}.id = e2g.src)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
+    // the engine's boundary schedule: first check round with
+    // p_t == p_{t-1} on every node, else all `iters` rounds executed
+    val boundaries = (checkEvery until iters by checkEvery)
+    val eqCases = boundaries.map { b =>
+      s"""WHEN NOT EXISTS (SELECT 1 FROM p$b JOIN p${b - 1} USING (id)
+         |    WHERE p$b.prn <> p${b - 1}.prn) THEN CAST($b AS BIGINT)""".stripMargin
+    }.mkString("\n  ")
+    val roundsCte =
+      s"""rnds AS (SELECT CASE
+         |  $eqCases
+         |  ELSE CAST($iters AS BIGINT) END AS rounds)""".stripMargin
     s"""WITH w AS (SELECT doc_id,
        |  string_split_regex(trim(lower(regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +') AS ws
        |FROM documents),
@@ -2110,10 +2128,12 @@ object TextSimQueries {
        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
        |e2g AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
        |p0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS prn FROM dg),
-       |$stages
+       |$stages,
+       |$roundsCte
        |SELECT p$iters.id, dg.deg,
-       |  CAST(p$iters.prn AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr
-       |FROM p$iters JOIN dg ON dg.src = p$iters.id
+       |  CAST(p$iters.prn AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pr,
+       |  rnds.rounds
+       |FROM p$iters JOIN dg ON dg.src = p$iters.id, rnds
        |ORDER BY 1""".stripMargin
   }
 

@@ -33,21 +33,57 @@ object Graph {
     * Scale shape: one edge-build shuffle (union + distinct), one degree
     * aggregate, then per iteration ONE equi-join on the source id + ONE
     * map-side-combinable sum — no windows, no driver-side graph, state
-    * ∝ nodes. Lineage is cut every 4 iterations (localCheckpoint, the
-    * [[Dedup.componentLabels]] discipline) so the plan doesn't grow
-    * exponentially with iteration count. */
+    * ∝ nodes. Lineage is cut at every `checkEvery`-round block boundary
+    * (localCheckpoint, the [[Dedup.componentLabels]] discipline), and
+    * each boundary also takes an exact CONVERGENCE EARLY-EXIT check:
+    * the L1 delta between the boundary iterate and its IMMEDIATE
+    * predecessor (an aggregate over two materialized nodes-sized
+    * frames) is 0 exactly when the integer nano-rank vector hit a grid
+    * fixed point — the iteration is a pure function of the previous
+    * vector, so every remaining round would return the SAME frame and
+    * the exit is result-identical to running all `iters` (the q_d16
+    * oracle replays all rounds unconditionally and hashes equal; the
+    * executed-round count replays as the same boundary schedule).
+    * Consecutive iterates, never block-apart snapshots: the floor
+    * re-grid admits small limit cycles in principle, and p_{t+k} ==
+    * p_t alone would not certify a fixed point. Block-amortized
+    * checking (not per-round) keeps the non-converging cost profile at
+    * the old checkpoint-every-4 shape: measured per-round delta checks
+    * cost ~0.1 s/round of pure job overhead at bench scale while a
+    * boundary check adds one tiny join per 4 rounds. */
   def pageRank(pairs: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85): DataFrame =
+    pageRankRun(pairs, iters, damping).ranks
+
+  /** [[pageRank]]'s result plus the number of power iterations actually
+    * EXECUTED (`rounds` ≤ `iters`): `iters` unless a block boundary
+    * measured delta == 0, in which case that boundary round (the work
+    * that proved the fixed point) is the last one counted. */
+  final case class PageRankResult(ranks: DataFrame, rounds: Int)
+
+  def pageRankRun(pairs: DataFrame, iters: Int = 10,
+                  damping: Double = 0.85,
+                  checkEvery: Int = 4): PageRankResult = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    require(checkEvery >= 1, s"checkEvery must be positive: $checkEvery")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
     var pr = deg.select(col("src").as("id"), lit(1000000000L).as("prn"))
+    var prMaterialized = false
     val teleportN = (1 - damping) * 1e9
-    for (i <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
+      val t = rounds + 1
+      // no check on the final round: there is no exit left to take and
+      // the executed-round count is `iters` either way, so the delta
+      // join would be pure overhead (the oracle's schedule matches)
+      val check = t % checkEvery == 0 && t < iters
+      if (check && !prMaterialized) pr = pr.localCheckpoint()
       val msgs = withDeg
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"),
@@ -56,10 +92,32 @@ object Graph {
       val next = msgs.groupBy(col("dst").as("id"))
         .agg(floor(lit(teleportN)
           + lit(damping) * sum(col("_c")).cast("double") + lit(0.5)).as("prn"))
-      pr = if (i % 4 == 0 && i < iters) next.localCheckpoint() else next
+      rounds = t
+      if (check) {
+        // every node has an incoming edge (undirected), so the id sets
+        // of next and pr are identical and the inner join carries the
+        // full vector; pr was just materialized, so both the message
+        // pass and the _prev side read the same cached blocks, and the
+        // LAZY checkpoint materializes the new iterate inside the delta
+        // fold's own job
+        val staged = next
+          .join(pr.select(col("id"), col("prn").as("_prev")), Seq("id"))
+          .localCheckpoint(false)
+        val delta = Option(
+            staged.agg(sum(abs(col("prn") - col("_prev")))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph: done
+        converged = delta == 0L
+        pr = staged.drop("_prev")
+        prMaterialized = true
+      } else {
+        pr = next
+        prMaterialized = false
+      }
     }
-    pr.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
-      .select(col("id"), col("deg"),
-        (col("prn").cast("double") / lit(1e9)).as("pr"))
+    PageRankResult(
+      pr.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
+        .select(col("id"), col("deg"),
+          (col("prn").cast("double") / lit(1e9)).as("pr")),
+      rounds)
   }
 }

@@ -1187,6 +1187,36 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(tpr.head - 1.0) < 1e-7, s"$tpr")
   }
 
+  test("pageRank early-exit: a grid fixed point exits at the block " +
+    "boundary with the identical vector; asymmetric graphs run all " +
+    "rounds; the boundary schedule is what the rounds count reports") {
+    import graft.operators.Graph
+    // triangle: 2-regular, fixed at the start vector -> converged by
+    // round 1, detected at the first checkEvery=4 boundary
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
+    val run = Graph.pageRankRun(tri, iters = 10)
+    assert(run.rounds == 4, s"detect at the first boundary: ${run.rounds}")
+    // result-identical to the unconditional 10 rounds (checkEvery > iters
+    // never checks, so it IS the old fixed-iteration behavior)
+    val full = Graph.pageRankRun(tri, iters = 10, checkEvery = 99)
+    assert(full.rounds == 10)
+    val a = run.ranks.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = full.ranks.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b, "early exit must be result-identical")
+    // path a-b-c: asymmetric, contracts geometrically -> no exact grid
+    // fixed point within 10 rounds; every round executes
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    assert(Graph.pageRankRun(path, iters = 10).rounds == 10)
+    // per-round checking on the star detects the round-1 fixed point? the
+    // star is NOT fixed at round 1 (hub gains mass) — but checkEvery=1
+    // must still agree with the unconditional vector
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val s1 = Graph.pageRankRun(star, iters = 6, checkEvery = 1)
+    val s2 = Graph.pageRankRun(star, iters = 6, checkEvery = 99)
+    assert(s1.ranks.orderBy("id").collect().map(_.toSeq).toSeq ==
+      s2.ranks.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("exactDedupKeepBest: argmax-score keeper, min-id tiebreak, scopes") {
     val d = Seq(
       (1L, "a", "k1", 0.3), (2L, "a", "k1", 0.9), (3L, "b", "k1", 0.9),
