@@ -1205,6 +1205,37 @@ object TextSimQueries {
       .orderBy("doc_id")
   }
 
+  /** BYTE-LEVEL BPE round trip (GPT-2 byte fallback): q_t27's word
+    * vocabulary transfers to rep space ([[graft.operators.Bpe
+    * .repMerges]] — the byte map is a concatenation homomorphism) and
+    * encodes a fixture that word tokenizers cannot even represent —
+    * raw document text sliced mid-stream plus a planted tail of
+    * accents, CJK, an emoji (4-byte UTF-8) and a CONTROL byte — with
+    * zero unknowns. The oracled facts are merge-list INVARIANT (they
+    * hold for any byte-level vocabulary, so no rank-loop replay is
+    * needed): decode ∘ encode is the IDENTITY, and the summed rep
+    * length of the tokens equals octet_length(input) — one rep char
+    * per UTF-8 byte, so total tokenization loses nothing and covers
+    * every byte. */
+  private def qT43byteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.operators.Bpe.repMerges(sharedBpeMerges(s, d))
+    val fixture = concat(substring(col("text"), 1, 200),
+      lit(" café 五行 🦀 \u0007~"))
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.operators.Bpe.encodeBytes(fixture, merges).as("_tk"))
+      .select(col("doc_id"),
+        graft.operators.Bpe.decodeBytes(col("_tk")).as("decoded"),
+        length(concat_ws("", col("_tk"))).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+  private val oT43 =
+    """WITH fx AS (SELECT doc_id,
+      |    substr(text, 1, 200) || ' café 五行 🦀 ' || chr(7) || '~' AS f
+      |  FROM documents)
+      |SELECT doc_id, f AS decoded, strlen(f) AS n_bytes
+      |FROM fx ORDER BY doc_id""".stripMargin
+
   // ---- unigram-LM tokenizer (q_t40 trains, q_t41 serves) -----------------
 
   // one training per (session, dir) — the sharedBpeMerges discipline
@@ -4560,6 +4591,7 @@ object TextSimQueries {
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
+    "q_t43_byte_roundtrip" -> qT43byteRoundtrip _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
     "q_s18_knn_predict" -> qS18knn _,
@@ -4659,6 +4691,7 @@ object TextSimQueries {
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_t28b_bpe_encode_expr" -> oT28,
+    "q_t43_byte_roundtrip" -> oT43,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,
     "q_s18_knn_predict" -> oS18,

@@ -120,10 +120,19 @@ object Bpe {
     * chained replace expressions never nest past one round's batch. */
   def trainBatched(df: DataFrame, textCol: String, k: Int,
                    batch: Int = 512,
-                   roundHook: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] = {
+                   roundHook: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] =
+    trainBatchedFromHistogram(wordHistogram(df, textCol), k, batch, roundHook)
+
+  /** [[trainBatched]] on a prepared (w, cnt) histogram — the shared
+    * core, so byte-level training can rep the words first without a
+    * second corpus pass. */
+  def trainBatchedFromHistogram(wordHist: DataFrame, k: Int,
+                                batch: Int = 512,
+                                roundHook: (Int, Int) => Unit = (_, _) => ())
+      : Seq[Merge] = {
     require(k >= 1 && k <= 100000, s"k out of range: $k")
     require(batch >= 1, s"batch must be positive: $batch")
-    var hist = wordHistogram(df, textCol)
+    var hist = wordHist
       .select(col("cnt"), charSeq(col("w")).as("seq"))
       .localCheckpoint()
     val out = Seq.newBuilder[Merge]
@@ -202,6 +211,47 @@ object Bpe {
     val seq = merges.foldLeft(charSeq(w))(mergeOnce)
     split(trim(seq, Sep), Sep + Sep)
   }
+
+  /** A word-trained merge list transferred to BYTE-LEVEL rep space:
+    * the byte map is a concatenation homomorphism (one char per byte,
+    * [[graft.functions.ByteLevel]]), so repping each side of every
+    * merge preserves the trained-vocab invariant and the rank loop
+    * fires identically — rep(encodeWord(w)) == encodeBytes(w) token
+    * for token on word-alphabet input (spec-pinned), while the
+    * transferred vocabulary ALSO encodes arbitrary bytes (falling back
+    * to single-byte pieces where no merge applies). */
+  def repMerges(merges: Seq[Merge]): Seq[Merge] =
+    merges.map(m => Merge(graft.functions.ByteLevel.toRep(m.l),
+      graft.functions.ByteLevel.toRep(m.r), m.count))
+
+  /** [[trainBatched]] in BYTE-LEVEL rep space: the word histogram's
+    * words are repped (one corpus pass, unchanged counts — the rep map
+    * is injective) and merges are learned over rep characters, so the
+    * vocabulary serves [[encodeBytes]] directly. GPT-2's construction,
+    * on the word-histogram scale discipline. */
+  def trainBytesBatched(df: DataFrame, textCol: String, k: Int,
+                        batch: Int = 512,
+                        roundHook: (Int, Int) => Unit = (_, _) => ())
+      : Seq[Merge] = {
+    val repped = wordHistogram(df, textCol)
+      .select(graft.functions.ByteRep(col("w")).as("w"), col("cnt"))
+    trainBatchedFromHistogram(repped, k, batch, roundHook)
+  }
+
+  /** Total byte-level encode: ANY string (punctuation, emoji, controls,
+    * arbitrary bytes — not just normalized words) → rep-space token
+    * array with ZERO unknowns: the 256 single-byte rep chars are always
+    * available as fallback pieces. Pass byte-level merges
+    * ([[trainBytesBatched]] or [[repMerges]]). O(len²) rank probes per
+    * input — chunk corpus-sized strings (e.g. per word or line) before
+    * encoding, exactly like any production BPE serve path. */
+  def encodeBytes(s: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncode(graft.functions.ByteRep(s), merges)
+
+  /** Decode [[encodeBytes]] output back to the original string —
+    * decode ∘ encode is the IDENTITY on any input (oracled, q_t43). */
+  def decodeBytes(tokens: Column): Column =
+    graft.functions.ByteRepDecode(tokens)
 
   /** Merges as a small DataFrame (step, l_tok, r_tok, merged,
     * pair_count) — the persistable vocabulary artifact. */

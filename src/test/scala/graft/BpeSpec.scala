@@ -198,6 +198,67 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
 
   // ---- unigram-LM (SentencePiece-style) ----------------------------------
 
+  test("ByteLevel: the byte<->char table is a bijection; toRep/fromRep " +
+    "round-trips arbitrary bytes; fromRep fails loudly off-alphabet") {
+    import graft.functions.ByteLevel
+    assert(ByteLevel.byteToChar.distinct.length == 256, "table must be 1:1")
+    assert((0 until 256).forall(b =>
+      ByteLevel.charToByte(ByteLevel.byteToChar(b)) == b), "inverse")
+    // controls (incl NUL), multi-byte UTF-8, emoji, Latin-1 — all total
+    val nasty = Seq("", "hello world!", "café mañana",
+      "\u0000\u0007\t\r\n", "五行가",
+      new String(Character.toChars(0x1F980)), "a b  c\u00a0d")
+    nasty.foreach { s =>
+      val rep = ByteLevel.toRep(s)
+      assert(rep.length == s.getBytes("UTF-8").length,
+        s"one rep char per byte: ${s.toList}")
+      assert(ByteLevel.fromRep(rep) == s, s"round trip: ${s.toList}")
+    }
+    val e = intercept[IllegalArgumentException](ByteLevel.fromRep(" "))
+    assert(e.getMessage.contains("byte-rep"), e.getMessage)
+  }
+
+  test("byte-level BPE: repMerges transfers a word vocabulary (rep of " +
+    "encodeWord == encodeBytes token for token); encode is TOTAL with " +
+    "zero unknowns and decode is the identity on arbitrary input") {
+    import graft.functions.ByteLevel
+    val df = Seq((1L, "aaab aaab ab ab banana")).toDF("doc_id", "text")
+    val wordMerges = Bpe.train(df, "text", k = 5)
+    val byteMerges = Bpe.repMerges(wordMerges)
+    // homomorphism transfer: on word-alphabet input the rep'd vocabulary
+    // fires the same merges on the same boundaries
+    val words = Seq("aaab", "ab", "banana", "nab").toDF("w")
+    val both = words.select(
+        Bpe.encodeWord(col("w"), wordMerges).as("wt"),
+        Bpe.encodeBytes(col("w"), byteMerges).as("bt"))
+      .collect()
+    both.foreach { r =>
+      val wt = r.getSeq[String](0).map(ByteLevel.toRep)
+      val bt = r.getSeq[String](1)
+      assert(wt == bt, s"transfer must be token-identical: $wt vs $bt")
+    }
+    // totality: input no word tokenizer can represent — punctuation,
+    // NUL, emoji — encodes with zero unknowns (every token decodes) and
+    // round-trips exactly
+    val nasty = "ab, aaab!   café " +
+      new String(Character.toChars(0x1F980))
+    val out = Seq(nasty).toDF("s")
+      .select(Bpe.encodeBytes(col("s"), byteMerges).as("tk"))
+      .select(col("tk"), Bpe.decodeBytes(col("tk")).as("back"))
+      .head()
+    assert(out.getString(1) == nasty, "decode(encode(x)) must equal x")
+    out.getSeq[String](0).foreach(t =>
+      ByteLevel.fromRep(t)) // every token decodes — no UNK exists
+    // byte-level TRAINING end-to-end: merges learned in rep space serve
+    // the same contract
+    val trained = Bpe.trainBytesBatched(df, "text", k = 4, batch = 2)
+    assert(trained.nonEmpty)
+    val rt = Seq(nasty).toDF("s")
+      .select(Bpe.decodeBytes(Bpe.encodeBytes(col("s"), trained)).as("b"))
+      .head().getString(0)
+    assert(rt == nasty, "trained byte vocab must round-trip too")
+  }
+
   test("Unigram.train: hand-worked Viterbi-EM trajectory on the ab corpus " +
     "(seed counts, E-step hard counts, char smoothing, renormalized costs)") {
     import graft.operators.Unigram
