@@ -1308,6 +1308,26 @@ object TextSimQueries {
     (0 until UniW).map(s => s"SELECT w, cnt, piece FROM st${tag}_$s")
       .mkString("\n  UNION ALL ")
 
+  /** Word histogram + substring seed + seed-support floor — the CTEs
+    * every unigram oracle starts from (hard q_t40/q_t41 and soft
+    * q_t42). */
+  private def uniSeedCtes: String =
+    s"""h AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(
+       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |words AS MATERIALIZED (SELECT w, cnt, length(w) AS wl FROM h),
+       |seedc AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+       |    SELECT cnt, substr(w, CAST(ii.i AS INTEGER), CAST(ll.l AS INTEGER)) AS piece
+       |    FROM words CROSS JOIN range(1, ${UniW + 1}) ii(i)
+       |    CROSS JOIN range(1, ${UniP + 1}) ll(l)
+       |    WHERE ii.i + ll.l - 1 <= wl) GROUP BY 1),
+       |v0c AS MATERIALIZED (SELECT piece, c FROM seedc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, c FROM seedc
+       |  WHERE length(piece) > 1 AND c >= $UniSeed),
+       |t0 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v0c)""".stripMargin
+
   /** Everything up to the post-EM vocabulary v$UniR plus the pruned
     * final `kept`/`tf` CTEs — shared by the training (q_t40) and
     * serving (q_t41) oracles. */
@@ -1325,21 +1345,7 @@ object TextSimQueries {
          |t$r AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v${r}c),
          |${uniCostCte(s"v$r", s"v${r}c", s"t$r")}""".stripMargin
     }.mkString(",\n")
-    s"""h AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-       |    SELECT unnest(string_split_regex(trim(lower(
-       |      regexp_replace(text, '[^\\p{L}\\p{M}\\p{N}]+|([\\x{3005}\\x{3040}-\\x{30ff}\\x{31f0}-\\x{31ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7a3}])', ' \\1 ', 'g'))), ' +')) AS w
-       |    FROM documents)
-       |  WHERE w <> '' GROUP BY 1),
-       |words AS MATERIALIZED (SELECT w, cnt, length(w) AS wl FROM h),
-       |seedc AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
-       |    SELECT cnt, substr(w, CAST(ii.i AS INTEGER), CAST(ll.l AS INTEGER)) AS piece
-       |    FROM words CROSS JOIN range(1, ${UniW + 1}) ii(i)
-       |    CROSS JOIN range(1, ${UniP + 1}) ll(l)
-       |    WHERE ii.i + ll.l - 1 <= wl) GROUP BY 1),
-       |v0c AS MATERIALIZED (SELECT piece, c FROM seedc WHERE length(piece) = 1
-       |  UNION ALL SELECT piece, c FROM seedc
-       |  WHERE length(piece) > 1 AND c >= $UniSeed),
-       |t0 AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v0c),
+    s"""$uniSeedCtes,
        |${uniCostCte("v0", "v0c", "t0")},
        |$rounds,
        |nch AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v$UniR WHERE pl = 1),
@@ -1414,6 +1420,130 @@ object TextSimQueries {
        |  round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
        |    AS chars_per_piece
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---- soft-EM unigram (q_t42): forward-backward expected counts ---------
+
+  private val softUnigramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Unigram.Piece]]
+  private def sharedSoftVocab(s: SparkSession,
+      d: String): Seq[graft.operators.Unigram.Piece] = {
+    softUnigramCache.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) softUnigramCache.remove(k)
+    }
+    softUnigramCache.getOrElseUpdate((s, d),
+      graft.operators.Unigram.trainSoft(docs(s, d), "text", vocabSize = UniV,
+        maxPieceLen = UniP, emRounds = 1, minSeedCount = UniSeed))
+  }
+
+  /** One soft-EM round's forward/backward lattice as chained CTEs — the
+    * exact SQL replay of [[graft.functions.UnigramExpectedCounts]]:
+    * edge weights are the seed rationals c/total (one IEEE division —
+    * no exp anywhere), every α/β position value is an EXPLICIT
+    * l-ascending coalesce chain starting from 0.0 (so both engines
+    * associate the at-most-`UniP` terms identically; an engine-ordered
+    * SUM never touches the lattice), and each edge posterior grids to
+    * micro BIGINT before the cnt-weighted corpus sum. Forward tables
+    * fa$pos index by absolute position; backward tables bb$d index by
+    * DISTANCE FROM THE WORD END (β(pos) = bb(wl − pos)), which keeps
+    * the per-word termination point out of the unroll. */
+  private def unigramSoftCtes: String = {
+    val fwd = (1 to UniW).map { pos =>
+      val ls = 1 to math.min(UniP, pos)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN (SELECT e.w, f.a * e.p AS v FROM e0 e
+           |    JOIN fa${pos - l} f ON f.w = e.w
+           |    WHERE e.pos = ${pos - l} AND e.pl = $l) t$l ON t$l.w = ww.w""".stripMargin
+      }.mkString("\n")
+      val chain = ls.foldLeft("CAST(0.0 AS DOUBLE)")((acc, l) =>
+        s"($acc + coalesce(t$l.v, 0.0))")
+      s"""fa$pos AS MATERIALIZED (SELECT ww.w, $chain AS a
+         |  FROM words ww
+         |$joins
+         |  WHERE ww.wl >= $pos)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (1 to UniW).map { d =>
+      val ls = 1 to math.min(UniP, d)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN (SELECT e.w, e.p * g.b AS v FROM e0 e
+           |    JOIN words w2 ON w2.w = e.w
+           |    JOIN bb${d - l} g ON g.w = e.w
+           |    WHERE e.pl = $l AND e.pos = w2.wl - $d) t$l ON t$l.w = ww.w""".stripMargin
+      }.mkString("\n")
+      val chain = ls.foldLeft("CAST(0.0 AS DOUBLE)")((acc, l) =>
+        s"($acc + coalesce(t$l.v, 0.0))")
+      s"""bb$d AS MATERIALIZED (SELECT ww.w, $chain AS b
+         |  FROM words ww
+         |$joins
+         |  WHERE ww.wl >= $d)""".stripMargin
+    }.mkString(",\n")
+    val faall = (0 to UniW)
+      .map(p => s"SELECT w, CAST($p AS BIGINT) AS pos, a FROM fa$p")
+      .mkString("\n  UNION ALL ")
+    val bball = (0 to UniW)
+      .map(d => s"SELECT w, CAST($d AS BIGINT) AS d, b FROM bb$d")
+      .mkString("\n  UNION ALL ")
+    s"""$uniSeedCtes,
+       |p0 AS MATERIALIZED (SELECT piece, length(piece) AS pl,
+       |    CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS p FROM v0c, t0),
+       |e0 AS MATERIALIZED (SELECT ww.w, CAST(ii.i - 1 AS BIGINT) AS pos,
+       |    v.pl, v.piece, v.p
+       |  FROM words ww CROSS JOIN range(1, ${UniW + 1}) ii(i)
+       |  JOIN p0 v ON (ii.i - 1) + v.pl <= ww.wl
+       |    AND v.piece = substr(ww.w, CAST(ii.i AS INTEGER), CAST(v.pl AS INTEGER))),
+       |fa0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS a FROM words),
+       |$fwd,
+       |bb0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS b FROM words),
+       |$bwd,
+       |faall AS MATERIALIZED ($faall),
+       |bball AS MATERIALIZED ($bball),
+       |an AS MATERIALIZED (SELECT ww.w, f.a FROM words ww
+       |  JOIN faall f ON f.w = ww.w AND f.pos = ww.wl),
+       |ece AS MATERIALIZED (SELECT e.w, e.piece, ww.cnt,
+       |    CAST(floor((((f.a * e.p) * g.b) / an.a) * 1000000 + 0.5)
+       |      AS BIGINT) AS ecm
+       |  FROM e0 e JOIN words ww ON ww.w = e.w
+       |  JOIN faall f ON f.w = e.w AND f.pos = e.pos
+       |  JOIN bball g ON g.w = e.w AND g.d = ww.wl - e.pos - e.pl
+       |  JOIN an ON an.w = e.w),
+       |ec1 AS MATERIALIZED (SELECT piece,
+       |    CAST(sum(cnt * ecm) AS BIGINT) AS c FROM ece GROUP BY 1),
+       |v1s AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(ec.c, CAST(0 AS BIGINT)) + 1000000 AS c
+       |  FROM v0c v LEFT JOIN ec1 ec ON ec.piece = v.piece
+       |  WHERE length(v.piece) = 1
+       |  UNION ALL
+       |  SELECT v.piece, ec.c FROM v0c v JOIN ec1 ec ON ec.piece = v.piece
+       |  WHERE length(v.piece) > 1 AND ec.c > 0),
+       |nchs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v1s
+       |  WHERE length(piece) = 1),
+       |keeps AS (SELECT piece, c FROM (
+       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rn
+       |    FROM v1s WHERE length(piece) > 1), nchs
+       |  WHERE rn <= $UniV - nchs.n),
+       |kepts AS (SELECT piece, c FROM v1s WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, c FROM keeps),
+       |tfs AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM kepts)""".stripMargin
+  }
+
+  /** Unigram-LM trained with the FULL soft E-step (Kudo's
+    * forward-backward expected counts over ALL segmentations) for one
+    * round, under the complete hash gate: the oracle replays the seed,
+    * the whole per-word lattice (α/β tables, per-edge posteriors on the
+    * micro grid), the cnt-weighted corpus sums, add-one char smoothing
+    * on the micro grid, dead-multi drops, the frequency prune and the
+    * final re-normalized costs. Counts are MICRO expected occurrences
+    * (1e6 = one occurrence — the [[graft.operators.Unigram.trainSoft]]
+    * count space). */
+  private def qT42unigramSoft(s: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.vocabFrame(s, sharedSoftVocab(s, d))
+      .select(col("piece"), col("count").as("ec_micro"), col("cost_micro"))
+      .orderBy("piece")
+  private val oT42 =
+    s"""WITH $unigramSoftCtes
+       |SELECT piece, c AS ec_micro,
+       |  CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+       |    * 1000000 + 0.5) AS BIGINT) AS cost_micro
+       |FROM kepts, tfs ORDER BY piece""".stripMargin
 
   /** TRAINED hashed-feature classifier under the FULL hash gate: 3
     * full-batch logistic-regression steps (micro-integer weights, the
@@ -4591,6 +4721,7 @@ object TextSimQueries {
     "q_x14_weighted_sample" -> qX14weighted _,
     "q_t28_bpe_encode" -> qT28encode _,
     "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
+    "q_t42_unigram_soft" -> qT42unigramSoft _,
     "q_t43_byte_roundtrip" -> qT43byteRoundtrip _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -4691,6 +4822,7 @@ object TextSimQueries {
     "q_x14_weighted_sample" -> oX14,
     "q_t28_bpe_encode" -> oT28,
     "q_t28b_bpe_encode_expr" -> oT28,
+    "q_t42_unigram_soft" -> oT42,
     "q_t43_byte_roundtrip" -> oT43,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

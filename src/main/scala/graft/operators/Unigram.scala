@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * family next to BPE; the trainer here is the standard scalable
   * hard-EM (Viterbi-EM) variant — E-step: segment every distinct word
   * by Viterbi under the current piece costs and count the pieces used;
-  * M-step: re-normalize counts into probabilities. (Kudo's full
-  * algorithm soft-counts over ALL segmentations via forward-backward
-  * and prunes by likelihood loss; hard counts + frequency pruning is
-  * the common deterministic simplification, stated here so the
-  * divergence is explicit.)
+  * M-step: re-normalize counts into probabilities. Kudo's full
+  * algorithm soft-counts over ALL segmentations via forward-backward —
+  * that E-step is available too ([[trainSoft]], the
+  * [[graft.functions.UnigramExpectedCounts]] kernel, oracled q_t42);
+  * the remaining stated divergence from Kudo is the PRUNE (frequency
+  * rank here, likelihood-loss there).
   *
   * Scale contract (the [[Bpe.trainBatched]] discipline): training runs
   * on the WORD HISTOGRAM — one tokenize-and-count pass reduces the
@@ -129,9 +130,13 @@ object Unigram {
       vocab = normalized(next)
       roundHook(r)
     }
-    // frequency prune to vocabSize: the alphabet always survives, multi
-    // pieces rank (count desc, piece asc); costs re-normalize over the
-    // kept set
+    pruneTo(vocab, vocabSize)
+  }
+
+  /** Frequency prune to `vocabSize`: the alphabet always survives,
+    * multi pieces rank (count desc, piece asc in the engines' binary
+    * collation); costs re-normalize over the kept set. */
+  private def pruneTo(vocab: Seq[Piece], vocabSize: Int): Seq[Piece] = {
     val (chars, multis) = vocab.partition(p => pieceLen(p.piece) == 1)
     require(vocabSize > chars.size,
       s"vocabSize $vocabSize must exceed the ${chars.size}-char alphabet")
@@ -140,6 +145,67 @@ object Unigram {
         Ordering.Tuple2(Ordering.Long, utf8Order))
       .take(vocabSize - chars.size)
     normalized((chars ++ keptM).map(p => p.piece -> p.count))
+  }
+
+  /** Train with the FULL soft E-step (Kudo 2018's forward–backward
+    * expected counts over all segmentations —
+    * [[graft.functions.UnigramExpectedCounts]]) instead of [[train]]'s
+    * Viterbi hard counts. Same scale shape: per round ONE aggregate
+    * over the word histogram plus one vocabulary-sized collect; same
+    * seed, same add-one character smoothing, same frequency prune.
+    *
+    * Count space: E-steps emit 1e-6-grid expected counts (per-edge
+    * posteriors gridded BEFORE any cross-word sum — the kernel's
+    * determinism contract), so from round 1 on, `count` is MICRO units
+    * (1e6 = one expected occurrence) and the add-one smoothing adds
+    * 1e6; costs only ever consume count RATIOS, so the scale change is
+    * invisible to them. Edge probabilities are exact rationals c/total
+    * (never exp of a gridded cost — libm exp is not cross-engine
+    * ulp-stable, IEEE division is), which is what lets the q_t42 oracle
+    * replay the whole round bit-for-bit. Long-sum headroom: corpus
+    * expected-count sums carry ~1e6× the word count, so totals stay
+    * exact below ~9e12 corpus words — shard the histogram beyond that.
+    *
+    * On a corpus whose words admit ONE segmentation each, soft == hard
+    * exactly (all posterior mass on the Viterbi path, spec-pinned);
+    * they diverge where segmentations compete (the designed ambiguous
+    * fixture). */
+  def trainSoft(df: DataFrame, textCol: String, vocabSize: Int,
+                maxPieceLen: Int = 4, emRounds: Int = 1,
+                minSeedCount: Long = 2L,
+                roundHook: Int => Unit = _ => ()): Seq[Piece] = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive: $maxPieceLen")
+    require(emRounds >= 1, s"emRounds must be positive: $emRounds")
+    val hist = Bpe.wordHistogram(df, textCol).localCheckpoint()
+    val seed = seedCounts(hist, maxPieceLen)
+      .where(length(col("piece")) === 1 || col("c") >= minSeedCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    require(seed.nonEmpty, "unigram training needs a non-empty corpus")
+    var vocab = normalized(seed)
+    for (r <- 1 to emRounds) {
+      // E-step: expected counts over ALL segmentations, edge posteriors
+      // pre-gridded so the corpus-wide sum is exact integer arithmetic
+      val total = vocab.map(_.count).sum
+      val probs = vocab
+        .map(p => p.piece -> p.count.toDouble / total.toDouble).toMap
+      val eCounts = hist.select(col("cnt"),
+          explode(graft.functions.UnigramExpectedCounts(col("w"), probs,
+            maxPieceLen)).as("e"))
+        .select(col("e.piece").as("piece"),
+          (col("cnt") * col("e.ec_micro")).as("c"))
+        .groupBy("piece").agg(sum(col("c")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M-step: add-one char smoothing on the micro grid; dead multis drop
+      val next = vocab.flatMap { p =>
+        if (pieceLen(p.piece) == 1)
+          Some(p.piece -> (eCounts.getOrElse(p.piece, 0L) + 1000000L))
+        else eCounts.get(p.piece).filter(_ > 0).map(p.piece -> _)
+      }
+      vocab = normalized(next)
+      roundHook(r)
+    }
+    pruneTo(vocab, vocabSize)
   }
 
   /** Viterbi-segment a (normalized single-word) column with a trained

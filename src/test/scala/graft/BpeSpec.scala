@@ -334,6 +334,65 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(Unigram.load(spark, dir) == v, "save/load must round-trip")
   }
 
+  test("Unigram.trainSoft: hand-worked forward-backward posteriors on " +
+    "the ambiguous aa corpus — soft keeps the competing piece hard-EM " +
+    "kills; soft == hard where words have one segmentation") {
+    import graft.operators.Unigram
+    // "aa" x3: seed a=6, aa=3 (total 9) -> p(a)=2/3, p(aa)=1/3.
+    // Lattice of "aa": segs [a,a] (P=4/9) vs [aa] (P=1/3); alpha_end=7/9.
+    // Edge posteriors: each a edge 4/7 -> micro 571429 (floor(.571428..e6
+    // + .5)); aa edge 3/7 -> 428571. Per word a: 1142858, aa: 428571;
+    // x cnt 3 -> a: 3428574, aa: 1285713; char smoothing +1e6.
+    val amb = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val soft = Unigram.trainSoft(amb, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 2L)
+    val softM = soft.map(p => p.piece -> p.count).toMap
+    assert(softM == Map("a" -> 4428574L, "aa" -> 1285713L), s"$soft")
+    // hard-EM: Viterbi cost(a,a) = 2*(-ln 2/3) < -ln(1/3) -> all mass on
+    // [a,a], piece aa dies in the M-step
+    val hard = Unigram.train(amb, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 2L)
+    assert(hard.map(_.piece) == Seq("a"),
+      s"hard-EM must kill the unused piece: $hard")
+    // unambiguous corpus (char-only vocab -> exactly one segmentation
+    // per word): soft == hard piece-for-piece and cost-for-cost; soft
+    // counts are the hard counts on the micro grid
+    val un = Seq((1L, "ab ba ab")).toDF("doc_id", "text")
+    val sU = Unigram.trainSoft(un, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 2, minSeedCount = 99L)
+    val hU = Unigram.train(un, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 2, minSeedCount = 99L)
+    assert(sU.map(p => (p.piece, p.costMicro)) ==
+      hU.map(p => (p.piece, p.costMicro)), s"soft=$sU hard=$hU")
+    assert(sU.map(_.count) == hU.map(_.count * 1000000L),
+      "single-segmentation posteriors are exactly 1 on the micro grid")
+  }
+
+  test("UnigramExpectedCounts: lattice coverage sums to the word length " +
+    "on the micro grid (up to per-edge rounding); forward-mass " +
+    "underflow fails loudly") {
+    import graft.functions.UnigramExpectedCounts
+    val probs = Map("a" -> 0.3, "b" -> 0.2, "ab" -> 0.25, "ba" -> 0.25)
+    val rows = Seq("abab", "aabb", "abba").toDF("w")
+      .select(col("w"), explode(UnigramExpectedCounts(col("w"), probs, 2))
+        .as("e"))
+      .select(col("w"), col("e.piece").as("p"), col("e.ec_micro").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (w, es) =>
+      val cover = es.map(e => e._3 * e._2.length).sum
+      assert(math.abs(cover - w.length * 1000000L) <= es.length,
+        s"$w: lattice coverage $cover must equal ${w.length}e6 " +
+          "up to one grid step per edge")
+    }
+    val boom = intercept[Exception](
+      Seq("a" * 4000).toDF("w")
+        .select(UnigramExpectedCounts(col("w"), Map("a" -> 1e-200), 1))
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(boom).exists(_.contains("underflow")), s"${msgs(boom)}")
+  }
+
   test("Unigram.utf8Order matches the engines' binary collation on " +
     "supplementary-plane pieces where JVM compareTo diverges") {
     import graft.operators.Unigram
