@@ -103,21 +103,39 @@ object TextStats {
     * never sorted, never shuffled beyond the histogram aggregate. */
   def percentileGate(df: DataFrame, groupCol: String, scoreCol: Column,
                      keepFraction: Double): DataFrame = {
-    require(keepFraction > 0 && keepFraction <= 1,
-      s"keepFraction must be in (0, 1]: $keepFraction")
     val scored = df.withColumn("score", scoreCol)
     val hist = scored.groupBy(col(groupCol), col("score"))
       .agg(count(lit(1)).as("_c"))
+    applyGate(scored, groupCol,
+      gateThresholdsFromHistogram(hist, groupCol, keepFraction))
+  }
+
+  /** [[percentileGate]]'s rank-defined cut computed from a compressed
+    * (group, score, count) HISTOGRAM — factored out so the SAME fold
+    * (histogram counts are mergeable, so thresholds from an accumulated
+    * store equal thresholds over the accumulated corpus — the
+    * [[graft.streaming.StreamGate]] contract) runs over a persisted
+    * epoch store. `hist` columns: `groupCol`, `score`, `_c`. One row
+    * per group: (groupCol, threshold). */
+  private[graft] def gateThresholdsFromHistogram(hist: DataFrame,
+      groupCol: String, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1]: $keepFraction")
     val n = hist.groupBy(groupCol).agg(sum(col("_c")).as("_n"))
     val cum = hist.withColumn("_cum",
       sum(col("_c")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy(col("score").desc)))
-    val thr = cum.join(n, Seq(groupCol))
+    cum.join(n, Seq(groupCol))
       .where(col("_cum") >= ceil(lit(keepFraction) * col("_n")))
       .groupBy(groupCol).agg(max(col("score")).as("threshold"))
+  }
+
+  /** Map-side gate application: broadcast the per-group thresholds and
+    * append `threshold` + `kept`. `scored` must already carry `score`. */
+  private[graft] def applyGate(scored: DataFrame, groupCol: String,
+                               thr: DataFrame): DataFrame =
     scored.join(broadcast(thr), Seq(groupCol), "left")
       .withColumn("kept", col("score") >= col("threshold"))
-  }
 
   /** Per-group KL divergence KL(P_g ‖ P_corpus) over the word unigram
     * distribution — the domain-distinctiveness diagnostic behind
@@ -236,25 +254,44 @@ object TextStats {
   def rankBuckets(df: DataFrame, groupCol: String, scoreCol: Column,
                   fractions: Seq[Double],
                   ascending: Boolean = false): DataFrame = {
+    val scored = df.withColumn("score", scoreCol)
+    val hist = scored.where(col("score").isNotNull)
+      .groupBy(col(groupCol), col("score")).agg(count(lit(1)).as("_c"))
+    assignBuckets(scored, groupCol,
+      bucketThresholdsFromHistogram(hist, groupCol, fractions, ascending),
+      fractions, ascending)
+  }
+
+  /** [[rankBuckets]]' per-fraction cuts from a compressed (group,
+    * score, count) histogram — the streaming-store fold (see
+    * [[gateThresholdsFromHistogram]]). One row per group:
+    * (groupCol, _thr0.._thrN). */
+  private[graft] def bucketThresholdsFromHistogram(hist: DataFrame,
+      groupCol: String, fractions: Seq[Double],
+      ascending: Boolean): DataFrame = {
     require(fractions.nonEmpty, "fractions must be non-empty")
     require(fractions.forall(f => f > 0 && f < 1),
       s"fractions must be in (0, 1): $fractions")
     require(fractions == fractions.sorted && fractions.distinct == fractions,
       s"fractions must be strictly increasing: $fractions")
-    val scored = df.withColumn("score", scoreCol)
-    val hist = scored.where(col("score").isNotNull)
-      .groupBy(col(groupCol), col("score")).agg(count(lit(1)).as("_c"))
     val n = hist.groupBy(groupCol).agg(sum(col("_c")).as("_n"))
     val ord = if (ascending) col("score").asc else col("score").desc
     val cum = hist.withColumn("_cum",
       sum(col("_c")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy(ord)))
-    val thrs = fractions.zipWithIndex.map { case (f, j) =>
+    fractions.zipWithIndex.map { case (f, j) =>
       val atCut = cum.join(n, Seq(groupCol))
         .where(col("_cum") >= ceil(lit(f) * col("_n")))
       val agg = if (ascending) min(col("score")) else max(col("score"))
       atCut.groupBy(groupCol).agg(agg.as(s"_thr$j"))
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
+  }
+
+  /** Map-side bucket assignment against broadcast [[
+    * bucketThresholdsFromHistogram]] cuts. `scored` must carry `score`. */
+  private[graft] def assignBuckets(scored: DataFrame, groupCol: String,
+      thrs: DataFrame, fractions: Seq[Double],
+      ascending: Boolean): DataFrame = {
     val pastCut = fractions.indices.map { j =>
       val past = if (ascending) col("score") > col(s"_thr$j")
                  else col("score") < col(s"_thr$j")
