@@ -252,6 +252,189 @@ object ScaleSmoke {
         s1.unpersist(); s100.unpersist()
         n100
       }
+      // ---- round 14: the round-13 newcomers graduate to 100× ----------
+      // q_s22 semantic decontamination with LSH pre-prune at 100×:
+      // 200 k corpus vectors vs a 50-vector eval set. Signatures are a
+      // pure function of the vector, so a copy collides exactly when its
+      // base collides — with the bucket guard DISABLED on both runs (so
+      // 100× bucket inflation cannot change the prune), the survivor set
+      // is copy-invariant: count == 100 × the 1× count and the surviving
+      // BASE id set is identical. Then the guard A/B on a PLANTED hot
+      // bucket: 20 k verbatim copies of one vector that also sits in the
+      // eval set — guard off drops all of them (verbatim contamination);
+      // guard at 10 k prunes the bucket in every band, so all 20 k
+      // survive (recall traded, loudly, exactly as documented).
+      timed100("q_s22 decontamLsh 100x") {
+        import graft.operators.Similarity
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val emb100 = timesN(emb, "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val eval = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + lit(900000000000L)).as("vec_id"),
+            col("embedding"))
+        def lsh(corpus: DataFrame, ev: DataFrame, cap: Int) =
+          Similarity.semanticDecontaminateLsh(corpus, ev, "vec_id",
+            "embedding", minCosine = 0.99, maxBucketSize = cap)
+        val surv1 = lsh(emb, eval, Int.MaxValue)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val out100 = lsh(emb100, eval, Int.MaxValue)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n100 = out100.count()
+        require(n100 == 100L * surv1.size,
+          s"survivors must be copy-invariant: $n100 != 100 * ${surv1.size}")
+        val bases = out100.select((col("vec_id") % 1000000000L).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        require(bases == surv1,
+          s"surviving base set must match 1x (drift: " +
+            s"${(bases diff surv1).take(3)} / ${(surv1 diff bases).take(3)})")
+        out100.unpersist()
+        // planted hot bucket
+        val hot = emb.where(col("vec_id") === 100)
+        val planted = spark.range(20000).crossJoin(hot.drop("vec_id"))
+          .select((col("id") + lit(800000000000L)).as("vec_id"),
+            col("embedding"))
+        val corpus2 = emb100.unionByName(planted)
+        val eval2 = eval.unionByName(
+          hot.select((col("vec_id") + lit(910000000000L)).as("vec_id"),
+            col("embedding")))
+        val isPlanted = col("vec_id") >= 800000000000L &&
+          col("vec_id") < 900000000000L
+        val offDrop = lsh(corpus2, eval2, Int.MaxValue)
+          .where(isPlanted).count()
+        require(offDrop == 0L,
+          s"guard off: every planted verbatim copy must drop: $offDrop")
+        val onKeep = lsh(corpus2, eval2, 10000).where(isPlanted).count()
+        require(onKeep == 20000L,
+          s"guard at 10k must prune the hot bucket in every band and " +
+            s"keep all planted rows: $onKeep")
+        emb100.unpersist()
+        n100
+      }
+      // best-fit packing at 10 M docs: the manifest (driver state) is
+      // bounded by bins × length classes — never doc count — while the
+      // engine-side rank windows stay per-(group, length)-class. Known
+      // answers: every doc lands in exactly one bin, no bin exceeds
+      // maxLen, the per-group manifest honors its documented bound, and
+      // the assignment is a pure function of the data (checksum equal
+      // under repartition+reversal).
+      timed100("packBestFit 10M") {
+        import graft.operators.Sampling
+        val ten = spark.range(10000000L).select(col("id"),
+          concat(lit("g"), (col("id") % 16)).as("grp"),
+          (pmod(col("id") * lit(2654435761L), lit(2000)) + 1).as("cost"))
+        val out = Sampling.packBestFit(ten, "grp", "id", col("cost"), 2048L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = out.count()
+        require(n == 10000000L, s"every doc must land in one bin: $n")
+        val worst = out.groupBy("grp", "bin").agg(sum("len").as("f"))
+          .agg(max("f")).head().getLong(0)
+        require(worst <= 2048L, s"bin overflow: $worst")
+        val binsPerGroup = out.select("grp", "bin").distinct()
+          .groupBy("grp").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val hist = ten.groupBy("grp", "cost").count().collect()
+          .groupBy(_.getString(0))
+        var manifestRows = 0L
+        hist.foreach { case (g, rows) =>
+          val m = Sampling.bestFitManifest(g,
+            rows.map(r => (r.getLong(1), r.getLong(2))).toSeq, 2048L)
+          manifestRows += m.size
+          require(m.size <= binsPerGroup(g) * rows.length,
+            s"$g: manifest ${m.size} past bins×classes bound " +
+              s"${binsPerGroup(g)} × ${rows.length}")
+        }
+        println(s"  manifest rows=$manifestRows (bins=" +
+          s"${binsPerGroup.values.sum}, classes=${16 * 2000}) for 10M docs")
+        val sum1 = out.agg(sum(col("id") * 31 + col("bin")))
+          .head().getLong(0)
+        val out2 = Sampling.packBestFit(
+          ten.orderBy(col("id").desc).repartition(48), "grp", "id",
+          col("cost"), 2048L)
+        val sum2 = out2.agg(sum(col("id") * 31 + col("bin")))
+          .head().getLong(0)
+        require(sum1 == sum2,
+          s"assignment must be layout-invariant: $sum1 != $sum2")
+        out.unpersist()
+        n
+      }
+      // DoReMi at 100×: with sampleFrac = 1.0 the per-round λ is the
+      // EXACT per-domain mean of the gridded excess, and a mean is
+      // invariant under verbatim duplication (100·Σ / 100·n; IEEE
+      // division of the scaled longs rounds to the same double) — so
+      // the whole weight trajectory is identical to 1× BY CONSTRUCTION,
+      // row for row, while the per-round aggregate chews 500 k docs.
+      timed100("doremiWeights 100x") {
+        import graft.operators.{Sampling, TextStats}
+        val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            (lit(1.0) - TextStats.qualityScore(col("text"))).as("_x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val d100 = timesN(d1, "doc_id")
+        def traj(df: DataFrame) = Sampling.doremiWeights(df, "lang",
+            "doc_id", col("_x"), rounds = 5, sampleFrac = 1.0)
+          .orderBy("round", "domain").collect().map(_.toSeq).toSeq
+        val t1 = traj(d1)
+        val t100 = traj(d100)
+        require(t1 == t100,
+          s"full-sample trajectory must be duplication-invariant: " +
+            s"${t1.take(2)} vs ${t100.take(2)}")
+        d1.unpersist()
+        t100.size.toLong
+      }
+      // perceptual image dedup at 100×: 500 base images whose aHash is
+      // constructed EXACTLY (8×8 uniform blocks from seeded 64-bit
+      // patterns → aHash == pattern), pairwise Hamming > 3 verified
+      // driver-side, copied 100× as verbatim PNG bytes. Known answer by
+      // construction: every within-base pair is a Hamming-0 dup and no
+      // cross-base pair is within budget — exactly 500 · C(100,2)
+      // = 2 475 000 pairs, all at hamming 0, through the real decode +
+      // banded join.
+      timed100("imageNearDups 100x") {
+        import graft.operators.Multimodal
+        val rnd = new scala.util.Random(14)
+        val patterns = Iterator.continually(rnd.nextLong())
+          .filter(p => java.lang.Long.bitCount(p) > 4 &&
+            java.lang.Long.bitCount(p) < 60)
+          .distinct.take(500).toSeq
+        for (i <- patterns.indices; j <- 0 until i) {
+          require(java.lang.Long.bitCount(patterns(i) ^ patterns(j)) > 6,
+            s"fixture patterns too close: $i $j")
+        }
+        def png(pattern: Long): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(64, 64,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 64; x <- 0 until 64) {
+            val cell = (y / 8) * 8 + (x / 8)
+            val v = if ((pattern & (1L << cell)) != 0L) 255 else 0
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val base = patterns.zipWithIndex.map { case (p, i) =>
+          (i.toLong, png(p))
+        }
+        import spark.implicits._
+        val media = spark.createDataset(base).toDF("base_id", "media")
+          .crossJoin(spark.range(c100).select(col("id").as("copy")))
+          .select((col("base_id") + col("copy") * lit(1000000000L))
+            .as("media_id"), col("media"))
+        val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = pairs.count()
+        require(n == 500L * (100L * 99L / 2L),
+          s"exactly the within-base copy pairs: $n != ${500L * 4950L}")
+        val maxHam = pairs.agg(max("hamming")).head().getLong(0)
+        val crossBase = pairs
+          .where(col("id_a") % 1000000000L =!= col("id_b") % 1000000000L)
+          .count()
+        require(maxHam == 0L && crossBase == 0L,
+          s"verbatim copies only: maxHamming=$maxHam cross=$crossBase")
+        pairs.unpersist()
+        n
+      }
       spark.stop()
       return
     }
