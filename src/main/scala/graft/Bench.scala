@@ -130,13 +130,20 @@ object Bench {
       s""""sf":"$sfDir","unstable":$unstable,"queries":$qs}"""
   }
 
-  /** The slim summary that is the LAST stdout line: scalars only, ~110
+  /** The slim summary that is the LAST stdout line: scalars only, ~140
     * bytes — guaranteed to fit the record-keeper's 2,000-byte tail window
-    * whole (see the object scaladoc). */
+    * whole (see the object scaladoc). Carries BOTH headline statistics:
+    * "value" (per-query min across forks — the code-speed noise floor)
+    * and "value_median" (per-query trimmed medians summed — the
+    * expected-run statistic), so a reader of the round record can see
+    * the fork variance without digging out the committed artifact. */
   private def summaryLine(queries: Seq[(String, Double)], runs: Int,
-                          sfDir: String): String = {
+                          sfDir: String,
+                          medians: Map[String, Double]): String = {
     val total = queries.map(_._2).sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,""" +
+    val medTotal = queries.map { case (k, _) => medians(k) }.sum
+    s"""{"metric":"total","value":${num(total)},""" +
+      s""""value_median":${num(medTotal)},"unit":"sec","runs":$runs,""" +
       s""""n":${queries.size},"sf":"$sfDir"}"""
   }
 
@@ -266,7 +273,7 @@ $ms
       // (last occurrence wins downstream; the duplicate survives one copy
       // being clipped by interleaved logging)
       println(jsonLine(mins, bySample, n, sfDir))
-      val slim = summaryLine(mins, n, sfDir)
+      val slim = summaryLine(mins, n, sfDir, meds)
       println(slim)
       println(slim)
     }
