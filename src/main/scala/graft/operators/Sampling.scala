@@ -413,19 +413,36 @@ object Sampling {
     val domains = base.select("_dom").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
     require(domains.nonEmpty, "doremiWeights needs a non-empty corpus")
+    val stats: Map[(Int, String), (Long, Long)] = (1 to rounds).flatMap { t =>
+      base
+        .where(hash24(col("_id"), s"$salt$t") < thresh)
+        .groupBy("_dom")
+        .agg(sum(col("_em")).as("_sm"), count(lit(1)).as("_n"))
+        .collect()
+        .map(r => (t, r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    doremiFromStats(spark, domains, stats, rounds, eta, smoothing)
+  }
+
+  /** The driver-side DoReMi trajectory replayed from per-(round, domain)
+    * sampled-excess statistics (sum of gridded excess, sample count) —
+    * factored out of [[doremiWeights]] so the SAME exponentiated-gradient
+    * chain runs from a streaming store's accumulated stats
+    * ([[graft.streaming.StreamMixture]]): the per-round λ is a pure
+    * function of (sm, n), and integer (sm, n) sums are mergeable across
+    * epochs, so an accumulated store replays the exact batch trajectory
+    * over everything seen so far. */
+  private[graft] def doremiFromStats(spark: org.apache.spark.sql.SparkSession,
+      domains: Seq[String], stats: Map[(Int, String), (Long, Long)],
+      rounds: Int, eta: Double, smoothing: Double): DataFrame = {
+    require(domains.nonEmpty, "doremiFromStats needs at least one domain")
     val k = domains.size
     var wm: Map[String, Long] =
       domains.map(_ -> math.floor(1e6 / k + 0.5).toLong).toMap
     val traj = Seq.newBuilder[(Long, String, Long, Long)]
     for (t <- 1 to rounds) {
-      val agg = base
-        .where(hash24(col("_id"), s"$salt$t") < thresh)
-        .groupBy("_dom")
-        .agg(sum(col("_em")).as("_sm"), count(lit(1)).as("_n"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
       val lm: Map[String, Long] = domains.map { d =>
-        d -> (agg.get(d) match {
+        d -> (stats.get((t, d)) match {
           case Some((sm, n)) if n > 0 =>
             math.floor(sm.toDouble / n.toDouble + 0.5).toLong
           case _ => 0L
