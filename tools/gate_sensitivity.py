@@ -117,5 +117,31 @@ with open(d / "oracle_sql.json", "w") as f:
 check(run_gate(d) == "0/1 queries match",
       "stripped-CAST (decimal-vs-int64) type drift NOT caught")
 
+# mutant 6 (round 14): the PageRank early-exit round count off by one —
+# the engine stops at a checkEvery-block boundary and the oracle
+# recomputes the same schedule; a schedule drift (engine exits where the
+# oracle says it should not, or vice versa) shows up as exactly this.
+R_TARGET = "q_d16_pagerank"
+d = clone("rounds", R_TARGET)
+pq = next((d / R_TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE r AS SELECT * FROM '{pq}'")
+con.execute("UPDATE r SET rounds = rounds + 1")
+con.execute(f"COPY r TO '{pq}' (FORMAT PARQUET)")
+check(run_gate(d) == "0/1 queries match",
+      "early-exit round-count drift NOT caught")
+
+# mutant 7 (round 14): one soft-EM expected count off by one MICRO — any
+# forward-backward drift (summation order, a libm sneaking in, per-edge
+# grid moved after the sum) lands in the last micro digit first.
+S_TARGET = "q_t42_unigram_soft"
+d = clone("softmicro", S_TARGET)
+pq = next((d / S_TARGET).glob("*.parquet"))
+con.execute(f"CREATE OR REPLACE TABLE s AS SELECT * FROM '{pq}'")
+con.execute("UPDATE s SET ec_micro = ec_micro + 1 WHERE piece = "
+            "(SELECT min(piece) FROM s)")
+con.execute(f"COPY s TO '{pq}' (FORMAT PARQUET)")
+check(run_gate(d) == "0/1 queries match",
+      "one-micro soft-EM expected-count drift NOT caught")
+
 print("gate sensitivity: pristine passes; value/row/schema/signed-zero/"
-      "type-drift mutants all caught (5/5)")
+      "type-drift/rounds/soft-micro mutants all caught (7/7)")
