@@ -1525,6 +1525,123 @@ object TextSimQueries {
        |tfs AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM kepts)""".stripMargin
   }
 
+  /** The likelihood-loss PRUNE lattices on top of [[unigramSoftCtes]] —
+    * the q_t44 replay of [[graft.functions.UnigramPruneLoss]]: under
+    * the post-soft-round vocabulary v1s, a plain forward pass (ka
+    * tables) gives each word's ln α, and a REMOVAL forward pass keyed
+    * (word, removed-piece) — one lattice per distinct multi piece in
+    * the word, edges with that piece excluded — gives ln α^{−x}; the
+    * loss grids to micro-nats per (word, piece) before the cnt-weighted
+    * exact corpus sum, and the prune ranks multis (loss desc, piece). */
+  private def unigramKudoCtes: String = {
+    val fwd = (1 to UniW).map { pos =>
+      val ls = 1 to math.min(UniP, pos)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN (SELECT e.w, f.a * e.p AS v FROM e1 e
+           |    JOIN ka${pos - l} f ON f.w = e.w
+           |    WHERE e.pos = ${pos - l} AND e.pl = $l) t$l ON t$l.w = ww.w""".stripMargin
+      }.mkString("\n")
+      val chain = ls.foldLeft("CAST(0.0 AS DOUBLE)")((acc, l) =>
+        s"($acc + coalesce(t$l.v, 0.0))")
+      s"""ka$pos AS MATERIALIZED (SELECT ww.w, $chain AS a
+         |  FROM words ww
+         |$joins
+         |  WHERE ww.wl >= $pos)""".stripMargin
+    }.mkString(",\n")
+    val rfwd = (1 to UniW).map { pos =>
+      val ls = 1 to math.min(UniP, pos)
+      val joins = ls.map { l =>
+        s"""  LEFT JOIN (SELECT f.w, f.rm, f.a * e.p AS v FROM e1 e
+           |    JOIN ra${pos - l} f ON f.w = e.w AND e.piece <> f.rm
+           |    WHERE e.pos = ${pos - l} AND e.pl = $l) t$l
+           |    ON t$l.w = r.w AND t$l.rm = r.rm""".stripMargin
+      }.mkString("\n")
+      val chain = ls.foldLeft("CAST(0.0 AS DOUBLE)")((acc, l) =>
+        s"($acc + coalesce(t$l.v, 0.0))")
+      s"""ra$pos AS MATERIALIZED (SELECT r.w, r.rm, $chain AS a
+         |  FROM rmu r JOIN words ww ON ww.w = r.w
+         |$joins
+         |  WHERE ww.wl >= $pos)""".stripMargin
+    }.mkString(",\n")
+    val kall = (0 to UniW)
+      .map(p => s"SELECT w, CAST($p AS BIGINT) AS pos, a FROM ka$p")
+      .mkString("\n  UNION ALL ")
+    val rall = (0 to UniW)
+      .map(p => s"SELECT w, rm, CAST($p AS BIGINT) AS pos, a FROM ra$p")
+      .mkString("\n  UNION ALL ")
+    s"""$unigramSoftCtes,
+       |t1a AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM v1s),
+       |p1 AS MATERIALIZED (SELECT piece, length(piece) AS pl,
+       |    CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS p FROM v1s, t1a),
+       |e1 AS MATERIALIZED (SELECT ww.w, CAST(ii.i - 1 AS BIGINT) AS pos,
+       |    v.pl, v.piece, v.p
+       |  FROM words ww CROSS JOIN range(1, ${UniW + 1}) ii(i)
+       |  JOIN p1 v ON (ii.i - 1) + v.pl <= ww.wl
+       |    AND v.piece = substr(ww.w, CAST(ii.i AS INTEGER), CAST(v.pl AS INTEGER))),
+       |ka0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS a FROM words),
+       |$fwd,
+       |rmu AS MATERIALIZED (SELECT DISTINCT w, piece AS rm FROM e1
+       |  WHERE pl > 1),
+       |ra0 AS MATERIALIZED (SELECT w, rm, CAST(1.0 AS DOUBLE) AS a FROM rmu),
+       |$rfwd,
+       |kall AS MATERIALIZED ($kall),
+       |rall AS MATERIALIZED ($rall),
+       |kan AS MATERIALIZED (SELECT ww.w, f.a FROM words ww
+       |  JOIN kall f ON f.w = ww.w AND f.pos = ww.wl),
+       |ranx AS MATERIALIZED (SELECT r.w, r.rm, f.a FROM rmu r
+       |  JOIN words ww ON ww.w = r.w
+       |  JOIN rall f ON f.w = r.w AND f.rm = r.rm AND f.pos = ww.wl),
+       |lossw AS MATERIALIZED (SELECT x.w, x.rm AS piece,
+       |    CAST(floor((ln(kan.a) - ln(x.a)) * 1000000 + 0.5) AS BIGINT)
+       |      AS lm
+       |  FROM ranx x JOIN kan ON kan.w = x.w),
+       |lossc AS MATERIALIZED (SELECT piece,
+       |    CAST(sum(ww.cnt * lm) AS BIGINT) AS ls
+       |  FROM lossw JOIN words ww ON ww.w = lossw.w GROUP BY 1),
+       |nchk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v1s
+       |  WHERE length(piece) = 1),
+       |keepk AS (SELECT v.piece, v.c FROM (
+       |    SELECT v1s.piece, v1s.c,
+       |      row_number() OVER (ORDER BY coalesce(lossc.ls, 0) DESC,
+       |        v1s.piece) AS rn
+       |    FROM v1s LEFT JOIN lossc ON lossc.piece = v1s.piece
+       |    WHERE length(v1s.piece) > 1) v, nchk
+       |  WHERE v.rn <= $UniV - nchk.n),
+       |keptk AS (SELECT piece, c FROM v1s WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, c FROM keepk),
+       |tfk AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM keptk)""".stripMargin
+  }
+
+  /** Kudo's FULL published algorithm under the complete hash gate: the
+    * soft-EM round of q_t42 followed by the LIKELIHOOD-LOSS prune — the
+    * oracle replays, on top of the soft round, a plain forward pass and
+    * one removal-forward lattice per (word, distinct multi piece), the
+    * micro-gridded per-word losses, the exact corpus loss sums, the
+    * (loss desc, piece) prune rank and the re-normalized final costs. */
+  private def qT44unigramKudo(s: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.vocabFrame(s,
+        sharedKudoVocab(s, d))
+      .select(col("piece"), col("count").as("ec_micro"), col("cost_micro"))
+      .orderBy("piece")
+  private val kudoCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[graft.operators.Unigram.Piece]]
+  private def sharedKudoVocab(s: SparkSession,
+      d: String): Seq[graft.operators.Unigram.Piece] = {
+    kudoCache.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) kudoCache.remove(k)
+    }
+    kudoCache.getOrElseUpdate((s, d),
+      graft.operators.Unigram.trainKudo(docs(s, d), "text",
+        vocabSize = UniV, maxPieceLen = UniP, emRounds = 1,
+        minSeedCount = UniSeed))
+  }
+  private val oT44 =
+    s"""WITH $unigramKudoCtes
+       |SELECT piece, c AS ec_micro,
+       |  CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+       |    * 1000000 + 0.5) AS BIGINT) AS cost_micro
+       |FROM keptk, tfk ORDER BY piece""".stripMargin
+
   /** Unigram-LM trained with the FULL soft E-step (Kudo's
     * forward-backward expected counts over ALL segmentations) for one
     * round, under the complete hash gate: the oracle replays the seed,
@@ -4722,6 +4839,7 @@ object TextSimQueries {
     "q_t28_bpe_encode" -> qT28encode _,
     "q_t28b_bpe_encode_expr" -> qT28bEncodeExpr _,
     "q_t42_unigram_soft" -> qT42unigramSoft _,
+    "q_t44_unigram_kudo" -> qT44unigramKudo _,
     "q_t43_byte_roundtrip" -> qT43byteRoundtrip _,
     "q_s1_cosine_topk" -> qS1topk _,
     "q_s17_hard_negatives" -> qS17hardNeg _,
@@ -4823,6 +4941,7 @@ object TextSimQueries {
     "q_t28_bpe_encode" -> oT28,
     "q_t28b_bpe_encode_expr" -> oT28,
     "q_t42_unigram_soft" -> oT42,
+    "q_t44_unigram_kudo" -> oT44,
     "q_t43_byte_roundtrip" -> oT43,
     "q_s1_cosine_topk" -> oS1,
     "q_s17_hard_negatives" -> oS17,

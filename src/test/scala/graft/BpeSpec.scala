@@ -393,6 +393,39 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(msgs(boom).exists(_.contains("underflow")), s"${msgs(boom)}")
   }
 
+  test("Unigram.trainKudo: likelihood-loss prune keeps the irreplaceable " +
+    "rare piece the frequency prune drops; agrees with frequency rank " +
+    "where usage tracks likelihood") {
+    import graft.operators.Unigram
+    // designed divergence — the two ranks measure different things:
+    // expected count is n·posterior (linear), loss is −n·ln(1−posterior)
+    // (divergent as posterior→1). 'ab' has posterior ~0.6 in 10 words →
+    // count ~6.2e6 micro, loss ~10·ln(2.6) ≈ 9.6 nats; 'xy' has
+    // posterior ~1 in ONE word (x/y exist nowhere else, so the fallback
+    // path costs two rare chars) → count ~1e6 micro (6× SMALLER) but
+    // loss ln(~8e4) ≈ 11.3 nats (LARGER). The 80k-word filler 'c' sets
+    // the total that makes ln(T) beat 10·ln(2.6)
+    val df = Seq((1L, ("c " * 80000) + ("ab " * 10) + ("a " * 700) +
+      ("b " * 700) + "xy")).toDF("doc_id", "text")
+    val freq = Unigram.trainSoft(df, "text", vocabSize = 6,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 1L)
+    val kudo = Unigram.trainKudo(df, "text", vocabSize = 6,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 1L)
+    // alphabet {a,b,c,x,y} + ONE multi slot
+    assert(freq.map(_.piece).filter(_.length > 1) == Seq("ab"),
+      s"frequency prune keeps the frequent piece: $freq")
+    assert(kudo.map(_.piece).filter(_.length > 1) == Seq("xy"),
+      s"likelihood prune keeps the irreplaceable piece: $kudo")
+    // where usage tracks likelihood (one multi, no competition) the two
+    // prunes agree exactly — same pieces, same counts, same costs
+    val plain = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val f2 = Unigram.trainSoft(plain, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 1L)
+    val k2 = Unigram.trainKudo(plain, "text", vocabSize = 3,
+      maxPieceLen = 2, emRounds = 1, minSeedCount = 1L)
+    assert(f2 == k2, s"$f2 vs $k2")
+  }
+
   test("Unigram.utf8Order matches the engines' binary collation on " +
     "supplementary-plane pieces where JVM compareTo diverges") {
     import graft.operators.Unigram
