@@ -317,4 +317,47 @@ class PlansSpec extends AnyFunSuite with SparkSpec {
       s"Opq.rotate must stay map-side:\n$phys")
     assert(rot.count() > 0)
   }
+
+  test("round-14 additions: gate application is a broadcast join over the " +
+    "corpus (never a shuffle of it); the soft-EM/prune E-steps are one " +
+    "hash aggregate with no window, join, or cartesian") {
+    import graft.operators.{TextStats, Unigram}
+    val d = Tables.documents(spark, sf)
+    // percentileGate's corpus-facing tail: the thresholds frame (one row
+    // per group) must ride a BroadcastExchange; the corpus side must not
+    // be shuffled for the gate itself (its only exchanges feed the
+    // compressed histogram aggregate, not the gated output rows)
+    val gated = TextStats.percentileGate(d, "lang",
+      round(col("n_chars").cast("double"), 6), 0.5)
+    val phys = gated.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"),
+      s"thresholds must broadcast back:\n$phys")
+    assert(!phys.contains("SortMergeJoin"),
+      s"the gate join must never sort-merge the corpus:\n$phys")
+    // the soft E-step aggregate: explode + hash aggregate, nothing else —
+    // no window, no join, no cartesian anywhere in the plan
+    val vocab = Seq("a" -> 0.5, "b" -> 0.5).toMap
+    val estep = graft.operators.Bpe.wordHistogram(d, "text")
+      .select(col("cnt"),
+        explode(graft.functions.UnigramExpectedCounts(col("w"), vocab, 4))
+          .as("e"))
+      .groupBy("e.piece").agg(sum(col("cnt") * col("e.ec_micro")).as("c"))
+    val ep = estep.queryExecution.executedPlan.toString
+    assert(!ep.contains("Window") && !ep.contains("Join") &&
+      !ep.contains("Cartesian"),
+      s"the E-step must be a pure explode+aggregate:\n$ep")
+    assert(ep.contains("HashAggregate"), s"map-side combinable:\n$ep")
+    // and the prune-loss aggregate has the identical shape
+    val lstep = graft.operators.Bpe.wordHistogram(d, "text")
+      .select(col("cnt"),
+        explode(graft.functions.UnigramPruneLoss(col("w"), vocab, 4))
+          .as("e"))
+      .groupBy("e.piece").agg(sum(col("cnt") * col("e.loss_micro")).as("c"))
+    val lp = lstep.queryExecution.executedPlan.toString
+    assert(!lp.contains("Window") && !lp.contains("Join") &&
+      !lp.contains("Cartesian") && lp.contains("HashAggregate"),
+      s"the prune-loss pass must be a pure explode+aggregate:\n$lp")
+    assert(Unigram.trainSoft(d.limit(50), "text", vocabSize = 40,
+      maxPieceLen = 3, emRounds = 1, minSeedCount = 2L).nonEmpty)
+  }
 }
