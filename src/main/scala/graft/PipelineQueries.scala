@@ -695,8 +695,8 @@ object PipelineQueries {
     // same rows, so the closing DISTINCT also makes RE-running the query
     // in one JVM (bench warmup + timed) idempotent
     graft.operators.DedupIndex.build(curated(0), "doc_id", "text", idx, n = 3)
-    def run(m: Int, epoch: Long): Unit =
-      StreamIndexDedup.processEpoch(curated(m), epoch, "doc_id", "text",
+    def run(batch: DataFrame, epoch: Long): Unit =
+      StreamIndexDedup.processEpoch(batch, epoch, "doc_id", "text",
         idx, minJaccard = 0.5, appendKept = true) { (kept, e) =>
         kept.select(col("doc_id"), lit(e).as("epoch"), col("n_tokens"),
             col("best_jaccard"), md5(col("text")).as("out_md5"))
@@ -705,9 +705,16 @@ object PipelineQueries {
           .coalesce(1)
           .write.mode("append").parquet(sink)
       }
-    run(1, 0L)
-    run(2, 1L)
-    run(2, 1L) // the at-least-once replay: index no-ops, sink rows repeat
+    // each epoch's batch is curated ONCE; the replay re-delivers the
+    // SAME materialized micro-batch (exactly what a replayed foreachBatch
+    // epoch is — the same rows, not a re-curation of the source), which
+    // keeps the replay byte-identical by construction and drops one full
+    // Gopher regex pass from the lifecycle
+    val batch1 = curated(1)
+    val batch2 = curated(2)
+    run(batch1, 0L)
+    run(batch2, 1L)
+    run(batch2, 1L) // the at-least-once replay: index no-ops, sink rows repeat
     s.read.parquet(sink).distinct().orderBy("doc_id")
   }
   private val oE7 = {

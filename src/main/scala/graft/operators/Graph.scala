@@ -70,7 +70,18 @@ object Graph {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+    // deg is nodes-sized and read THREE times (withDeg build, pr₀ seed,
+    // final output join); materialize it once so the pair pipeline +
+    // union/distinct/aggregate behind it doesn't re-execute for the seed
+    // and the output join — at 100 TB each recompute is a full
+    // candidate-pair shuffle, at bench scale it was two extra copies of
+    // the whole shingle subtree in the final plan (86 → ~10 Exchanges).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // (round-14 audit: hash-partitioning withDeg by src + persist, to
+    // make the per-iteration join exchange-free, measured ×1.06 SLOWER
+    // at bench scale — the AQE-coalesced per-iteration exchanges are
+    // near-free here; kept the simple materialization)
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
     var pr = deg.select(col("src").as("id"), lit(1000000000L).as("prn"))
     var prMaterialized = false

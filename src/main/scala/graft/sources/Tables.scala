@@ -17,8 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-plan memo: `spark.read.parquet` re-lists the path and
+    * re-reads footers to re-infer the schema on EVERY call, and a
+    * 173-query bench pass calls these loaders several hundred times.
+    * The memo returns the same analyzed DataFrame (an immutable plan —
+    * no data is cached, scans still read the files every execution),
+    * so path listing + schema inference happen once per (session, dir,
+    * table). Keyed by session identity: plans are session-tied. */
+  private val resolved =
+    new java.util.concurrent.ConcurrentHashMap[(Integer, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    resolved.computeIfAbsent(
+      (Integer.valueOf(System.identityHashCode(spark)), sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
