@@ -137,18 +137,46 @@ object DedupIndex {
     }
   }
 
+  /** Write-through session memos for the three tiny sidecars (meta,
+    * bloom, applied-epochs high-water mark). Every sidecar READ is a
+    * Spark job (`head()` over a one-row parquet); a streaming ingest
+    * loop pays meta+bloom+marker reads PER EPOCH — pure driver
+    * round-trip overhead at any scale, since the values are bounded
+    * driver artifacts to begin with. All sidecar mutations go through
+    * this object (the index's documented single-writer lane), so each
+    * write also updates the memo and the values cannot go stale for
+    * in-process readers; the first read of an index built by another
+    * process still comes from disk. Keyed by PATH alone, not by session:
+    * the values are plain driver data (no session tie), and streaming
+    * foreachBatch bodies run under CLONED sessions — a session-keyed
+    * memo would go stale for the parent session the moment a stream
+    * epoch appended (caught by DedupIndexSpec's stream-face test).
+    * Entry count is bounded by the number of index paths the process
+    * touches. Results are unchanged — the memo holds exactly what the
+    * sidecar file holds. */
+  private val sidecarMemo = scala.collection.concurrent.TrieMap
+    .empty[String, AnyRef]
+  private def memoGet[T <: AnyRef](spark: SparkSession, key: String)
+                                  (read: => T): T =
+    sidecarMemo.getOrElseUpdate(key, read).asInstanceOf[T]
+  private def memoPut(spark: SparkSession, key: String, v: AnyRef): Unit =
+    sidecarMemo.put(key, v)
+
   private def writeBloom(spark: SparkSession, path: String,
                          f: Bloom.Filter): Unit = {
     import spark.implicits._
     Seq((f.words.toSeq, f.numHashes)).toDF("words", "num_hashes")
       .write.mode("overwrite").parquet(s"$path/bloom")
+    memoPut(spark, s"bloom|$path", Some(f))
   }
 
   private def readBloom(spark: SparkSession, path: String): Option[Bloom.Filter] =
-    IndexFiles.readIfExists(spark, s"$path/bloom").map { df =>
-      val r = df.head()
-      Bloom.Filter(r.getSeq[Long](r.fieldIndex("words")).toArray,
-        r.getAs[Int]("num_hashes"))
+    memoGet[Option[Bloom.Filter]](spark, s"bloom|$path") {
+      IndexFiles.readIfExists(spark, s"$path/bloom").map { df =>
+        val r = df.head()
+        Bloom.Filter(r.getSeq[Long](r.fieldIndex("words")).toArray,
+          r.getAs[Int]("num_hashes"))
+      }
     }
 
   /** Build the index under `path`: one tokenize pass over the corpus,
@@ -172,12 +200,17 @@ object DedupIndex {
     import spark.implicits._
     Seq((n, portable)).toDF("n", "portable")
       .write.mode("overwrite").parquet(s"$path/meta")
+    memoPut(spark, s"meta|$path", (n, portable))
+    // build reset applied_epochs above; reflect that in the memo
+    memoPut(spark, s"hwm|$path", None)
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Boolean) = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    (m.getAs[Int]("n"), m.getAs[Boolean]("portable"))
-  }
+  private def readMeta(spark: SparkSession, path: String): (Int, Boolean) =
+    memoGet[(Integer, java.lang.Boolean)](spark, s"meta|$path") {
+      val m = spark.read.parquet(s"$path/meta").head()
+      (Integer.valueOf(m.getAs[Int]("n")),
+        java.lang.Boolean.valueOf(m.getAs[Boolean]("portable")))
+    } match { case (n, p) => (n.intValue(), p.booleanValue()) }
 
   /** Fold a new batch into the index — tokenized with the STORED shingle
     * width and hash flavor (never re-passed: a mismatched width would
@@ -352,15 +385,22 @@ object DedupIndex {
     * artifacts it protects. */
   private[graft] def lastAppliedEpoch(spark: SparkSession,
                                       path: String): Option[Long] =
-    IndexFiles.readIfExists(spark, s"$path/applied_epochs")
-      .flatMap(df => Option(df.agg(max("epoch")).head().get(0))
-        .map(_.asInstanceOf[Long]))
+    memoGet[Option[Long]](spark, s"hwm|$path") {
+      IndexFiles.readIfExists(spark, s"$path/applied_epochs")
+        .flatMap(df => Option(df.agg(max("epoch")).head().get(0))
+          .map(_.asInstanceOf[Long]))
+    }
 
   private[graft] def recordAppliedEpoch(spark: SparkSession, path: String,
                                         epoch: Long): Unit = {
     import spark.implicits._
     Seq(epoch).toDF("epoch").write.mode("append")
       .parquet(s"$path/applied_epochs")
+    // high-water semantics: the marker read is max(epoch), so the memo
+    // folds the new stamp into whatever was known (disk state included —
+    // read through first so an older on-disk high water can't be lost)
+    val prev = lastAppliedEpoch(spark, path)
+    memoPut(spark, s"hwm|$path", Some(prev.fold(epoch)(math.max(_, epoch))))
   }
 
   /** Check a batch against the indexed corpus. Output per batch doc
