@@ -87,45 +87,83 @@ object Classifier {
   private def trainFull(df: DataFrame, idCol: String, textCol: String,
                         labelCol: String, dim: Int, iters: Int, lr: Double,
                         salt: String): Array[Long] = {
-    // NOTE (round-14 optimization audit): pre-partitioning fx by id
-    // (repartition + persist, so every iteration's groupBy(id) and
-    // gradient join run exchange-free) was implemented and MEASURED
-    // SLOWER at bench scale — isolated per-query A/B ×1.24: the AQE-
-    // coalesced per-iteration exchanges over this data are near-free,
-    // while the forced shuffle-partition-count cache scan pays
-    // iters × tasks of scheduling. Reverted to the checkpointed
-    // unpartitioned form; at true 100 TB feature volume, revisit with
-    // input-sized (not config-sized) partitioning.
-    val fx = featuresWithBias(df, idCol, textCol, dim, salt)
+    // Round-14 optimization (guide §1.2 "the distributed algorithm
+    // first"): the GD loop is the MLlib linear-trainer shape — one
+    // gradient FOLD per iteration over a cached feature RDD partitioned
+    // by doc id — instead of re-planning a 3-exchange DataFrame per
+    // iteration. The DataFrame formulation spent ~0.3 s/iteration on
+    // Catalyst analysis + AQE stage jobs (30 iters measured as 159
+    // driver jobs) while the actual execution of an iteration over
+    // cached data costs ~0.09 s; two alternatives that keep the loop in
+    // DataFrames (pre-partitioned persist ×1.24, AQE off ×1.09–1.12)
+    // both measured SLOWER. The fold computes BIT-IDENTICAL arithmetic
+    // to the previous SQL loop (and to the q_t25/q_e5 DuckDB oracles,
+    // which replay every iteration): per-doc logit Σ x·w_micro as a
+    // pure Long sum, p = 1/(1+Math.exp(−z/(n·1e6))) (Spark's `exp` is
+    // the same Math.exp), residual floor((p−y)·1e6+0.5), per-bucket
+    // gradient Σ r·x as Long — all order-independent integer sums, so
+    // partitioning cannot change them.
+    //
+    // Scale shape: rows are hash-partitioned by id (AQE sizes the
+    // partition count from the data) and sorted by id within each
+    // partition, so one streaming pass per iteration groups each doc's
+    // rows locally; per-task state is one (dim+1)-long gradient array +
+    // one doc's row buffer. Per iteration: ONE job, zero shuffles, a
+    // dim-sized array per task collected to the driver — exactly the
+    // published treeAggregate pattern for full-batch linear models.
+    val rows = featuresWithBias(df, idCol, textCol, dim, salt)
       .join(df.select(col(idCol).as("id"),
         greatest(TextStats.wordCount(col(textCol)), lit(1L)).as("n"),
         col(labelCol).cast("long").as("y")), Seq("id"))
-      .localCheckpoint()
-    val nDocs = df.count().toDouble
-    var w = new Array[Long](dim + 1)
-    for (_ <- 1 to iters) {
-      val wLit = typedlit(w.toSeq)
-      val perDoc = fx
-        .withColumn("_zn", col("x") * element_at(wLit, (col("b") + 1).cast("int")))
-        .groupBy("id").agg(sum(col("_zn")).as("_z"),
-          first(col("n")).as("_n"), first(col("y")).as("_y"))
-        .withColumn("_p", lit(1.0) / (lit(1.0) +
-          exp(-(col("_z").cast("double") / (col("_n").cast("double") * lit(1e6))))))
-        .select(col("id"),
-          floor((col("_p") - col("_y").cast("double")) * lit(1e6) + lit(0.5))
-            .as("_r"))
-      val grad = fx.join(perDoc, Seq("id"))
-        .groupBy("b").agg(sum(col("_r") * col("x")).as("g"))
-        .collect()
-      val next = w.clone()
-      grad.foreach { row =>
-        val b = row.getAs[Long]("b").toInt
-        val g = row.getAs[Long]("g")
-        next(b) = next(b) - math.floor(lr * g / nDocs + 0.5).toLong
+      .repartition(col("id"))
+      .sortWithinPartitions("id")
+      .select("id", "b", "x", "n", "y")
+    val fxRdd = rows.rdd.map { r =>
+      (r.getLong(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = df.count().toDouble
+      var w = new Array[Long](dim + 1)
+      for (_ <- 1 to iters) {
+        val wCur = w // capture the immutable snapshot in the closure
+        val grads = fxRdd.mapPartitions { it =>
+          val g = new Array[Long](wCur.length)
+          var curId = 0L
+          var have = false
+          var z = 0L; var n = 0L; var y = 0L
+          val bufB = new scala.collection.mutable.ArrayBuffer[Int]()
+          val bufX = new scala.collection.mutable.ArrayBuffer[Long]()
+          def closeDoc(): Unit = if (have) {
+            val p = 1.0 / (1.0 + math.exp(-(z.toDouble / (n.toDouble * 1e6))))
+            val r = math.floor((p - y.toDouble) * 1e6 + 0.5).toLong
+            var i = 0
+            while (i < bufB.length) { g(bufB(i)) += r * bufX(i); i += 1 }
+            bufB.clear(); bufX.clear()
+          }
+          it.foreach { case (id, b, x, nn, yy) =>
+            if (!have || id != curId) { closeDoc(); curId = id; have = true
+              z = 0L; n = nn; y = yy }
+            z += x * wCur(b)
+            bufB += b; bufX += x
+          }
+          closeDoc()
+          Iterator.single(g)
+        }.fold(new Array[Long](dim + 1)) { (a, b) =>
+          // fold, not reduce: an empty labeled frame folds to the zero
+          // gradient (reduce throws on empty RDDs)
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }
+        val next = w.clone()
+        var b = 0
+        while (b < next.length) {
+          next(b) = next(b) - math.floor(lr * grads(b) / nDocs + 0.5).toLong
+          b += 1
+        }
+        w = next
       }
-      w = next
-    }
-    w
+      w
+    } finally { fxRdd.unpersist(); () }
   }
 
   /** Score with a trained micro-weight array: (id, z, p) — z the mean
