@@ -19,7 +19,7 @@ object MicroBench {
     val prefixes = args(0).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,7 +29,12 @@ object MicroBench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // config-attribution knob: "k=v;k=v" overrides for A/B experiments
+    sys.env.get("SPARK_GRAFT_MICRO_CONFS").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b = b.config(k, v)
+      })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftPlans.install(spark)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -328,10 +328,18 @@ object PipelineQueries {
   private def qD10dedupIndex(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
     val dir = TextSimQueries.indexDir("dedup", d)
+    // tokenize-once (the q_d7 discipline): both the corpus build and the
+    // batch check consume id-filtered slices of the session's shared
+    // distinct (id, h) shingle rows — same width/flavor as the build's
+    // frozen meta (n=3, portable), so the artifacts and verdicts are
+    // row-identical to the self-tokenizing path (same oracle, oD7)
+    val rows = TextSimQueries.sharedShingles(s, d)
     graft.operators.DedupIndex.build(all.where(col("doc_id") % 2 === 0),
-      "doc_id", "text", dir, n = 3)
+      "doc_id", "text", dir, n = 3,
+      precomputedRows = Some(rows.where(col("id") % 2 === 0)))
     graft.operators.DedupIndex.checkBatch(all.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", dir, minJaccard = 0.5)
+        "doc_id", "text", dir, minJaccard = 0.5,
+        precomputedBatchRows = Some(rows.where(col("id") % 2 === 1)))
       .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
         col("best_jaccard"), col("keep").cast("long").as("keep"))
       .orderBy("id")
@@ -352,12 +360,17 @@ object PipelineQueries {
   private def qD12indexDelete(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
     val dir = TextSimQueries.indexDir("deldedup", d)
+    // tokenize-once slices, as in q_d10 (q_d12's build is the SAME even
+    // corpus at a different path — previously a second full regex pass)
+    val rows = TextSimQueries.sharedShingles(s, d)
     graft.operators.DedupIndex.build(all.where(col("doc_id") % 2 === 0),
-      "doc_id", "text", dir, n = 3)
+      "doc_id", "text", dir, n = 3,
+      precomputedRows = Some(rows.where(col("id") % 2 === 0)))
     graft.operators.DedupIndex.delete(
       all.where(col("doc_id") % 10 === 0), "doc_id", dir)
     graft.operators.DedupIndex.checkBatch(all.where(col("doc_id") % 2 === 1),
-        "doc_id", "text", dir, minJaccard = 0.5)
+        "doc_id", "text", dir, minJaccard = 0.5,
+        precomputedBatchRows = Some(rows.where(col("id") % 2 === 1)))
       .select(col("id"), col("dropped_exact").cast("long").as("dropped_exact"),
         col("best_jaccard"), col("keep").cast("long").as("keep"))
       .orderBy("id")

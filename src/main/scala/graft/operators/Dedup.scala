@@ -990,6 +990,20 @@ object Dedup {
     if (reliable)
       require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliable componentLabels needs spark.sparkContext.setCheckpointDir")
+    // Round-14: integral ids take the co-partitioned RDD loop (one
+    // narrow join + one shuffle per pass, no per-pass Catalyst planning
+    // — the Graph.pageRankRun rewrite, same measured disease). Gated to
+    // integral types because min-label propagation needs an ordering,
+    // and Long's natural order is exactly Spark's; for strings, Java's
+    // UTF-16 compareTo diverges from Spark's UTF-8 binary collation on
+    // supplementary-plane code points, so non-integral ids keep the
+    // DataFrame loop whose `min` is the engine's own.
+    pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType =>
+        return componentLabelsRddLong(pairs, maxIters, onPass, reliable)
+      case _ => ()
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = ckpt(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1022,6 +1036,66 @@ object Dedup {
     require(changed == 0,
       s"componentLabels did not converge within $maxIters passes")
     labels
+  }
+
+  /** The integral-id fast path of [[componentLabels]]: identical
+    * min-label propagation (labels are ids, min over Long == the
+    * engine's ordering, so the fixed point — and every intermediate
+    * pass — is value-identical to the DataFrame loop), run as a
+    * co-partitioned RDD loop: edges partitioned once and cached, labels
+    * co-partitioned, each pass = narrow join + reduceByKey(min) + left
+    * join, lineage cut by localCheckpoint (or reliable checkpoint), the
+    * changed-count folded in the same materializing action. */
+  private def componentLabelsRddLong(pairs: DataFrame, maxIters: Int,
+                                     onPass: (Int, Long, Double) => Unit,
+                                     reliable: Boolean): DataFrame = {
+    import org.apache.spark.rdd.RDD
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val isInt = idType == org.apache.spark.sql.types.IntegerType
+    val edgesDf = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+    val edgesRdd0 = edgesDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edgesRdd0.getNumPartitions, 1))
+    val edges = edgesRdd0.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cut[T](rdd: RDD[T]): RDD[T] =
+      if (reliable) { rdd.persist(); rdd.checkpoint(); rdd }
+      else rdd.localCheckpoint()
+    var labels: RDD[(Long, Long)] =
+      cut(edges.keys.distinct(part.numPartitions).map(id => (id, id))
+        .partitionBy(part))
+    labels.count() // materialize the seed so every pass starts cached
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val t0 = System.nanoTime()
+      val nbrMin = edges.join(labels, part)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val staged = cut(labels.leftOuterJoin(nbrMin, part).mapValues {
+        case (l, Some(n)) => (math.min(l, n), n < l)
+        case (l, None) => (l, false)
+      })
+      changed = staged.aggregate(0L)(
+        (acc, kv) => acc + (if (kv._2._2) 1L else 0L), _ + _)
+      labels = staged.mapValues(_._1)
+      it += 1
+      onPass(it, changed, (System.nanoTime() - t0) / 1e9)
+    }
+    require(changed == 0,
+      s"componentLabels did not converge within $maxIters passes")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rows = labels.map { case (id, lab) =>
+      if (isInt) Row(id.toInt, lab.toInt) else Row(id, lab)
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("label", idType))))
   }
 
   /** Near-dup CLUSTERS from candidate pairs: transitive closure, one row

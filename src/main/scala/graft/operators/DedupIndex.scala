@@ -97,10 +97,12 @@ object DedupIndex {
 
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, portable: Boolean,
-                         mode: String, epoch: Long): Unit = {
+                         mode: String, epoch: Long,
+                         precomputedRows: Option[DataFrame] = None): Unit = {
     def write(df: DataFrame, part: String, files: Int): Unit =
       df.coalesce(files).write.mode(mode).parquet(s"$path/$part/epoch=$epoch")
-    val rows = Dedup.shingleHashRows(docs, idCol, textCol, n, portable)
+    val rows = precomputedRows.getOrElse(
+      Dedup.shingleHashRows(docs, idCol, textCol, n, portable))
     // three consumers (row write + count aggregate + the file-count
     // probe): persist so the tokenize stage runs once — write-side only,
     // released here
@@ -180,11 +182,20 @@ object DedupIndex {
     }
 
   /** Build the index under `path`: one tokenize pass over the corpus,
-    * three artifact writes, the fps Bloom filter, one meta sidecar. */
+    * three artifact writes, the fps Bloom filter, one meta sidecar.
+    *
+    * `precomputedRows`: optional (id, h) distinct shingle-hash rows for
+    * EXACTLY this corpus, width `n`, flavor `portable` — the tokenize-
+    * once reuse hook for pipelines that already materialized the corpus
+    * shingle table (the bench session's shared tokenize; at 100 TB,
+    * skipping a second full-corpus regex pass). Caller owns the
+    * equivalence — rows that disagree with `Dedup.shingleHashRows(corpus,
+    * n, portable)` poison every future check silently. */
   def build(corpus: DataFrame, idCol: String, textCol: String, path: String,
             n: Int = 3, portable: Boolean = true,
             bloomBits: Int = DefaultBloomBits,
-            bloomHashes: Int = DefaultBloomHashes): Unit = {
+            bloomHashes: Int = DefaultBloomHashes,
+            precomputedRows: Option[DataFrame] = None): Unit = {
     require(n > 0, s"shingle width must be positive: $n")
     val spark = corpus.sparkSession
     // a fresh build invalidates any previous index's optional sidecars
@@ -194,7 +205,7 @@ object DedupIndex {
     Seq("shingles", "counts", "fps")
       .foreach(p => IndexFiles.remove(spark, s"$path/$p"))
     writeParts(corpus, idCol, textCol, path, n, portable, "overwrite",
-      BaseEpoch)
+      BaseEpoch, precomputedRows)
     writeBloom(spark, path, Bloom.build(
       spark.read.parquet(s"$path/fps"), "fp", bloomBits, bloomHashes))
     import spark.implicits._
@@ -430,13 +441,19 @@ object DedupIndex {
                  path: String, minJaccard: Double,
                  broadcastBatch: Boolean = true,
                  useBloom: Boolean = true,
-                 excludeEpoch: Option[Long] = None): DataFrame = {
+                 excludeEpoch: Option[Long] = None,
+                 precomputedBatchRows: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val (n, portable) = readMeta(spark, path)
     val tombs = tombstones(spark, path)
     def live(df: DataFrame): DataFrame =
       tombs.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
-    val bRows = Dedup.shingleHashRows(batch, idCol, textCol, n, portable)
+    // tokenize-once hook (see [[build]]): rows must be EXACTLY
+    // shingleHashRows(batch, n=stored, portable=stored) or verdicts
+    // silently drift — callers pass it only when they know the built
+    // index's frozen width/flavor
+    val bRows = precomputedBatchRows.getOrElse(
+      Dedup.shingleHashRows(batch, idCol, textCol, n, portable))
     val cRows = live(readPart(spark, path, "shingles", excludeEpoch)
       .select("id", "h"))
     val nb = live(readPart(spark, path, "counts", excludeEpoch))

@@ -78,57 +78,77 @@ object Graph {
     // the whole shingle subtree in the final plan (86 → ~10 Exchanges).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    // (round-14 audit: hash-partitioning withDeg by src + persist, to
-    // make the per-iteration join exchange-free, measured ×1.06 SLOWER
-    // at bench scale — the AQE-coalesced per-iteration exchanges are
-    // near-free here; kept the simple materialization)
-    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    var pr = deg.select(col("src").as("id"), lit(1000000000L).as("prn"))
-    var prMaterialized = false
+    // Round-14 optimization (guide §1.2, the Classifier lesson): the
+    // power loop is a CO-PARTITIONED RDD Pregel loop instead of a
+    // per-iteration DataFrame. The DataFrame form re-planned a
+    // join+aggregate through Catalyst/AQE every round (~3-4 driver jobs
+    // per iteration of pure overhead at bench scale); here the edge
+    // table is hash-partitioned ONCE and cached, pr stays partitioned
+    // by the SAME partitioner across rounds, so each iteration is one
+    // NARROW join + one message shuffle (reduceByKey) — one job, no
+    // planning. The arithmetic is carried verbatim (per-edge
+    // floor(prn/deg + 0.5) as Long, exact Long sums in any order,
+    // floor(teleportN + damping·Σ + 0.5) re-grid), so the nano-rank
+    // trajectory is bit-identical and the q_d16 oracle's unrolled CTE
+    // replay still hash-matches. Boundary lineage cuts + the exact
+    // convergence early-exit keep the same schedule as before
+    // (localCheckpoint on the staged RDD, delta == 0 on the grid).
+    // Partition count comes from the materialized edge table's OWN
+    // partitioning (AQE-sized from data, not a constant).
+    val spark = pairs.sparkSession
+    val withDeg = edges.join(deg, Seq("src")).select("src", "dst", "deg")
+    val edgesRdd = withDeg.rdd
+      .map(r => (r.get(0), (r.get(1), r.getLong(2))))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edgesRdd.getNumPartitions, 1))
+    val edgesPart = edgesRdd.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degRdd = deg.rdd.map(r => (r.get(0), r.getLong(1)))
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr: org.apache.spark.rdd.RDD[(Any, Long)] =
+      degRdd.mapValues(_ => 1000000000L)
+    var prevPersisted: Option[org.apache.spark.rdd.RDD[_]] = None
     val teleportN = (1 - damping) * 1e9
     var rounds = 0
     var converged = false
     while (rounds < iters && !converged) {
       val t = rounds + 1
       // no check on the final round: there is no exit left to take and
-      // the executed-round count is `iters` either way, so the delta
-      // join would be pure overhead (the oracle's schedule matches)
+      // the executed-round count is `iters` either way (the oracle's
+      // schedule matches)
       val check = t % checkEvery == 0 && t < iters
-      if (check && !prMaterialized) pr = pr.localCheckpoint()
-      val msgs = withDeg
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst"),
-          floor(col("prn").cast("double") / col("deg").cast("double")
-            + lit(0.5)).as("_c"))
-      val next = msgs.groupBy(col("dst").as("id"))
-        .agg(floor(lit(teleportN)
-          + lit(damping) * sum(col("_c")).cast("double") + lit(0.5)).as("prn"))
+      val msgs = edgesPart.join(pr, part).map { case (_, ((dst, dg), prn)) =>
+        (dst, math.floor(prn.toDouble / dg.toDouble + 0.5).toLong)
+      }
+      val next = msgs.reduceByKey(part, _ + _).mapValues(s =>
+        math.floor(teleportN + damping * s.toDouble + 0.5).toLong)
       rounds = t
       if (check) {
         // every node has an incoming edge (undirected), so the id sets
-        // of next and pr are identical and the inner join carries the
-        // full vector; pr was just materialized, so both the message
-        // pass and the _prev side read the same cached blocks, and the
-        // LAZY checkpoint materializes the new iterate inside the delta
-        // fold's own job
-        val staged = next
-          .join(pr.select(col("id"), col("prn").as("_prev")), Seq("id"))
-          .localCheckpoint(false)
-        val delta = Option(
-            staged.agg(sum(abs(col("prn") - col("_prev")))).head().get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L) // empty graph: done
+        // of next and pr are identical and the inner co-partitioned join
+        // carries the full vector; localCheckpoint cuts the lineage and
+        // the delta fold materializes it in its own job
+        val staged = next.join(pr, part).localCheckpoint()
+        val delta = staged.aggregate(0L)(
+          (acc, kv) => acc + math.abs(kv._2._1 - kv._2._2), _ + _)
         converged = delta == 0L
-        pr = staged.drop("_prev")
-        prMaterialized = true
+        prevPersisted.foreach(_.unpersist(false))
+        prevPersisted = Some(staged)
+        pr = staged.mapValues(_._1)
       } else {
         pr = next
-        prMaterialized = false
       }
     }
-    PageRankResult(
-      pr.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
-        .select(col("id"), col("deg"),
-          (col("prn").cast("double") / lit(1e9)).as("pr")),
-      rounds)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val idType = pairs.schema("id_a").dataType
+    val ranksRdd = pr.join(degRdd, part).map { case (id, (prn, dg)) =>
+      Row(id, dg, prn.toDouble / 1e9)
+    }
+    val ranks = spark.createDataFrame(ranksRdd, StructType(Seq(
+      StructField("id", idType), StructField("deg", LongType),
+      StructField("pr", DoubleType))))
+    PageRankResult(ranks, rounds)
   }
 }
