@@ -25,6 +25,15 @@ import org.apache.spark.sql.SparkSession
   * map from there; if the tail window clips it, the summary line and the
   * committed artifact still carry everything.
   *
+  * Round 15 adds a third stdout record between the two, for the
+  * record-keeper's PER-QUERY visibility (round-14 VERDICT #1: PERF_r14
+  * came back with per_query empty because the only lines carrying a
+  * per-query map were long enough to be front-truncated by the tail
+  * capture): `{"metric":"per_query",...,"mins":{...}}` — mins only, 4
+  * decimals, ~5 KB, immediately before the slim summary lines so the
+  * largest possible suffix of it lands inside any tail window and a
+  * window ≥ ~6 KB keeps the whole line parseable.
+  *
   * The stdout "queries" map (and "value" = its sum) is the per-query MIN
   * across the isolated forked runs — the standard noise-floor estimator.
   * Round 7 proved a trimmed median cannot survive 2/5 contended forks
@@ -60,28 +69,10 @@ object Bench {
   /** One full pass over SparkEntry.queries in THIS JVM (fresh-session
     * semantics: callers must not reuse a session across passes). */
   private def runOnce(sfDir: String, cpus: String): Seq[(String, Double)] = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // round-14 (guide §2.2/§9): post-shuffle partitions coalesce to the
-      // ADVISORY SIZE (64 MiB default) instead of stopping early to keep
-      // parallelism — the Spark-docs-recommended setting at any scale
-      // (fewer, larger reduce partitions; at 100 TB the advisory size
-      // governs, locally tiny shuffles fold to one task). Measured −8 %
-      // across a 15-query mid-cost slice, no regressions beyond noise.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      // round-14 (guide §3.1/§9): let the planner pick shuffled-hash
-      // over sort-merge when its size conditions hold (skips both sorts;
-      // AQE skew splitting applies to SHJ too). Measured −3 % on the
-      // same slice.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.plans.GraftPlans.install(spark)
+    // the round-14 engine configs (AQE advisory-size coalescing, SHJ
+    // allowed) now live in the shared GraftSession builder so the
+    // measured configuration is the shipped one (round-15 VERDICT #7)
+    val spark = GraftSession.local(cpus)
     // warm up codegen/JIT + file-source paths once so the first measured
     // query doesn't absorb session start-up cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -140,6 +131,25 @@ object Bench {
     // line; the pretty form (BENCH_LOCAL.json) reuses the same fields.
     s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,""" +
       s""""sf":"$sfDir","unstable":$unstable,"queries":$qs}"""
+  }
+
+  /** Round-15 (VERDICT #1): a COMPACT per-query line the record-keeper's
+    * tail capture can parse — mins only (the headline statistic), 4
+    * decimals, ~5 KB for 173 queries, printed immediately before the
+    * slim summary lines so it sits as close to the tail as possible.
+    * The full record (unstable list, medians) stays in jsonLine /
+    * BENCH_LOCAL.json; this line exists so PERF's per-query and scaling
+    * comparisons see a complete, parseable JSON object even when the
+    * earlier, longer lines are clipped. */
+  private def perQueryLine(queries: Seq[(String, Double)], runs: Int,
+                           sfDir: String): String = {
+    val qs = queries.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    // deliberately NO "queries" key here: forkOnce (and the driver's
+    // total-line parse) identify the full record by that key, and this
+    // line must never shadow it
+    s"""{"metric":"per_query","unit":"sec","runs":$runs,""" +
+      s""""n":${queries.size},"sf":"$sfDir","mins":$qs}"""
   }
 
   /** The slim summary that is the LAST stdout line: scalars only, ~140
@@ -280,11 +290,13 @@ $ms
         catch { case e: java.io.IOException =>
           System.err.println(s"[bench] BENCH_LOCAL write failed: ${e.getMessage}") }
       }
-      // full record once (parent-fork parser + humans), then the slim
-      // summary TWICE and LAST — the only thing the tail window must keep
-      // (last occurrence wins downstream; the duplicate survives one copy
-      // being clipped by interleaved logging)
+      // full record once (parent-fork parser + humans), then the compact
+      // per-query mins line (the driver's per-query/scaling visibility —
+      // VERDICT r14 #1), then the slim summary TWICE and LAST — the only
+      // thing the tail window must keep (last occurrence wins downstream;
+      // the duplicate survives one copy being clipped by interleaving)
       println(jsonLine(mins, bySample, n, sfDir))
+      println(perQueryLine(mins, n, sfDir))
       val slim = summaryLine(mins, n, sfDir, meds)
       println(slim)
       println(slim)

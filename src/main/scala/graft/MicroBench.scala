@@ -19,16 +19,13 @@ object MicroBench {
     val prefixes = args(0).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    var b = SparkSession.builder()
+    // keep the dev loop's session identical to Bench.runOnce (the shared
+    // GraftSession harness builder)
+    var b = GraftSession.recommended(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // keep the dev loop's session identical to Bench.runOnce
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
     // config-attribution knob: "k=v;k=v" overrides for A/B experiments
     sys.env.get("SPARK_GRAFT_MICRO_CONFS").foreach(_.split(";")
       .filter(_.contains("=")).foreach { kv =>
