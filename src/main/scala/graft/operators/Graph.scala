@@ -76,8 +76,11 @@ object Graph {
     // and the output join — at 100 TB each recompute is a full
     // candidate-pair shuffle, at bench scale it was two extra copies of
     // the whole shingle subtree in the final plan (86 → ~10 Exchanges).
+    // Round-15: materialized as the loop's own co-partitioned persisted
+    // RDD (degRdd below) rather than a DataFrame localCheckpoint, so the
+    // finally can RELEASE it — a DF checkpoint's blocks stay pinned until
+    // the cleaner catches up (VERDICT r14 #5).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     // Round-14 optimization (guide §1.2, the Classifier lesson): the
     // power loop is a CO-PARTITIONED RDD Pregel loop instead of a
     // per-iteration DataFrame. The DataFrame form re-planned a
@@ -96,15 +99,27 @@ object Graph {
     // Partition count comes from the materialized edge table's OWN
     // partitioning (AQE-sized from data, not a constant).
     val spark = pairs.sparkSession
-    val withDeg = edges.join(deg, Seq("src")).select("src", "dst", "deg")
-    val edgesRdd = withDeg.rdd
-      .map(r => (r.get(0), (r.get(1), r.getLong(2))))
+    val degRdd0 = deg.rdd.map(r => (r.get(0), r.getLong(1)))
     val part = new org.apache.spark.HashPartitioner(
-      math.max(edgesRdd.getNumPartitions, 1))
-    val edgesPart = edgesRdd.partitionBy(part)
+      math.max(degRdd0.getNumPartitions, 1))
+    val degRdd = degRdd0.partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val degRdd = deg.rdd.map(r => (r.get(0), r.getLong(1)))
+    // eager: the three consumers below (edge attach, pr₀ seed, output
+    // join) must all hit the cache, not race to compute it concurrently
+    degRdd.count()
+    val idType = pairs.schema("id_a").dataType
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    // attach deg in the RDD layer: edges hash-partitioned once, then a
+    // NARROW co-partitioned join against the materialized degree vector
+    // — a DataFrame join here would be a broadcast at bench scale and a
+    // full edge exchange at 100 TB; this is one edge shuffle (the
+    // partitionBy the loop needs anyway) plus a zero-shuffle join.
+    // Every src has a degree (deg derives from these edges), so the
+    // inner join drops nothing.
+    val edgesPart = edges.rdd.map(r => (r.get(0), r.get(1)))
       .partitionBy(part)
+      .join(degRdd, part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr: org.apache.spark.rdd.RDD[(Any, Long)] =
       degRdd.mapValues(_ => 1000000000L)
@@ -112,6 +127,12 @@ object Graph {
     val teleportN = (1 - damping) * 1e9
     var rounds = 0
     var converged = false
+    // everything the loop pins (edgesPart, degRdd, the boundary
+    // localCheckpoints) is released in the finally below, AFTER the
+    // output frame has been eagerly materialized — a long-lived session
+    // calling pageRankRun repeatedly must not accumulate pinned blocks
+    // (round-15, VERDICT r14 #5 / ADVICE)
+    try {
     while (rounds < iters && !converged) {
       val t = rounds + 1
       // no check on the final round: there is no exit left to take and
@@ -140,15 +161,22 @@ object Graph {
         pr = next
       }
     }
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
-    val idType = pairs.schema("id_a").dataType
     val ranksRdd = pr.join(degRdd, part).map { case (id, (prn, dg)) =>
       Row(id, dg, prn.toDouble / 1e9)
     }
+    // eager localCheckpoint: the output join was computed lazily on the
+    // caller's first action anyway; materializing it HERE (while the
+    // loop's caches are still live) lets the finally release them, and
+    // repeated consumption of the ranks frame reads the checkpoint
+    // instead of re-running the join
     val ranks = spark.createDataFrame(ranksRdd, StructType(Seq(
       StructField("id", idType), StructField("deg", LongType),
-      StructField("pr", DoubleType))))
+      StructField("pr", DoubleType)))).localCheckpoint(true)
     PageRankResult(ranks, rounds)
+    } finally {
+      edgesPart.unpersist(false)
+      degRdd.unpersist(false)
+      prevPersisted.foreach(_.unpersist(false))
+    }
   }
 }
