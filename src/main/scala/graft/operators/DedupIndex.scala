@@ -95,17 +95,25 @@ object DedupIndex {
     * inside [[writeParts]]). */
   private val RowsPerFile: Long = 1L << 20
 
+  /** `extraJobs` run in the SAME driver thread pool as the three
+    * artifact writes (round-15, guide §2.6) — callers pass only work
+    * that is independent of those writes (e.g. [[mergeBloom]], whose
+    * inputs are the batch and the memoized stored filter, and whose
+    * output directory is disjoint). */
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
                          path: String, n: Int, portable: Boolean,
                          mode: String, epoch: Long,
-                         precomputedRows: Option[DataFrame] = None): Unit = {
+                         precomputedRows: Option[DataFrame] = None,
+                         extraJobs: Seq[() => Unit] = Nil): Unit = {
     def write(df: DataFrame, part: String, files: Int): Unit =
       df.coalesce(files).write.mode(mode).parquet(s"$path/$part/epoch=$epoch")
     val rows = precomputedRows.getOrElse(
       Dedup.shingleHashRows(docs, idCol, textCol, n, portable))
     // three consumers (row write + count aggregate + the file-count
     // probe): persist so the tokenize stage runs once — write-side only,
-    // released here
+    // released here. The count ALSO materializes the cache before the
+    // concurrent writes below, so they read blocks instead of racing to
+    // compute the tokenize (the round-14 lazy-cache lesson).
     rows.persist()
     try {
       // writes are sized to the BATCH, not to the session's shuffle
@@ -116,11 +124,17 @@ object DedupIndex {
       // a full corpus build still fans out (26 M rows → 25 files)
       val files = math.max(1L,
         (rows.count() + RowsPerFile - 1L) / RowsPerFile).toInt
-      write(rows, "shingles", files)
-      write(rows.groupBy("id").agg(count(lit(1)).as("n_sh")), "counts",
-        files)
-      write(docs.select(col(idCol).as("id"),
-        TextStats.fingerprint(col(textCol)).as("fp")), "fps", files)
+      // the three artifact writes land in DISJOINT directories from
+      // independent inputs — overlap them (guide §2.6): the serialized
+      // form paid three full job round-trips back to back per
+      // build/append/epoch
+      ParallelJobs.run(Seq[() => Unit](
+        () => write(rows, "shingles", files),
+        () => write(rows.groupBy("id").agg(count(lit(1)).as("n_sh")),
+          "counts", files),
+        () => write(docs.select(col(idCol).as("id"),
+          TextStats.fingerprint(col(textCol)).as("fp")), "fps", files)
+      ) ++ extraJobs)
     } finally { rows.unpersist(); () }
   }
 
@@ -204,13 +218,19 @@ object DedupIndex {
     // a rebuild must clear EVERY epoch directory, not just the base one
     Seq("shingles", "counts", "fps")
       .foreach(p => IndexFiles.remove(spark, s"$path/$p"))
+    import spark.implicits._
+    // the meta sidecar is independent of the three artifact writes —
+    // ride the same driver pool (round-15, guide §2.6)
     writeParts(corpus, idCol, textCol, path, n, portable, "overwrite",
-      BaseEpoch, precomputedRows)
+      BaseEpoch, precomputedRows,
+      extraJobs = Seq(() => {
+        Seq((n, portable)).toDF("n", "portable")
+          .write.mode("overwrite").parquet(s"$path/meta"); ()
+      }))
+    // the Bloom build reads the JUST-WRITTEN fps table — sequenced after
+    // the parallel batch by construction
     writeBloom(spark, path, Bloom.build(
       spark.read.parquet(s"$path/fps"), "fp", bloomBits, bloomHashes))
-    import spark.implicits._
-    Seq((n, portable)).toDF("n", "portable")
-      .write.mode("overwrite").parquet(s"$path/meta")
     memoPut(spark, s"meta|$path", (n, portable))
     // build reset applied_epochs above; reflect that in the memo
     memoPut(spark, s"hwm|$path", None)
@@ -245,8 +265,11 @@ object DedupIndex {
              path: String): Unit = {
     val spark = batch.sparkSession
     val (n, portable) = readMeta(spark, path)
-    writeParts(batch, idCol, textCol, path, n, portable, "append", BaseEpoch)
-    mergeBloom(batch, textCol, path)
+    // the Bloom merge reads only the batch + the memoized stored filter
+    // and writes its own directory — independent of the artifact writes,
+    // so it rides the same driver pool (round-15, guide §2.6)
+    writeParts(batch, idCol, textCol, path, n, portable, "append", BaseEpoch,
+      extraJobs = Seq(() => mergeBloom(batch, textCol, path)))
   }
 
   /** [[append]] for the streaming ingest loop — IDEMPOTENT per epoch
@@ -266,8 +289,9 @@ object DedupIndex {
       s"$BaseEpoch is reserved for batch rows")
     val spark = batch.sparkSession
     val (n, portable) = readMeta(spark, path)
-    writeParts(batch, idCol, textCol, path, n, portable, "overwrite", epoch)
-    mergeBloom(batch, textCol, path)
+    // see append: the Bloom merge overlaps the epoch's artifact writes
+    writeParts(batch, idCol, textCol, path, n, portable, "overwrite", epoch,
+      extraJobs = Seq(() => mergeBloom(batch, textCol, path)))
   }
 
   /** OR the batch's fingerprints into the stored Bloom filter (one pass
@@ -279,11 +303,15 @@ object DedupIndex {
       val add = Bloom.build(
         batch.select(TextStats.fingerprint(col(textCol)).as("fp")), "fp",
         stored.numBits, stored.numHashes)
+      // merge into a COPY: the memoized filter stays immutable, so a
+      // failed write cannot leave the memo diverged from disk and
+      // concurrent in-process readers never observe a half-mutated
+      // filter (ADVICE r14); memoPut happens inside writeBloom, after
+      // the parquet write succeeded
+      val merged = stored.words.clone()
       var i = 0
-      while (i < stored.words.length) {
-        stored.words(i) |= add.words(i); i += 1
-      }
-      writeBloom(spark, path, stored)
+      while (i < merged.length) { merged(i) |= add.words(i); i += 1 }
+      writeBloom(spark, path, Bloom.Filter(merged, stored.numHashes))
     }
   }
 

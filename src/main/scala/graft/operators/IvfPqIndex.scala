@@ -34,6 +34,51 @@ object IvfPqIndex {
 
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
+  /** Sidecar memos (round-15; the [[DedupIndex]] sidecar-memo
+    * discipline): every [[search]]/[[append]] re-ran a `head()` job over
+    * the one-row codebook parquet and re-listed/re-inferred the
+    * centroids and codes tables — pure driver round-trips, since the
+    * values are bounded driver artifacts (codebook row, codes schema)
+    * or immutable-between-builds plans (centroids — rewritten only by
+    * [[build]], which invalidates; codes FILES change on append, so
+    * only their schema — fixed at build — is memoized, never a plan).
+    * Single-writer lane: all sidecar mutations go through this object;
+    * the first read of a foreign index still comes from disk. */
+  private val codebookMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.Row]
+  private val codesSchemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+  private val centsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def invalidate(path: String): Unit = {
+    codebookMemo.remove(path)
+    codesSchemaMemo.remove(path)
+    centsMemo.keySet.foreach { case k @ (_, p) =>
+      if (p == path) centsMemo.remove(k)
+    }
+  }
+  private def readCodebook(spark: SparkSession, path: String): org.apache.spark.sql.Row =
+    codebookMemo.getOrElseUpdate(path,
+      spark.read.parquet(s"$path/codebook").head())
+  private def readCents(spark: SparkSession, path: String): DataFrame = {
+    centsMemo.keySet.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) centsMemo.remove(k)
+    }
+    centsMemo.getOrElseUpdate((spark, path),
+      spark.read.parquet(s"$path/centroids"))
+  }
+  /** The codes read schema with `centroid_id` pinned to the centroids
+    * sidecar's type (partition-directory inference doesn't round-trip
+    * every id type — see [[search]]); column set is fixed at build, so
+    * the schema memoizes even though the FILES change on append. */
+  private def codesSchema(spark: SparkSession, path: String,
+                          centType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType =
+    codesSchemaMemo.getOrElseUpdate(path,
+      org.apache.spark.sql.types.StructType(
+        spark.read.parquet(s"$path/codes").schema.map(f =>
+          if (f.name == "centroid_id") f.copy(dataType = centType) else f)))
+
   /** Assign + PQ-encode `rows` against a FIXED quantizer (centroids +
     * flattened codebook) and write them into `path/codes` partitioned by
     * inverted list — the one encode stage `build` and `append` share, so
@@ -94,32 +139,51 @@ object IvfPqIndex {
         "is unsupported (approximate residuals would poison the per-list " +
         "codebooks silently)")
     val spark = corpus.sparkSession
+    invalidate(path) // a rebuild replaces every sidecar the memos mirror
+    // materialize the trained centroids ONCE: they are consumed by the
+    // encode (broadcast) AND written as a sidecar — un-materialized, the
+    // corpus-scanning sampling subtree executed twice (round-15)
     val cents = Similarity.sampleCentroids(corpus, idCol, vecCol, nCentroids)
+      .localCheckpoint(true)
     val (cbFlat, halfFlat) =
       if (!residual) {
-        val (cf, hf) = Pq.flatten(
-          Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize))
-        encodeInto(corpus, idCol, vecCol, cents, cf, hf, m,
-          codebookSize, dim / m, path, "overwrite", hierarchicalAssign)
-        (cf, hf)
+        Pq.flatten(Pq.codebook(corpus, idCol, vecCol, m, dim, codebookSize))
       } else {
         val c = corpus.select(col(idCol).as("neighbor_id"),
             asDouble(col(vecCol)).as("cv"))
           .withColumn("cn", Similarity.norm(col("cv")))
           .where(col("cn") > 0)
         val ar = Pq.assignedResiduals(c, cents)
-        val (cf, hf, idxDf) =
-          Pq.residualTrain(ar, cents, m, codebookSize, dim / m)
-        writeCodes(
-          Pq.residualEncode(ar, idxDf, cf, hf, m, codebookSize, dim / m),
-          path, "overwrite")
+        val (cf, hf, _) = Pq.residualTrain(ar, cents, m, codebookSize, dim / m)
         (cf, hf)
       }
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
     import spark.implicits._
-    Seq((m, codebookSize, dim, cbFlat.toSeq, halfFlat.toSeq, residual))
-      .toDF("m", "k", "dim", "cb_flat", "half_flat", "residual")
-      .write.mode("overwrite").parquet(s"$path/codebook")
+    // the codes write, the centroids sidecar and the codebook sidecar
+    // are independent jobs over materialized/driver-local inputs —
+    // overlap them on a driver pool (round-15, guide §2.6); the s-family
+    // lifecycles were many such writes back to back
+    ParallelJobs.run(Seq(
+      () =>
+        if (!residual)
+          encodeInto(corpus, idCol, vecCol, cents, cbFlat, halfFlat, m,
+            codebookSize, dim / m, path, "overwrite", hierarchicalAssign)
+        else {
+          val c = corpus.select(col(idCol).as("neighbor_id"),
+              asDouble(col(vecCol)).as("cv"))
+            .withColumn("cn", Similarity.norm(col("cv")))
+            .where(col("cn") > 0)
+          writeCodes(
+            Pq.residualEncode(Pq.assignedResiduals(c, cents),
+              Pq.listIndexFrame(cents), cbFlat, halfFlat, m, codebookSize,
+              dim / m),
+            path, "overwrite")
+        },
+      () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+      () => {
+        Seq((m, codebookSize, dim, cbFlat.toSeq, halfFlat.toSeq, residual))
+          .toDF("m", "k", "dim", "cb_flat", "half_flat", "residual")
+          .write.mode("overwrite").parquet(s"$path/codebook"); ()
+      }))
   }
 
   /** Append a new batch into an existing index — the incremental-arrival
@@ -144,13 +208,13 @@ object IvfPqIndex {
   def append(batch: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val spark = batch.sparkSession
-    val meta = spark.read.parquet(s"$path/codebook").head()
+    val meta = readCodebook(spark, path)
     val m = meta.getAs[Int]("m")
     val cbSize = meta.getAs[Int]("k")
     val dim = meta.getAs[Int]("dim")
     val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
     val halfFlat = meta.getSeq[Double](meta.fieldIndex("half_flat")).toArray
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = readCents(spark, path)
     if (!meta.getAs[Boolean]("residual"))
       encodeInto(batch, idCol, vecCol, cents, cbFlat, halfFlat, m, cbSize,
         dim / m, path, "append")
@@ -193,15 +257,13 @@ object IvfPqIndex {
     * across the swap instant — run it in the index's write lane, like
     * the appends themselves. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = readCents(spark, path)
     val centType = cents.schema("centroid_id").dataType
-    val codesSchema = org.apache.spark.sql.types.StructType(
-      spark.read.parquet(s"$path/codes").schema.map(f =>
-        if (f.name == "centroid_id") f.copy(dataType = centType) else f))
+    val cs = codesSchema(spark, path, centType)
     val tombs = tombstones(spark, path)
     val survivors = tombs.fold(
-        spark.read.schema(codesSchema).parquet(s"$path/codes"))(t =>
-      spark.read.schema(codesSchema).parquet(s"$path/codes")
+        spark.read.schema(cs).parquet(s"$path/codes"))(t =>
+      spark.read.schema(cs).parquet(s"$path/codes")
         .join(t, Seq("neighbor_id"), "left_anti"))
     // writeCodes appends "/codes" itself — stage under a sibling root
     writeCodes(survivors, s"$path/codes_compacting_root", "overwrite")
@@ -240,13 +302,13 @@ object IvfPqIndex {
              rerank: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && nProbe > 0, "k and nProbe must be positive")
     require(rerankDepth >= k, "rerankDepth must be >= k")
-    val meta = spark.read.parquet(s"$path/codebook").head()
+    val meta = readCodebook(spark, path)
     val m = meta.getAs[Int]("m")
     val cbSize = meta.getAs[Int]("k")
     val dim = meta.getAs[Int]("dim")
     val residual = meta.getAs[Boolean]("residual")
     val cbFlat = meta.getSeq[Double](meta.fieldIndex("cb_flat")).toArray
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = readCents(spark, path)
     val q =
       if (residual) Pq.prepQueriesBase(queries, idCol, vecCol)
       else Pq.prepQueries(queries, idCol, vecCol, cbFlat, m, cbSize, dim / m)
@@ -270,10 +332,8 @@ object IvfPqIndex {
     // to it with an explicit read schema (the first read is a
     // footer-metadata peek for the data columns, no data scan).
     val centType = cents.schema("centroid_id").dataType
-    val codesSchema = org.apache.spark.sql.types.StructType(
-      spark.read.parquet(s"$path/codes").schema.map(f =>
-        if (f.name == "centroid_id") f.copy(dataType = centType) else f))
-    val pruned = spark.read.schema(codesSchema).parquet(s"$path/codes")
+    val pruned = spark.read.schema(codesSchema(spark, path, centType))
+      .parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedLists: _*))
     // tombstoned entries drop BEFORE scoring/top-k, so a delete can
     // never occupy a result slot; broadcast anti-join — the pruned codes

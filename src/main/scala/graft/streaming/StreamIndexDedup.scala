@@ -97,13 +97,21 @@ object StreamIndexDedup {
       // check plan runs once across sink + append consumers
       .persist()
     try {
-      sink(kept, epoch)
-      // appendEpoch is a dynamic partition overwrite (scaladoc layer 2)
-      // so a replay rewrites the crashed attempt; the marker (layer 3)
-      // skips the rewrite once the epoch fully landed
-      if (appendKept &&
-          !DedupIndex.lastAppliedEpoch(spark, path).exists(_ >= epoch)) {
-        DedupIndex.appendEpoch(kept, idCol, textCol, path, epoch)
+      val doAppend = appendKept &&
+        !DedupIndex.lastAppliedEpoch(spark, path).exists(_ >= epoch)
+      if (!doAppend) sink(kept, epoch)
+      else {
+        // materialize the kept cache FIRST (one count), then overlap the
+        // sink write with the index append (round-15, guide §2.6): the
+        // two lanes are independent consumers of the cached verdicts.
+        // Crash-semantics unchanged — the marker still lands only after
+        // BOTH (a crash in either lane leaves the marker unwritten, the
+        // replay's excludeEpoch mask re-delivers the identical kept set,
+        // and appendEpoch's partition overwrite rewrites its attempt).
+        kept.count()
+        graft.operators.ParallelJobs.run(Seq(
+          () => sink(kept, epoch),
+          () => DedupIndex.appendEpoch(kept, idCol, textCol, path, epoch)))
         DedupIndex.recordAppliedEpoch(spark, path, epoch)
         // boundary compact: the marker above covers THIS epoch and every
         // earlier one landed the same way, so the pending-epoch refuse
