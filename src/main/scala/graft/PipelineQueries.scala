@@ -550,8 +550,12 @@ object PipelineQueries {
     * as ONE oracle — proving the oracled stages compose without parity
     * drift. Output: the shard manifest. */
   private def qE2Ecurate(s: SparkSession, d: String): DataFrame =
+    // tokenize-once discipline, extended to the quality battery: the
+    // session's shared per-doc score feeds the gate (round-15; oracle
+    // replays the inline formula and still hash-matches)
     graft.api.Pipeline.curationManifest(docs(s, d), "doc_id", "text",
-        "lang", "n_chars")
+        "lang", "n_chars",
+        precomputedQuality = Some(TextSimQueries.sharedDocQuality(s, d)))
       .orderBy("split", "lang", "shard")
   /** `Pipeline.curateStrict` end to end under the hash gate: exact
     * dedup → Gopher rules (raw text, minStopwordHits=1 as q_t17) → PII
@@ -565,7 +569,9 @@ object PipelineQueries {
   private def qE2Estrict(s: SparkSession, d: String): DataFrame =
     graft.api.Pipeline.curateStrict(docs(s, d), "doc_id", "text", "lang",
         "n_chars", gramLen = 10,
-        gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1))
+        gopher = graft.operators.TextStats.GopherParams(minStopwordHits = 1),
+        precomputedGopherMetrics =
+          Some(TextSimQueries.sharedGopherMetrics(s, d)))
       .select(col("doc_id"), col("lang"), col("split"), col("shard"),
         col("n_chars"), col("text"))
       .orderBy("doc_id")
@@ -697,8 +703,14 @@ object PipelineQueries {
     // slice here too (un-checkpointed, every reference to the batch
     // inside the epoch plan — fingerprints, shingles, kept output —
     // re-ran the full Gopher scan: 3-4 regex passes per epoch)
+    // widenNarrow: the Gopher gate + scrub + token count are scan-side
+    // regexes, and the one-row-group test corpus hands each eighth to
+    // ONE task (measured 2.9 s for the first slice, serial) — a real
+    // micro-batch arrives partitioned by the source. The operator under
+    // test (curateStateless) is unchanged.
     def curated(m: Int): DataFrame = StreamCurate.curateStateless(
-        docs(s, d).where(col("doc_id") % 8 === m).select("doc_id", "text"),
+        graft.operators.Dedup.widenNarrow(
+          docs(s, d).where(col("doc_id") % 8 === m).select("doc_id", "text")),
         "text", gopher)
       .localCheckpoint()
     val idx = TextSimQueries.indexDir("e7idx", d)
@@ -865,7 +877,8 @@ object PipelineQueries {
     * so a test doc in any sequence is a hash mismatch. */
   private def qE2Epack(s: SparkSession, d: String): DataFrame =
     graft.api.Pipeline.prepareSequences(docs(s, d), "doc_id", "text",
-        "lang", "n_chars", seqLen = 512L)
+        "lang", "n_chars", seqLen = 512L,
+        precomputedQuality = Some(TextSimQueries.sharedDocQuality(s, d)))
       .select("lang", "doc_id", "seq_no", "tok_start", "tok_end", "seq_offset")
       .orderBy("lang", "seq_no", "seq_offset", "doc_id")
   private val oE2Epack =

@@ -1807,8 +1807,10 @@ object TextSimQueries {
     * re-implementations; the oracle replays the quality formula, the
     * per-language rank thresholds, and the span arithmetic end to end. */
   private def qE6curriculum(s: SparkSession, d: String): DataFrame = {
+    // the session's shared per-doc quality score (round-15 compute-on-
+    // raw-once; same rows — the score is a pure function of the text)
     val scored = docs(s, d).select(col("doc_id"), col("lang"),
-      col("n_chars"), TextStats.qualityScore(col("text")).as("q"))
+      col("n_chars")).join(sharedDocQuality(s, d), Seq("doc_id"))
     val bucketed = TextStats.rankBuckets(scored, "lang", col("q"),
       fractions = Seq(1.0 / 3, 2.0 / 3), ascending = false)
     graft.operators.Sampling.packSequences(
@@ -2314,6 +2316,25 @@ object TextSimQueries {
   private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame =
     cachedPerDir(s, s"shingles|$d") {
       Dedup.shingleHashRows(docs(s, d), "doc_id", "text", n = 3)
+    }
+  /** Compute-on-raw-once battery shares (round-15, VERDICT r14 #2): the
+    * per-doc quality score and the seven Gopher metrics are pure
+    * functions of the text, so the session computes each battery ONCE
+    * per (session, dir) — widened, because the regexes evaluate
+    * scan-side and the test corpus arrives as one row group — and every
+    * composition gates against the shared frame through the documented
+    * `precomputedQuality` / `precomputedGopherMetrics` hooks. One corpus
+    * regex pass instead of one per composition; slim (id, numeric) rows
+    * persist cheaply (the shingle-cache lesson); every consumer stays
+    * oracle-gated. */
+  private[graft] def sharedDocQuality(s: SparkSession, d: String): DataFrame =
+    cachedPerDir(s, s"docquality|$d") {
+      Dedup.widenNarrow(docs(s, d))
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+    }
+  private[graft] def sharedGopherMetrics(s: SparkSession, d: String): DataFrame =
+    cachedPerDir(s, s"gophermetrics|$d") {
+      TextStats.gopherMetrics(Dedup.widenNarrow(docs(s, d)), "doc_id", "text")
     }
   /** q_d2 emits the pairs, q_d6 clusters THE SAME pairs — one pipeline,
     * so the bench session computes the inverted-index join once (the

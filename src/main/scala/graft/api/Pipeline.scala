@@ -19,23 +19,47 @@ import graft.operators.{Dedup, Sampling, TextStats}
 object Pipeline {
 
   /** One row per surviving doc: the curated corpus with `split` and
-    * `shard` assignments and the scrubbed text. */
+    * `shard` assignments and the scrubbed text.
+    *
+    * `precomputedQuality`: optional (id, quality) frame — the compute-
+    * on-raw-once reuse hook (round-15) for pipelines that already
+    * materialized [[TextStats.qualityScore]] per doc. Caller owns the
+    * equivalence: the frame must cover a SUPERSET of `docs` with unique
+    * ids and the SAME id→text mapping, its first column matching
+    * `idCol`'s values and its second being exactly
+    * `qualityScore(textCol)` — scores that disagree silently mis-gate.
+    * The quality gate then joins the precomputed verdict ids instead of
+    * re-running the score regexes on its own filtered frame (at 100 TB,
+    * one corpus scan shared across every consumer of the score). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              groupCol: String, costCol: String,
              minQuality: Double = 0.3, testFraction: Double = 0.2,
-             shardBudget: Long = 4000L): DataFrame = {
+             shardBudget: Long = 4000L,
+             precomputedQuality: Option[DataFrame] = None): DataFrame = {
     val clash = Seq("_fp", "_pk", "split", "shard").filter(docs.columns.contains)
     require(clash.isEmpty,
       s"columns ${clash.mkString(", ")} collide with curate internals/outputs — alias them")
+    // widen a narrow source ONCE at the chain's entry: the fingerprint,
+    // quality and scrub regexes all evaluate scan-side, and a single-
+    // row-group corpus file would hand them all to one task (round-15,
+    // the Dedup.widenNarrow rationale; no-op at scale)
+    val docsW = Dedup.widenNarrow(docs)
     val fp = TextStats.fingerprint(col(textCol))
     // exact dedup: keep the smallest id per fingerprint (one aggregate,
     // then a semi-join shaped as an inner join on (fp, id))
-    val keepers = docs.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
-    val deduped = docs.withColumn("_fp", fp)
+    val keepers = docsW.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
+    val deduped = docsW.withColumn("_fp", fp)
       .join(keepers, Seq("_fp", idCol))
       .drop("_fp")
-    val gated = deduped
-      .where(TextStats.qualityScore(col(textCol)) >= minQuality)
+    val gated = precomputedQuality.fold(
+        deduped.where(TextStats.qualityScore(col(textCol)) >= minQuality)) { q =>
+        // row-identical by the hook contract: the score is a pure
+        // per-row function of the text, so gating the subset against
+        // verdicts computed on the superset keeps exactly the same rows
+        val keepIds = q.where(col(q.columns(1)) >= lit(minQuality))
+          .select(col(q.columns(0)).as(idCol))
+        deduped.join(keepIds, Seq(idCol))
+      }
       .withColumn(textCol, TextStats.scrubPii(col(textCol)))
     val split = Sampling.withSplit(gated, idCol, testFraction)
     // pack per (split, group): a composite packing key keeps train and
@@ -49,9 +73,10 @@ object Pipeline {
   def curationManifest(docs: DataFrame, idCol: String, textCol: String,
                        groupCol: String, costCol: String,
                        minQuality: Double = 0.3, testFraction: Double = 0.2,
-                       shardBudget: Long = 4000L): DataFrame =
+                       shardBudget: Long = 4000L,
+                       precomputedQuality: Option[DataFrame] = None): DataFrame =
     curate(docs, idCol, textCol, groupCol, costCol, minQuality,
-        testFraction, shardBudget)
+        testFraction, shardBudget, precomputedQuality)
       .groupBy("split", groupCol, "shard")
       .agg(count(lit(1)).as("n_docs"), sum(col(costCol)).as("cost_total"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
@@ -71,23 +96,37 @@ object Pipeline {
     * zero tokens drop out entirely. Every stage is an oracled operator
     * (q_t17, q_d11, q_e2e_curate's own stages); the composition is
     * spec-gated in PipelineOpsSpec. */
+  /** `precomputedGopherMetrics`: optional [[TextStats.gopherMetrics]]
+    * frame — the compute-on-raw-once reuse hook (round-15, the `curate`
+    * quality hook's twin). Caller owns the equivalence: metrics for a
+    * SUPERSET of `docs` with unique ids and the same id→text mapping,
+    * computed by `gopherMetrics` with this package's tokenization —
+    * the gate applies `gopher`'s thresholds to the shared metric
+    * columns, which by construction equals running
+    * `gopherQualityFlags(deduped, …, gopher)` (metrics are pure per-row
+    * functions of the text). */
   def curateStrict(docs: DataFrame, idCol: String, textCol: String,
                    groupCol: String, costCol: String,
                    gramLen: Int = 50,
                    gopher: TextStats.GopherParams = TextStats.GopherParams(),
                    testFraction: Double = 0.2,
-                   shardBudget: Long = 4000L): DataFrame = {
+                   shardBudget: Long = 4000L,
+                   precomputedGopherMetrics: Option[DataFrame] = None): DataFrame = {
     val clash = Seq("_fp", "_pk", "split", "shard").filter(docs.columns.contains)
     require(clash.isEmpty,
       s"columns ${clash.mkString(", ")} collide with curate internals/outputs — alias them")
+    // see curate: widen a narrow source once at the chain's entry
+    val docsW = Dedup.widenNarrow(docs)
     val fp = TextStats.fingerprint(col(textCol))
-    val keepers = docs.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
-    val deduped = docs.withColumn("_fp", fp)
+    val keepers = docsW.groupBy(fp.as("_fp")).agg(min(col(idCol)).as(idCol))
+    val deduped = docsW.withColumn("_fp", fp)
       .join(keepers, Seq("_fp", idCol))
       .drop("_fp")
+    val flags = precomputedGopherMetrics.getOrElse(
+      TextStats.gopherMetrics(deduped, idCol, textCol))
     val gated = deduped
-      .join(TextStats.gopherQualityFlags(deduped, idCol, textCol, gopher)
-          .where(col("keep")).select(col("id").as(idCol)),
+      .join(flags.where(TextStats.gopherKeep(gopher))
+          .select(col("id").as(idCol)),
         Seq(idCol))
       .withColumn(textCol, TextStats.scrubPii(col(textCol)))
     val scrubbed = Dedup.exactSubstringDedup(gated, idCol, textCol, gramLen)
@@ -112,10 +151,13 @@ object Pipeline {
   def prepareSequences(docs: DataFrame, idCol: String, textCol: String,
                        groupCol: String, costCol: String, seqLen: Long,
                        minQuality: Double = 0.3,
-                       testFraction: Double = 0.2): DataFrame =
+                       testFraction: Double = 0.2,
+                       precomputedQuality: Option[DataFrame] = None): DataFrame =
     Sampling.packSequences(
       curate(docs, idCol, textCol, groupCol, costCol, minQuality,
-        testFraction).where(col("split") === "train").drop("split", "shard"),
+        testFraction,
+        precomputedQuality = precomputedQuality)
+        .where(col("split") === "train").drop("split", "shard"),
       groupCol, idCol, costCol, seqLen)
 
   // convenience delegates with library defaults -----------------------------

@@ -109,9 +109,31 @@ object Dedup {
         (if (portable) Sampling.hash60(col("s")) else xxhash64(col("s"))).as("h"))
       .distinct()
 
+  /** Round-robin widen when the source is NARROWER than the session's
+    * parallelism — the [[Similarity.widen]] discipline generalized
+    * (round-15): per-row tokenize/regex work runs on the SCAN side, and
+    * a small or single-row-group parquet source hands the whole corpus
+    * to ONE task, serializing every expensive expression above it
+    * (measured: the full-corpus word-regex pass ran 1-task, ~2 s of a
+    * 6-9 s query at sf0.1). At scale the scan has natural parallelism
+    * (partitions ≥ cores) and this is a NO-OP — no exchange is added.
+    * Round-robin repartition is deterministic under task retries
+    * (sortBeforeRepartition, on by default), and every consumer in this
+    * package is partition-order independent, so results are unchanged. */
+  private[graft] def widenNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   /** Shared tokenization: NON-distinct (id, shingle-string) rows — the
     * single source of truth for the posexplode + window-lead stitching
-    * that both the string and hashed shingle forms derive from. */
+    * that both the string and hashed shingle forms derive from.
+    * NOT widenNarrow'ed (round-15, measured): the per-doc window
+    * (partitionBy id) re-exchanges right after the regex anyway, and the
+    * extra round-robin shuffle + its pre-sort cost MORE than the
+    * parallelized regex saved (q_d10 7.9 → 8.5 s, q_e2e_strict
+    * 4.2 → 5.0 s isolated) — the shingle pipeline's serial fraction is
+    * not the word regex. */
   private def rawShingleRows(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -994,14 +1016,20 @@ object Dedup {
     // narrow join + one shuffle per pass, no per-pass Catalyst planning
     // — the Graph.pageRankRun rewrite, same measured disease). Gated to
     // integral types because min-label propagation needs an ordering,
-    // and Long's natural order is exactly Spark's; for strings, Java's
-    // UTF-16 compareTo diverges from Spark's UTF-8 binary collation on
-    // supplementary-plane code points, so non-integral ids keep the
+    // and Long's natural order is exactly Spark's. Round-15 (VERDICT
+    // r14 #8) extends the fast path to STRING ids with a
+    // COLLATION-EXACT ordering: keys travel as UTF8String (Spark's own
+    // string representation — byte-wise equality/hash/compare), so min
+    // over them IS the engine's UTF-8 binary collation, including the
+    // supplementary-plane code points where Java's UTF-16 compareTo
+    // diverges (spec-pinned on such a fixture). Other id types keep the
     // DataFrame loop whose `min` is the engine's own.
     pairs.schema("id_a").dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType =>
         return componentLabelsRddLong(pairs, maxIters, onPass, reliable)
+      case org.apache.spark.sql.types.StringType =>
+        return componentLabelsRddUtf8(pairs, maxIters, onPass, reliable)
       case _ => ()
     }
     def ckpt(df: DataFrame): DataFrame =
@@ -1070,32 +1098,118 @@ object Dedup {
       cut(edges.keys.distinct(part.numPartitions).map(id => (id, id))
         .partitionBy(part))
     labels.count() // materialize the seed so every pass starts cached
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val t0 = System.nanoTime()
-      val nbrMin = edges.join(labels, part)
-        .map { case (_, (dst, lab)) => (dst, lab) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val staged = cut(labels.leftOuterJoin(nbrMin, part).mapValues {
-        case (l, Some(n)) => (math.min(l, n), n < l)
-        case (l, None) => (l, false)
-      })
-      changed = staged.aggregate(0L)(
-        (acc, kv) => acc + (if (kv._2._2) 1L else 0L), _ + _)
-      labels = staged.mapValues(_._1)
-      it += 1
-      onPass(it, changed, (System.nanoTime() - t0) / 1e9)
+    // every RDD the loop pins (edges, each pass's cut) is released in
+    // the finally below, AFTER the output frame is eagerly materialized —
+    // a long-lived session labeling repeatedly must not accumulate
+    // pinned blocks (round-15, VERDICT r14 #5); superseded iterates are
+    // additionally released per pass instead of waiting for the cleaner
+    var prevCut: RDD[_] = labels
+    try {
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val t0 = System.nanoTime()
+        val nbrMin = edges.join(labels, part)
+          .map { case (_, (dst, lab)) => (dst, lab) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val staged = cut(labels.leftOuterJoin(nbrMin, part).mapValues {
+          case (l, Some(n)) => (math.min(l, n), n < l)
+          case (l, None) => (l, false)
+        })
+        changed = staged.aggregate(0L)(
+          (acc, kv) => acc + (if (kv._2._2) 1L else 0L), _ + _)
+        prevCut.unpersist(false)
+        prevCut = staged
+        labels = staged.mapValues(_._1)
+        it += 1
+        onPass(it, changed, (System.nanoTime() - t0) / 1e9)
+      }
+      require(changed == 0,
+        s"componentLabels did not converge within $maxIters passes")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val rows = labels.map { case (id, lab) =>
+        if (isInt) Row(id.toInt, lab.toInt) else Row(id, lab)
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", idType), StructField("label", idType))))
+        .localCheckpoint(true)
+    } finally {
+      edges.unpersist(false)
+      prevCut.unpersist(false)
     }
-    require(changed == 0,
-      s"componentLabels did not converge within $maxIters passes")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
-    val rows = labels.map { case (id, lab) =>
-      if (isInt) Row(id.toInt, lab.toInt) else Row(id, lab)
+  }
+
+  /** The string-id fast path of [[componentLabels]] (round-15): the
+    * componentLabelsRddLong loop with UTF8String keys. UTF8String is
+    * Spark's own string representation — hashCode/equals/compareTo are
+    * all over the UTF-8 BYTES — so hash-partitioning, joins, and the
+    * min-label fold reproduce the engine's binary collation exactly
+    * (including the unpaired-surrogate normalization of
+    * UTF8String.fromString, which the DataFrame loop's own scan applies
+    * to every string anyway). Java String keys would NOT be safe:
+    * UTF-16 compareTo orders supplementary-plane code points below
+    * U+E000..U+FFFF, the opposite of UTF-8 — pinned by spec. */
+  private def componentLabelsRddUtf8(pairs: DataFrame, maxIters: Int,
+                                     onPass: (Int, Long, Double) => Unit,
+                                     reliable: Boolean): DataFrame = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = pairs.sparkSession
+    val edgesDf = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val edgesRdd0 = edgesDf.rdd.map(r =>
+      (UTF8String.fromString(r.getString(0)),
+        UTF8String.fromString(r.getString(1))))
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(edgesRdd0.getNumPartitions, 1))
+    val edges = edgesRdd0.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cut[T](rdd: RDD[T]): RDD[T] =
+      if (reliable) { rdd.persist(); rdd.checkpoint(); rdd }
+      else rdd.localCheckpoint()
+    def minU(a: UTF8String, b: UTF8String): UTF8String =
+      if (a.compareTo(b) <= 0) a else b
+    var labels: RDD[(UTF8String, UTF8String)] =
+      cut(edges.keys.distinct(part.numPartitions).map(id => (id, id))
+        .partitionBy(part))
+    labels.count() // materialize the seed so every pass starts cached
+    var prevCut: RDD[_] = labels
+    try {
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val t0 = System.nanoTime()
+        val nbrMin = edges.join(labels, part)
+          .map { case (_, (dst, lab)) => (dst, lab) }
+          .reduceByKey(part, minU(_, _))
+        val staged = cut(labels.leftOuterJoin(nbrMin, part).mapValues {
+          case (l, Some(n)) => (minU(l, n), n.compareTo(l) < 0)
+          case (l, None) => (l, false)
+        })
+        changed = staged.aggregate(0L)(
+          (acc, kv) => acc + (if (kv._2._2) 1L else 0L), _ + _)
+        prevCut.unpersist(false)
+        prevCut = staged
+        labels = staged.mapValues(_._1)
+        it += 1
+        onPass(it, changed, (System.nanoTime() - t0) / 1e9)
+      }
+      require(changed == 0,
+        s"componentLabels did not converge within $maxIters passes")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val rows = labels.map { case (id, lab) =>
+        Row(id.toString, lab.toString)
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", StringType), StructField("label", StringType))))
+        .localCheckpoint(true)
+    } finally {
+      edges.unpersist(false)
+      prevCut.unpersist(false)
     }
-    spark.createDataFrame(rows, StructType(Seq(
-      StructField("id", idType), StructField("label", idType))))
   }
 
   /** Near-dup CLUSTERS from candidate pairs: transitive closure, one row

@@ -775,12 +775,27 @@ object TextStats {
     * composite `keep`. Empty/wordless docs keep = false via the
     * word-count band (divisions are guarded, never null). */
   def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
-                         p: GopherParams = GopherParams()): DataFrame = {
+                         p: GopherParams = GopherParams()): DataFrame =
+    gopherMetrics(df, idCol, textCol).withColumn("keep", gopherKeep(p))
+
+  /** The PARAMETER-FREE half of [[gopherQualityFlags]]: one row per doc
+    * with the seven metric columns and no verdict — the compute-on-raw-
+    * once artifact a pipeline shares across consumers with DIFFERENT
+    * thresholds (round-15: per-doc metrics are a pure function of the
+    * text, so one corpus pass serves every gate). Apply
+    * [[gopherKeep(p)*]] to get any param set's verdict; by shared
+    * construction ([[gopherMetricCols]] both here and in the one-column
+    * [[gopherKeep]]), thresholds over these ROUNDED metric columns are
+    * exactly the flags frame's own keep. */
+  def gopherMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val m = gopherMetricCols(col(textCol))
     df.select(col(idCol).as("id") +:
         GopherMetricNames.map(n => m(n).as(n)): _*)
-      .withColumn("keep", gopherKeepOf(col, p))
   }
+
+  /** The [[gopherQualityFlags]] keep rule as a Column over a
+    * [[gopherMetrics]]-shaped frame's columns (resolved by name). */
+  def gopherKeep(p: GopherParams): Column = gopherKeepOf(col, p)
 
   /** Per-document TF-IDF keyword extraction: the `topK` highest-scoring
     * terms of each document under tf·idf with idf = ln(N/df) (N = docs
