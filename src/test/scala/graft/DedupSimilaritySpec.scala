@@ -1217,6 +1217,63 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkSpec {
       s2.ranks.orderBy("id").collect().map(_.toSeq).toSeq)
   }
 
+  test("componentLabels on STRING ids: collation-exact min labels, " +
+    "including supplementary-plane code points where UTF-16 compareTo " +
+    "diverges from UTF-8 binary order (r15 fast-path gate)") {
+    // U+FFFF ("￿") encodes as EF BF BF; U+10000 ("𐀀")
+    // as F0 90 80 80 — UTF-8 binary orders a￿ FIRST, while Java's
+    // UTF-16 compareTo orders a𐀀 first (0xD800 < 0xFFFF). A
+    // keeper chosen by Java String ordering would be "a𐀀" —
+    // exactly the divergence this fixture pins.
+    val bmp = "a￿"
+    val supp = "a𐀀"
+    val pairs = Seq((bmp, supp), (supp, "zz"), ("m1", "m2"))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.componentLabels(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.size == 5)
+    // Spark's own binary-collation min over the component {bmp, supp, zz}
+    val sparkMin = spark.sql(
+      s"SELECT least('${bmp}', '${supp}', 'zz')").head().getString(0)
+    assert(sparkMin == bmp, "fixture sanity: UTF-8 orders the BMP char first")
+    assert(labels(bmp) == bmp && labels(supp) == bmp && labels("zz") == bmp,
+      s"collation-exact keeper expected $bmp: $labels")
+    assert(labels("m1") == "m1" && labels("m2") == "m1")
+    // roll-up stays definitionally identical
+    val clusters = Dedup.nearDupClusters(pairs).orderBy("keeper").collect()
+    assert(clusters.length == 2)
+    assert(clusters.map(_.getString(0)).toSeq == Seq(bmp, "m1").sorted)
+  }
+
+  test("pageRankRun and componentLabels release every loop-pinned block " +
+    "(r15: only the materialized OUTPUT may stay persisted)") {
+    import graft.operators.Graph
+    val sc = spark.sparkContext
+    def persistedNow(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    // pageRankRun: the loop pins edgesPart + degRdd + boundary
+    // checkpoints; after the call only the eagerly-materialized ranks
+    // output (ONE localCheckpoint) may remain
+    val before1 = persistedNow()
+    val ranks = Graph.pageRankRun(pairs, iters = 8).ranks
+    assert(ranks.count() == 6)
+    val left1 = persistedNow() -- before1
+    assert(left1.size <= 1,
+      s"pageRankRun left ${left1.size} persisted RDDs beyond its output: " +
+        left1.map(id => sc.getPersistentRDDs(id).toString).mkString("; "))
+    // componentLabelsRddLong: edges + per-pass cuts released, only the
+    // materialized labels output may remain
+    val before2 = persistedNow()
+    val labels = Dedup.componentLabels(pairs)
+    assert(labels.count() == 6)
+    val left2 = persistedNow() -- before2
+    assert(left2.size <= 1,
+      s"componentLabels left ${left2.size} persisted RDDs beyond its " +
+        s"output: " +
+        left2.map(id => sc.getPersistentRDDs(id).toString).mkString("; "))
+  }
+
   test("exactDedupKeepBest: argmax-score keeper, min-id tiebreak, scopes") {
     val d = Seq(
       (1L, "a", "k1", 0.3), (2L, "a", "k1", 0.9), (3L, "b", "k1", 0.9),
