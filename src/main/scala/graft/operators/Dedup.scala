@@ -125,19 +125,37 @@ object Dedup {
     if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
   }
 
+  /** [[widenNarrow]] keyed: hash-repartition a NARROW source by the
+    * grouping key the next aggregate/window uses, with an EXPLICIT
+    * partition count so AQE cannot fold it back to one task — the
+    * downstream keyed operator then REUSES the partitioning (no second
+    * exchange), the exchange ships raw rows instead of the exploded
+    * rows the keyed operator's own exchange would ship, and the per-row
+    * regex above it runs parallel. No-op at scale, like widenNarrow. */
+  private[graft] def widenNarrowBy(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par, key)
+  }
+
   /** Shared tokenization: NON-distinct (id, shingle-string) rows — the
     * single source of truth for the posexplode + window-lead stitching
     * that both the string and hashed shingle forms derive from.
-    * NOT widenNarrow'ed (round-15, measured): the per-doc window
-    * (partitionBy id) re-exchanges right after the regex anyway, and the
-    * extra round-robin shuffle + its pre-sort cost MORE than the
-    * parallelized regex saved (q_d10 7.9 → 8.5 s, q_e2e_strict
-    * 4.2 → 5.0 s isolated) — the shingle pipeline's serial fraction is
-    * not the word regex. */
+    *
+    * Round-15 widening: a NARROW source (fewer partitions than cores —
+    * the single-row-group test corpus, never a real table) is hash-
+    * repartitioned BY DOC ID before the explode, with an explicit
+    * partition count so AQE cannot fold it back to one task. This moves
+    * the word regex behind the exchange (parallel) and the exchange
+    * itself carries RAW text instead of the exploded word rows the
+    * window's own exchange otherwise ships — fewer shuffle bytes AND a
+    * parallel regex; the per-doc window then REUSES the id partitioning
+    * (no second exchange). A round-robin widen was measured WORSE
+    * (q_d10 7.9 → 8.5 s) precisely because it kept the window's own
+    * exploded-rows exchange on top of its own. */
   private def rawShingleRows(df: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = df.select(col(idCol).as("id"),
+    val w = widenNarrowBy(df, col(idCol)).select(col(idCol).as("id"),
       posexplode(words(col(textCol))).as(Seq("pos", "w0")))
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val parts = (0 until n).map(j =>
@@ -637,7 +655,11 @@ object Dedup {
     * `portable = false` uses all 64 bits of xxhash64 (no SQL analog). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               portable: Boolean = true): DataFrame = {
-    val ex0 = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("t"))
+    // widenNarrowBy: the token regex + the 64-column partial aggregate
+    // run above the scan; a narrow source serializes both, and the
+    // groupBy(id) below reuses the id partitioning (round-15)
+    val ex0 = widenNarrowBy(df, col(idCol))
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("t"))
     val ex =
       if (portable)
         ex0.withColumn("h", Sampling.hash60(col("t")))
