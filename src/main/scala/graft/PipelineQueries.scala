@@ -703,14 +703,20 @@ object PipelineQueries {
     // slice here too (un-checkpointed, every reference to the batch
     // inside the epoch plan — fingerprints, shingles, kept output —
     // re-ran the full Gopher scan: 3-4 regex passes per epoch)
-    // widenNarrow: the Gopher gate + scrub + token count are scan-side
-    // regexes, and the one-row-group test corpus hands each eighth to
-    // ONE task (measured 2.9 s for the first slice, serial) — a real
-    // micro-batch arrives partitioned by the source. The operator under
+    // widenNarrow + checkpoint the RAW slice: the Gopher gate + scrub +
+    // token count are scan-side regexes, and the one-row-group test
+    // corpus hands each eighth to ONE task (measured 2.9 s for the
+    // first slice, serial). The checkpoint after the widen is the
+    // PUSHDOWN BARRIER that makes it stick — the gate is a
+    // deterministic filter, so the optimizer pushes it back below the
+    // widen exchange onto the single-task scan otherwise (probed) —
+    // and it IS the foreachBatch contract: a real micro-batch arrives
+    // MATERIALIZED with the source's partitioning. The operator under
     // test (curateStateless) is unchanged.
     def curated(m: Int): DataFrame = StreamCurate.curateStateless(
         graft.operators.Dedup.widenNarrow(
-          docs(s, d).where(col("doc_id") % 8 === m).select("doc_id", "text")),
+          docs(s, d).where(col("doc_id") % 8 === m).select("doc_id", "text"))
+          .localCheckpoint(),
         "text", gopher)
       .localCheckpoint()
     val idx = TextSimQueries.indexDir("e7idx", d)
