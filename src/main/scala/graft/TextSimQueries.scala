@@ -2302,9 +2302,20 @@ object TextSimQueries {
         // persist=false for frames that are ALREADY materialized (e.g. a
         // localCheckpointed labels frame) — the registry entry alone
         // prevents rebuilding; unpersist on eviction is a no-op for them
-        if (persist)
-          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else build)
+        if (persist) {
+          val df = build
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // EAGER since round 15: the first consumer's plan references
+          // the shared frame in up to 5 subtrees and AQE runs those
+          // stage jobs concurrently against the still-empty cache —
+          // ~5 copies of the build subtree. Round 14 measured eager as
+          // SLOWER because the copies ran serial tokenizes on otherwise
+          // idle cores; with the build now widenNarrow'ed (parallel),
+          // the racing copies CONTEND instead, and one materialization
+          // wins (re-measured this round). At 100 TB eager always won.
+          df.count()
+          df
+        } else build)
   }
   /** Drop (and unpersist) everything cached for `s`. Kept for long-lived
     * sessions that want to reclaim the cache; the bench no longer needs
